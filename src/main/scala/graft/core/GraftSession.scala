@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine (replaces the reference's
+  * `cn/ipanel/common/SparkSession.scala:12-39`, which hand-tuned Spark 1.6
+  * confs: codegen on, 200 MB broadcast threshold, Kryo).
+  *
+  * On Spark 4.x, codegen / compressed columnar cache / vectorized parquet
+  * are default-on; we keep the raised broadcast threshold (all dimension
+  * tables here are small) and turn on AQE so skewed shuffles re-plan at
+  * runtime — the knob that matters at 100 TB.
+  */
+object GraftSession {
+  def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$threads]", threads).getOrCreate()
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (200L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [verify_out_dir] [sf_dir]
+
+Reads <out>/oracle_sql.json, registers the sf parquet tables as DuckDB
+views, runs each oracle, loads the matching <out>/<name> parquet written
+by graft.Verify, and compares: schema (column names sorted), row count,
+and values (rows sorted by all columns). NOT part of the shipped library.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        e, g = norm(exp), norm(got)
+        if list(e.columns) != list(g.columns):
+            print(f"FAIL {name}: columns differ\n  duckdb: {list(e.columns)}\n  spark : {list(g.columns)}")
+            n_fail += 1
+            continue
+        if len(e) != len(g):
+            print(f"FAIL {name}: rows differ duckdb={len(e)} spark={len(g)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in e.columns:
+            ev, gv = e[c], g[c]
+            if ev.dtype.kind == "f" or gv.dtype.kind == "f":
+                ok = np.allclose(ev.astype(float), gv.astype(float), rtol=0, atol=0, equal_nan=True)
+                exact = ok
+            else:
+                exact = ev.astype(object).equals(gv.astype(object))
+            if not exact:
+                bad.append(c)
+        if bad:
+            print(f"FAIL {name}: value mismatch in {bad}")
+            for c in bad[:3]:
+                m = e[c].astype(object) != g[c].astype(object)
+                idx = np.where(m)[0][:5]
+                for i in idx:
+                    print(f"    row {i} col {c}: duckdb={e[c].iloc[i]!r} spark={g[c].iloc[i]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(e)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
