@@ -25,5 +25,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (200L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // harness events.ts is parquet TIMESTAMP(NANOS); read as long, convert
+      // in Tables.events (Spark has no nanos timestamp type)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -18,6 +18,20 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The harness writes `events.ts` as parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.core.GraftSession]])
+    * so the scan yields a LongType of epoch-nanos; we convert once here to a
+    * proper UTC TimestampType (micros, truncating — same as DuckDB's
+    * `epoch_us`) so every downstream query sees a normal timestamp column.
+    */
+  private def restoreNanoTs(df: DataFrame, col: String): DataFrame =
+    df.schema(col).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(col, org.apache.spark.sql.functions.expr(s"timestamp_micros($col div 1000)"))
+      case _ => df
+    }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
@@ -25,7 +39,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame     = restoreNanoTs(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

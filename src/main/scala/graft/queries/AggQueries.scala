@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -10,7 +9,12 @@ import graft.core.Tables
   * segment merge at `etl/RunLogParser.scala:401-411` and the user-tier
   * segmentation at `homed/repots/ChannelReport.scala:166-180`) over the
   * harness tables. All aggregates run as partial (map-side) + final hash
-  * aggregation — no shuffle beyond the single group-by exchange.
+  * aggregation — one shuffle per group-by, no more.
+  *
+  * Scale notes (100 TB): every query here is a single-exchange hash
+  * aggregate; the exact-distinct paths (q02, q07) are the only ones whose
+  * per-group state grows with cardinality — q08 is the sketch-based
+  * (HyperLogLog++) alternative the reference lacked (SURVEY H-4).
   */
 object AggQueries extends QueryPack {
 
@@ -30,8 +34,143 @@ object AggQueries extends QueryPack {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** A2/A4: exact UV+PV per group (`homed/repots/ChannelReport.scala:158-164`).
+    * countDistinct = two-phase partial dedup then count; at 100 TB prefer q08. */
+  private val q02: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("uv"),
+        count(lit(1)).as("pv"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  /** A5/A14: two-level agg + conditional-sum tiers
+    * (`homed/repots/ChannelReport.scala:166-180` browse/hobby/steady buckets). */
+  private val q03: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(sum($"value").as("v"))
+      .agg(
+        sum(when($"v" < 100, 1L).otherwise(0L)).as("tier_light"),
+        sum(when($"v" >= 100 && $"v" < 500, 1L).otherwise(0L)).as("tier_mid"),
+        sum(when($"v" >= 500, 1L).otherwise(0L)).as("tier_heavy"),
+        count(lit(1)).as("n_users"))
+  }
+
+  /** A6/A13: collect_set + sorted concat_ws (top-N source merge,
+    * `etl/UserAgregate.scala:113-120`); dedup-in-agg replaces the
+    * reference's post-agg `merge` UDF with native array ops. */
+  private val q04: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang")
+      .agg(
+        concat_ws(",", array_sort(collect_set($"source"))).as("sources"),
+        size(collect_set($"source")).cast("long").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  /** A7 (H-3 determinised): representative-per-group via min_by — replaces
+    * the reference's nondeterministic `first()` (`OnlineUsersAndTimeNew.scala:450-457`). */
+  private val q05: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        min_by($"value", $"event_id").as("first_value"),
+        min($"event_id").as("first_event"))
+      .orderBy($"event_type")
+  }
+
+  /** A9/A10: keep-latest argmax per key (heartbeat dedup,
+    * `homed/realtime/ChannelLive.scala:238-244`) via max_by on a unique
+    * monotone key — no window, single agg exchange. */
+  private val q06: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_type", $"event_id").as("last_type"),
+        max($"event_id").as("last_event"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** A8: exact distinct user sets per group (`LiveChannelStatistics.scala:522-546`
+    * `t_user_array_by_day`). ArrayType column, sorted for determinism.
+    * At 100 TB this is the memory-risk operator — q08 is the sketch path. */
+  private val q07: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        array_sort(collect_set($"user_id")).as("users"),
+        size(collect_set($"user_id")).cast("long").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** A8 sketch path (SURVEY H-4): HyperLogLog++ UV — constant memory per
+    * group at any scale. No DuckDB oracle (sketch internals differ);
+    * driver records rows>0. */
+  private val q08: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_uv"))
+      .orderBy($"event_type")
+  }
+
+  /** A18: weighted-score aggregation (star heat, `rank/reports/StarRankWeek.scala:84-135`).
+    * Integer weights: fractional weights (e.g. 0.5) over 2-decimal money put
+    * the score exactly on a .xx5 rounding boundary, where Spark (HALF_UP on
+    * shortest-repr BigDecimal) and DuckDB (C round on scaled double) disagree. */
+  private val q09: Q = (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        round(
+          sum($"o_totalprice") * lit(2.0)
+            + count(lit(1)) * lit(30.0)
+            + countDistinct($"c_custkey") * lit(100.0), 2).as("heat"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"n_name")
+  }
+
+  /** A16: multi-grain via ROLLUP — replaces the reference's ~40 re-run-per-
+    * grain jobs (`LiveChannelStatistics.scala:176-223`) with one pass. */
+  private val q10: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"sum_qty", $"n")
+      .orderBy($"flag", $"status")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q01_agg" -> q01
+    "q01_agg" -> q01,
+    "q02_count_distinct" -> q02,
+    "q03_cond_sum_tiers" -> q03,
+    "q04_collect_set" -> q04,
+    "q05_min_by" -> q05,
+    "q06_argmax_latest" -> q06,
+    "q07_user_sets" -> q07,
+    "q08_approx_uv" -> q08,
+    "q09_weighted_score" -> q09,
+    "q10_rollup" -> q10
   )
 
   val oracle: Map[String, String] = Map(
@@ -46,6 +185,58 @@ object AggQueries extends QueryPack {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_count_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS uv,
+        |  count(*) AS pv,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q03_cond_sum_tiers" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN v < 100 THEN 1 ELSE 0 END) AS BIGINT) AS tier_light,
+        |  CAST(sum(CASE WHEN v >= 100 AND v < 500 THEN 1 ELSE 0 END) AS BIGINT) AS tier_mid,
+        |  CAST(sum(CASE WHEN v >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS tier_heavy,
+        |  count(*) AS n_users
+        |FROM (SELECT user_id, sum(value) AS v FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id)""".stripMargin,
+    "q04_collect_set" ->
+      """SELECT lang,
+        |  string_agg(source, ',' ORDER BY source) AS sources,
+        |  count(*) AS n_sources
+        |FROM (SELECT DISTINCT lang, source FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q05_min_by" ->
+      """SELECT event_type,
+        |  min_by(value, event_id) AS first_value,
+        |  min(event_id) AS first_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q06_argmax_latest" ->
+      """SELECT user_id,
+        |  max_by(event_type, event_id) AS last_type,
+        |  max(event_id) AS last_event,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q07_user_sets" ->
+      """SELECT event_type,
+        |  list(user_id ORDER BY user_id) AS users,
+        |  count(*) AS n_users
+        |FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q09_weighted_score" ->
+      """SELECT n_name,
+        |  round(sum(o_totalprice) * 2.0 + count(*) * 30.0
+        |        + count(DISTINCT c_custkey) * 100.0, 2) AS heat,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin
   )
 }

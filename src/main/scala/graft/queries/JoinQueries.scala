@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Join operators — SURVEY §2.3 (J1–J13).
+  *
+  * The reference's identity/enrichment joins (device↔CA↔DA at
+  * `etl/CaGetDa.scala:15-21`, region enrichment at `etl/LogParser.scala:263-270`,
+  * the EPG range join at `homed/repots/ChannelReport.scala:68-73`) re-expressed
+  * as declarative Dataset joins so Catalyst picks broadcast vs shuffled-hash
+  * vs sort-merge, with AQE re-planning skew at runtime.
+  *
+  * Scale notes: dimension sides (region/nation/customer at dim-scale) are
+  * broadcast — verified in JoinQueriesSpec by asserting on the physical plan.
+  * The fact-fact joins shuffle on their equi keys only; the range join (q18)
+  * keeps an equi key so it plans as a hash join with a post-filter, NOT a
+  * broadcast-nested-loop — the difference between hours and seconds at 100 TB.
+  */
+object JoinQueries extends QueryPack {
+
+  /** J1+J8: star join, dims broadcast (`etl/CaGetDa.scala:15-21` inner chain). */
+  private val q11: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"r_name")
+  }
+
+  /** J2+P8: left outer + coalesce default on miss
+    * (`etl/LogParser.scala:263-270` region default). */
+  private val q12: Q = (s, d) => {
+    import s.implicits._
+    val perCust = Tables.orders(s, d)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("spend"))
+    Tables.customer(s, d)
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_mktsegment")
+      .agg(
+        sum(coalesce($"cnt", lit(0L))).as("orders"),
+        round(sum(coalesce($"spend", lit(0.0))), 2).as("spend"),
+        sum(when($"cnt".isNull, 1L).otherwise(0L)).as("inactive_customers"),
+        count(lit(1)).as("customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** J4: right outer (`homed/repots/LiveChannelStatistics.scala:149`). */
+  private val q13: Q = (s, d) => {
+    import s.implicits._
+    Tables.supplier(s, d)
+      .join(Tables.nation(s, d), $"s_nationkey" === $"n_nationkey", "right")
+      .groupBy($"n_name")
+      .agg(count($"s_suppkey").as("n_suppliers"))
+      .orderBy($"n_name")
+  }
+
+  /** J5+R5: full outer + nvl-coalesced merge (realtime demand merge,
+    * `realtime/ProgramDemand.scala:90-98`). */
+  private val q14: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    val purchases = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(count(lit(1)).as("p"))
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+    purchases.join(clicks, Seq("user_id"), "full")
+      .select(
+        $"user_id",
+        coalesce($"p", lit(0L)).as("purchases"),
+        coalesce($"c", lit(0L)).as("clicks"),
+        (coalesce($"p", lit(0L)) + coalesce($"c", lit(0L))).as("total"))
+      .orderBy($"user_id")
+  }
+
+  /** J6: multi-key equi-join (5-col join at `LiveChannelStatistics.scala:394-397`). */
+  private val q15: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"),
+        hour($"ts").as("hr"), $"event_type", $"value")
+    val views = e.filter($"event_type" === "view")
+      .groupBy($"user_id", $"day", $"hr").agg(count(lit(1)).as("views"))
+    val clicks = e.filter($"event_type" === "click")
+      .groupBy($"user_id", $"day", $"hr").agg(count(lit(1)).as("clicks"))
+    views.join(clicks, Seq("user_id", "day", "hr"))
+      .orderBy($"user_id", $"day", $"hr")
+  }
+
+  /** J10: left semi (homed-user filter, `etl/UserAgregate.scala:139` —
+    * the reference faked it with inner+select; left_semi avoids the
+    * duplicate-amplification and carries no right-side columns). */
+  private val q16: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("active_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** J11: left anti (`etl/RunLogParser.scala:84` whole-row except → key anti).
+    * Right side filtered to high-value orders so the anti set is non-empty
+    * at every sf (every custkey has some order in the fixtures). */
+  private val q17: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter($"o_totalprice" > 400000.0),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("no_big_order_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** J7: range join WITH an equi key (EPG attach,
+    * `homed/repots/ChannelReport.scala:68-73`) — equi key keeps it a hash
+    * join + filter instead of a BNLJ. */
+  private val q18: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), round(sum($"l_quantity"), 2).as("qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** J9: manual broadcast of a dim (replaces the reference's collect()+
+    * HashMap-broadcast lookup, `homed/realtime/ChannelLive.scala:68-105` —
+    * planner-visible broadcast join instead of a closure). */
+  private val q19: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"), round(avg($"c_acctbal"), 2).as("avg_bal"))
+      .orderBy($"n_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q11_star_join" -> q11,
+    "q12_left_default" -> q12,
+    "q13_right_join" -> q13,
+    "q14_full_outer_merge" -> q14,
+    "q15_multikey_join" -> q15,
+    "q16_semi_join" -> q16,
+    "q17_anti_join" -> q17,
+    "q18_range_join" -> q18,
+    "q19_broadcast_join" -> q19
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q11_star_join" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q12_left_default" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS orders,
+        |  round(sum(coalesce(spend, 0.0)), 2) AS spend,
+        |  CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS inactive_customers,
+        |  count(*) AS customers
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS spend
+        |   FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q13_right_join" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q14_full_outer_merge" ->
+      """SELECT user_id,
+        |  coalesce(p, 0) AS purchases,
+        |  coalesce(c, 0) AS clicks,
+        |  coalesce(p, 0) + coalesce(c, 0) AS total
+        |FROM (SELECT user_id, count(*) AS p FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |FULL JOIN (SELECT user_id, count(*) AS c FROM events WHERE event_type = 'click' GROUP BY user_id)
+        |USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q15_multikey_join" ->
+      """SELECT user_id, day, hr, views, clicks FROM
+        |  (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, hour(ts) AS hr, count(*) AS views
+        |   FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3)
+        |JOIN
+        |  (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, hour(ts) AS hr, count(*) AS clicks
+        |   FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3)
+        |USING (user_id, day, hr)
+        |ORDER BY user_id, day, hr""".stripMargin,
+    "q16_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS active_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q17_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS no_big_order_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q18_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q19_broadcast_join" ->
+      """SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}
