@@ -15,7 +15,8 @@ object SparkEntry {
     AggQueries,
     JoinQueries,
     WindowQueries,
-    SetSortQueries
+    SetSortQueries,
+    FunctionQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
