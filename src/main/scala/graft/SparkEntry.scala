@@ -16,7 +16,8 @@ object SparkEntry {
     JoinQueries,
     WindowQueries,
     SetSortQueries,
-    FunctionQueries
+    FunctionQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
