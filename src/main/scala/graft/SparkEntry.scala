@@ -17,7 +17,8 @@ object SparkEntry {
     WindowQueries,
     SetSortQueries,
     FunctionQueries,
-    TextQueries
+    TextQueries,
+    DedupQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions.{tokens, shingles, fingerprint}
+import graft.functions.DedupFunctions._
+import graft.functions.VectorFunctions.cosine
+
+/** Deduplication operators for the training-data pipeline (SURVEY H-8):
+  * exact hash dedup, MinHash+LSH, n-gram Jaccard, SimHash, and
+  * embedding-cosine near-dup — each over `documents`/`embeddings` with an
+  * exact DuckDB oracle.
+  *
+  * Scale design: every near-dup operator generates candidate pairs through
+  * a bucket JOIN (MinHash band, SimHash byte, first-minhash block, label
+  * block) — the quadratic compare only ever runs inside buckets, so the
+  * shuffle key count stays O(n·bands) and the plan survives 100 TB. The
+  * expensive exact measure (Jaccard / cosine) runs only on candidates.
+  */
+object DedupQueries extends QueryPack {
+
+  // MinHash parameters shared by Spark and oracle SQL: 3-token shingles,
+  // 9 hash functions in 3 bands of 3 rows (band match prob = j³ per band).
+  private val K = 3
+  private val NH = 9
+  private val B = 3
+  private val R = 3
+
+  /** Exact dedup census per source: docs vs distinct md5 fingerprints.
+    * The groupBy(fingerprint) behind this is the canonical exact-dedup
+    * shuffle; at scale the hash key distributes uniformly by construction. */
+  private val q46: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", fingerprint($"text").as("fp"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_unique"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_dup_rows"))
+      .orderBy($"source")
+  }
+
+  /** MinHash+LSH candidate pairs: shingle → 9-row signature → 3 band keys
+    * → band-bucket self-join → distinct pairs with band-match count. */
+  private val q47: Q = (s, d) => {
+    import s.implicits._
+    val sig = Tables.documents(s, d)
+      .select($"doc_id", shingles($"text", K).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", minhashSignature($"sh", NH).as("sig"))
+    val bands = sig
+      .select($"doc_id", posexplode(lshBands($"sig", B, R)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** n-gram Jaccard near-dup: block on minhash row 0 (1-band/1-row LSH),
+    * then EXACT Jaccard over 3-token shingle sets on candidates only.
+    * The ≥0.8 threshold is tested in integer arithmetic (5·|∩| ≥ 4·|∪|)
+    * so no float boundary can disagree between engines. */
+  private val q48: Q = (s, d) => {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", shingles($"text", K).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", $"sh", minhashSignature($"sh", 1)(0).as("mh0"))
+    val inter = size(array_intersect($"a.sh", $"b.sh"))
+    val uni = size(array_union($"a.sh", $"b.sh"))
+    sh.as("a")
+      .join(sh.as("b"), $"a.mh0" === $"b.mh0" && $"a.doc_id" < $"b.doc_id")
+      .filter(inter * 5 >= uni * 4)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        round(inter.cast("double") / uni.cast("double"), 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-dup: 32-bit simhash per doc over its 3-token shingle
+    * set (raw tokens are degenerate on a small shared vocabulary — every
+    * doc holds nearly the same token SET — while shingle sets are
+    * document-distinctive), byte-bucket (4 bands × 8 bits) candidate
+    * join, keep pairs within Hamming distance 6. */
+  private val q49: Q = (s, d) => {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", simhash32(shingles($"text", K)).as("sim"))
+    // posexplode keeps (band position, value) so colliding values in
+    // different byte positions don't create false buckets.
+    val posBands = sh.select($"doc_id", $"sim",
+      posexplode(array((0 until 4).map(j => simhashBand($"sim", j)): _*)))
+      .toDF("doc_id", "sim", "j", "bv")
+    posBands.as("a")
+      .join(posBands.as("b"),
+        $"a.j" === $"b.j" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        hamming($"a.sim", $"b.sim").as("hamming"))
+      .groupBy($"doc_a", $"doc_b", $"hamming").agg(count(lit(1)).as("n_bands"))
+      .filter($"hamming" <= 6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Embedding-cosine near-dup: block on the label column (at scale: an
+    * LSH/IVF bucket id), exact double-precision cosine on candidates,
+    * keep pairs ≥ 0.35 after round(4). */
+  private val q50: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.label".as("label"),
+        $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        round(cosine($"a.embedding", $"b.embedding"), 4).as("cos"))
+      .filter($"cos" >= 0.35)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q46_exact_dedup" -> q46,
+    "q47_minhash_lsh" -> q47,
+    "q48_ngram_jaccard" -> q48,
+    "q49_simhash" -> q49,
+    "q50_embedding_neardup" -> q50
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  /** Shared CTE: doc_id + distinct 3-token shingle list (mirror of
+    * TextFunctions.shingles: trim, split on whitespace runs, k=3). */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |         FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** Mirror of DedupFunctions.minhashSignature over list column `s`. */
+  private def duckSig(n: Int): String =
+    s"list_transform(range(0, $n), h -> list_min(list_transform(s, x -> md5(CAST(h AS VARCHAR) || ':' || x))))"
+
+  /** Mirror of DedupFunctions.simhash32 over token-hash list `hs`. */
+  private val duckSimhash: String = {
+    val bits = (0 until 32).map { b =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |  h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }.mkString(" + ")
+    s"CAST($bits AS BIGINT)"
+  }
+
+  /** Mirror of VectorFunctions.cosine for 64-dim float lists a/b. */
+  private def duckCos(a: String, b: String): String = {
+    def dotE(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+    s"(${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)})))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q46_exact_dedup" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(trim(text))) AS n_unique,
+        |  count(*) - count(DISTINCT md5(trim(text))) AS n_dup_rows
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q47_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_slice(sig, j*$R + 1, j*$R + $R), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q48_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id, s,
+         |    list_min(list_transform(s, x -> md5('0:' || x))) AS mh0
+         |  FROM sh WHERE len(s) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE
+         |    / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) AS jaccard
+         |FROM mh a JOIN mh b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) * 5
+         |  >= len(list_distinct(list_concat(a.s, b.s))) * 4
+         |ORDER BY 1, 2""".stripMargin,
+    "q49_simhash" ->
+      s"""WITH $shingleCte,
+         |hsv AS (SELECT doc_id,
+         |    list_transform(s, tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT) AS hs
+         |  FROM sh),
+         |sim AS (SELECT doc_id, $duckSimhash AS sim FROM hsv),
+         |bands AS (SELECT doc_id, sim, j, (sim >> (8*j)) & 255 AS bv
+         |  FROM sim, range(0, 4) r(j))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming,
+         |  count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3 HAVING hamming <= 6 ORDER BY 1, 2""".stripMargin,
+    "q50_embedding_neardup" ->
+      s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${duckCos("a.embedding", "b.embedding")}, 4) >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
