@@ -18,7 +18,8 @@ object SparkEntry {
     SetSortQueries,
     FunctionQueries,
     TextQueries,
-    DedupQueries
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

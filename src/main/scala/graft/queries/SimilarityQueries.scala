@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (SURVEY H-8):
+  * brute-force cosine top-k as the exactness baseline, and two scale
+  * paths — random-hyperplane LSH buckets and an IVF (inverted-file)
+  * skeleton with computed centroids and 2-probe search.
+  *
+  * Scale design: the query side is always the tiny relation and is
+  * broadcast; the big side is scanned once. The LSH/IVF variants cut the
+  * candidate set per query from |all| to |bucket| — the bucket id is a
+  * join key, so at 100 TB the probe is a shuffle-free broadcast join
+  * against a bucket-partitioned table.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private val NQ = 5   // query vectors: vec_id < 5
+  private val TOPK = 5
+  private val DIM = 64
+  private val NPLANES = 8
+
+  /** Deterministic ±1 hyperplane matrix derived from md5(p+"_"+j): both
+    * engines receive it as an inlined literal, so no cross-engine hashing
+    * is involved at query time. */
+  private[queries] val planes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NPLANES).map { p =>
+      (0 until DIM).map { j =>
+        val hex = md.digest(s"${p}_$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) < 8) 1 else -1
+      }
+    }
+  }
+
+  /** Signed projection of an embedding onto plane p (double precision,
+    * left-to-right sum — identical in DuckDB). */
+  private def proj(v: org.apache.spark.sql.Column, p: Int) =
+    aggregate(
+      zip_with(v, array(planes(p).map(lit): _*),
+        (x, w) => x.cast("double") * w.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** LSH bucket id: bit p set when the projection onto plane p is ≥ 0. */
+  private def bucketId(v: org.apache.spark.sql.Column) =
+    (0 until NPLANES).map(p =>
+      when(proj(v, p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Brute-force cosine top-k: every query vector against every other
+    * vector, rank by cosine (rounded to 6 for a stable cross-engine
+    * order) with vec_id as the tie-break. */
+  private val q51: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val scored = broadcast(q).join(e, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        round(cosine($"q_emb", $"embedding"), 6).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= TOPK)
+      .select($"q_id", $"rnk".cast("long").as("rnk"), $"n_id", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** LSH-bucketed ANN: assign every vector an 8-plane bucket id, then
+    * search each query only within its own bucket (top-3). */
+  private val q52: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", bucketId($"embedding").as("bucket"))
+    val q = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
+    val scored = broadcast(q).join(e, Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        round(cosine($"q_emb", $"embedding"), 6).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"rnk".cast("long").as("rnk"), $"n_id", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** IVF skeleton: centroids = per-label mean vector (the "coarse
+    * quantizer" — at scale these come from k-means), each query probes
+    * its top-2 nearest centroids and searches only those lists (top-3).
+    * Exercises posexplode → per-dimension agg → re-assembled vector. */
+  private val q53: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val cent = e.select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos")
+      // round(6) kills partial-agg summation-order noise so both engines
+      // see bit-identical centroids
+      .agg(round(avg($"col".cast("double")), 6).as("v"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"v"))).as("pv"))
+      .select($"label".as("c_label"),
+        transform($"pv", x => x.getField("v")).as("c_emb"))
+    val q = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wc = Window.partitionBy($"q_id")
+      .orderBy(round(cosine($"q_emb", $"c_emb"), 6).desc, $"c_label")
+    val probes = broadcast(q).crossJoin(broadcast(cent))
+      .withColumn("crnk", row_number().over(wc))
+      .filter($"crnk" <= 2)
+      .select($"q_id", $"q_emb", $"c_label")
+    val scored = probes.join(e, $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"),
+        round(cosine($"q_emb", $"embedding"), 6).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"rnk".cast("long").as("rnk"), $"n_id", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q51_knn_brute" -> q51,
+    "q52_ann_lsh" -> q52,
+    "q53_ann_ivf" -> q53
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private def duckDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private def duckCos(a: String, b: String) =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** Bucket id mirror: plane literals inlined as DuckDB list constants. */
+  private val duckBucket: String = (0 until NPLANES).map { p =>
+    val arr = planes(p).mkString("[", ",", "]")
+    s"""CASE WHEN list_sum(list_transform(range(1, ${DIM + 1}),
+       |  i -> embedding[i]::DOUBLE * ($arr)[i]::DOUBLE)) >= 0
+       |THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q51_knn_brute" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |    round(${duckCos("q.embedding", "e.embedding")}, 6) AS cos
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQ)
+         |SELECT q_id, rnk, n_id, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $TOPK ORDER BY q_id, rnk""".stripMargin,
+    "q52_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, CAST($duckBucket AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |    round(${duckCos("q.embedding", "e.embedding")}, 6) AS cos
+         |  FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQ)
+         |SELECT q_id, rnk, n_id, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "q53_ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT label AS c_label,
+         |    list(v ORDER BY pos) AS c_emb
+         |  FROM (SELECT label, i - 1 AS pos, round(avg(embedding[i]::DOUBLE), 6) AS v
+         |        FROM embeddings, range(1, ${DIM + 1}) r(i)
+         |        GROUP BY label, i)
+         |  GROUP BY label),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |      WHERE vec_id < $NQ),
+         |probes AS (
+         |  SELECT q_id, q_emb, c_label FROM (
+         |    SELECT q.q_id, q.q_emb, c.c_label,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${duckCos("q.q_emb", "c.c_emb")}, 6) DESC, c.c_label) AS crnk
+         |    FROM q, cent c)
+         |  WHERE crnk <= 2),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id AS n_id,
+         |    round(${duckCos("p.q_emb", "e.embedding")}, 6) AS cos
+         |  FROM probes p JOIN embeddings e
+         |    ON e.label = p.c_label AND e.vec_id <> p.q_id)
+         |SELECT q_id, rnk, n_id, cos FROM (
+         |  SELECT q_id, n_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  )
+}
