@@ -19,7 +19,8 @@ object SparkEntry {
     FunctionQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

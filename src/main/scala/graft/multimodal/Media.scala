@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal column model (SURVEY H-8): media payloads ride through the
+  * engine as opaque `binary` columns plus typed metadata, exactly like a
+  * 100 TB training-data lake stores images/audio/video frames next to
+  * text. The decode step is a STUB (no codec libraries in this
+  * environment) — but the Spark-side plumbing is real: typed Encoders,
+  * per-partition batched iteration, stable schemas, and deterministic
+  * outputs an external oracle can recompute.
+  */
+final case class MediaBlob(
+    media_id: Long,
+    kind: String,              // image | audio | video
+    bytes: Array[Byte],        // opaque payload
+    meta: Map[String, String]) // sidecar metadata (source, mime, ...)
+
+final case class MediaMeta(
+    media_id: Long,
+    kind: String,
+    width: Int,                // stub-decoded (md5-derived fake)
+    height: Int,
+    channels: Int,
+    n_frames: Int,             // 1 for still media
+    byte_len: Long,
+    content_hash: String)      // md5 hex of the payload
+
+final case class MediaFrame(
+    media_id: Long,
+    kind: String,
+    frame_idx: Int,
+    frame_bytes: Array[Byte])
+
+object MediaCodec {
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  private def hexInt(hex: String, from: Int, until: Int): Int =
+    Integer.parseInt(hex.substring(from, until), 16)
+
+  /** STUB decoder ??? — in production this calls the image/audio/video
+    * codec (e.g. libjpeg / ffmpeg) on `bytes`. Here it derives
+    * deterministic fake dimensions from the payload's md5 so correctness
+    * of the *plumbing* (schema, batching, partition behavior) is
+    * oracle-checkable:
+    *   width    = 64 + md5[0:4)  % 1857   (64..1920)
+    *   height   = 64 + md5[4:8)  % 1017   (64..1080)
+    *   channels = 1  + md5[8:9)  % 3      (1..3)
+    *   n_frames = video: 1 + md5[9:12) % 300, else 1
+    */
+  def decodeOne(b: MediaBlob): MediaMeta = {
+    val hex = md5hex(b.bytes)
+    MediaMeta(
+      media_id = b.media_id,
+      kind = b.kind,
+      width = 64 + hexInt(hex, 0, 4) % 1857,
+      height = 64 + hexInt(hex, 4, 8) % 1017,
+      channels = 1 + hexInt(hex, 8, 9) % 3,
+      n_frames = if (b.kind == "video") 1 + hexInt(hex, 9, 12) % 300 else 1,
+      byte_len = b.bytes.length.toLong,
+      content_hash = hex)
+  }
+
+  /** Batched per-partition decode — the shape a real codec needs (open
+    * the codec once per partition, stream rows through it). Narrow
+    * transformation: no shuffle, runs at scan parallelism. */
+  def decode(blobs: Dataset[MediaBlob])(implicit s: SparkSession): Dataset[MediaMeta] = {
+    import s.implicits._
+    blobs.mapPartitions { it =>
+      // real impl: val codec = Codec.open(); it.map(b => codec.decode(b))
+      it.map(decodeOne)
+    }
+  }
+
+  /** Frame sampling: every `stride`-th frame of a video payload, frame
+    * payload = an evenly-sized byte slice (stub for a real demuxer).
+    * flatMap keeps it narrow — a 1000-executor cluster samples frames at
+    * full scan parallelism with zero shuffle. */
+  def sampleFrames(blobs: Dataset[MediaBlob], stride: Int)(
+      implicit s: SparkSession): Dataset[MediaFrame] = {
+    import s.implicits._
+    blobs.flatMap { b =>
+      val m = decodeOne(b)
+      (0 until m.n_frames by stride).map { i =>
+        val sliceLen = math.max(1, b.bytes.length / m.n_frames)
+        val from = math.min(i * sliceLen, math.max(0, b.bytes.length - 1))
+        val until = math.min(from + sliceLen, b.bytes.length)
+        MediaFrame(b.media_id, b.kind, i, java.util.Arrays.copyOfRange(b.bytes, from, until))
+      }
+    }
+  }
+
+  /** Resize stub: recompute metadata for a target box, preserving aspect
+    * ratio via integer arithmetic (floor), payload untouched. */
+  def resizeMeta(m: MediaMeta, maxSide: Int): MediaMeta = {
+    val scaleNum = maxSide
+    val scaleDen = math.max(m.width, m.height)
+    if (scaleDen <= maxSide) m
+    else m.copy(
+      width = math.max(1, m.width * scaleNum / scaleDen),
+      height = math.max(1, m.height * scaleNum / scaleDen))
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.{MediaBlob, MediaCodec}
+
+/** Multimodal-column operators (SURVEY H-8): the documents table is lifted
+  * into opaque binary payloads with typed metadata, then driven through
+  * the REAL typed plumbing in [[graft.multimodal.MediaCodec]] —
+  * per-partition batched decode, flatMap frame sampling, metadata resize.
+  * The decode itself is a deterministic md5-derived stub (no codec libs
+  * here), which is exactly what makes every query oracle-checkable.
+  *
+  * Scale: decode/sample/resize are narrow (no shuffle) — they run at scan
+  * parallelism on any cluster size; only the final census aggregates
+  * shuffle, on low-cardinality keys.
+  */
+object MultimodalQueries extends QueryPack {
+
+  private val STRIDE = 30   // sample every 30th frame
+  private val MAXSIDE = 256 // resize box
+
+  /** documents → Dataset[MediaBlob]: kind from doc_id % 3, payload = the
+    * trimmed text's UTF-8 bytes (stands in for real media bytes). */
+  private def blobs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+        trim($"text").cast("binary").as("bytes"),
+        map(lit("source"), $"source").as("meta"))
+      .as[MediaBlob]
+  }
+
+  /** Decode census: typed mapPartitions decode → per-kind metadata stats. */
+  private val q54: Q = (s, d) => {
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    MediaCodec.decode(blobs(s, d)).toDF()
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"byte_len").as("total_bytes"),
+        round(avg($"width"), 4).as("avg_width"),
+        round(avg($"height"), 4).as("avg_height"),
+        sum($"n_frames").cast("long").as("total_frames"),
+        min($"content_hash").as("min_hash"))
+      .orderBy($"kind")
+  }
+
+  /** Frame-sampling census: flatMap every STRIDE-th frame, count frames
+    * and bytes per kind. */
+  private val q55: Q = (s, d) => {
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    MediaCodec.sampleFrames(blobs(s, d), STRIDE).toDF()
+      .select($"kind", $"media_id", length($"frame_bytes").cast("long").as("fb"))
+      .groupBy($"kind")
+      .agg(
+        countDistinct($"media_id").as("n_media"),
+        count(lit(1)).as("n_frames_sampled"),
+        sum($"fb").as("total_frame_bytes"))
+      .orderBy($"kind")
+  }
+
+  /** Resize: decode → bound metadata into a 256-box (aspect-preserving
+    * integer arithmetic) → per-kind resized dims. */
+  private val q56: Q = (s, d) => {
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    MediaCodec.decode(blobs(s, d))
+      .map(m => MediaCodec.resizeMeta(m, MAXSIDE))
+      .toDF()
+      .groupBy($"kind")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(avg($"width"), 4).as("avg_w"),
+        round(avg($"height"), 4).as("avg_h"),
+        max($"width").cast("long").as("max_w"),
+        max($"height").cast("long").as("max_h"))
+      .orderBy($"kind")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q54_media_decode" -> q54,
+    "q55_frame_sample" -> q55,
+    "q56_media_resize" -> q56
+  )
+
+  // ---- oracle SQL: mirrors MediaCodec.decodeOne exactly --------------
+
+  private val decodeCte =
+    """m AS (SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    md5(trim(text)) AS hex,
+      |    octet_length(encode(trim(text))) AS bl
+      |  FROM documents),
+      |d AS (SELECT media_id, kind, hex, bl,
+      |    64 + ('0x' || substr(hex, 1, 4))::BIGINT % 1857 AS width,
+      |    64 + ('0x' || substr(hex, 5, 4))::BIGINT % 1017 AS height,
+      |    1 + ('0x' || substr(hex, 9, 1))::BIGINT % 3 AS channels,
+      |    CASE WHEN kind = 'video'
+      |      THEN 1 + ('0x' || substr(hex, 10, 3))::BIGINT % 300 ELSE 1 END AS n_frames
+      |  FROM m)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q54_media_decode" ->
+      s"""WITH $decodeCte
+         |SELECT kind, count(*) AS n_items,
+         |  CAST(sum(bl) AS BIGINT) AS total_bytes,
+         |  round(avg(width), 4) AS avg_width,
+         |  round(avg(height), 4) AS avg_height,
+         |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+         |  min(hex) AS min_hash
+         |FROM d GROUP BY kind ORDER BY kind""".stripMargin,
+    "q55_frame_sample" ->
+      s"""WITH $decodeCte,
+         |fr AS (SELECT media_id, kind,
+         |    greatest(1, bl // n_frames) AS sl, bl, n_frames
+         |  FROM d),
+         |fl AS (SELECT kind, media_id,
+         |    list_transform(range(0, n_frames, $STRIDE), i ->
+         |      least(least(i * sl, greatest(bl - 1, 0)) + sl, bl)
+         |        - least(i * sl, greatest(bl - 1, 0))) AS lens
+         |  FROM fr)
+         |SELECT kind, count(DISTINCT media_id) AS n_media,
+         |  CAST(sum(len(lens)) AS BIGINT) AS n_frames_sampled,
+         |  CAST(sum(list_sum(lens)) AS BIGINT) AS total_frame_bytes
+         |FROM fl GROUP BY kind ORDER BY kind""".stripMargin,
+    "q56_media_resize" ->
+      s"""WITH $decodeCte,
+         |r AS (SELECT kind,
+         |    CASE WHEN greatest(width, height) <= $MAXSIDE THEN width
+         |      ELSE greatest(1, width * $MAXSIDE // greatest(width, height)) END AS width,
+         |    CASE WHEN greatest(width, height) <= $MAXSIDE THEN height
+         |      ELSE greatest(1, height * $MAXSIDE // greatest(width, height)) END AS height
+         |  FROM d)
+         |SELECT kind, count(*) AS n_items,
+         |  round(avg(width), 4) AS avg_w,
+         |  round(avg(height), 4) AS avg_h,
+         |  CAST(max(width) AS BIGINT) AS max_w,
+         |  CAST(max(height) AS BIGINT) AS max_h
+         |FROM r GROUP BY kind ORDER BY kind""".stripMargin
+  )
+}
