@@ -20,7 +20,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    EtlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

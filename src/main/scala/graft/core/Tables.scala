@@ -15,8 +15,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // install graft's native expressions into whatever session runs the
+    // query — every query path goes through a table load
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** The harness writes `events.ts` as parquet TIMESTAMP(NANOS), which Spark
     * has no native type for. Sessions set

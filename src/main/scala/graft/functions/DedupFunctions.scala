@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication primitives for the training-data pipeline layer
@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
   * DuckDB computes the same 32-bit value via
   * `('0x' || substr(md5(x),1,8))::BIGINT`.
   *
-  * Everything here is a pure Column expression (codegen'd, no UDFs), and
-  * every candidate-pair generator is a bucket join — MinHash bands or
-  * SimHash bytes — never an all-pairs product, so the same plan holds at
-  * 100 TB: the quadratic step only runs inside hash buckets.
+  * Shape: the signature computations are expressed as EXPLODE + grouped
+  * aggregates (one row per shingle, codegen'd hash-agg back to one row
+  * per doc), NOT as nested array lambdas — higher-order functions are
+  * CodegenFallback in Spark and re-evaluate the hash per enclosing
+  * aggregate (measured 40-80× slower at sf0.1). The explode shape is
+  * also the scale shape: partial aggregation combines map-side, and the
+  * only shuffle key is doc_id.
+  *
+  * Candidate-pair generation is always a bucket join — MinHash bands or
+  * SimHash bytes — never an all-pairs product, so the quadratic compare
+  * only runs inside hash buckets.
   */
 object DedupFunctions {
 
@@ -20,38 +27,59 @@ object DedupFunctions {
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature: for hash function h in [0,n), the minimum over the
-    * shingle set of md5("h:" + shingle). Min is taken on the hex string
-    * (lexicographic), which any engine with md5 reproduces exactly. */
-  def minhashSignature(shingleSet: Column, n: Int): Column =
-    transform(sequence(lit(0), lit(n - 1)), h =>
-      array_min(transform(shingleSet, s =>
-        md5(concat(h.cast("string"), lit(":"), s).cast("binary")))))
-
-  /** LSH band keys: b bands of r signature rows, each band hashed to one
-    * value. Documents sharing ANY band key become candidate pairs — the
-    * band-bucket join replaces the O(n²) all-pairs compare at scale
-    * (probability of a band match is jaccard^r per band). */
-  def lshBands(sig: Column, b: Int, r: Int): Column =
-    transform(sequence(lit(0), lit(b - 1)), j =>
-      md5(concat_ws("|", slice(sig, j * r + 1, lit(r))).cast("binary")))
-
-  /** 32-bit SimHash over the distinct token set: bit b is 1 when the
-    * +1/-1 vote of bit b across all token hashes is positive. Near-dup
-    * documents land at small Hamming distance. */
-  def simhash32(tokens: Column): Column = {
-    val hs = transform(array_distinct(tokens), t => hash32(t))
-    (0 until 32).map { b =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  /** One row per (id, k-token shingle), NOT deduplicated — built with
+    * split → posexplode → window-lead, which stays entirely inside
+    * whole-stage codegen. The array-lambda equivalent
+    * (`transform(tokens, i -> concat_ws(slice(...)))`) is interpreted and
+    * dominated q47-q49 runtime (~5 ms/doc at 100 tokens). The window
+    * shuffles on the id — uniform, unbounded key space, scale-safe.
+    * Same tokenization contract as TextFunctions.tokens / the oracles:
+    * trim, split on whitespace runs, shingle = k tokens joined by ' '. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (1 until k).map(i => lead(col("tok"), i).over(w))
+    docs.select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+")))
+      .toDF(idCol, "pos", "tok")
+      .withColumn("last_tok", leads.last)
+      .withColumn("s", concat_ws(" ", col("tok") +: leads: _*))
+      .where(col("last_tok").isNotNull)
+      .select(col(idCol), col("s"))
   }
 
-  /** SimHash LSH bucket key: byte j (0..3) of the 32-bit simhash. Two docs
-    * within Hamming distance 6 of each other share at least one unchanged
-    * byte far more often than chance, so byte-bucket joining is the
-    * standard SimHash candidate generator. */
+  /** MinHash aggregate columns over an exploded shingle column: for hash
+    * function h in [0,n), min(md5("h:" + shingle)) — lexicographic min on
+    * the hex string, which any engine with md5 reproduces exactly.
+    * Aliased mh0..mh{n-1}. */
+  def minhashAggs(n: Int, shingle: Column): Seq[Column] =
+    (0 until n).map(h =>
+      min(md5(concat(lit(s"$h:"), shingle).cast("binary"))).as(s"mh$h"))
+
+  /** LSH band keys from the mh0..mh{b*r-1} minhash columns: b bands of r
+    * rows, each band hashed to one value. Documents sharing ANY band key
+    * become candidate pairs (band match probability = jaccard^r). */
+  def lshBandCols(b: Int, r: Int): Seq[Column] =
+    (0 until b).map(j =>
+      md5(concat_ws("|", (0 until r).map(i => col(s"mh${j * r + i}")): _*)
+        .cast("binary")))
+
+  /** SimHash vote aggregates over an exploded 32-bit hash column: for each
+    * bit, Σ of +1/-1 across the group's hashes. Aliased v0..v31. */
+  def simhashVoteAggs(h: Column): Seq[Column] =
+    (0 until 32).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"v$b"))
+
+  /** Assemble the 32-bit simhash from the v0..v31 vote columns: bit b is
+    * set when its vote is positive. */
+  def simhashFromVotes: Column =
+    (0 until 32).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** SimHash LSH bucket key: byte j (0..3) of the 32-bit simhash. Near
+    * docs (Hamming ≤ 6 over 32 bits) share at least one unchanged byte
+    * far more often than chance. */
   def simhashBand(sim: Column, j: Int): Column =
     shiftright(sim, 8 * j).bitwiseAND(255L)
 

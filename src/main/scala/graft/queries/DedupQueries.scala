@@ -2,9 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.TextFunctions.{tokens, shingles, fingerprint}
+import graft.functions.TextFunctions.fingerprint
 import graft.functions.DedupFunctions._
-import graft.functions.VectorFunctions.cosine
+import graft.functions.VectorFunctions.{dot, l2norm}
 
 /** Deduplication operators for the training-data pipeline (SURVEY H-8):
   * exact hash dedup, MinHash+LSH, n-gram Jaccard, SimHash, and
@@ -41,16 +41,17 @@ object DedupQueries extends QueryPack {
       .orderBy($"source")
   }
 
-  /** MinHash+LSH candidate pairs: shingle → 9-row signature → 3 band keys
-    * → band-bucket self-join → distinct pairs with band-match count. */
+  /** MinHash+LSH candidate pairs: explode shingles → 9 codegen'd min-aggs
+    * (the signature) → 3 band keys → band-bucket self-join → distinct
+    * pairs with band-match count. */
   private val q47: Q = (s, d) => {
     import s.implicits._
-    val sig = Tables.documents(s, d)
-      .select($"doc_id", shingles($"text", K).as("sh"))
-      .filter(size($"sh") > 0)
-      .select($"doc_id", minhashSignature($"sh", NH).as("sig"))
+    val aggs = minhashAggs(NH, $"s")
+    val sig = shingleRows(Tables.documents(s, d), "doc_id", "text", K)
+      .groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
     val bands = sig
-      .select($"doc_id", posexplode(lshBands($"sig", B, R)))
+      .select($"doc_id", posexplode(array(lshBandCols(B, R): _*)))
       .toDF("doc_id", "band_idx", "band_hash")
     bands.as("a")
       .join(bands.as("b"),
@@ -68,17 +69,21 @@ object DedupQueries extends QueryPack {
     * so no float boundary can disagree between engines. */
   private val q48: Q = (s, d) => {
     import s.implicits._
-    val sh = Tables.documents(s, d)
-      .select($"doc_id", shingles($"text", K).as("sh"))
-      .filter(size($"sh") > 0)
-      .select($"doc_id", $"sh", minhashSignature($"sh", 1)(0).as("mh0"))
-    val inter = size(array_intersect($"a.sh", $"b.sh"))
-    val uni = size(array_union($"a.sh", $"b.sh"))
+    // one pass builds both the block key (min-agg) and the shingle SET
+    // (collect_list + array_distinct) — no second scan, no re-evaluation
+    val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", K)
+      .groupBy($"doc_id")
+      .agg(
+        array_distinct(collect_list($"s")).as("sh"),
+        minhashAggs(1, $"s").head)
     sh.as("a")
       .join(sh.as("b"), $"a.mh0" === $"b.mh0" && $"a.doc_id" < $"b.doc_id")
-      .filter(inter * 5 >= uni * 4)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        round(inter.cast("double") / uni.cast("double"), 4).as("jaccard"))
+        size(array_intersect($"a.sh", $"b.sh")).as("inter"),
+        size(array_union($"a.sh", $"b.sh")).as("uni"))
+      .filter($"inter" * 5 >= $"uni" * 4)
+      .select($"doc_a", $"doc_b",
+        round($"inter".cast("double") / $"uni".cast("double"), 4).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -89,8 +94,13 @@ object DedupQueries extends QueryPack {
     * join, keep pairs within Hamming distance 6. */
   private val q49: Q = (s, d) => {
     import s.implicits._
-    val sh = Tables.documents(s, d)
-      .select($"doc_id", simhash32(shingles($"text", K)).as("sim"))
+    val votes = simhashVoteAggs($"h")
+    val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", K)
+      .dropDuplicates("doc_id", "s") // simhash votes over the shingle SET
+      .select($"doc_id", hash32($"s").as("h"))
+      .groupBy($"doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id", simhashFromVotes.as("sim"))
     // posexplode keeps (band position, value) so colliding values in
     // different byte positions don't create false buckets.
     val posBands = sh.select($"doc_id", $"sim",
@@ -108,15 +118,19 @@ object DedupQueries extends QueryPack {
 
   /** Embedding-cosine near-dup: block on the label column (at scale: an
     * LSH/IVF bucket id), exact double-precision cosine on candidates,
-    * keep pairs ≥ 0.35 after round(4). */
+    * keep pairs ≥ 0.35 after round(4). Norms are computed once per
+    * vector BEFORE the pair join — only the dot product runs per pair. */
   private val q50: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding",
+        l2norm($"embedding").as("nrm"))
     e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.label".as("label"),
         $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        round(cosine($"a.embedding", $"b.embedding"), 4).as("cos"))
+        round(dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"), 4)
+          .as("cos"))
       .filter($"cos" >= 0.35)
       .orderBy($"vec_a", $"vec_b")
   }

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.etl.LogParsers
+
+/** ETL-parser operators (SURVEY §2.2 P1/P2, §2.5 W1, §2.10 R7): raw log
+  * LINES are synthesized from the `events` table in the reference's
+  * formats (FIXTURES.md §1), round-tripped through the REAL typed parsers
+  * in [[graft.etl.LogParsers]], then aggregated. Because the line
+  * construction is invertible, DuckDB states the expected result directly
+  * over `events` — the parse chain itself is what's under test.
+  *
+  * Scale: parsing is a narrow flatMap at scan parallelism; the only
+  * shuffles are the final low-cardinality aggregates and the per-user
+  * repartition of sessionization (keyed on user_id — millions of
+  * distinct values at production scale, no hot key).
+  */
+object EtlQueries extends QueryPack {
+
+  /** event_type → run-log keyword (the reference's play/behavior families,
+    * `etl/LogConstant.scala:11-50`). */
+  private def kwExpr = {
+    import org.apache.spark.sql.Column
+    val m: Seq[(String, String)] = Seq(
+      "click" -> "VideoPlayStartSuccess", "view" -> "StatisticsVideoPlaySuccess",
+      "purchase" -> "VideoPlayFinish", "signup" -> "LoginSuccess",
+      "error" -> "VideoPlayBreak")
+    m.foldLeft(lit(null).cast("string"): Column) { case (acc, (k, v)) =>
+      when(col("event_type") === k, lit(v)).otherwise(acc)
+    }
+  }
+
+  private val kwCase =
+    """CASE event_type
+      |  WHEN 'click' THEN 'VideoPlayStartSuccess'
+      |  WHEN 'view' THEN 'StatisticsVideoPlaySuccess'
+      |  WHEN 'purchase' THEN 'VideoPlayFinish'
+      |  WHEN 'signup' THEN 'LoginSuccess'
+      |  WHEN 'error' THEN 'VideoPlayBreak' END""".stripMargin
+
+  /** Run-log round-trip: events → formatted "[pid]time - KeyWord - K:V,…"
+    * lines → [[LogParsers.parseRunLog]] → per-keyword census. */
+  private val q57: Q = (s, d) => {
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val lines = Tables.events(s, d).select(concat(
+      lit("["), $"event_id", lit("]"),
+      date_format($"ts", "yyyy-MM-dd HH:mm:ss:SSS"),
+      lit(" - "), kwExpr,
+      lit(" - DA:"), $"user_id",
+      lit(", DeviceId:"), lit(1000000000L) + $"user_id",
+      lit(", ProgramID:"), $"event_id",
+      lit(", PlayS:"), floor($"value" * 100).cast("long")).as("line"))
+      .as[String]
+    LogParsers.parseRunLog(lines).toDF()
+      .groupBy($"keyWord".as("key_word"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"userId").as("n_users"),
+        min($"reportTime").as("min_t"),
+        sum(element_at($"logMap", "PlayS").cast("long")).as("sum_plays"))
+      .orderBy($"key_word")
+  }
+
+  /** Arate round-trip: events → "<?><[svc,ms,user,region,device]><|>…"
+    * lines → [[LogParsers.parseArate]] (device-type derived from the
+    * device-id range, `etl/ReportLog.scala:424-445`) → census per
+    * (service, device_type). */
+  private val q58: Q = (s, d) => {
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val svc = when($"event_type" === "click", "0101")
+      .when($"event_type" === "view", "0104")
+      .when($"event_type" === "purchase", "0301")
+      .when($"event_type" === "signup", "0701")
+      .otherwise("0103")
+    val devId = lit(1000000000L) + ($"user_id" * 23456789L) % 3000000000L
+    val lines = Tables.events(s, d).select(concat(
+      lit("<?><["), svc, lit(","), unix_millis($"ts"), lit(","),
+      $"user_id", lit(","), $"user_id" % 10, lit(","), devId,
+      lit("]><|><(T,"), $"event_type",
+      lit(")><&><(ID,"), $"event_id",
+      lit(")><&><(K,"), get_json_object($"props", "$.k"), lit(")>"))
+      .as("line")).as[String]
+    LogParsers.parseArate(lines).toDF()
+      .groupBy($"service", $"deviceType".as("device_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"userId").as("n_users"),
+        sum(element_at($"ext", "K").cast("long")).as("sum_k"),
+        min(element_at($"ext", "ID").cast("long")).as("min_id"))
+      .orderBy($"service", $"device_type")
+  }
+
+  /** Lead-pairing sessionization (W1/H-1) on the events stream: 'click'
+    * rows are starts; each start pairs with the NEXT event of the same
+    * user; start→start pairs are dropped. */
+  private val q59: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"ts", $"event_id",
+      ($"event_type" === "click").as("is_start"))
+    LogParsers.sessionize(ev, Seq("user_id"), "event_id")
+      .groupBy(($"user_id" % 10).as("user_bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"duration_sec").as("total_sec"),
+        max($"duration_sec").as("max_sec"))
+      .orderBy($"user_bucket")
+  }
+
+  /** Heartbeat sessions (R7/H-2): every event is a beat; gap > 3600 s
+    * starts a new session; online time = beats × 60 s. Runs the typed
+    * flatMapGroups state machine. */
+  private val q60: Q = (s, d) => {
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val beats = Tables.events(s, d)
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
+    LogParsers.heartbeatSessions(beats, maxGapSec = 3600L, intervalSec = 60L)
+      .toDF()
+      .groupBy(($"userId" % 10).as("user_bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"nBeats").cast("long").as("total_beats"),
+        sum($"onlineSec").as("total_online_sec"),
+        max($"nBeats").cast("long").as("max_beats"))
+      .orderBy($"user_bucket")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q57_runlog_parse" -> q57,
+    "q58_arate_parse" -> q58,
+    "q59_lead_sessionize" -> q59,
+    "q60_heartbeat_sessions" -> q60
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q57_runlog_parse" ->
+      s"""SELECT $kwCase AS key_word, count(*) AS n,
+         |  count(DISTINCT user_id) AS n_users,
+         |  min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_t,
+         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_plays
+         |FROM events GROUP BY 1 ORDER BY key_word""".stripMargin,
+    "q58_arate_parse" ->
+      """WITH x AS (SELECT
+        |    CASE event_type WHEN 'click' THEN '0101' WHEN 'view' THEN '0104'
+        |      WHEN 'purchase' THEN '0301' WHEN 'signup' THEN '0701'
+        |      ELSE '0103' END AS service,
+        |    1000000000 + (user_id * 23456789) % 3000000000 AS dev_id,
+        |    user_id, event_id,
+        |    CAST(props->>'$.k' AS BIGINT) AS k
+        |  FROM events)
+        |SELECT service,
+        |  CASE
+        |    WHEN dev_id >= 1000000000 AND dev_id < 1200000000 THEN 'stb'
+        |    WHEN dev_id >= 1400000000 AND dev_id < 1600000000 THEN 'ca'
+        |    WHEN dev_id >= 1800000000 AND dev_id < 1900000000 THEN 'pad'
+        |    WHEN dev_id >= 2000000000 AND dev_id < 3000000000 THEN 'mobile'
+        |    WHEN dev_id >= 3000000000 AND dev_id < 4000000000 THEN 'pc'
+        |    ELSE 'other' END AS device_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(event_id) AS BIGINT) AS min_id
+        |FROM x GROUP BY 1, 2 ORDER BY service, device_type""".stripMargin,
+    "q59_lead_sessionize" ->
+      """WITH l AS (SELECT user_id,
+        |    (event_type = 'click') AS is_start,
+        |    epoch_ms(ts) // 1000 AS tsec,
+        |    lead(epoch_ms(ts) // 1000) OVER w AS next_tsec,
+        |    lead(event_type = 'click') OVER w AS next_start
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id % 10 AS user_bucket,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(next_tsec - tsec) AS BIGINT) AS total_sec,
+        |  CAST(max(next_tsec - tsec) AS BIGINT) AS max_sec
+        |FROM l WHERE is_start AND next_tsec IS NOT NULL AND NOT next_start
+        |GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q60_heartbeat_sessions" ->
+      """WITH l AS (SELECT user_id, ts, epoch_ms(ts) AS ems,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR (ems - prev) // 1000 > 3600
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        |s AS (SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |g AS (SELECT user_id, sid, count(*) AS nb FROM s GROUP BY 1, 2)
+        |SELECT user_id % 10 AS user_bucket,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(nb) AS BIGINT) AS total_beats,
+        |  CAST(sum(nb * 60) AS BIGINT) AS total_online_sec,
+        |  CAST(max(nb) AS BIGINT) AS max_beats
+        |FROM g GROUP BY 1 ORDER BY user_bucket""".stripMargin
+  )
+}

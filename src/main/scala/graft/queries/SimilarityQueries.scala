@@ -38,12 +38,10 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** Signed projection of an embedding onto plane p (double precision,
-    * left-to-right sum — identical in DuckDB). */
+    * left-to-right sum — identical in DuckDB). Uses the codegen'd native
+    * dot product; the ±1 plane is a float-array literal. */
   private def proj(v: org.apache.spark.sql.Column, p: Int) =
-    aggregate(
-      zip_with(v, array(planes(p).map(lit): _*),
-        (x, w) => x.cast("double") * w.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    dot(v, array(planes(p).map(w => lit(w.toFloat)): _*))
 
   /** LSH bucket id: bit p set when the projection onto plane p is ≥ 0. */
   private def bucketId(v: org.apache.spark.sql.Column) =
@@ -57,11 +55,12 @@ object SimilarityQueries extends QueryPack {
   private val q51: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", l2norm($"embedding").as("nrm"))
     val q = e.filter($"vec_id" < NQ)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
     val scored = broadcast(q).join(e, $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("n_id"),
-        round(cosine($"q_emb", $"embedding"), 6).as("cos"))
+        round(dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm"), 6).as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= TOPK)
@@ -74,13 +73,15 @@ object SimilarityQueries extends QueryPack {
   private val q52: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding", bucketId($"embedding").as("bucket"))
+      .select($"vec_id", $"embedding", bucketId($"embedding").as("bucket"),
+        l2norm($"embedding").as("nrm"))
     val q = e.filter($"vec_id" < NQ)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket",
+        $"nrm".as("q_nrm"))
     val scored = broadcast(q).join(e, Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("n_id"),
-        round(cosine($"q_emb", $"embedding"), 6).as("cos"))
+        round(dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm"), 6).as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
@@ -112,9 +113,13 @@ object SimilarityQueries extends QueryPack {
       .withColumn("crnk", row_number().over(wc))
       .filter($"crnk" <= 2)
       .select($"q_id", $"q_emb", $"c_label")
-    val scored = probes.join(e, $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+    val en = e.select($"vec_id", $"label", $"embedding",
+      l2norm($"embedding").as("nrm"))
+    val scored = probes
+      .withColumn("q_nrm", l2norm($"q_emb"))
+      .join(en, $"label" === $"c_label" && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("n_id"),
-        round(cosine($"q_emb", $"embedding"), 6).as("cos"))
+        round(dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm"), 6).as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)

@@ -51,9 +51,17 @@ object TextQueries extends QueryPack {
   private val q44: Q = (s, d) => {
     import s.implicits._
     val langs = Seq("de", "en", "es", "fr", "zh")
+    // explode + conditional sums stay in whole-stage codegen; the
+    // size(filter(tokens)) array-lambda form is interpreted ×5 langs
     val voted = Tables.documents(s, d)
-      .select(Seq($"lang", $"doc_id") ++
-        langs.map(l => langVote($"text", l).as(s"v_$l")): _*)
+      .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(langs.map(l =>
+        sum(when($"tok".isin(langMarkers(l): _*), 1L).otherwise(0L))
+          .as(s"v_$l")).head,
+        langs.map(l =>
+          sum(when($"tok".isin(langMarkers(l): _*), 1L).otherwise(0L))
+            .as(s"v_$l")).tail: _*)
     // argmax via greatest over (vote, -lang-index) structs: equal votes
     // resolve to the alphabetically-first language in both engines.
     val best = greatest(langs.map(l =>
