@@ -160,7 +160,28 @@ object AggQueries extends QueryPack {
       .orderBy($"flag", $"status")
   }
 
+  /** A8 via a custom typed Aggregator (SURVEY H-4): exact distinct user
+    * sets per event_type through [[graft.functions.StringSetUnion]] —
+    * Catalyst partial aggregation with a HashSet buffer, the managed
+    * replacement for the reference's RDD `reduceByKey(Set ++ Set)`
+    * (`LiveChannelStatistics.scala:522-546`). Output = set size plus the
+    * sorted set's endpoints, all DuckDB-checkable. */
+  private val q61: Q = (s, d) => {
+    import s.implicits._
+    val setUnion = udaf(new graft.functions.StringSetUnion)
+    Tables.events(s, d)
+      .select($"event_type", $"user_id".cast("string").as("uid"))
+      .groupBy($"event_type")
+      .agg(setUnion($"uid").as("users"))
+      .select($"event_type",
+        size($"users").cast("long").as("n_users"),
+        element_at($"users", 1).as("first_user"),
+        element_at($"users", -1).as("last_user"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q61_set_union_agg" -> q61,
     "q01_agg" -> q01,
     "q02_count_distinct" -> q02,
     "q03_cond_sum_tiers" -> q03,
@@ -174,6 +195,12 @@ object AggQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q61_set_union_agg" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min(CAST(user_id AS VARCHAR)) AS first_user,
+        |  max(CAST(user_id AS VARCHAR)) AS last_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Sources and sinks (SURVEY §2.1).
+  *
+  * The reference's connector layer (`utils/DBUtils.scala`,
+  * `utils/MultilistUtils.scala`) re-expressed Spark-first: JDBC dimension
+  * loads keep the pushdown-subquery pattern (the one thing Spark's JDBC
+  * source cannot derive on its own — aggregation/join pushdown into the
+  * dim database), partitioned fact storage is Parquet with dynamic
+  * partition overwrite replacing the reference's delete-before-write
+  * idempotence (K9), and JDBC report sinks keep the small-N coalesce so
+  * a 1000-executor job doesn't open 1000 connections against MySQL.
+  */
+object IoOps {
+
+  /** S1: multi-path raw log scan (`etl/RunLogParser.scala:69,688-697`). */
+  def textLogs(spark: SparkSession, paths: Seq[String]): Dataset[String] =
+    spark.read.textFile(paths: _*)
+
+  /** S4: JDBC dimension load with a pushdown subquery
+    * (`utils/DBUtils.scala:56-63`): the dim database evaluates `query`,
+    * Spark sees a single pre-filtered relation — keep dims tiny so every
+    * enrichment join broadcasts. */
+  def jdbcDim(spark: SparkSession, url: String, query: String,
+      props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, s"($query) t", props)
+
+  /** S5: sharded-table scan (`utils/MultilistUtils.scala:27-47`): shard
+    * names come from `information_schema`, each shard reads as its own
+    * JDBC relation, the union is a metadata-only combine (no shuffle). */
+  def shardedJdbcUnion(spark: SparkSession, url: String, schema: String,
+      tablePattern: String, props: java.util.Properties): DataFrame = {
+    val shards = jdbcDim(spark, url,
+      s"""SELECT table_name FROM information_schema.tables
+         | WHERE table_schema = '$schema'
+         |   AND table_name REGEXP '$tablePattern'""".stripMargin, props)
+      .collect().map(_.getString(0))
+    require(shards.nonEmpty, s"no shards match $tablePattern")
+    shards.map(t => spark.read.jdbc(url, t, props)).reduce(_ union _)
+  }
+
+  /** K4/K9: idempotent day-partition write. Dynamic partition overwrite
+    * replaces ONLY the partitions present in `df` — the managed
+    * equivalent of the reference's `delete from t where f_date='$d'`
+    * then re-insert (`homed/repots/LiveChannelStatistics.scala:409-420`). */
+  def replaceDayPartitions(df: DataFrame, path: String, partitionCol: String = "day"): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Read back a day partition with pruning (S3: the scan only touches
+    * `day=<d>` directories — verify via PartitionFilters in explain). */
+  def readDayPartition(spark: SparkSession, path: String, day: String,
+      partitionCol: String = "day"): DataFrame =
+    spark.read.parquet(path).where(col(partitionCol) === day)
+
+  /** K1: JDBC report sink with bounded connection fan-out
+    * (`utils/DBUtils.scala:71-109` — coalesce(10) before every MySQL
+    * write). Coalesce, not repartition: no shuffle, just fewer writers. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, connections: Int = 10,
+      mode: SaveMode = SaveMode.Append): Unit =
+    df.coalesce(connections).write.mode(mode).jdbc(url, table, props)
+}

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators (SURVEY §2.10).
+  *
+  * The reference runs Kafka DStream jobs with externalized state —
+  * Phoenix snapshot tables round-tripped every micro-batch
+  * (`homed/realtime/UserStatusByRunLog.scala:182-299`) and a 2-minute
+  * self-scheduled loop (`realtime/RealtimeCountProcesser.scala:32-56`).
+  * Here the same semantics are managed state inside the engine:
+  * `flatMapGroupsWithState` for the online-status machine, watermarked
+  * window aggregates for the node-time counters, `session_window` for
+  * heartbeat sessions, `dropDuplicatesWithinWatermark` for late dedup
+  * (the reference has NO late-data handling — R9 — this is the designed
+  * improvement).
+  *
+  * Every transform takes/returns Datasets, so the identical code runs on
+  * `readStream` sources in production and on MemoryStream in tests.
+  */
+
+/** One play-stream event: kind ∈ start | heartbeat | finish
+  * (the reference's logKey families, `UserStatusByRunLog.scala:153-158`). */
+final case class PlayEvent(
+    userId: Long,
+    ts: java.sql.Timestamp,
+    kind: String,
+    service: String)
+
+/** Managed per-user state (replaces the Phoenix
+  * `t_runlog_user_status_realtime` snapshot row,
+  * `UserStatusByRunLog.scala:90-99`). */
+final case class UserOnlineStatus(
+    userId: Long,
+    online: Boolean,
+    playCount: Long,
+    lastService: String,
+    lastSeenMs: Long)
+
+/** Emitted on every state-changing transition. */
+final case class StatusChange(
+    userId: Long,
+    online: Boolean,
+    playCount: Long,
+    service: String,
+    atMs: Long)
+
+object StreamingOps {
+
+  /** Online-status state machine (R4): start → online + playCount++;
+    * heartbeat → refresh (revives a missed start); finish → offline.
+    * Transition rules mirror `UserStatusByRunLog.scala:224-291`; the
+    * full-outer-join against the previous snapshot becomes GroupState. */
+  def onlineStatus(events: Dataset[PlayEvent])(
+      implicit s: SparkSession): Dataset[StatusChange] = {
+    import s.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateUser)
+  }
+
+  private[streaming] def updateUser(
+      uid: Long,
+      events: Iterator[PlayEvent],
+      state: GroupState[UserOnlineStatus]): Iterator[StatusChange] = {
+    var st = state.getOption.getOrElse(
+      UserOnlineStatus(uid, online = false, 0L, "0", 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[StatusChange]
+    // batch-internal ordering by event time (the reference pre-sorts with
+    // a window-max per batch, `UserStatusByRunLog.scala:125-132`)
+    events.toArray.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      e.kind match {
+        case "start" =>
+          st = st.copy(online = true, playCount = st.playCount + 1,
+            lastService = e.service, lastSeenMs = t)
+          out += StatusChange(uid, online = true, st.playCount, e.service, t)
+        case "heartbeat" =>
+          if (!st.online) {
+            // heartbeat without a seen start revives the session
+            // (reference carries service over from the snapshot)
+            st = st.copy(online = true, lastSeenMs = t)
+            out += StatusChange(uid, online = true, st.playCount, st.lastService, t)
+          } else {
+            st = st.copy(lastSeenMs = t)
+          }
+        case "finish" =>
+          if (st.online) {
+            st = st.copy(online = false, lastSeenMs = t)
+            out += StatusChange(uid, online = false, st.playCount, st.lastService, t)
+          }
+        case _ => // unknown kinds ignored
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Node-time counters (R6): tumbling windows per event_type with a
+    * watermark — replaces the reference's 2-minute wall-clock loop and
+    * its delete-old-nodes retention SQL. Needs cols: ts, event_type,
+    * user_id, value. */
+  def nodeTimeCounts(
+      events: DataFrame,
+      windowLen: String = "2 minutes",
+      watermark: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("online_users"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("node_time"), col("event_type"),
+        col("online_users"), col("n_events"), col("sum_value"))
+
+  /** Heartbeat sessions on a stream (R10): native session_window with an
+    * inactivity gap — replaces the batch lead-pairing approximation. */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_beats"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_beats"))
+
+  /** Late-duplicate removal (R9 improvement): state for the key set is
+    * bounded by the watermark horizon instead of growing forever. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Audience metrics on a counters stream (R8,
+    * `ChannelLiveByRunLogRealTime.scala:356-360`): rating = playTime /
+    * (range × registered), arrival = online / registered, share =
+    * playTime / Σ playTime. Plain column arithmetic over any node-time
+    * output. Needs cols: play_time_sec, online_users; rangeSec and
+    * registered are dimension scalars. */
+  def audienceMetrics(counts: DataFrame, rangeSec: Long, registered: Long): DataFrame = {
+    val total = sum(col("play_time_sec")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    counts
+      .withColumn("rating",
+        round(col("play_time_sec") / (lit(rangeSec) * lit(registered)), 6))
+      .withColumn("arrival",
+        round(col("online_users") / lit(registered.toDouble), 6))
+      .withColumn("share", round(col("play_time_sec") / total, 6))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MediaCodecSpec extends SparkSpec {
+
+  private def blob(id: Long, kind: String, payload: String) =
+    MediaBlob(id, kind, payload.getBytes("UTF-8"), Map("source" -> "t"))
+
+  test("decodeOne is deterministic and in documented ranges") {
+    val m1 = MediaCodec.decodeOne(blob(1, "video", "hello world"))
+    val m2 = MediaCodec.decodeOne(blob(1, "video", "hello world"))
+    assert(m1 == m2)
+    assert(m1.width >= 64 && m1.width < 64 + 1857)
+    assert(m1.height >= 64 && m1.height < 64 + 1017)
+    assert(m1.channels >= 1 && m1.channels <= 3)
+    assert(m1.n_frames >= 1 && m1.n_frames <= 300)
+    assert(m1.byte_len == 11L)
+    assert(m1.content_hash.matches("[0-9a-f]{32}"))
+    // stills always have exactly one frame
+    assert(MediaCodec.decodeOne(blob(2, "image", "hello world")).n_frames == 1)
+  }
+
+  test("typed decode runs through mapPartitions with real encoders") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val ds = Seq(blob(1, "image", "aa"), blob(2, "video", "bbbb")).toDS()
+    val metas = MediaCodec.decode(ds).collect().sortBy(_.media_id)
+    assert(metas.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(metas.forall(_.content_hash.nonEmpty))
+  }
+
+  test("sampleFrames covers every stride-th frame and slices bytes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val b = blob(7, "video", "x" * 1000)
+    val nFrames = MediaCodec.decodeOne(b).n_frames
+    val frames = MediaCodec.sampleFrames(Seq(b).toDS(), stride = 30).collect()
+    assert(frames.length == (nFrames + 29) / 30)
+    assert(frames.map(_.frame_idx).toSeq == (0 until nFrames by 30).toSeq)
+    assert(frames.forall(_.frame_bytes.nonEmpty))
+  }
+
+  test("resizeMeta preserves aspect and never upsizes") {
+    val m = MediaCodec.decodeOne(blob(9, "image", "payload")).copy(
+      width = 1920, height = 1080)
+    val r = MediaCodec.resizeMeta(m, 256)
+    assert(r.width == 256 && r.height == 1080 * 256 / 1920)
+    val small = m.copy(width = 100, height = 50)
+    assert(MediaCodec.resizeMeta(small, 256) == small)
+  }
+}

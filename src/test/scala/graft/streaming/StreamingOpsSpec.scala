@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("onlineStatus state machine across micro-batches") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[PlayEvent]
+    val q = StreamingOps.onlineStatus(in.toDS())
+      .writeStream.format("memory").queryName("online_t")
+      .outputMode("append").start()
+
+    // batch 1: user 1 starts, user 2 heartbeats without a start (revive)
+    in.addData(
+      PlayEvent(1L, ts(0), "start", "svc-a"),
+      PlayEvent(2L, ts(1), "heartbeat", "?"))
+    q.processAllAvailable()
+    // batch 2: user 1 finishes; user 1 starts again (playCount → 2)
+    in.addData(
+      PlayEvent(1L, ts(60), "finish", "svc-a"),
+      PlayEvent(1L, ts(120), "start", "svc-b"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("online_t").as[StatusChange].collect()
+      .sortBy(c => (c.userId, c.atMs))
+    assert(out.map(c => (c.userId, c.online, c.playCount)).toSeq == Seq(
+      (1L, true, 1L), (1L, false, 1L), (1L, true, 2L),
+      (2L, true, 0L)))
+  }
+
+  test("state machine unit: heartbeat keeps session, finish closes it") {
+    // direct call — no stream needed for transition logic
+    val changes = StreamingOps.updateUser(5L,
+      Iterator(
+        PlayEvent(5L, ts(0), "start", "a"),
+        PlayEvent(5L, ts(30), "heartbeat", "a"),
+        PlayEvent(5L, ts(60), "finish", "a"),
+        PlayEvent(5L, ts(90), "finish", "a")), // double finish: no-op
+      new TestGroupState[UserOnlineStatus]).toSeq
+    assert(changes.map(c => (c.online, c.playCount)) ==
+      Seq((true, 1L), (false, 1L)))
+  }
+
+  test("nodeTimeCounts windows a stream with watermark") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = StreamingOps.nodeTimeCounts(df, "2 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("nodes_t")
+      .outputMode("append").start()
+    in.addData(
+      (ts(0), "play", 1L, 1.0), (ts(30), "play", 2L, 2.0),
+      (ts(130), "play", 1L, 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close all windows
+    in.addData((ts(10000), "play", 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("nodes_t")
+      .selectExpr("cast(node_time as long)", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(rows.take(2) == Seq((0L, 2L, 3.0), (120L, 1L, 3.0)))
+  }
+
+  test("sessionWindows groups beats by inactivity gap") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = StreamingOps.sessionWindows(df, gap = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    // user 1: beats 0,30 (one session), 300 (second session)
+    in.addData((ts(0), 1L), (ts(30), 1L), (ts(300), 1L))
+    q.processAllAvailable()
+    in.addData((ts(10000), 2L)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_t")
+      .selectExpr("user_id", "n_beats").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(rows.contains((1L, 2L)) && rows.contains((1L, 1L)))
+  }
+
+  test("dedupWithinWatermark drops duplicate keys inside horizon") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "event_id", "payload")
+    val q = StreamingOps.dedupWithinWatermark(df, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    in.addData((ts(0), 1L, "a"), (ts(1), 1L, "dup"), (ts(2), 2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_t").count() == 2)
+  }
+}
+
+/** Minimal in-memory GroupState for unit-testing transition functions. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var value: Option[S] = None
+  private var removed = false
+  override def exists: Boolean = value.isDefined
+  override def get: S = value.get
+  override def getOption: Option[S] = value
+  override def update(newValue: S): Unit = { value = Some(newValue); removed = false }
+  override def remove(): Unit = { value = None; removed = true }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
