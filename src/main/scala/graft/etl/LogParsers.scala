@@ -115,6 +115,31 @@ object LogParsers {
         regionId = java.lang.Long.parseLong(token.substring(18, 24), 16)))
     } catch { case _: NumberFormatException => None }
 
+  /** Nginx JSON-lines parse (SURVEY §2.2 P3, `etl/NginxLogFilter.scala:33-57`):
+    * key_word = URL path, params = querystring map, body = JSON payload map.
+    * Pure native expressions — from_json + parse_url + str_to_map — so the
+    * parse runs inside whole-stage codegen at scan speed. */
+  def parseNginx(lines: Dataset[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "timestamp STRING, request STRING, body STRING")
+    lines.toDF("line")
+      .select(from_json(col("line"), schema).as("j"))
+      .select(
+        col("j.timestamp").as("report_time"),
+        parse_url(col("j.request"), lit("PATH")).as("key_word"),
+        expr("str_to_map(parse_url(j.request, 'QUERY'), '&', '=')").as("params"),
+        col("j.body").as("body"))
+  }
+
+  /** Clamp event times into the target day (SURVEY §2.2 P7,
+    * `etl/ReportLog.scala:397-416` / `utils/DateUtils.scala:35-39` — the
+    * reference compares joda day-of-year, which breaks across year
+    * boundaries (H-5); this clamps on the real timeline). */
+  def clampToWindow(ts: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(greatest(ts, lo), hi)
+
   /** Typed run-log parse over a line Dataset — narrow map, no shuffle. */
   def parseRunLog(lines: Dataset[String])(implicit s: SparkSession): Dataset[RunLogRecord] = {
     import s.implicits._
