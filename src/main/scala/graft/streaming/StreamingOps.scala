@@ -140,6 +140,35 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** S7: Kafka line source. The micro-batch replacement for the
+    * reference's DStream ingestion (`UserStatusByRunLog.scala:57-62`);
+    * offset management is the built-in checkpoint (S8 — the hand-rolled
+    * ZK store in `utils/KafkaOffsetManager.scala` has no modern
+    * equivalent to build). Returns raw value lines for the parsers. */
+  def kafkaLines(spark: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS line", "timestamp AS ts")
+
+  /** R5: rolling-snapshot merge (`realtime/ProgramDemand.scala:90-98,146-152`):
+    * cumulative counters = current node's counts full-outer-merged with
+    * the previous snapshot, `nvl(cur,0)+nvl(prev,0)`, with a day-boundary
+    * reset that drops the previous snapshot entirely. Pure batch function
+    * — call it inside foreachBatch with the persisted previous snapshot. */
+  def mergeWithPrevious(cur: DataFrame, prev: DataFrame, keys: Seq[String],
+      counterCols: Seq[String], sameDay: Boolean): DataFrame = {
+    val base = if (sameDay) prev else prev.limit(0)
+    val p = counterCols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"_prev_$c"))
+    cur.join(p, keys, "full")
+      .select(keys.map(col) ++ counterCols.map(c =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(s"_prev_$c"), lit(0L))).as(c)): _*)
+  }
+
   /** Audience metrics on a counters stream (R8,
     * `ChannelLiveByRunLogRealTime.scala:356-360`): rating = playTime /
     * (range × registered), arrival = online / registered, share =

@@ -93,6 +93,20 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains((1L, 2L)) && rows.contains((1L, 1L)))
   }
 
+  test("mergeWithPrevious accumulates counters and resets on day change") {
+    import spark.implicits._
+    val prev = Seq(("p1", 10L), ("p2", 5L)).toDF("pid", "play_count")
+    val cur = Seq(("p1", 3L), ("p3", 7L)).toDF("pid", "play_count")
+    val merged = StreamingOps.mergeWithPrevious(
+      cur, prev, Seq("pid"), Seq("play_count"), sameDay = true)
+      .as[(String, Long)].collect().toMap
+    assert(merged == Map("p1" -> 13L, "p2" -> 5L, "p3" -> 7L))
+    val reset = StreamingOps.mergeWithPrevious(
+      cur, prev, Seq("pid"), Seq("play_count"), sameDay = false)
+      .as[(String, Long)].collect().toMap
+    assert(reset == Map("p1" -> 3L, "p3" -> 7L))
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside horizon") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
