@@ -22,7 +22,8 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     EtlQueries,
-    PipelineQueries
+    PipelineQueries,
+    ReportQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
