@@ -180,8 +180,25 @@ object AggQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Exact percentiles (training-data quality-score distributions; the
+    * sketch alternative at scale is approx_percentile). Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the linear-
+    * interpolation definition, so values match exactly after round(4). */
+  private val q69: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_set_union_agg" -> q61,
+    "q69_percentiles" -> q69,
     "q01_agg" -> q01,
     "q02_count_distinct" -> q02,
     "q03_cond_sum_tiers" -> q03,
@@ -195,6 +212,12 @@ object AggQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q69_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q61_set_union_agg" ->
       """SELECT event_type,
         |  count(DISTINCT user_id) AS n_users,

@@ -142,7 +142,39 @@ object JoinQueries extends QueryPack {
       .orderBy($"n_name")
   }
 
+  /** J13: as-of join — attach to every 'error' event the most recent
+    * preceding 'click' of the same user. Composed from built-ins per the
+    * preference order: union the tagged streams, propagate the last click
+    * time with a running last_value window, filter to errors. One shuffle
+    * on user_id, no range scan — the window formulation is the 100 TB
+    * path (DuckDB states the oracle with its native ASOF JOIN). */
+  private val q68: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .where($"event_type".isin("click", "error"))
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPrev = ev
+      .withColumn("last_click_sec",
+        last(when($"event_type" === "click", unix_timestamp($"ts")), ignoreNulls = true)
+          .over(w))
+      .where($"event_type" === "error" && $"last_click_sec".isNotNull)
+      .select($"user_id",
+        (unix_timestamp($"ts") - $"last_click_sec").as("lag_sec"))
+    withPrev
+      .groupBy(($"user_id" % 10).as("user_bucket"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum($"lag_sec").as("total_lag_sec"),
+        max($"lag_sec").as("max_lag_sec"))
+      .orderBy($"user_bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_asof_join" -> q68,
     "q11_star_join" -> q11,
     "q12_left_default" -> q12,
     "q13_right_join" -> q13,
@@ -214,6 +246,17 @@ object JoinQueries extends QueryPack {
     "q19_broadcast_join" ->
       """SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q68_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+        |m AS (SELECT e.user_id,
+        |    epoch_ms(e.ts) // 1000 - epoch_ms(c.ts) // 1000 AS lag_sec
+        |  FROM errors e ASOF JOIN clicks c
+        |    ON e.user_id = c.user_id AND e.ts >= c.ts)
+        |SELECT user_id % 10 AS user_bucket, count(*) AS n_matched,
+        |  CAST(sum(lag_sec) AS BIGINT) AS total_lag_sec,
+        |  CAST(max(lag_sec) AS BIGINT) AS max_lag_sec
+        |FROM m GROUP BY 1 ORDER BY user_bucket""".stripMargin
   )
 }
