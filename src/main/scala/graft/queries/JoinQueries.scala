@@ -12,7 +12,7 @@ import graft.core.Tables
   * vs sort-merge, with AQE re-planning skew at runtime.
   *
   * Scale notes: dimension sides (region/nation/customer at dim-scale) are
-  * broadcast — verified in JoinQueriesSpec by asserting on the physical plan.
+  * broadcast — verified in PlanAssertSpec by asserting on the physical plan.
   * The fact-fact joins shuffle on their equi keys only; the range join (q18)
   * keeps an equi key so it plans as a hash join with a post-filter, NOT a
   * broadcast-nested-loop — the difference between hours and seconds at 100 TB.

@@ -1,0 +1,43 @@
+package graft
+
+/** Physical-plan assertions: the scale-critical plan shapes must not
+  * silently regress — dimension joins broadcast, scans prune columns and
+  * push filters, the range join keeps its equi key (hash join, not BNLJ),
+  * and pair generation in dedup stays a bucketed equi join. */
+class PlanAssertSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q19: nation dim joins via broadcast hash join") {
+    assert(plan("q19_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q18: range join plans as hash join on the equi key, not BNLJ") {
+    val p = plan("q18_range_join")
+    assert(!p.contains("BroadcastNestedLoop"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("q51: query-vector filter is pushed to the parquet scan") {
+    val p = plan("q51_knn_brute")
+    assert(p.contains("LessThan(vec_id,5)"))
+  }
+
+  test("q47: scan reads only doc_id and text") {
+    val p = plan("q47_minhash_lsh")
+    val schemas = "ReadSchema: [^\n]*".r.findAllIn(p).toSeq
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      s.contains("doc_id") && s.contains("text") && !s.contains("lang")))
+  }
+
+  test("q47: candidate pairs come from an equi join on band keys") {
+    val p = plan("q47_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation is partial (map-side) then final") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+}
