@@ -42,6 +42,7 @@ object LogParsers {
     * separators; payload via [[strToMap]]; userId = payload("DA") —
     * lines without a DA key are dropped (`RunLogParser.scala:548`). */
   def parseRunLogLine(line: String): Option[RunLogRecord] = {
+    if (line == null) return None
     val close = line.indexOf(']')
     if (close < 0 || line.length < close + 20) return None
     val reportTime = line.substring(close + 1, close + 20)
@@ -70,6 +71,7 @@ object LogParsers {
     * Base tuple in brackets; ext pairs `(K,V)` joined by `<&>`
     * (`etl/ReportLog.scala:76-108`, ext parsing = str_to_map(ext,"&",",")). */
   def parseArateLine(line: String): Option[ArateRecord] = {
+    if (line == null) return None
     val open = line.indexOf('[')
     val close = line.indexOf(']', open + 1)
     if (open < 0 || close < 0) return None

@@ -36,6 +36,7 @@ object DedupFunctions {
     * Same tokenization contract as TextFunctions.tokens / the oracles:
     * trim, split on whitespace runs, shingle = k tokens joined by ' '. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"shingle size must be >= 2 (got $k); use tokens for 1-grams")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val leads = (1 until k).map(i => lead(col("tok"), i).over(w))

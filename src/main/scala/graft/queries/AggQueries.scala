@@ -54,7 +54,9 @@ object AggQueries extends QueryPack {
     Tables.events(s, d)
       .filter($"event_type" === "purchase")
       .groupBy($"user_id")
-      .agg(sum($"value").as("v"))
+      // round before the tier compare: a per-user sum landing exactly on
+      // a boundary must not flip tiers on partial-agg summation order
+      .agg(round(sum($"value"), 4).as("v"))
       .agg(
         sum(when($"v" < 100, 1L).otherwise(0L)).as("tier_light"),
         sum(when($"v" >= 100 && $"v" < 500, 1L).otherwise(0L)).as("tier_mid"),
@@ -248,7 +250,7 @@ object AggQueries extends QueryPack {
         |  CAST(sum(CASE WHEN v >= 100 AND v < 500 THEN 1 ELSE 0 END) AS BIGINT) AS tier_mid,
         |  CAST(sum(CASE WHEN v >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS tier_heavy,
         |  count(*) AS n_users
-        |FROM (SELECT user_id, sum(value) AS v FROM events
+        |FROM (SELECT user_id, round(sum(value), 4) AS v FROM events
         |      WHERE event_type = 'purchase' GROUP BY user_id)""".stripMargin,
     "q04_collect_set" ->
       """SELECT lang,

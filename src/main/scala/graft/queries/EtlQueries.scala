@@ -170,7 +170,9 @@ object EtlQueries extends QueryPack {
         |    lead(epoch_ms(ts) // 1000) OVER w AS next_tsec,
         |    lead(event_type = 'click') OVER w AS next_start
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  -- CAST to micros: Spark's window orders the micro-truncated ts
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id))
         |SELECT user_id % 10 AS user_bucket,
         |  count(*) AS n_sessions,
         |  CAST(sum(next_tsec - tsec) AS BIGINT) AS total_sec,

@@ -248,8 +248,10 @@ object JoinQueries extends QueryPack {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q68_asof_join" ->
-      """WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
-        |errors AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+      """WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'error'),
         |m AS (SELECT e.user_id,
         |    epoch_ms(e.ts) // 1000 - epoch_ms(c.ts) // 1000 AS lag_sec
         |  FROM errors e ASOF JOIN clicks c

@@ -53,15 +53,12 @@ object TextQueries extends QueryPack {
     val langs = Seq("de", "en", "es", "fr", "zh")
     // explode + conditional sums stay in whole-stage codegen; the
     // size(filter(tokens)) array-lambda form is interpreted ×5 langs
+    val votes = langs.map(l =>
+      sum(when($"tok".isin(langMarkers(l): _*), 1L).otherwise(0L)).as(s"v_$l"))
     val voted = Tables.documents(s, d)
       .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"lang", $"doc_id")
-      .agg(langs.map(l =>
-        sum(when($"tok".isin(langMarkers(l): _*), 1L).otherwise(0L))
-          .as(s"v_$l")).head,
-        langs.map(l =>
-          sum(when($"tok".isin(langMarkers(l): _*), 1L).otherwise(0L))
-            .as(s"v_$l")).tail: _*)
+      .agg(votes.head, votes.tail: _*)
     // argmax via greatest over (vote, -lang-index) structs: equal votes
     // resolve to the alphabetically-first language in both engines.
     val best = greatest(langs.map(l =>

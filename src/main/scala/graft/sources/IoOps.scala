@@ -33,6 +33,11 @@ object IoOps {
     * JDBC relation, the union is a metadata-only combine (no shuffle). */
   def shardedJdbcUnion(spark: SparkSession, url: String, schema: String,
       tablePattern: String, props: java.util.Properties): DataFrame = {
+    // identifiers are interpolated into SQL — reject anything that could
+    // escape the literal
+    require(schema.matches("[A-Za-z0-9_]+"), s"unsafe schema name: $schema")
+    require(tablePattern.matches("[A-Za-z0-9_\\[\\]\\^\\$\\.\\+\\*-]+"),
+      s"unsafe table pattern: $tablePattern")
     val shards = jdbcDim(spark, url,
       s"""SELECT table_name FROM information_schema.tables
          | WHERE table_schema = '$schema'
