@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe (dev tool, not part of the driver contract): replicate the
+  * sf0.1 documents/embeddings tables N× with shifted ids into /tmp and
+  * time the heaviest operators there, to catch superlinear blowups (LSH
+  * bucket collisions, pair explosions) before they surface at real scale.
+  * Run: `sbt "runMain graft.ScaleProbe [N]"` (default 10 → ~50k docs). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = graft.core.GraftSession.local(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val src = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_${n}x"
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val nDocs = docs.count()
+    val nEmbs = embs.count()
+    (0 until n).map { i =>
+      docs.withColumn("doc_id", $"doc_id" + lit(i * nDocs))
+        // perturb the text per replica so replicas are not exact dups
+        .withColumn("text", concat($"text", lit(s" replica$i")))
+    }.reduce(_ union _).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    (0 until n).map { i =>
+      embs.withColumn("vec_id", $"vec_id" + lit(i * nEmbs))
+    }.reduce(_ union _).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // the probe queries only touch documents/embeddings; link the rest
+    graft.core.Tables.all.filterNot(t => t == "documents" || t == "embeddings")
+      .foreach { t =>
+        val p = java.nio.file.Paths.get(s"$out/$t.parquet")
+        if (!java.nio.file.Files.exists(p))
+          java.nio.file.Files.createSymbolicLink(
+            p, java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
+
+    val probes = Seq("q46_exact_dedup", "q47_minhash_lsh", "q48_ngram_jaccard",
+      "q49_simhash", "q50_embedding_neardup", "q51_knn_brute", "q52_ann_lsh")
+    probes.foreach { name =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale ${n}x] $name%-24s ${sec}%8.2f s   $rows%9d rows")
+    }
+    spark.stop()
+  }
+}

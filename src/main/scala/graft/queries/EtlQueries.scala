@@ -128,7 +128,46 @@ object EtlQueries extends QueryPack {
       .orderBy($"user_bucket")
   }
 
+  /** H-7 identity resolution, redefined deterministically: events report
+    * either a CA card id (1.4-1.6B range) or a DA account id (50-70M
+    * range, `etl/ReportLog.scala:123-125`); CA-keyed rows resolve to DA
+    * through the device_account mapping; rows already DA-keyed pass
+    * through; unresolvable CAs keep a sentinel. The reference's
+    * order-dependent `max(DA)` pick (`etl/CaGetDa.scala:33-38`) becomes
+    * min(DA) so the result is reproducible (H-3). */
+  private val q70: Q = (s, d) => {
+    import s.implicits._
+    // synthesize the two id spaces from events: even event_id rows report
+    // the CA card, odd rows report the DA directly
+    val reported = Tables.events(s, d).select($"event_id", $"user_id",
+      when($"event_id" % 2 === 0, lit(1400000000L) + $"user_id" * 3)
+        .otherwise(lit(50000000L) + $"user_id").as("reported_id"))
+    // device_account dim: CA -> DA, with a deliberate duplicate CA row
+    // (two DAs per card) that min(DA) must resolve deterministically;
+    // cards of users ≥ 120 are absent -> unresolvable
+    val deviceAccount = Tables.events(s, d)
+      .select(($"user_id" % 120).as("uid")).distinct()
+      .select((lit(1400000000L) + $"uid" * 3).as("ca_id"),
+        (lit(50000000L) + $"uid").as("da"))
+      .union(Tables.events(s, d)
+        .select(($"user_id" % 40).as("uid")).distinct()
+        .select((lit(1400000000L) + $"uid" * 3).as("ca_id"),
+          (lit(50000001L) + $"uid").as("da")))
+    val mapping = deviceAccount.groupBy($"ca_id").agg(min($"da").as("da"))
+    val resolved = reported
+      .join(broadcast(mapping), $"reported_id" === $"ca_id", "left")
+      .select($"event_id",
+        when($"reported_id" >= 50000000L && $"reported_id" < 70000000L,
+          $"reported_id")
+          .otherwise(coalesce($"da", lit(-1L))).as("da"))
+    resolved
+      .groupBy(($"da" % 7).as("da_bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct($"da").as("n_das"))
+      .orderBy($"da_bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_identity_resolution" -> q70,
     "q57_runlog_parse" -> q57,
     "q58_arate_parse" -> q58,
     "q59_lead_sessionize" -> q59,
@@ -136,6 +175,25 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q70_identity_resolution" ->
+      """WITH reported AS (SELECT event_id, user_id,
+        |    CASE WHEN event_id % 2 = 0 THEN 1400000000 + user_id * 3
+        |         ELSE 50000000 + user_id END AS reported_id
+        |  FROM events),
+        |da1 AS (SELECT DISTINCT user_id % 120 AS uid FROM events),
+        |da2 AS (SELECT DISTINCT user_id % 40 AS uid FROM events),
+        |device_account AS (
+        |  SELECT 1400000000 + uid * 3 AS ca_id, 50000000 + uid AS da FROM da1
+        |  UNION ALL
+        |  SELECT 1400000000 + uid * 3 AS ca_id, 50000001 + uid AS da FROM da2),
+        |mapping AS (SELECT ca_id, min(da) AS da FROM device_account GROUP BY ca_id),
+        |resolved AS (SELECT r.event_id,
+        |    CASE WHEN r.reported_id >= 50000000 AND r.reported_id < 70000000
+        |         THEN r.reported_id ELSE coalesce(m.da, -1) END AS da
+        |  FROM reported r LEFT JOIN mapping m ON r.reported_id = m.ca_id)
+        |SELECT da % 7 AS da_bucket, count(*) AS n,
+        |  count(DISTINCT da) AS n_das
+        |FROM resolved GROUP BY 1 ORDER BY da_bucket""".stripMargin,
     "q57_runlog_parse" ->
       s"""SELECT $kwCase AS key_word, count(*) AS n,
          |  count(DISTINCT user_id) AS n_users,
