@@ -15,6 +15,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/parquet-footer caches otherwise charge
+    // ~7 s to whichever query happens to run first
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("q01_agg").foreach(_(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
