@@ -23,6 +23,16 @@ final case class ArateRecord(
     deviceType: String,              // derived from device-id range
     ext: Map[String, String])
 
+/** One server-side session record (SURVEY §2.2 P4: iacs logs → orc_iacs,
+  * `etl/IacsLogParser.scala:48-70`). */
+final case class IacsRecord(
+    sessionId: String,
+    userId: String,
+    deviceId: Long,
+    startTime: String,               // "yyyy-MM-dd HH:mm:ss"
+    endTime: String,
+    status: String)
+
 final case class TokenInfo(
     userId: Long,
     deviceId: Long,

@@ -101,6 +101,26 @@ object LogParsers {
     } catch { case _: NumberFormatException => None }
   }
 
+  /** Parse one iacs server-session line (SURVEY §2.2 P4,
+    * `etl/IacsLogParser.scala:48-70` — server logs are pipe-delimited
+    * fixed fields, unlike the key-value client logs):
+    * {{{ sessionId|userId|deviceId|start|end|status }}} */
+  def parseIacsLine(line: String): Option[IacsRecord] = {
+    if (line == null) return None
+    val f = line.split("\\|", -1)
+    if (f.length < 6 || f(0).isEmpty) None
+    else try {
+      Some(IacsRecord(f(0).trim, f(1).trim, f(2).trim.toLong,
+        f(3).trim, f(4).trim, f(5).trim))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** Typed iacs parse over a line Dataset. */
+  def parseIacs(lines: Dataset[String])(implicit s: SparkSession): Dataset[IacsRecord] = {
+    import s.implicits._
+    lines.flatMap(parseIacsLine(_))
+  }
+
   /** Decode a graft access token: fixed-offset hex fields
     * `uuuuuuuu dddddddd tt rrrrrr` (24 hex chars) →
     * (userId, deviceId, deviceType, regionId). The reference's token

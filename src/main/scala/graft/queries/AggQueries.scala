@@ -198,9 +198,28 @@ object AggQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** A16 (cube variant): full cube over (returnflag, linestatus) with
+    * grouping ids — the multi-grain generalization the reference ran as
+    * separate jobs; NULL group cells are tagged so both engines agree. */
+  private val q72: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        grouping_id($"l_returnflag", $"l_linestatus").cast("long").as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"n", $"sum_qty", $"gid")
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_set_union_agg" -> q61,
     "q69_percentiles" -> q69,
+    "q72_cube" -> q72,
     "q01_agg" -> q01,
     "q02_count_distinct" -> q02,
     "q03_cond_sum_tiers" -> q03,
@@ -214,6 +233,13 @@ object AggQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q72_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
     "q69_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |  round(quantile_cont(value, 0.25), 4) AS p25,

@@ -122,7 +122,24 @@ object WindowQueries extends QueryPack {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** W9: explicit frame spec (rowsBetween) — absent from the reference
+    * but part of the engine surface: 7-row trailing moving average over
+    * the daily event-count series. */
+  private val q71: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"day").rowsBetween(-6, 0)
+    daily
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n",
+        round(avg($"n").over(w), 4).as("ma7"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q71_moving_avg" -> q71,
     "q20_lead_session" -> q20,
     "q21_lead_default" -> q21,
     "q22_first_value" -> q22,
@@ -134,6 +151,13 @@ object WindowQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q71_moving_avg" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n,
+        |  round(avg(n) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM daily ORDER BY day""".stripMargin,
     "q20_lead_session" ->
       """SELECT user_id, sum(gap_us) AS active_us, count(*) AS n_gaps
         |FROM (SELECT user_id,

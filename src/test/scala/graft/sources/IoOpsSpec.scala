@@ -31,6 +31,28 @@ class IoOpsSpec extends SparkSpec {
       s"expected partition pruning in plan:\n$plan")
   }
 
+  test("ParquetUpsertStore merges by key across batches (K2 semantics)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/store"
+    val store = new ParquetUpsertStore(dir, Seq("user_id"))
+    store.upsert(Seq((1L, "online", 1L), (2L, "online", 1L))
+      .toDF("user_id", "status", "play_count"))
+    store.upsert(Seq((1L, "offline", 2L), (3L, "online", 1L))
+      .toDF("user_id", "status", "play_count"))
+    val out = store.read(spark)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "offline", 2L), (2L, "online", 1L), (3L, "online", 1L)))
+  }
+
+  test("iacs parser round-trips pipe-delimited session lines") {
+    val r = graft.etl.LogParsers.parseIacsLine(
+      "S-9f|50312573|1005360181|2024-01-15 10:00:00|2024-01-15 10:30:00|closed").get
+    assert(r.sessionId == "S-9f" && r.deviceId == 1005360181L && r.status == "closed")
+    assert(graft.etl.LogParsers.parseIacsLine("bad|line").isEmpty)
+    assert(graft.etl.LogParsers.parseIacsLine(null).isEmpty)
+  }
+
   test("textLogs reads multiple paths as one dataset") {
     val dir = Files.createTempDirectory("graft_txt")
     val f1 = dir.resolve("a.log"); val f2 = dir.resolve("b.log")
