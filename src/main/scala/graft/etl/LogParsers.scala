@@ -137,6 +137,23 @@ object LogParsers {
         regionId = java.lang.Long.parseLong(token.substring(18, 24), 16)))
     } catch { case _: NumberFormatException => None }
 
+  /** Build a FIXTURES §1.1 run-log line from columns — the single
+    * source of the format, shared by every round-trip query so the
+    * builder and [[parseRunLogLine]] can never drift apart. Callers must
+    * pass non-null columns (coalesce first): concat null-propagates and
+    * a NULL line would silently drop the row. */
+  def buildRunLogLine(pid: org.apache.spark.sql.Column,
+      ts: org.apache.spark.sql.Column,
+      keyWord: org.apache.spark.sql.Column,
+      da: org.apache.spark.sql.Column,
+      extras: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.Column = {
+    val head = Seq(lit("["), pid, lit("]"),
+      date_format(ts, "yyyy-MM-dd HH:mm:ss:SSS"),
+      lit(" - "), keyWord, lit(" - DA:"), da)
+    val tail = extras.flatMap { case (k, v) => Seq(lit(s", $k:"), v) }
+    concat(head ++ tail: _*)
+  }
+
   /** Nginx JSON-lines parse (SURVEY §2.2 P3, `etl/NginxLogFilter.scala:33-57`):
     * key_word = URL path, params = querystring map, body = JSON payload map.
     * Pure native expressions — from_json + parse_url + str_to_map — so the

@@ -125,13 +125,18 @@ object DedupQueries extends QueryPack {
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"label", $"embedding",
         l2norm($"embedding").as("nrm"))
+    // membership tests the RAW cosine: both engines compute the identical
+    // double (same widening, same fold order), so raw >= threshold can
+    // never diverge, while round(4) >= threshold could flip on an
+    // engine-specific rounding boundary. round() is display-only.
     e.as("a").join(e.as("b"),
         $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
       .select($"a.label".as("label"),
         $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        round(dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"), 4)
-          .as("cos"))
-      .filter($"cos" >= 0.35)
+        (dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"))
+          .as("cos_raw"))
+      .filter($"cos_raw" >= 0.35)
+      .select($"label", $"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -224,7 +229,7 @@ object DedupQueries extends QueryPack {
          |  round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(${duckCos("a.embedding", "b.embedding")}, 4) >= 0.35
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -26,7 +26,9 @@ object EtlQueries extends QueryPack {
       "click" -> "VideoPlayStartSuccess", "view" -> "StatisticsVideoPlaySuccess",
       "purchase" -> "VideoPlayFinish", "signup" -> "LoginSuccess",
       "error" -> "VideoPlayBreak")
-    m.foldLeft(lit(null).cast("string"): Column) { case (acc, (k, v)) =>
+    // total: an unmapped event_type must NOT null the line (concat
+    // null-propagates and the row would silently vanish on one side only)
+    m.foldLeft(lit("UnknownEvent"): Column) { case (acc, (k, v)) =>
       when(col("event_type") === k, lit(v)).otherwise(acc)
     }
   }
@@ -37,21 +39,19 @@ object EtlQueries extends QueryPack {
       |  WHEN 'view' THEN 'StatisticsVideoPlaySuccess'
       |  WHEN 'purchase' THEN 'VideoPlayFinish'
       |  WHEN 'signup' THEN 'LoginSuccess'
-      |  WHEN 'error' THEN 'VideoPlayBreak' END""".stripMargin
+      |  WHEN 'error' THEN 'VideoPlayBreak'
+      |  ELSE 'UnknownEvent' END""".stripMargin
 
   /** Run-log round-trip: events → formatted "[pid]time - KeyWord - K:V,…"
     * lines → [[LogParsers.parseRunLog]] → per-keyword census. */
   private val q57: Q = (s, d) => {
     import s.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val lines = Tables.events(s, d).select(concat(
-      lit("["), $"event_id", lit("]"),
-      date_format($"ts", "yyyy-MM-dd HH:mm:ss:SSS"),
-      lit(" - "), kwExpr,
-      lit(" - DA:"), $"user_id",
-      lit(", DeviceId:"), lit(1000000000L) + $"user_id",
-      lit(", ProgramID:"), $"event_id",
-      lit(", PlayS:"), floor($"value" * 100).cast("long")).as("line"))
+    val lines = Tables.events(s, d).select(
+      LogParsers.buildRunLogLine($"event_id", $"ts", kwExpr, $"user_id", Seq(
+        "DeviceId" -> (lit(1000000000L) + $"user_id"),
+        "ProgramID" -> $"event_id",
+        "PlayS" -> floor($"value" * 100).cast("long"))).as("line"))
       .as[String]
     LogParsers.parseRunLog(lines).toDF()
       .groupBy($"keyWord".as("key_word"))
@@ -81,7 +81,9 @@ object EtlQueries extends QueryPack {
       $"user_id", lit(","), $"user_id" % 10, lit(","), devId,
       lit("]><|><(T,"), $"event_type",
       lit(")><&><(ID,"), $"event_id",
-      lit(")><&><(K,"), get_json_object($"props", "$.k"), lit(")>"))
+      // coalesce: a props row without 'k' must not null the whole line
+      lit(")><&><(K,"), coalesce(get_json_object($"props", "$.k"), lit("0")),
+      lit(")>"))
       .as("line")).as[String]
     LogParsers.parseArate(lines).toDF()
       .groupBy($"service", $"deviceType".as("device_type"))
@@ -207,7 +209,7 @@ object EtlQueries extends QueryPack {
         |      ELSE '0103' END AS service,
         |    1000000000 + (user_id * 23456789) % 3000000000 AS dev_id,
         |    user_id, event_id,
-        |    CAST(props->>'$.k' AS BIGINT) AS k
+        |    CAST(coalesce(props->>'$.k', '0') AS BIGINT) AS k
         |  FROM events)
         |SELECT service,
         |  CASE

@@ -154,8 +154,11 @@ object JoinQueries extends QueryPack {
     val ev = Tables.events(s, d)
       .where($"event_type".isin("click", "error"))
       .select($"user_id", $"event_id", $"ts", $"event_type")
+    // at equal ts, clicks must sort BEFORE errors so the running
+    // last_value carries an equal-ts click — matching ASOF's e.ts >= c.ts
+    // inclusive semantics regardless of event_id order
     val w = Window.partitionBy($"user_id")
-      .orderBy($"ts", $"event_id")
+      .orderBy($"ts", when($"event_type" === "click", 0).otherwise(1), $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withPrev = ev
       .withColumn("last_click_sec",

@@ -19,7 +19,9 @@ object PipelineQueries extends QueryPack {
     val lines = Tables.events(s, d).select(to_json(struct(
       date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("timestamp"),
       concat(lit("/api/"), $"event_type", lit("?user="), $"user_id",
-        lit("&k="), get_json_object($"props", "$.k")).as("request"),
+        // coalesce: a props row without 'k' must not null the request
+        lit("&k="), coalesce(get_json_object($"props", "$.k"), lit("0")))
+        .as("request"),
       $"props".as("body"))).as("line")).as[String]
     LogParsers.parseNginx(lines)
       .groupBy($"key_word")
@@ -89,14 +91,11 @@ object PipelineQueries extends QueryPack {
     val kw = when($"event_type" === "click", "VideoPlayStartSuccess")
       .when($"event_type".isin("purchase", "error"), "VideoPlayFinish")
       .otherwise("Search")
-    val lines = Tables.events(s, d).select(concat(
-      lit("["), $"event_id", lit("]"),
-      date_format($"ts", "yyyy-MM-dd HH:mm:ss:SSS"),
-      lit(" - "), kw,
-      lit(" - DA:"), $"user_id",
-      lit(", DeviceId:"), lit(1000000000L) + $"user_id",
-      lit(", URI:/ch/"), $"user_id" % 5,
-      lit(", EventId:"), $"event_id").as("line")).as[String]
+    val lines = Tables.events(s, d).select(
+      LogParsers.buildRunLogLine($"event_id", $"ts", kw, $"user_id", Seq(
+        "DeviceId" -> (lit(1000000000L) + $"user_id"),
+        "URI" -> concat(lit("/ch/"), $"user_id" % 5),
+        "EventId" -> $"event_id")).as("line")).as[String]
     val parsed = LogParsers.parseRunLog(lines).toDF()
       // route only the play family into sessionization; behavior lines
       // (Search, ...) flow to the behavior table in the real pipeline
@@ -141,7 +140,7 @@ object PipelineQueries extends QueryPack {
       """SELECT '/api/' || event_type AS key_word,
         |  count(*) AS n,
         |  count(DISTINCT user_id) AS n_users,
-        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(coalesce(props->>'$.k', '0') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS min_t
         |FROM events GROUP BY 1 ORDER BY key_word""".stripMargin,
     "q63_time_clamp" ->

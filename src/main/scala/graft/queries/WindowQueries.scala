@@ -159,7 +159,7 @@ object WindowQueries extends QueryPack {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
         |FROM daily ORDER BY day""".stripMargin,
     "q20_lead_session" ->
-      """SELECT user_id, sum(gap_us) AS active_us, count(*) AS n_gaps
+      """SELECT user_id, CAST(sum(gap_us) AS BIGINT) AS active_us, count(*) AS n_gaps
         |FROM (SELECT user_id,
         |        lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
         |          - epoch_us(ts) AS gap_us
