@@ -53,6 +53,31 @@ class IoOpsSpec extends SparkSpec {
     assert(graft.etl.LogParsers.parseIacsLine(null).isEmpty)
   }
 
+  test("bucketed tables join with zero exchanges") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_quantity")
+    val ord = graft.core.Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_totalprice")
+    IoOps.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
+    IoOps.writeBucketed(ord, "b_orders", "o_orderkey", 4)
+    // disable auto-broadcast for the assertion: a broadcast join would
+    // trivially have no shuffle; the point is the SORT-MERGE path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (200L * 1024 * 1024).toString)
+    assert(!plan.contains("ShuffleExchange"),
+      s"bucketed join must not shuffle:\n${plan.take(1500)}")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+  }
+
   test("textLogs reads multiple paths as one dataset") {
     val dir = Files.createTempDirectory("graft_txt")
     val f1 = dir.resolve("a.log"); val f2 = dir.resolve("b.log")
