@@ -76,6 +76,23 @@ class LogParsersSpec extends SparkSpec {
     assert(parseToken(null).isEmpty)
   }
 
+  test("parseNginx extracts path, query map, and body from JSON lines") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"timestamp":"2024-01-15 10:00:00","request":"/api/click?user=8&k=69","body":"{\"k\": 69}"}""",
+      """{"timestamp":"2024-01-15 10:01:00","request":"/login","body":"{}"}""",
+      "not json at all").toDS()
+    val out = LogParsers.parseNginx(lines)
+      .selectExpr("report_time", "key_word", "params['user']", "params['k']")
+      .collect()
+    val byKw = out.filter(_.getString(1) != null).map(r =>
+      r.getString(1) -> (r.getString(2), r.getString(3))).toMap
+    assert(byKw("/api/click") == ("8", "69"))
+    assert(byKw.contains("/login"))
+    // malformed JSON yields nulls, never a throw
+    assert(out.length == 3)
+  }
+
   test("heartbeatSessions splits on gaps and sums beats") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
