@@ -138,8 +138,30 @@ object WindowQueries extends QueryPack {
       .orderBy($"day")
   }
 
+  /** Rank-family completion: ntile deciles + percent_rank + cume_dist
+    * over customer balances (identical definitions in DuckDB). */
+  private val q73: Q = (s, d) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, d)
+      .select($"c_custkey", $"c_acctbal",
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .groupBy($"decile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min($"c_acctbal"), 2).as("lo"),
+        round(max($"c_acctbal"), 2).as("hi"),
+        round(max($"pr"), 6).as("max_pr"),
+        round(max($"cd"), 6).as("max_cd"))
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, Q] = Map(
     "q71_moving_avg" -> q71,
+    "q73_rank_family" -> q73,
     "q20_lead_session" -> q20,
     "q21_lead_default" -> q21,
     "q22_first_value" -> q22,
@@ -151,6 +173,17 @@ object WindowQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_rank_family" ->
+      """WITH r AS (SELECT c_custkey, c_acctbal,
+        |    ntile(10) OVER w AS decile,
+        |    round(percent_rank() OVER w, 6) AS pr,
+        |    round(cume_dist() OVER w, 6) AS cd
+        |  FROM customer
+        |  WINDOW w AS (ORDER BY c_acctbal, c_custkey))
+        |SELECT decile, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi,
+        |  round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
     "q71_moving_avg" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1)

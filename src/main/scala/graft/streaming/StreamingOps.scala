@@ -140,6 +140,22 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join: correlate two event streams on a key
+    * within a bounded time window (e.g. error-after-click attribution on
+    * live traffic). Both sides carry watermarks so the join state is
+    * bounded — the streaming generalization of the batch as-of join
+    * (q68). Inputs need cols: (key, ts, ...); right.ts must fall within
+    * [left.ts, left.ts + horizon]. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      horizon: String = "10 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $horizon"))
+  }
+
   /** S7: Kafka line source. The micro-batch replacement for the
     * reference's DStream ingestion (`UserStatusByRunLog.scala:57-62`);
     * offset management is the built-in checkpoint (S8 — the hand-rolled

@@ -93,6 +93,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains((1L, 2L)) && rows.contains((1L, 1L)))
   }
 
+  test("intervalJoin correlates two streams within the horizon") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val errors = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts"),
+      errors.toDF().toDF("user_id", "ts"),
+      "user_id", horizon = "1 minute", watermark = "1 minute")
+      .selectExpr("l.user_id AS uid", "cast(l.ts as long) AS ct", "cast(r.ts as long) AS et")
+      .writeStream.format("memory").queryName("ij_t")
+      .outputMode("append").start()
+    // base away from the epoch: an event at the initial watermark (1970)
+    // would be discarded as late before it ever reaches the join state
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    // user 1: error 30s after click (joins); user 2: error 120s after (no)
+    clicks.addData((1L, ts(base)), (2L, ts(base)))
+    errors.addData((1L, ts(base + 30)), (2L, ts(base + 120)))
+    q.processAllAvailable()
+    clicks.addData((9L, ts(base + 10000)))  // advance both watermarks
+    errors.addData((9L, ts(base + 10000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_t").as[(Long, Long, Long)].collect().toSet
+    assert(rows.contains((1L, base, base + 30L)))
+    assert(!rows.exists(_._1 == 2L))
+  }
+
   test("mergeWithPrevious accumulates counters and resets on day change") {
     import spark.implicits._
     val prev = Seq(("p1", 10L), ("p2", 5L)).toDF("pid", "play_count")
