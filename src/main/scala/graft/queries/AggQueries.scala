@@ -216,10 +216,27 @@ object AggQueries extends QueryPack {
       .orderBy($"gid", $"rf", $"ls")
   }
 
+  /** Pivot: event counts per day pivoted into one column per event type
+    * (`groupBy().pivot()` with explicit values — the explicit list keeps
+    * the schema static, which is what you want at scale: no extra pass
+    * to discover pivot values). The reference hand-writes this as CASE
+    * sums (A5); the oracle mirrors that form. */
+  private val q74: Q = (s, d) => {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_set_union_agg" -> q61,
     "q69_percentiles" -> q69,
     "q72_cube" -> q72,
+    "q74_pivot" -> q74,
     "q01_agg" -> q01,
     "q02_count_distinct" -> q02,
     "q03_cond_sum_tiers" -> q03,
@@ -233,6 +250,14 @@ object AggQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q74_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q72_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
