@@ -232,11 +232,27 @@ object AggQueries extends QueryPack {
       .orderBy($"day")
   }
 
+  /** Statistical aggregates: Pearson correlation, sample stddev and
+    * variance per group — identical definitions in DuckDB (corr,
+    * stddev_samp, var_samp), rounded for cross-engine float parity. */
+  private val q75: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(stddev_samp($"l_discount"), 6).as("sd_disc"),
+        round(var_samp($"l_tax"), 6).as("var_tax"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q61_set_union_agg" -> q61,
     "q69_percentiles" -> q69,
     "q72_cube" -> q72,
     "q74_pivot" -> q74,
+    "q75_stats" -> q75,
     "q01_agg" -> q01,
     "q02_count_distinct" -> q02,
     "q03_cond_sum_tiers" -> q03,
@@ -250,6 +266,12 @@ object AggQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q75_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+        |  round(stddev_samp(l_discount), 6) AS sd_disc,
+        |  round(var_samp(l_tax), 6) AS var_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q74_pivot" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
