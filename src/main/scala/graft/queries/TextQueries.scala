@@ -85,7 +85,31 @@ object TextQueries extends QueryPack {
       .orderBy($"bucket")
   }
 
+  /** Repetition ratios (Gopher/Dolma-style quality signal): fraction of
+    * duplicate tokens and duplicate 3-shingles per document — high values
+    * mark boilerplate/spam. Both ratios on integer counts, round(4) for
+    * display only; the filter census buckets at 0.5 (integer-safe:
+    * 2·dups >= total). */
+  private val q76: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_uniq"))
+    toks
+      .select($"lang", $"doc_id", $"n_tok", $"n_uniq",
+        (($"n_tok" - $"n_uniq") * 2 >= $"n_tok").as("repetitive"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"repetitive".cast("long")).as("n_repetitive"),
+        round(avg(($"n_tok" - $"n_uniq").cast("double") / $"n_tok"), 4)
+          .as("avg_dup_ratio"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_repetition" -> q76,
     "q42_token_count" -> q42,
     "q43_quality_score" -> q43,
     "q44_lang_id" -> q44,
@@ -95,6 +119,16 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q76_repetition" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_uniq
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN (n_tok - n_uniq) * 2 >= n_tok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repetitive,
+        |  round(avg((n_tok - n_uniq)::DOUBLE / n_tok), 4) AS avg_dup_ratio
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q42_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(toks) AS BIGINT) AS total_tokens,

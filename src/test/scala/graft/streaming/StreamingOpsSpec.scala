@@ -136,6 +136,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(reset == Map("p1" -> 3L, "p3" -> 7L))
   }
 
+  test("node-time counters flow into a keyed upsert store (R6 + K2 end to end)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6k2").toString + "/store"
+    val store = new graft.sources.ParquetUpsertStore(dir, Seq("node_time", "event_type"))
+    val in = MemoryStream[(Timestamp, String, Long, Double)]
+    val counts = StreamingOps.nodeTimeCounts(
+      in.toDF().toDF("ts", "event_type", "user_id", "value"), "2 minutes", "1 minute")
+    val q = counts.writeStream
+      .foreachBatch(store.asBatchSink)
+      .outputMode("append")
+      .start()
+    in.addData((ts(base), "play", 1L, 1.0), (ts(base + 30), "play", 2L, 2.0))
+    q.processAllAvailable()
+    in.addData((ts(base + 10000), "play", 9L, 0.0)) // close windows
+    q.processAllAvailable()
+    q.stop()
+    val out = store.read(spark)
+      .selectExpr("event_type", "n_events", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.contains(("play", 2L, 3.0)))
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside horizon") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
