@@ -140,7 +140,41 @@ object DedupQueries extends QueryPack {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Production dedup shape: KEEP/DROP decisions instead of pair lists.
+    * A doc is dropped when any of its LSH band buckets contains a doc
+    * with a smaller id (min-neighbor suppression — the standard LSH
+    * dedup; one representative per near-dup clique survives without
+    * materializing the O(clique²) pairs). Output stays O(n) no matter
+    * how large the duplicate cliques are — the fix for pair-list
+    * explosion observed at 30× replication in ScaleProbe. */
+  private val q77: Q = (s, d) => {
+    import s.implicits._
+    val aggs = minhashAggs(NH, $"s")
+    val docs = Tables.documents(s, d)
+    val sig = shingleRows(docs, "doc_id", "text", K)
+      .groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val bands = sig
+      .select($"doc_id", posexplode(array(lshBandCols(B, R): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val keeper = bands.groupBy($"band_idx", $"band_hash")
+      .agg(min($"doc_id").as("keeper"))
+    val dropped = bands.join(keeper, Seq("band_idx", "band_hash"))
+      .where($"doc_id" > $"keeper")
+      .select($"doc_id").distinct()
+    docs
+      .join(dropped.withColumnRenamed("doc_id", "drop_id"),
+        $"doc_id" === $"drop_id", "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"drop_id".isNotNull.cast("long")).as("n_dropped"),
+        sum($"drop_id".isNull.cast("long")).as("n_kept"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q77_dedup_keep" -> q77,
     "q46_exact_dedup" -> q46,
     "q47_minhash_lsh" -> q47,
     "q48_ngram_jaccard" -> q48,
@@ -182,6 +216,23 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q77_dedup_keep" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_slice(sig, j*$R + 1, j*$R + $R), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j)),
+         |keeper AS (SELECT band_idx, band_hash, min(doc_id) AS keeper
+         |  FROM bands GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT b.doc_id
+         |  FROM bands b JOIN keeper k
+         |    ON b.band_idx = k.band_idx AND b.band_hash = k.band_hash
+         |  WHERE b.doc_id > k.keeper)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q46_exact_dedup" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT md5(trim(text))) AS n_unique,
