@@ -108,7 +108,7 @@ object LogParsers {
   def parseIacsLine(line: String): Option[IacsRecord] = {
     if (line == null) return None
     val f = line.split("\\|", -1)
-    if (f.length < 6 || f(0).isEmpty) None
+    if (f.length < 6 || f(0).trim.isEmpty) None
     else try {
       Some(IacsRecord(f(0).trim, f(1).trim, f(2).trim.toLong,
         f(3).trim, f(4).trim, f(5).trim))
@@ -155,9 +155,11 @@ object LogParsers {
   }
 
   /** Nginx JSON-lines parse (SURVEY §2.2 P3, `etl/NginxLogFilter.scala:33-57`):
-    * key_word = URL path, params = querystring map, body = JSON payload map.
-    * Pure native expressions — from_json + parse_url + str_to_map — so the
-    * parse runs inside whole-stage codegen at scan speed. */
+    * key_word = URL path, params = querystring map, body = the RAW JSON
+    * payload string (parse on demand with get_json_object/from_json —
+    * body schemas vary per endpoint, so eager map coercion would lose
+    * typed values). Pure native expressions — from_json + parse_url +
+    * str_to_map — so the parse runs inside whole-stage codegen. */
   def parseNginx(lines: Dataset[String]): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "timestamp STRING, request STRING, body STRING")
@@ -230,8 +232,10 @@ object LogParsers {
         var i = 1
         var sessionIdx = 0
         while (i <= ts.length) {
+          // compare in millis: integer ms→s division would let gaps up
+          // to maxGapSec+0.999s slip through the "gap > maxGapSec" rule
           val gapBreak = i == ts.length ||
-            (ts(i).getTime - ts(i - 1).getTime) / 1000L > maxGapSec
+            ts(i).getTime - ts(i - 1).getTime > maxGapSec * 1000L
           if (gapBreak) {
             val n = i - startIdx
             sessions += HeartbeatSession(uid, sessionIdx, n, n * intervalSec,

@@ -244,7 +244,7 @@ object EtlQueries extends QueryPack {
         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |  FROM events),
         |m AS (SELECT user_id, ts,
-        |    CASE WHEN prev IS NULL OR (ems - prev) // 1000 > 3600
+        |    CASE WHEN prev IS NULL OR ems - prev > 3600 * 1000
         |      THEN 1 ELSE 0 END AS brk
         |  FROM l),
         |s AS (SELECT user_id,

@@ -53,18 +53,31 @@ object StreamingOps {
     * heartbeat → refresh (revives a missed start); finish → offline.
     * Transition rules mirror `UserStatusByRunLog.scala:224-291`; the
     * full-outer-join against the previous snapshot becomes GroupState. */
-  def onlineStatus(events: Dataset[PlayEvent])(
+  def onlineStatus(events: Dataset[PlayEvent],
+      idleTimeout: Option[String] = Some("2 hours"))(
       implicit s: SparkSession): Dataset[StatusChange] = {
     import s.implicits._
+    // ProcessingTimeTimeout + per-group remove(): without eviction the
+    // state store would hold every userId ever seen for the life of the
+    // query (the reference relied on Phoenix-side retention instead).
+    // idleTimeout=None disables eviction (deterministic tests).
+    val timeout =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        updateUser)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        updateUser(idleTimeout))
   }
 
-  private[streaming] def updateUser(
+  private[streaming] def updateUser(idleTimeout: Option[String])(
       uid: Long,
       events: Iterator[PlayEvent],
       state: GroupState[UserOnlineStatus]): Iterator[StatusChange] = {
+    if (state.hasTimedOut) {
+      // user idle past the horizon: drop the state row entirely
+      state.remove()
+      return Iterator.empty
+    }
     var st = state.getOption.getOrElse(
       UserOnlineStatus(uid, online = false, 0L, "0", 0L))
     val out = scala.collection.mutable.ArrayBuffer.empty[StatusChange]
@@ -95,6 +108,7 @@ object StreamingOps {
       }
     }
     state.update(st)
+    idleTimeout.foreach(state.setTimeoutDuration)
     out.iterator
   }
 
@@ -185,20 +199,22 @@ object StreamingOps {
         (coalesce(col(c), lit(0L)) + coalesce(col(s"_prev_$c"), lit(0L))).as(c)): _*)
   }
 
-  /** Audience metrics on a counters stream (R8,
+  /** Audience metrics over node-time counter batches (R8,
     * `ChannelLiveByRunLogRealTime.scala:356-360`): rating = playTime /
     * (range × registered), arrival = online / registered, share =
-    * playTime / Σ playTime. Plain column arithmetic over any node-time
-    * output. Needs cols: play_time_sec, online_users; rangeSec and
-    * registered are dimension scalars. */
+    * playTime / Σ playTime WITHIN the same node_time window (the
+    * reference computes share within one time range). BATCH function —
+    * call it inside foreachBatch on the counters output (window
+    * functions are not allowed directly on a streaming DataFrame).
+    * Needs cols: node_time, play_time_sec, online_users. */
   def audienceMetrics(counts: DataFrame, rangeSec: Long, registered: Long): DataFrame = {
-    val total = sum(col("play_time_sec")).over(
-      org.apache.spark.sql.expressions.Window.partitionBy())
+    val perNode = org.apache.spark.sql.expressions.Window.partitionBy("node_time")
     counts
       .withColumn("rating",
         round(col("play_time_sec") / (lit(rangeSec) * lit(registered)), 6))
       .withColumn("arrival",
         round(col("online_users") / lit(registered.toDouble), 6))
-      .withColumn("share", round(col("play_time_sec") / total, 6))
+      .withColumn("share",
+        round(col("play_time_sec") / sum(col("play_time_sec")).over(perNode), 6))
   }
 }

@@ -68,7 +68,7 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       }
 
     val in = MemoryStream[PlayEvent]
-    val q = StreamingOps.onlineStatus(in.toDS())
+    val q = StreamingOps.onlineStatus(in.toDS(), idleTimeout = None)
       .writeStream.format("memory").queryName("equiv_online")
       .outputMode("append").start()
     events.grouped(100).foreach { chunk =>

@@ -13,7 +13,7 @@ class StreamingOpsSpec extends SparkSpec {
     import s.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[PlayEvent]
-    val q = StreamingOps.onlineStatus(in.toDS())
+    val q = StreamingOps.onlineStatus(in.toDS(), idleTimeout = None)
       .writeStream.format("memory").queryName("online_t")
       .outputMode("append").start()
 
@@ -38,7 +38,7 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("state machine unit: heartbeat keeps session, finish closes it") {
     // direct call — no stream needed for transition logic
-    val changes = StreamingOps.updateUser(5L,
+    val changes = StreamingOps.updateUser(None)(5L,
       Iterator(
         PlayEvent(5L, ts(0), "start", "a"),
         PlayEvent(5L, ts(30), "heartbeat", "a"),
@@ -91,6 +91,31 @@ class StreamingOpsSpec extends SparkSpec {
       .selectExpr("user_id", "n_beats").as[(Long, Long)]
       .collect().sorted.toSeq
     assert(rows.contains((1L, 2L)) && rows.contains((1L, 1L)))
+  }
+
+  test("audienceMetrics computes share within each node_time window") {
+    import spark.implicits._
+    val counts = Seq(
+      (ts(0), "a", 10L, 300L), (ts(0), "b", 5L, 100L),
+      (ts(120), "a", 2L, 50L))
+      .toDF("node_time", "event_type", "online_users", "play_time_sec")
+    val out = StreamingOps.audienceMetrics(counts, rangeSec = 120, registered = 1000)
+      .select($"node_time", $"event_type", $"share", $"rating", $"arrival")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    // share is per node_time: 300/400 and 100/400 in window 0; 50/50 = 1.0 in window 120
+    assert(out("a") == 0.75 || out("a") == 1.0) // two 'a' rows; check via full set below
+    val full = StreamingOps.audienceMetrics(counts, 120, 1000)
+      .selectExpr("cast(node_time as long)", "event_type", "share")
+      .as[(Long, String, Double)].collect().toSet
+    assert(full == Set((0L, "a", 0.75), (0L, "b", 0.25), (120L, "a", 1.0)))
+  }
+
+  test("state machine evicts on timeout") {
+    val st = new TestGroupState[UserOnlineStatus]
+    st.update(UserOnlineStatus(7L, online = true, 3L, "svc", 0L))
+    st.setTimedOut(true)
+    val out = StreamingOps.updateUser(Some("2 hours"))(7L, Iterator.empty, st).toSeq
+    assert(out.isEmpty && st.getOption.isEmpty)
   }
 
   test("intervalJoin correlates two streams within the horizon") {
@@ -181,12 +206,14 @@ class StreamingOpsSpec extends SparkSpec {
 class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   private var value: Option[S] = None
   private var removed = false
+  private var timedOut = false
+  def setTimedOut(v: Boolean): Unit = timedOut = v
   override def exists: Boolean = value.isDefined
   override def get: S = value.get
   override def getOption: Option[S] = value
   override def update(newValue: S): Unit = { value = Some(newValue); removed = false }
   override def remove(): Unit = { value = None; removed = true }
-  override def hasTimedOut: Boolean = false
+  override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(durationMs: Long): Unit = ()
   override def setTimeoutDuration(duration: String): Unit = ()
   override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
