@@ -53,7 +53,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += get(x, i, tx) * get(y, i, ty)
+      // null elements contribute 0 — DEFINED semantics (ArrayData getters
+      // are undefined on null slots) matching DuckDB's list_sum null-skip
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        s += get(x, i, tx) * get(y, i, ty)
+      }
       i += 1
     }
     s
@@ -72,7 +76,9 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getter(a, elemType(left).get)} * ${getter(b, elemType(right).get)};
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += ${getter(a, elemType(left).get)} * ${getter(b, elemType(right).get)};
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

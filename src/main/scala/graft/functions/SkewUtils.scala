@@ -21,9 +21,12 @@ object SkewUtils {
 
   /** Two-stage salted sum: `groupBy(keys :+ salt).sum` (heavy exchange,
     * hot keys split `buckets` ways) then `groupBy(keys).sum` (light
-    * exchange over keys × buckets rows). Result is identical to a direct
-    * `groupBy(keys).agg(sum)` — addition is associative — but no single
-    * reducer ever sees a whole hot key. */
+    * exchange over keys × buckets rows). For integral value columns the
+    * result is exactly the direct `groupBy(keys).agg(sum)`; for
+    * floating-point columns the two-stage accumulation order differs, so
+    * round() before any exact cross-engine compare. The `_salt`/`_partial`
+    * working columns are dropped from the output but would clobber
+    * same-named input columns. */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       saltSource: Seq[String], buckets: Int = 16): DataFrame = {
     val partial = df
@@ -35,18 +38,16 @@ object SkewUtils {
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
   }
 
-  /** Two-stage salted exact distinct count: stage 1 dedups (key, salt,
-    * value) — each hot key's value set is split across buckets — stage 2
-    * counts the already-distinct rows per key. Exact, unlike
-    * approx_count_distinct, but with bounded per-reducer state. */
+  /** Two-stage exact distinct count: stage 1 dedups (key, value) rows —
+    * the distinct() exchange hash-partitions on the FULL tuple, so a hot
+    * key's values spread across all reducers already (no extra salt
+    * column needed — the value IS the spreader); stage 2 counts the
+    * deduped rows per key. Exact, unlike approx_count_distinct, with
+    * per-reducer state bounded by tuples-per-partition. */
   def saltedCountDistinct(df: DataFrame, keys: Seq[String],
-      valueCol: String, buckets: Int = 16): DataFrame = {
-    val deduped = df
-      .withColumn("_salt", salt(buckets, col(valueCol)))
-      .select((keys :+ "_salt" :+ valueCol).map(col): _*)
+      valueCol: String): DataFrame =
+    df.select((keys :+ valueCol).map(col): _*)
       .distinct()
-    deduped
       .groupBy(keys.map(col): _*)
       .agg(count(col(valueCol)).as(s"n_distinct_$valueCol"))
-  }
 }

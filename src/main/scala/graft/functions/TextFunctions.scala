@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Tokenization contract (shared with every dedup/similarity operator and
   * with the DuckDB oracles): trim the text, split on runs of whitespace.
+  * CAVEAT (mirrored EXACTLY by every oracle, so cross-engine parity
+  * always holds): Spark's trim() strips only spaces, so text padded with
+  * tabs/newlines yields a trailing "" token, and empty text yields one
+  * "" token. Inputs are expected whitespace-normalized upstream; a
+  * filter-empty-token variant must change every oracle mirror in the
+  * same commit.
   */
 object TextFunctions {
 
@@ -47,11 +53,6 @@ object TextFunctions {
       size(toks), 4)
   }
 
-  /** Alphanumeric character ratio (penalizes punctuation/markup noise). */
-  def alnumRatio(text: Column): Column =
-    round(length(regexp_replace(trim(text), "[^A-Za-z0-9]", "")).cast("double") /
-      length(trim(text)), 4)
-
   /** Composite quality score in [0,1]: length band + stopword band + mean
     * word length band. Deterministic arithmetic only, oracle-expressible. */
   def qualityScore(text: Column): Column = {
@@ -73,41 +74,8 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und"),
     "zh" -> Seq("de", "shi", "le"))
 
-  def langVote(text: Column, lang: String): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.isin(langMarkers(lang): _*)))
-  }
-
-  /** Word-shingle array (k-grams of tokens joined by single spaces),
-    * distinct — the unit of Jaccard/MinHash dedup. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      filter(
-        transform(toks, (_, i) =>
-          when(i <= size(toks) - k,
-            concat_ws(" ", slice(toks, i + 1, lit(k))))),
-        x => x.isNotNull))
-  }
-
   /** Deterministic document fingerprint: md5 of the trimmed text (content
     * addressing for exact dedup; same value computable by any engine). */
   def fingerprint(text: Column): Column = md5(trim(text).cast("binary"))
 
-  /** 64-bit SimHash over distinct tokens using xxhash64: for each of the 64
-    * bits, sum +1/-1 votes across token hashes, bit = 1 when the vote is
-    * positive. Near-duplicate docs differ in few bits (Hamming distance).
-    * Pure column expressions — a fold over bit positions. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(array_distinct(tokens(text)), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
-
-  /** Hamming distance between two 64-bit SimHash values. */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -27,7 +27,12 @@ object GrainReports {
   }
 
   /** One aggregation per grain over the same base, unioned with a grain
-    * tag column. `metrics` must be pre-aliased aggregate columns. */
+    * tag column. `metrics` must be pre-aliased aggregate columns.
+    * NOTE: the base is scanned ONCE PER GRAIN (the per-grain bucket
+    * expressions produce different exchanges, so Spark cannot share
+    * them) — `base.cache()` before calling when the scan is expensive.
+    * Coarse grains cannot be rolled up from fine-grain partials when
+    * metrics include countDistinct. */
   def multiGrain(base: DataFrame, tsCol: String, grains: Seq[String],
       dims: Seq[String], metrics: Seq[Column]): DataFrame =
     grains.map { g =>
@@ -45,6 +50,8 @@ object GrainReports {
     * No theta join; shuffle keys are (day) — uniform. */
   def rollingDistinct(base: DataFrame, tsCol: String, idCol: String,
       nDays: Int): DataFrame = {
+    // sequence(0, nDays-1) silently counts BACKWARDS for nDays <= 0
+    require(nDays >= 1, s"rolling window must cover at least 1 day (got $nDays)")
     val idDays = base
       .select(to_date(col(tsCol)).as("day"), col(idCol).as("id"))
       .distinct()

@@ -20,7 +20,7 @@ class SkewUtilsSpec extends SparkSpec {
     import spark.implicits._
     val df = ((1 to 5000).map(i => ("hot", (i % 997).toLong)) ++
       Seq(("cold", 1L), ("cold", 1L), ("cold", 2L))).toDF("k", "u")
-    val out = SkewUtils.saltedCountDistinct(df, Seq("k"), "u", buckets = 8)
+    val out = SkewUtils.saltedCountDistinct(df, Seq("k"), "u")
       .as[(String, Long)].collect().toMap
     assert(out == Map("hot" -> 997L, "cold" -> 2L))
   }
