@@ -78,6 +78,17 @@ class IoOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
   }
 
+  test("ORC roundtrip (the reference's at-rest columnar format)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = Seq((1L, "a", "20240101"), (2L, "b", "20240102"))
+      .toDF("id", "v", "day")
+    df.write.format("orc").partitionBy("day").save(dir)
+    val back = spark.read.orc(dir).select("id", "day")
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "20240101"), (2L, "20240102")))
+  }
+
   test("textLogs reads multiple paths as one dataset") {
     val dir = Files.createTempDirectory("graft_txt")
     val f1 = dir.resolve("a.log"); val f2 = dir.resolve("b.log")
