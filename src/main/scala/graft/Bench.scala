@@ -32,7 +32,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for humans; also a file, because sbt interleaves its own
+    // [success] lines into stdout and can corrupt the JSON mid-line
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -19,8 +19,10 @@ object ScaleProbe {
     val out = s"/tmp/graft_scale_${n}x"
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
-    val nDocs = docs.count()
-    val nEmbs = embs.count()
+    // stride by max(id)+1, not row count: sparse or 1-based ids would make
+    // count-strided replicas collide and plant phantom exact duplicates
+    val nDocs = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val nEmbs = embs.agg(max($"vec_id")).head.getLong(0) + 1
     (0 until n).map { i =>
       docs.withColumn("doc_id", $"doc_id" + lit(i * nDocs))
         // perturb the text per replica so replicas are not exact dups

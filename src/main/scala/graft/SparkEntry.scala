@@ -31,8 +31,15 @@ object SparkEntry {
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    // a duplicate name across packs would silently shadow one
+    // implementation (and could pair it with the other pack's oracle)
+    require(all.map(_._1).distinct.size == all.size,
+      "duplicate query names across packs: " +
+        all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }.mkString(", "))
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

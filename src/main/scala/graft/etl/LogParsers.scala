@@ -57,7 +57,10 @@ object LogParsers {
   }
 
   /** Device-id numeric range → terminal type
-    * (`etl/ReportLog.scala:424-445`). */
+    * (`etl/ReportLog.scala:424-445`). Deliberate one-id divergence: the
+    * reference's pad band ends at `device < 1899999999` (ReportLog.scala:434),
+    * excluding id 1899999999 from every band; here the bands tile
+    * half-open ranges cleanly, so 1899999999 is "pad" rather than "other". */
   def deviceTypeFromId(id: Long): String =
     if (id >= 1000000000L && id < 1200000000L) "stb"
     else if (id >= 1400000000L && id < 1600000000L) "ca"

@@ -104,14 +104,16 @@ object AggQueries extends QueryPack {
   }
 
   /** A8: exact distinct user sets per group (`LiveChannelStatistics.scala:522-546`
-    * `t_user_array_by_day`). ArrayType column, sorted for determinism.
+    * `t_user_array_by_day`). The set is serialized to a sorted CSV string —
+    * a scalar every harness can sort/hash (a raw ArrayType cell cannot be
+    * hashed by pandas) — with the cardinality alongside.
     * At 100 TB this is the memory-risk operator — q08 is the sketch path. */
   private val q07: Q = (s, d) => {
     import s.implicits._
     Tables.events(s, d)
       .groupBy($"event_type")
       .agg(
-        array_sort(collect_set($"user_id")).as("users"),
+        concat_ws(",", array_sort(collect_set($"user_id"))).as("users"),
         size(collect_set($"user_id")).cast("long").as("n_users"))
       .orderBy($"event_type")
   }
@@ -344,7 +346,7 @@ object AggQueries extends QueryPack {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q07_user_sets" ->
       """SELECT event_type,
-        |  list(user_id ORDER BY user_id) AS users,
+        |  string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) AS users,
         |  count(*) AS n_users
         |FROM (SELECT DISTINCT event_type, user_id FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -148,8 +148,8 @@ object PipelineQueries extends QueryPack {
         |  CAST(sum(CASE WHEN cts <> ts THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
         |  min(strftime(cts, '%Y-%m-%d %H:%M:%S')) AS min_t,
         |  max(strftime(cts, '%Y-%m-%d %H:%M:%S')) AS max_t
-        |FROM (SELECT event_type, ts,
-        |    least(greatest(ts, TIMESTAMP '2024-01-10 00:00:00'),
+        |FROM (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    least(greatest(CAST(ts AS TIMESTAMP), TIMESTAMP '2024-01-10 00:00:00'),
         |      TIMESTAMP '2024-01-20 00:00:00') AS cts
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

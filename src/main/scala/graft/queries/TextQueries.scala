@@ -11,32 +11,53 @@ import graft.functions.TextFunctions._
   */
 object TextQueries extends QueryPack {
 
-  /** Token counting (whitespace + BPE-ish estimate) per language. */
+  /** Token counting (whitespace + BPE-ish estimate) per language.
+    * Explode + two grouped aggs — whole-stage codegen end to end; the
+    * previous aggregate(transform(...)) form was interpreted
+    * (CodegenFallback) and 40-80× slower per CLAUDE.md. */
   private val q42: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"lang",
-        tokenCount($"text").as("toks"),
-        bpeTokenEstimate($"text").as("bpe_toks"),
-        length(trim($"text")).cast("long").as("chars"))
+    val perDoc = Tables.documents(s, d)
+      .select($"lang", $"doc_id",
+        length(trim($"text")).cast("long").as("chars"),
+        explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(
+        count(lit(1)).as("toks"),
+        sum(bpeExtraTokens($"tok")).as("bpe_extra"),
+        // chars is constant within the doc group
+        max($"chars").as("chars"))
+    perDoc
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"toks").as("total_tokens"),
-        sum($"bpe_toks").as("total_bpe_tokens"),
+        sum($"toks" + $"bpe_extra").as("total_bpe_tokens"),
         sum($"chars").as("total_chars"),
         round(avg($"toks"), 4).as("avg_tokens"))
       .orderBy($"lang")
   }
 
   /** Quality scoring: C4/Gopher-style lexical filters (length band,
-    * stopword ratio, mean word length) → score histogram per language. */
+    * stopword ratio, mean word length) → score histogram per language.
+    * Per-doc token stats come from one explode + grouped agg (codegen'd);
+    * sum(length(tok)) equals the old non-whitespace character count since
+    * tokens are the \s+ split of the trimmed text. */
   private val q43: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d)
+    val perDoc = Tables.documents(s, d)
+      .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(isStopword($"tok").cast("long")).as("n_stop"),
+        sum(length($"tok").cast("long")).as("sum_len"))
+    perDoc
       .select($"lang", $"doc_id",
-        qualityScore($"text").as("score"),
-        stopwordRatio($"text").as("stop_ratio"))
+        stopwordRatioOf($"n_stop", $"n_tok").as("stop_ratio"),
+        qualityScoreOf($"n_tok",
+          stopwordRatioOf($"n_stop", $"n_tok"),
+          round($"sum_len".cast("double") / $"n_tok", 4)).as("score"))
       .groupBy($"lang", $"score")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -139,16 +139,21 @@ object WindowQueries extends QueryPack {
   }
 
   /** Rank-family completion: ntile deciles + percent_rank + cume_dist
-    * over customer balances (identical definitions in DuckDB). */
+    * over customer balances (identical definitions in DuckDB). The
+    * un-partitioned `Window.orderBy` form would route all 15M×SF customers
+    * through ONE task; instead [[graft.functions.DistributedRank]] does a
+    * two-pass range-partitioned row_number and the three rank functions
+    * derive arithmetically (the ordering key is unique). */
   private val q73: Q = (s, d) => {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"c_acctbal", $"c_custkey")
-    Tables.customer(s, d)
-      .select($"c_custkey", $"c_acctbal",
-        ntile(10).over(w).as("decile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+    val ranked = graft.functions.DistributedRank.withRowNumberAndTotal(
+      Tables.customer(s, d).select($"c_custkey", $"c_acctbal"),
+      "rn", "n_total", $"c_acctbal", $"c_custkey")
+    ranked
+      .select($"c_acctbal",
+        graft.functions.DistributedRank.ntileOf($"rn", $"n_total", 10).as("decile"),
+        round(graft.functions.DistributedRank.percentRankOf($"rn", $"n_total"), 6).as("pr"),
+        round(graft.functions.DistributedRank.cumeDistOf($"rn", $"n_total"), 6).as("cd"))
       .groupBy($"decile")
       .agg(
         count(lit(1)).as("n"),

@@ -40,4 +40,14 @@ class PlanAssertSpec extends SparkSpec {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
+
+  test("q73: no un-partitioned window over customer data") {
+    val p = plan("q73_rank_family")
+    // every window must be keyed by the range-partition id: the data-side
+    // row_number partitions by __pid, and the offsets cumulation runs over
+    // the per-partition counts (metadata, also keyed __pid). A spec
+    // without __pid would be the single-task global window regression.
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")), specs.mkString("\n"))
+  }
 }

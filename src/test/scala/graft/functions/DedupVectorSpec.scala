@@ -73,7 +73,11 @@ class DedupVectorSpec extends SparkSpec {
     // stopwords among them: the, on, the, with, a, and, a      (7)
     val df = Seq("the cat sat on the mat with a hat and a bat now").toDF("text")
     assert(df.select(TextFunctions.tokenCount($"text")).head().getLong(0) == 13L)
-    val sr = df.select(TextFunctions.stopwordRatio($"text")).head().getDouble(0)
+    val sr = df
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .agg(TextFunctions.stopwordRatioOf(
+        sum(TextFunctions.isStopword($"tok").cast("long")), count(lit(1))))
+      .head().getDouble(0)
     assert(sr == BigDecimal(7.0 / 13.0)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val fp = df.select(TextFunctions.fingerprint($"text")).head().getString(0)
