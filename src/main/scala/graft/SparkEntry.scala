@@ -23,7 +23,8 @@ object SparkEntry {
     MultimodalQueries,
     EtlQueries,
     PipelineQueries,
-    ReportQueries
+    ReportQueries,
+    ComposedReportQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

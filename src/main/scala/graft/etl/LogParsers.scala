@@ -140,6 +140,25 @@ object LogParsers {
         regionId = java.lang.Long.parseLong(token.substring(18, 24), 16)))
     } catch { case _: NumberFormatException => None }
 
+  /** Typed token decode over a token Dataset — narrow flatMap, malformed
+    * tokens dropped (total, like every parser here). */
+  def parseTokens(tokens: Dataset[String])(implicit s: SparkSession): Dataset[TokenInfo] = {
+    import s.implicits._
+    tokens.flatMap(parseToken(_))
+  }
+
+  /** Column-side mirror of [[deviceTypeFromId]] — same bands as the
+    * scalar (including the deliberate 1899999999 divergence documented
+    * there), as a codegen'd when-chain for inline terminal derivation
+    * (`etl/ReportLog.scala:424-445`). */
+  def deviceTypeCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id >= 1000000000L && id < 1200000000L, "stb")
+      .when(id >= 1400000000L && id < 1600000000L, "ca")
+      .when(id >= 1800000000L && id < 1900000000L, "pad")
+      .when(id >= 2000000000L && id < 3000000000L, "mobile")
+      .when(id >= 3000000000L && id < 4000000000L, "pc")
+      .otherwise("other")
+
   /** Build a FIXTURES §1.1 run-log line from columns — the single
     * source of the format, shared by every round-trip query so the
     * builder and [[parseRunLogLine]] can never drift apart. Callers must
