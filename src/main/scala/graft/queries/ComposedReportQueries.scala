@@ -126,18 +126,15 @@ object ComposedReportQueries extends QueryPack {
 
   /** A16 through the HALF-HOUR grain (`LiveChannelStatisticByTimerange
     * .scala:50` — the reference's highest-frequency tables): the same
-    * parameterized `GrainReports.multiGrain` as q66, exercising the
-    * `halfhour` bucket alongside `day`. */
+    * single-scan `GrainReports.multiGrainRolled` as q66, exercising the
+    * `halfhour` bucket as the partial base alongside `day`. */
   private val q81: Q = (s, d) => {
     import s.implicits._
-    GrainReports.multiGrain(
+    GrainReports.multiGrainRolled(
       Tables.events(s, d), "ts",
       grains = Seq("halfhour", "day"),
       dims = Seq("event_type"),
-      metrics = Seq(
-        count(lit(1)).as("n"),
-        countDistinct($"user_id").as("n_users"),
-        round(sum($"value"), 2).as("sum_value")))
+      distinctCol = "user_id", valueCol = "value")
       .withColumn("bucket", date_format($"bucket", "yyyy-MM-dd HH:mm:ss"))
       .orderBy($"grain", $"bucket", $"event_type")
   }

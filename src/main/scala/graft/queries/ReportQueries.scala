@@ -9,18 +9,17 @@ import graft.reports.GrainReports
   * per-grain report mains, plus the rolling-window distinct grain. */
 object ReportQueries extends QueryPack {
 
-  /** A16: one aggregation, three calendar grains, unioned with a grain
-    * tag — date_trunc semantics match DuckDB (ISO weeks). */
+  /** A16: three calendar grains from ONE fact scan via
+    * [[GrainReports.multiGrainRolled]] (day-grain partials, exchange-reused
+    * across the week/month rollups) — date_trunc semantics match DuckDB
+    * (ISO weeks). */
   private val q66: Q = (s, d) => {
     import s.implicits._
-    GrainReports.multiGrain(
+    GrainReports.multiGrainRolled(
       Tables.events(s, d), "ts",
       grains = Seq("day", "week", "month"),
       dims = Seq("event_type"),
-      metrics = Seq(
-        count(lit(1)).as("n"),
-        countDistinct($"user_id").as("n_users"),
-        round(sum($"value"), 2).as("sum_value")))
+      distinctCol = "user_id", valueCol = "value")
       .withColumn("bucket", date_format($"bucket", "yyyy-MM-dd"))
       .orderBy($"grain", $"bucket", $"event_type")
   }

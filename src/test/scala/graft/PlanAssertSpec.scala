@@ -41,6 +41,18 @@ class PlanAssertSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2)
   }
 
+  test("q66: rolled multigrain scans the fact table once, reusing the partial exchange") {
+    // AQE only materializes reuse in the final plan, so execute first
+    val df = SparkEntry.queries("q66_multigrain")(spark, sfDir)
+    df.collect()
+    // AQE's toString appends the pre-adaptive "== Initial Plan ==" (which
+    // still shows one scan per grain) — count only the final plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).length == 1, "expected a single fact scan")
+    assert("ReusedExchange".r.findAllIn(p).length >= 2,
+      "week/month rollups must reuse the day-partial exchange")
+  }
+
   test("q73: no un-partitioned window over customer data") {
     val p = plan("q73_rank_family")
     // every window must be keyed by the range-partition id: the data-side
