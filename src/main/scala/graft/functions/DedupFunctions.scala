@@ -27,6 +27,16 @@ object DedupFunctions {
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** Portable 64-bit hash: the first 16 hex chars of md5 as two 32-bit
+    * words recombined by shift+or (bitwise, so ANSI overflow checking
+    * never fires even when bit 63 is set; a single conv of 16 chars
+    * would null out above Long.MaxValue). */
+  def hash64(c: Column): Column = {
+    val hx = md5(c.cast("binary"))
+    shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("long"))
+  }
+
   /** One row per (id, k-token shingle), NOT deduplicated — built with
     * split → posexplode → window-lead, which stays entirely inside
     * whole-stage codegen. The array-lambda equivalent
@@ -64,23 +74,27 @@ object DedupFunctions {
       md5(concat_ws("|", (0 until r).map(i => col(s"mh${j * r + i}")): _*)
         .cast("binary")))
 
-  /** SimHash vote aggregates over an exploded 32-bit hash column: for each
-    * bit, Σ of +1/-1 across the group's hashes. Aliased v0..v31. */
-  def simhashVoteAggs(h: Column): Seq[Column] =
-    (0 until 32).map(b =>
+  /** SimHash vote aggregates over an exploded hash column: for each bit,
+    * Σ of +1/-1 across the group's hashes. Aliased v0..v{bits-1}.
+    * 32 bits (hash32) is the fixture/oracle width; 64 (hash64) is the
+    * production width — 32-bit simhash saturates with bucket collisions
+    * at billions of docs. */
+  def simhashVoteAggs(h: Column, bits: Int = 32): Seq[Column] =
+    (0 until bits).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"v$b"))
 
-  /** Assemble the 32-bit simhash from the v0..v31 vote columns: bit b is
-    * set when its vote is positive. */
-  def simhashFromVotes: Column =
-    (0 until 32).map(b =>
+  /** Assemble the simhash from the v0..v{bits-1} vote columns: bit b is
+    * set when its vote is positive. Bitwise-or of disjoint masks — safe
+    * for bit 63 where addition would wrap (and trip ANSI checks). */
+  def simhashFromVotes(bits: Int = 32): Column =
+    (0 until bits).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .reduce(_ bitwiseOR _)
 
-  /** SimHash LSH bucket key: byte j (0..3) of the 32-bit simhash. Near
-    * docs (Hamming ≤ 6 over 32 bits) share at least one unchanged byte
-    * far more often than chance. */
+  /** SimHash LSH bucket key: byte j (0 until bits/8) of the simhash. Near
+    * docs (Hamming ≤ 6) share at least one unchanged byte far more often
+    * than chance; wider hashes get more bands, raising recall. */
   def simhashBand(sim: Column, j: Int): Column =
     shiftright(sim, 8 * j).bitwiseAND(255L)
 

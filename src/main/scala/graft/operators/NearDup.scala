@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.DedupFunctions._
+
+/** Parameterized near-duplicate detection over a document table — the
+  * production surface behind q47/q49/q77 (`queries/DedupQueries`), which
+  * call it with the fixture/oracle parameters (k=3, nh=9, b=3, r=3,
+  * 32-bit simhash). Production scale is the same code with wider
+  * parameters: nh=128/b=32/r=4 MinHash (pair recall ~1-(1-j⁴)³² at
+  * jaccard j) and 64-bit simhash (32 bits saturate with bucket
+  * collisions at billions of docs).
+  *
+  * Scale shape (unchanged at any parameter width): signatures are
+  * explode + codegen'd grouped min/sum aggs shuffled on the doc id;
+  * candidates always come from a band-bucket equi self-join, never an
+  * all-pairs product; keep/drop output is O(n) regardless of clique
+  * size via min-neighbor suppression.
+  */
+object NearDup {
+
+  /** MinHash signature: one row per doc, columns mh0..mh{nh-1}. Docs with
+    * fewer than k tokens have no shingles and drop out (they cannot
+    * near-dup by shingle overlap). */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nh: Int = 9): DataFrame = {
+    require(nh >= 1, s"need at least one hash (got $nh)")
+    val aggs = minhashAggs(nh, col("s"))
+    shingleRows(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band rows (id, band_idx, band_hash): b bands of r signature
+    * rows. Docs sharing any (band_idx, band_hash) are candidates. */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nh: Int = 9, b: Int = 3, r: Int = 3): DataFrame = {
+    require(b * r <= nh, s"b*r = ${b * r} bands*rows exceed $nh hashes")
+    minhashSignature(docs, idCol, textCol, k, nh)
+      .select(col(idCol), posexplode(array(lshBandCols(b, r): _*)))
+      .toDF(idCol, "band_idx", "band_hash")
+  }
+
+  /** MinHash+LSH candidate pairs (doc_a, doc_b, n_bands), doc_a < doc_b.
+    * n_bands ∈ [1, b] counts agreeing bands — a cheap jaccard proxy. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nh: Int = 9, b: Int = 3, r: Int = 3): DataFrame = {
+    val bands = lshBands(docs, idCol, textCol, k, nh, b, r)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Ids to DROP under min-neighbor suppression: a doc is dropped when
+    * any of its band buckets contains a smaller id. One representative
+    * per near-dup clique survives without materializing O(clique²)
+    * pairs — output stays O(n) at any duplication rate. */
+  def lshDropIds(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, nh: Int = 9, b: Int = 3, r: Int = 3): DataFrame = {
+    val bands = lshBands(docs, idCol, textCol, k, nh, b, r)
+    val keeper = bands.groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col(idCol)).as("keeper"))
+    bands.join(keeper, Seq("band_idx", "band_hash"))
+      .where(col(idCol) > col("keeper"))
+      .select(col(idCol)).distinct()
+  }
+
+  /** SimHash per doc over its DISTINCT k-token shingles (raw tokens are
+    * degenerate on small shared vocabularies): (id, sim). bits = 32
+    * (hash32, oracle width) or 64 (hash64, production width). */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, s"simhash width must be 32 or 64 (got $bits)")
+    val h = if (bits == 64) hash64(col("s")) else hash32(col("s"))
+    val votes = simhashVoteAggs(col("h"), bits)
+    shingleRows(docs, idCol, textCol, k)
+      .dropDuplicates(idCol, "s")
+      .select(col(idCol), h.as("h"))
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), simhashFromVotes(bits).as("sim"))
+  }
+
+  /** SimHash near-dup pairs (doc_a, doc_b, hamming, n_bands) within
+    * `maxHamming`, candidates from byte-band buckets (bits/8 bands;
+    * posexplode keeps the band position so equal byte values in
+    * different positions don't collide). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, bits: Int = 32, maxHamming: Int = 6): DataFrame = {
+    val sims = simhashes(docs, idCol, textCol, k, bits)
+    val posBands = sims.select(col(idCol), col("sim"),
+      posexplode(array((0 until bits / 8).map(j => simhashBand(col("sim"), j)): _*)))
+      .toDF(idCol, "sim", "j", "bv")
+    posBands.as("a")
+      .join(posBands.as("b"),
+        col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .groupBy(col("doc_a"), col("doc_b"), col("hamming"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -43,23 +43,13 @@ object DedupQueries extends QueryPack {
 
   /** MinHash+LSH candidate pairs: explode shingles → 9 codegen'd min-aggs
     * (the signature) → 3 band keys → band-bucket self-join → distinct
-    * pairs with band-match count. */
+    * pairs with band-match count. The parameterized operator is
+    * [[graft.operators.NearDup.minhashPairs]]; this query pins the
+    * fixture/oracle parameters. */
   private val q47: Q = (s, d) => {
     import s.implicits._
-    val aggs = minhashAggs(NH, $"s")
-    val sig = shingleRows(Tables.documents(s, d), "doc_id", "text", K)
-      .groupBy($"doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-    val bands = sig
-      .select($"doc_id", posexplode(array(lshBandCols(B, R): _*)))
-      .toDF("doc_id", "band_idx", "band_hash")
-    bands.as("a")
-      .join(bands.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_bands"))
+    graft.operators.NearDup
+      .minhashPairs(Tables.documents(s, d), "doc_id", "text", K, NH, B, R)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -91,28 +81,13 @@ object DedupQueries extends QueryPack {
     * set (raw tokens are degenerate on a small shared vocabulary — every
     * doc holds nearly the same token SET — while shingle sets are
     * document-distinctive), byte-bucket (4 bands × 8 bits) candidate
-    * join, keep pairs within Hamming distance 6. */
+    * join, keep pairs within Hamming distance 6. Parameterized operator:
+    * [[graft.operators.NearDup.simhashPairs]] (64-bit at production). */
   private val q49: Q = (s, d) => {
     import s.implicits._
-    val votes = simhashVoteAggs($"h")
-    val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", K)
-      .dropDuplicates("doc_id", "s") // simhash votes over the shingle SET
-      .select($"doc_id", hash32($"s").as("h"))
-      .groupBy($"doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select($"doc_id", simhashFromVotes.as("sim"))
-    // posexplode keeps (band position, value) so colliding values in
-    // different byte positions don't create false buckets.
-    val posBands = sh.select($"doc_id", $"sim",
-      posexplode(array((0 until 4).map(j => simhashBand($"sim", j)): _*)))
-      .toDF("doc_id", "sim", "j", "bv")
-    posBands.as("a")
-      .join(posBands.as("b"),
-        $"a.j" === $"b.j" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        hamming($"a.sim", $"b.sim").as("hamming"))
-      .groupBy($"doc_a", $"doc_b", $"hamming").agg(count(lit(1)).as("n_bands"))
-      .filter($"hamming" <= 6)
+    graft.operators.NearDup
+      .simhashPairs(Tables.documents(s, d), "doc_id", "text", K, bits = 32, maxHamming = 6)
+      .select($"doc_a", $"doc_b", $"hamming", $"n_bands")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -149,19 +124,9 @@ object DedupQueries extends QueryPack {
     * explosion observed at 30× replication in ScaleProbe. */
   private val q77: Q = (s, d) => {
     import s.implicits._
-    val aggs = minhashAggs(NH, $"s")
     val docs = Tables.documents(s, d)
-    val sig = shingleRows(docs, "doc_id", "text", K)
-      .groupBy($"doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-    val bands = sig
-      .select($"doc_id", posexplode(array(lshBandCols(B, R): _*)))
-      .toDF("doc_id", "band_idx", "band_hash")
-    val keeper = bands.groupBy($"band_idx", $"band_hash")
-      .agg(min($"doc_id").as("keeper"))
-    val dropped = bands.join(keeper, Seq("band_idx", "band_hash"))
-      .where($"doc_id" > $"keeper")
-      .select($"doc_id").distinct()
+    val dropped = graft.operators.NearDup
+      .lshDropIds(docs, "doc_id", "text", K, NH, B, R)
     docs
       .join(dropped.withColumnRenamed("doc_id", "drop_id"),
         $"doc_id" === $"drop_id", "left")

@@ -36,7 +36,7 @@ class DedupVectorSpec extends SparkSpec {
       .select(col("doc_id"), DedupFunctions.hash32(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), DedupFunctions.simhashFromVotes.as("sim"))
+      .select(col("doc_id"), DedupFunctions.simhashFromVotes().as("sim"))
       .as[(Long, Long)].collect().toMap
     assert(sims(1L) == sims(2L))
     val hamNear = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
