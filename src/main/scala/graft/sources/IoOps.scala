@@ -29,22 +29,30 @@ object IoOps {
     spark.read.jdbc(url, s"($query) t", props)
 
   /** S5: sharded-table scan (`utils/MultilistUtils.scala:27-47`): shard
-    * names come from `information_schema`, each shard reads as its own
-    * JDBC relation, the union is a metadata-only combine (no shuffle). */
-  def shardedJdbcUnion(spark: SparkSession, url: String, schema: String,
-      tablePattern: String, props: java.util.Properties): DataFrame = {
+    * names come from the database's catalog (first column of
+    * `shardListQuery`), each shard reads as its own JDBC relation, the
+    * union is a metadata-only combine (no shuffle). The listing query is
+    * provider-specific — [[mysqlShardListQuery]] reproduces the
+    * reference's `information_schema` form. */
+  def shardedJdbcUnion(spark: SparkSession, url: String, shardListQuery: String,
+      props: java.util.Properties): DataFrame = {
+    val shards = jdbcDim(spark, url, shardListQuery, props)
+      .collect().map(_.getString(0))
+    require(shards.nonEmpty, s"no shards listed by: $shardListQuery")
+    shards.map(t => spark.read.jdbc(url, t, props)).reduce(_ union _)
+  }
+
+  /** MySQL shard listing for [[shardedJdbcUnion]]
+    * (`utils/MultilistUtils.scala:27-47`). */
+  def mysqlShardListQuery(schema: String, tablePattern: String): String = {
     // identifiers are interpolated into SQL — reject anything that could
     // escape the literal
     require(schema.matches("[A-Za-z0-9_]+"), s"unsafe schema name: $schema")
     require(tablePattern.matches("[A-Za-z0-9_\\[\\]\\^\\$\\.\\+\\*-]+"),
       s"unsafe table pattern: $tablePattern")
-    val shards = jdbcDim(spark, url,
-      s"""SELECT table_name FROM information_schema.tables
-         | WHERE table_schema = '$schema'
-         |   AND table_name REGEXP '$tablePattern'""".stripMargin, props)
-      .collect().map(_.getString(0))
-    require(shards.nonEmpty, s"no shards match $tablePattern")
-    shards.map(t => spark.read.jdbc(url, t, props)).reduce(_ union _)
+    s"""SELECT table_name FROM information_schema.tables
+       | WHERE table_schema = '$schema'
+       |   AND table_name REGEXP '$tablePattern'""".stripMargin
   }
 
   /** K4/K9: idempotent day-partition write. Dynamic partition overwrite
@@ -77,6 +85,25 @@ object IoOps {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** O4: clustered partition write (`etl/RunLogParser.scala:175` —
+    * sortWithinPartitions before the fact write). Repartition on the
+    * partition column, then sort INSIDE each task (no global sort, no
+    * extra exchange): parquet's run-length/dictionary encoders and
+    * page min-max stats get monotone input, so downstream scans that
+    * filter on the cluster keys skip pages. The sort MUST lead with the
+    * partition column: FileFormatWriter requires partition-column
+    * ordering and would otherwise insert its own (unstable) sort on it,
+    * destroying the cluster order. */
+  def writeClustered(df: DataFrame, path: String, partitionCol: String,
+      clusterCols: Seq[String]): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
 
   /** K1: JDBC report sink with bounded connection fan-out
     * (`utils/DBUtils.scala:71-109` — coalesce(10) before every MySQL
