@@ -187,7 +187,85 @@ object ComposedReportQueries extends QueryPack {
       .orderBy($"day", $"event_type")
   }
 
+  /** Revenue report (`homed/repots/RevenueReport.scala:98-147`): order
+    * facts recoded (reg-source classes 1/2/3 via CASE), enriched with the
+    * package dim (left join; unmatched → 'none', the reference's na.fill)
+    * and the region dim, revenue summed per (region, reg_class,
+    * order_type). All dims broadcast; one exchange on the group key. */
+  private val q84: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val c = broadcast(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"))
+    val n = broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name"))
+    val pkg = broadcast(Tables.part(s, d).select($"p_partkey", $"p_type"))
+    val regClass = when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1)
+      .when($"o_orderpriority".isin("3-MEDIUM", "4-NOT SPECIFIED"), 2)
+      .otherwise(3)
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .join(pkg, $"p_partkey" === ($"o_orderkey" % 500), "left")
+      .groupBy($"n_name".as("region"), regClass.as("reg_class"),
+        coalesce($"p_type", lit("none")).as("order_type"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_payers"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"region", $"reg_class", $"order_type")
+  }
+
+  /** Open/boot report (`homed/repots/OpenReport.scala:64-88`): the
+    * two-level census — inner DISTINCT collapses each (user, terminal,
+    * manufacturer, app_version, region) profile to one row (a user who
+    * opened 50 times counts once per profile), outer count(*) is then a
+    * distinct-user count per device profile, region name from the
+    * broadcast dim. */
+  private val q85: Q = (s, d) => {
+    import s.implicits._
+    val n = broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name"))
+    val profiles = Tables.events(s, d)
+      .select($"user_id", terminalCol.as("terminal"),
+        concat(lit("m"), $"user_id" % 5).as("manufacturer"),
+        concat(lit("v"), $"event_id" % 3).as("app_version"),
+        ($"user_id" % 25).as("region_id"))
+      .distinct()
+    profiles
+      .groupBy($"terminal", $"manufacturer", $"app_version", $"region_id")
+      .agg(count(lit(1)).as("n_users"))
+      .join(n, $"n_nationkey" === $"region_id")
+      .select($"terminal", $"manufacturer", $"app_version",
+        $"n_name".as("region"), $"n_users")
+      .orderBy($"terminal", $"manufacturer", $"app_version", $"region")
+  }
+
+  /** Visit top-rank (`homed/repots/BusinessVisitCount.scala:756-772`):
+    * per-user play sums, then row_number over (region, terminal,
+    * service_type ORDER BY plays DESC) keeps the top 3 — the window is
+    * partitioned by the report dims, so no single-task global sort; the
+    * tie-break chain ends in user_id to keep both engines deterministic. */
+  private val q86: Q = (s, d) => {
+    import s.implicits._
+    val n = broadcast(Tables.nation(s, d).select($"n_nationkey", $"n_name"))
+    val perUser = Tables.events(s, d)
+      .groupBy($"user_id", ($"user_id" % 25).as("region_id"),
+        terminalCol.as("terminal"), $"event_type".as("service_type"))
+      .agg(count(lit(1)).as("n_plays"),
+        sum(floor($"value").cast("long")).as("play_time"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"region_id", $"terminal", $"service_type")
+      .orderBy($"n_plays".desc, $"play_time".desc, $"user_id")
+    perUser
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .join(n, $"n_nationkey" === $"region_id")
+      .select($"n_name".as("region"), $"terminal", $"service_type",
+        $"rank".cast("long").as("rank"), $"user_id", $"n_plays", $"play_time")
+      .orderBy($"region", $"terminal", $"service_type", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q84_revenue_report" -> q84,
+    "q85_open_report" -> q85,
+    "q86_visit_rank" -> q86,
     "q78_demand_report" -> q78,
     "q79_lookback_report" -> q79,
     "q80_search_report" -> q80,
@@ -197,6 +275,48 @@ object ComposedReportQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q84_revenue_report" ->
+      """SELECT n.n_name AS region,
+        |  CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1
+        |       WHEN o.o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED') THEN 2
+        |       ELSE 3 END AS reg_class,
+        |  coalesce(p.p_type, 'none') AS order_type,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o.o_custkey) AS n_payers,
+        |  round(sum(o.o_totalprice), 2) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN part p ON p.p_partkey = o.o_orderkey % 500
+        |GROUP BY 1, 2, 3 ORDER BY region, reg_class, order_type""".stripMargin,
+    "q85_open_report" ->
+      s"""WITH profiles AS (
+        |  SELECT DISTINCT user_id, $terminalSql AS terminal,
+        |    'm' || CAST(user_id % 5 AS VARCHAR) AS manufacturer,
+        |    'v' || CAST(event_id % 3 AS VARCHAR) AS app_version,
+        |    user_id % 25 AS region_id
+        |  FROM events)
+        |SELECT terminal, manufacturer, app_version, n.n_name AS region,
+        |  count(*) AS n_users
+        |FROM profiles JOIN nation n ON n.n_nationkey = region_id
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY terminal, manufacturer, app_version, region""".stripMargin,
+    "q86_visit_rank" ->
+      s"""WITH per_user AS (
+        |  SELECT user_id, user_id % 25 AS region_id, $terminalSql AS terminal,
+        |    event_type AS service_type, count(*) AS n_plays,
+        |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS play_time
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY region_id, terminal, service_type
+        |      ORDER BY n_plays DESC, play_time DESC, user_id) AS rank
+        |  FROM per_user)
+        |SELECT n.n_name AS region, terminal, service_type,
+        |  CAST(rank AS BIGINT) AS rank, user_id, n_plays, play_time
+        |FROM ranked JOIN nation n ON n.n_nationkey = region_id
+        |WHERE rank <= 3
+        |ORDER BY region, terminal, service_type, rank""".stripMargin,
     "q78_demand_report" ->
       s"""WITH ev AS (
         |  SELECT user_id, event_id,
