@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.TextFunctions.fingerprint
+import graft.functions.TextFunctions.{fingerprint, isStopword, qualityScoreOf, stopwordRatioOf, tokens}
 import graft.functions.DedupFunctions._
 import graft.functions.VectorFunctions.{dot, l2norm}
 
@@ -138,7 +138,44 @@ object DedupQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** End-to-end corpus pipeline — the composed 100 TB training-data
+    * shape: quality filter (q43's C4/Gopher score) → LSH min-neighbor
+    * suppression over the SURVIVORS only (filter-before-dedup: dedup is
+    * the expensive stage, so it must see the already-thinned corpus) →
+    * per-language census with the kept token mass. The 0.65 threshold
+    * sits between the score lattice points 0.5 and 0.7, so no float
+    * boundary can flip a doc between engines. */
+  private val q87: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(isStopword($"tok").cast("long")).as("n_stop"),
+        sum(length($"tok").cast("long")).as("sum_len"))
+      .select($"lang", $"doc_id", $"n_tok",
+        qualityScoreOf($"n_tok",
+          stopwordRatioOf($"n_stop", $"n_tok"),
+          round($"sum_len".cast("double") / $"n_tok", 4)).as("score"))
+    val good = scored.where($"score" > 0.65)
+    val goodTexts = docs.join(good.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val dropped = graft.operators.NearDup
+      .lshDropIds(goodTexts, "doc_id", "text", K, NH, B, R)
+      .withColumnRenamed("doc_id", "drop_id")
+    good.join(dropped, $"doc_id" === $"drop_id", "left")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_good"),
+        sum($"drop_id".isNull.cast("long")).as("n_kept"),
+        sum($"drop_id".isNotNull.cast("long")).as("n_dropped"),
+        sum(when($"drop_id".isNull, $"n_tok").otherwise(0L)).as("kept_tokens"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_corpus_pipeline" -> q87,
     "q77_dedup_keep" -> q77,
     "q46_exact_dedup" -> q46,
     "q47_minhash_lsh" -> q47,
@@ -150,14 +187,17 @@ object DedupQueries extends QueryPack {
   // ---- oracle SQL ----------------------------------------------------
 
   /** Shared CTE: doc_id + distinct 3-token shingle list (mirror of
-    * TextFunctions.shingles: trim, split on whitespace runs, k=3). */
-  private val shingleCte =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      |         FROM documents),
+    * TextFunctions.shingles: trim, split on whitespace runs, k=3) over
+    * any doc-shaped relation. */
+  private def shingleCteFrom(table: String) =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      |         FROM $table),
       |sh AS (SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(t) - 1),
       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  private val shingleCte = shingleCteFrom("documents")
 
   /** Mirror of DedupFunctions.minhashSignature over list column `s`. */
   private def duckSig(n: Int): String =
@@ -180,7 +220,47 @@ object DedupQueries extends QueryPack {
     s"(${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)})))"
   }
 
+  private val stopList =
+    graft.functions.TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** q43's score expression over the token array of `documents.text`
+    * (same rounding points as the Spark side). */
+  private val duckScore = {
+    val t = """regexp_split_to_array(trim(text), '\s+')"""
+    s"""round(
+       |  (CASE WHEN len($t) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.1 END)
+       |+ (CASE WHEN round(len(list_filter($t, x -> x IN ($stopList)))::DOUBLE
+       |          / len($t), 4) > 0.05 THEN 0.3 ELSE 0.0 END)
+       |+ (CASE WHEN round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+       |          / len($t), 4) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.1 END), 1)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q87_corpus_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT lang, doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         |    $duckScore AS score
+         |  FROM documents),
+         |good AS (SELECT lang, doc_id, n_tok FROM q WHERE score > 0.65),
+         |gd AS (SELECT d.doc_id, d.text FROM documents d JOIN good g USING (doc_id)),
+         |${shingleCteFrom("gd")},
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_slice(sig, j*$R + 1, j*$R + $R), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j)),
+         |keeper AS (SELECT band_idx, band_hash, min(doc_id) AS keeper
+         |  FROM bands GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT b.doc_id
+         |  FROM bands b JOIN keeper k
+         |    ON b.band_idx = k.band_idx AND b.band_hash = k.band_hash
+         |  WHERE b.doc_id > k.keeper)
+         |SELECT g.lang, count(*) AS n_good,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN g.n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM good g LEFT JOIN dropped dr ON g.doc_id = dr.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q77_dedup_keep" ->
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
