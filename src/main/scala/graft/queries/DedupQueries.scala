@@ -66,6 +66,8 @@ object DedupQueries extends QueryPack {
       .agg(
         array_distinct(collect_list($"s")).as("sh"),
         minhashAggs(1, $"s").head)
+      // block-key exchange = the self-join reuse point (see NearDup.lshBands)
+      .repartition($"mh0")
     sh.as("a")
       .join(sh.as("b"), $"a.mh0" === $"b.mh0" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
