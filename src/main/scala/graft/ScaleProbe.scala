@@ -41,7 +41,8 @@ object ScaleProbe {
       }
 
     val probes = Seq("q46_exact_dedup", "q47_minhash_lsh", "q48_ngram_jaccard",
-      "q49_simhash", "q50_embedding_neardup", "q51_knn_brute", "q52_ann_lsh")
+      "q49_simhash", "q50_embedding_neardup", "q51_knn_brute", "q52_ann_lsh",
+      "q53_ann_ivf", "q77_dedup_keep", "q87_corpus_pipeline")
     probes.foreach { name =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, out).count()
