@@ -30,9 +30,20 @@ object Backfill {
       .agg(count(lit(1)).as("n"), sum(col(measure)).as(measure))
 
   /** Publish day partitions of partials (idempotent: dynamic overwrite
-    * replaces exactly the days present in `partials`). */
-  def publish(partials: DataFrame, store: String): Unit =
-    IoOps.replaceDayPartitions(partials, store)
+    * replaces exactly the days present in `partials`). Repartitioned on
+    * the day first: without it every shuffle task writes a sliver into
+    * every day directory (tasks × days small files — measured 960 at
+    * sf0.1); `filesPerDay > 1` spreads a huge day over that many writer
+    * tasks (deterministic hash of the whole row) when one file per day
+    * would bottleneck. */
+  def publish(partials: DataFrame, store: String, filesPerDay: Int = 1): Unit = {
+    val keyed =
+      if (filesPerDay <= 1) partials.repartition(col("day"))
+      else partials.repartition(col("day"),
+        pmod(crc32(concat_ws("|", partials.columns.map(col): _*)),
+          lit(filesPerDay)))
+    IoOps.replaceDayPartitions(keyed, store)
+  }
 
   /** Merge late-arriving raw rows into the store. `rawOnTime` is the
     * full on-time raw feed (it is FILTERED to the affected days before
@@ -51,7 +62,7 @@ object Backfill {
       val merged = toPartials(
         rawOnTime.where(col("day").isin(days: _*)).unionByName(lateRaw),
         dims, measure)
-      IoOps.replaceDayPartitions(merged, store)
+      publish(merged, store)
     }
     days
   }
