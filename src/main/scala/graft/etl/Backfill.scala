@@ -40,7 +40,8 @@ object Backfill {
     val keyed =
       if (filesPerDay <= 1) partials.repartition(col("day"))
       else partials.repartition(col("day"),
-        pmod(crc32(concat_ws("|", partials.columns.map(col): _*)),
+        pmod(crc32(concat_ws("|",
+          partials.columns.map(c => col(c).cast("string")): _*)),
           lit(filesPerDay)))
     IoOps.replaceDayPartitions(keyed, store)
   }
