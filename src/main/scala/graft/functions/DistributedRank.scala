@@ -10,43 +10,69 @@ import org.apache.spark.sql.functions._
   * task (Spark warns about exactly this): tolerable for bounded series
   * (q71's one-row-per-day input), a scale-killer on fact-sized inputs —
   * the reference's rank jobs (`rank/reports/StarRank.scala` family) hit
-  * the same wall on a single reducer. Classic two-pass alternative:
+  * the same wall on a single reducer. Two-pass alternative:
   *
-  *  1. `repartitionByRange` on the sort key: non-overlapping, ordered key
-  *     ranges per partition (equal keys co-located), then a PER-PARTITION
-  *     row_number (sort within partition; no global exchange of data).
-  *  2. Per-partition counts — numPartitions rows of metadata, not data —
-  *     cumulated into starting offsets (the only unpartitioned window in
-  *     the plan runs over that tiny count set, the same driver-scale work
-  *     Spark's own RangePartitioner does when sampling boundaries) and
-  *     broadcast back. Global row number = offset + local row number.
+  *  1. ONE driver action freezes approximate quantile boundaries of the
+  *     leading sort column as literals. The bucket id `__pid` is then a
+  *     PURE FUNCTION of the row value — unlike `repartitionByRange` +
+  *     `spark_partition_id()`, whose ids depend on which sampling run /
+  *     exchange materialization a branch happens to read, so correctness
+  *     would silently hinge on exchange reuse being on. Re-evaluating any
+  *     branch here always reassigns identical buckets.
+  *  2. One hash exchange on `__pid` (the bucket window's own required
+  *     distribution — no second full-data shuffle), then a per-bucket
+  *     row_number. Bucket counts — numBuckets rows of metadata, not
+  *     data — cumulate into starting offsets (the only unpartitioned
+  *     window runs over that tiny set) and broadcast back:
+  *     global row number = offset + local row number.
   *
-  * Exact (not approximate): correctness needs only the range-partition
-  * invariant — every key in partition p sorts before every key in p+1 —
-  * which holds for ANY sampled boundaries.
+  * Exact (not approximate): correctness needs only the bucket invariant —
+  * every row in bucket p sorts before every row in p+1 — which holds for
+  * ANY boundary values because buckets cut on the leading sort column
+  * (equal values never straddle a cut; nulls take bucket 0 = Spark's
+  * nulls-first, NaN falls to the last = Spark's NaN-last). Boundary
+  * quality affects only balance; a single hot key makes one big bucket
+  * (same as any range partitioning of that key).
   */
 object DistributedRank {
 
   /** Adds a 1-based global row number `rnCol` ordered by `sortCols`.
-    * The sort key must be unique per row (append a tiebreak id, as every
-    * query in this repo already does) — then row_number == rank ==
-    * dense_rank, and percent_rank/cume_dist/ntile derive arithmetically
-    * via [[percentRankOf]]/[[cumeDistOf]]/[[ntileOf]]. */
+    * The sort is ASCENDING (nulls first — the bucket cut `lead <= bound`
+    * assumes it; rank a descending order by negating the key). The
+    * LEADING sort column must be numeric/timestamp (boundary
+    * sampling casts it to double) and the full sort key unique per row
+    * (append a tiebreak id, as every query in this repo already does) —
+    * then row_number == rank == dense_rank, and percent_rank/cume_dist/
+    * ntile derive arithmetically via [[percentRankOf]]/[[cumeDistOf]]/
+    * [[ntileOf]]. */
   def withRowNumber(df: DataFrame, rnCol: String, sortCols: Column*): DataFrame =
     withRowNumberAndTotal(df, rnCol, "__total", sortCols: _*).drop("__total")
 
   /** Like [[withRowNumber]] but also attaches the total row count as
-    * `totalCol` — derived from the same per-partition counts, so callers
+    * `totalCol` — derived from the same per-bucket counts, so callers
     * needing N (percent_rank/cume_dist/ntile) don't pay a second scan of
     * the input to count it. */
   def withRowNumberAndTotal(df: DataFrame, rnCol: String, totalCol: String,
       sortCols: Column*): DataFrame = {
-    val parted = df.repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val nb = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val lead = sortCols.head.cast("double")
+    val bounds: Seq[Double] = df
+      .select(percentile_approx(lead,
+        typedlit((1 until nb).map(_.toDouble / nb)), lit(10000)).as("b"))
+      .collect().headOption
+      .filter(!_.isNullAt(0))
+      .map(_.getSeq[Double](0).distinct.sorted)
+      .getOrElse(Seq.empty)
+    val pid = bounds.zipWithIndex
+      .foldLeft(when(sortCols.head.isNull, 0)) {
+        case (acc, (b, i)) => acc.when(lead <= b, i)
+      }
+      .otherwise(bounds.size).cast("int")
+    val parted = df.withColumn("__pid", pid).repartition(col("__pid"))
     val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = parted.withColumn("__lrn", row_number().over(localW).cast("long"))
     val offW = Window.orderBy(col("__pid"))
-    val offsets = local
+    val offsets = parted
       .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(offW.rowsBetween(Window.unboundedPreceding, -1)),
