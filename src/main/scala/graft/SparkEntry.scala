@@ -32,7 +32,7 @@ object SparkEntry {
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = packs.flatMap(_.queries)
     // a duplicate name across packs would silently shadow one
     // implementation (and could pair it with the other pack's oracle)

@@ -57,11 +57,16 @@ object Backfill {
     * listing. Returns the affected days (sorted). */
   def patchLate(spark: SparkSession, store: String, rawOnTime: DataFrame,
       lateRaw: DataFrame, dims: Seq[String], measure: String): Seq[String] = {
-    val days = lateRaw.select(col("day")).distinct()
+    // NULL-day rows (malformed stragglers) can't name a partition to
+    // patch: dropped here, and dropped from the merge below — isin(null)
+    // never matches and a bare null would NPE the string sort.
+    val days = lateRaw.where(col("day").isNotNull)
+      .select(col("day")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (days.nonEmpty) {
       val merged = toPartials(
-        rawOnTime.where(col("day").isin(days: _*)).unionByName(lateRaw),
+        rawOnTime.where(col("day").isin(days: _*))
+          .unionByName(lateRaw.where(col("day").isNotNull)),
         dims, measure)
       publish(merged, store)
     }

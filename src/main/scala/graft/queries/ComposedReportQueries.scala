@@ -146,7 +146,13 @@ object ComposedReportQueries extends QueryPack {
   private val q82: Q = (s, d) => {
     import s.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = s
-    val tokens = Tables.events(s, d).select(concat(
+    // The token layout's user field is 8 hex chars = 32 bits (the
+    // reference format). lpad TRUNCATES longer hex, which would silently
+    // mis-attribute users >= 2^32 — exclude them instead so the encode
+    // stays invertible (fixture ids are far below the bound).
+    val tokens = Tables.events(s, d)
+      .where($"user_id" >= 0 && $"user_id" < (1L << 32))
+      .select(concat(
       lpad(hex($"user_id"), 8, "0"),
       lpad(hex(lit(1000000000L) + ($"user_id" % 3) * 400000000L), 8, "0"),
       lpad(hex($"event_id" % 5), 2, "0"),
@@ -396,6 +402,7 @@ object ComposedReportQueries extends QueryPack {
         |  count(DISTINCT user_id) AS n_users,
         |  min(1000000000 + (user_id % 3) * 400000000) AS min_device
         |FROM events
+        |WHERE user_id >= 0 AND user_id < 4294967296
         |GROUP BY 1, 2 ORDER BY device_type, region_bucket""".stripMargin,
     "q83_backfill_patch" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,

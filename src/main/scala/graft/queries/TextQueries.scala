@@ -14,10 +14,16 @@ object TextQueries extends QueryPack {
   /** Token counting (whitespace + BPE-ish estimate) per language.
     * Explode + two grouped aggs — whole-stage codegen end to end; the
     * previous aggregate(transform(...)) form was interpreted
-    * (CodegenFallback) and 40-80× slower per CLAUDE.md. */
+    * (CodegenFallback) and 40-80× slower per CLAUDE.md.
+    *
+    * NULL-text docs are excluded EXPLICITLY here and in every oracle of
+    * this pack (`WHERE text IS NOT NULL`): explode of a null array emits
+    * no rows, so without the shared filter the two sides would count such
+    * docs differently. A null-text row is not a document for text stats. */
   private val q42: Q = (s, d) => {
     import s.implicits._
     val perDoc = Tables.documents(s, d)
+      .where($"text".isNotNull)
       .select($"lang", $"doc_id",
         length(trim($"text")).cast("long").as("chars"),
         explode(tokens($"text")).as("tok"))
@@ -46,6 +52,7 @@ object TextQueries extends QueryPack {
   private val q43: Q = (s, d) => {
     import s.implicits._
     val perDoc = Tables.documents(s, d)
+      .where($"text".isNotNull)
       .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"lang", $"doc_id")
       .agg(
@@ -77,6 +84,7 @@ object TextQueries extends QueryPack {
     val votes = langs.map(l =>
       sum(when($"tok".isin(langMarkers(l): _*), 1L).otherwise(0L)).as(s"v_$l"))
     val voted = Tables.documents(s, d)
+      .where($"text".isNotNull)
       .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"lang", $"doc_id")
       .agg(votes.head, votes.tail: _*)
@@ -114,6 +122,7 @@ object TextQueries extends QueryPack {
   private val q76: Q = (s, d) => {
     import s.implicits._
     val toks = Tables.documents(s, d)
+      .where($"text".isNotNull)
       .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"lang", $"doc_id")
       .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_uniq"))
@@ -144,7 +153,7 @@ object TextQueries extends QueryPack {
       """WITH t AS (SELECT lang, doc_id,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
         |    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_uniq
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN (n_tok - n_uniq) * 2 >= n_tok THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_repetitive,
@@ -162,7 +171,7 @@ object TextQueries extends QueryPack {
         |          + list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
         |              t -> greatest(CAST(ceil(length(t) / 6.0) AS BIGINT) - 1, 0))) AS bpe,
         |        length(trim(text)) AS chars
-        |      FROM documents)
+        |      FROM documents WHERE text IS NOT NULL)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q43_quality_score" ->
       (s"""SELECT lang, score, count(*) AS n_docs,
@@ -182,7 +191,7 @@ object TextQueries extends QueryPack {
         |        round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
         |                t -> t IN ($stopList)))::DOUBLE
         |          / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stop_ratio
-        |      FROM documents)
+        |      FROM documents WHERE text IS NOT NULL)
         |GROUP BY lang, score ORDER BY lang, score""").stripMargin,
     "q44_lang_id" ->
       """SELECT lang, guess, count(*) AS n
@@ -204,7 +213,7 @@ object TextQueries extends QueryPack {
         |                  t -> t IN ('le','la','et'))) AS v_fr,
         |              len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |                  t -> t IN ('de','shi','le'))) AS v_zh
-        |            FROM documents))
+        |            FROM documents WHERE text IS NOT NULL))
         |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
     "q45_fingerprint" ->
       """SELECT substr(md5(trim(text)), 1, 1) AS bucket,

@@ -64,4 +64,24 @@ class BackfillSpec extends SparkSpec {
       Paths.get(store, "day=2024-01-01")).toMillis
     assert(d1After == d1Before, "day=2024-01-01 was rewritten")
   }
+
+  test("patchLate drops NULL-day stragglers instead of crashing") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("graft_bf3").toString + "/s"
+    val all = mkRows
+    Backfill.publish(Backfill.toPartials(all, Seq("event_type"), "measure"), store)
+    val late = Seq((null: String, "click", 9L, 99L),
+      ("2024-01-03", "view", 3L, 1L))
+      .toDF("day", "event_type", "user_id", "measure")
+
+    val days = Backfill.patchLate(spark, store, all, late,
+      Seq("event_type"), "measure")
+    assert(days == Seq("2024-01-03"), s"affected days: $days")
+    // no __HIVE_DEFAULT_PARTITION__ directory, no user 9 anywhere
+    val dirs = Option(new java.io.File(store).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("day=2024-")), dirs.mkString(", "))
+    assert(spark.read.parquet(store).where($"user_id" === 9L).isEmpty)
+  }
 }
