@@ -12,8 +12,8 @@ import graft.functions.VectorFunctions.{dot, l2norm}
   * exact DuckDB oracle.
   *
   * Scale design: every near-dup operator generates candidate pairs through
-  * a bucket JOIN (MinHash band, SimHash byte, first-minhash block, label
-  * block) — the quadratic compare only ever runs inside buckets, so the
+  * a bucket JOIN (MinHash band, SimHash byte, first-minhash block,
+  * hyperplane band) — the quadratic compare only ever runs inside buckets, so the
   * shuffle key count stays O(n·bands) and the plan survives 100 TB. The
   * expensive exact measure (Jaccard / cosine) runs only on candidates.
   */
@@ -93,27 +93,39 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Embedding-cosine near-dup: block on the label column (at scale: an
-    * LSH/IVF bucket id), exact double-precision cosine on candidates,
-    * keep pairs ≥ 0.35 after round(4). Norms are computed once per
-    * vector BEFORE the pair join — only the dot product runs per pair. */
+  /** Embedding-cosine near-dup: block on banded hyperplane-LSH keys —
+    * 2 bands × 4 sign bits over [[SimilarityQueries.planes]] — then exact
+    * double-precision cosine on candidates only, keep pairs ≥ 0.35 after
+    * round(4). The band key (not a data column) is what survives 100 TB:
+    * candidates are an equi self-join on (band, key), recall is tuned by
+    * band count/width exactly like the MinHash bands of q47. Norms are
+    * computed once per vector BEFORE the pair join; one exchange on the
+    * band key feeds both join sides. */
   private val q50: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-      .select($"vec_id", $"label", $"embedding",
-        l2norm($"embedding").as("nrm"))
+      .select($"vec_id", $"embedding", l2norm($"embedding").as("nrm"),
+        SimilarityQueries.bandKey($"embedding", 0, 4).as("b0"),
+        SimilarityQueries.bandKey($"embedding", 4, 8).as("b1"))
+    val banded = e
+      .select($"vec_id", $"embedding", $"nrm",
+        posexplode(array($"b0", $"b1")).as(Seq("band", "key")))
+      .repartition($"band", $"key")
     // membership tests the RAW cosine: both engines compute the identical
     // double (same widening, same fold order), so raw >= threshold can
     // never diverge, while round(4) >= threshold could flip on an
-    // engine-specific rounding boundary. round() is display-only.
-    e.as("a").join(e.as("b"),
-        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.label".as("label"),
-        $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+    // engine-specific rounding boundary. round() is display-only. A pair
+    // sharing both bands arrives twice → n_bands; cos is identical on
+    // every copy, so max() just picks the value.
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         (dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"))
           .as("cos_raw"))
       .filter($"cos_raw" >= 0.35)
-      .select($"label", $"vec_a", $"vec_b", round($"cos_raw", 4).as("cos"))
+      .groupBy($"vec_a", $"vec_b")
+      .agg(count(lit(1)).as("n_bands"), round(max($"cos_raw"), 4).as("cos"))
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -323,11 +335,23 @@ object DedupQueries extends QueryPack {
          |  ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
          |GROUP BY 1, 2, 3 HAVING hamming <= 6 ORDER BY 1, 2""".stripMargin,
     "q50_embedding_neardup" ->
-      s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.35
-         |ORDER BY vec_a, vec_b""".stripMargin
+      s"""WITH keyed AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(${SimilarityQueries.duckBandKey(0, 4)} AS BIGINT) AS b0,
+         |    CAST(${SimilarityQueries.duckBandKey(4, 8)} AS BIGINT) AS b1
+         |  FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, embedding, 0 AS band, b0 AS key FROM keyed
+         |  UNION ALL
+         |  SELECT vec_id, embedding, 1 AS band, b1 AS key FROM keyed),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cos_raw
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, CAST(count(*) AS BIGINT) AS n_bands,
+         |  round(max(cos_raw), 4) AS cos
+         |FROM cand WHERE cos_raw >= 0.35
+         |GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -43,11 +43,26 @@ object SimilarityQueries extends QueryPack {
   private def proj(v: org.apache.spark.sql.Column, p: Int) =
     dot(v, array(planes(p).map(w => lit(w.toFloat)): _*))
 
-  /** LSH bucket id: bit p set when the projection onto plane p is ≥ 0. */
-  private def bucketId(v: org.apache.spark.sql.Column) =
-    (0 until NPLANES).map(p =>
-      when(proj(v, p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+  /** Band key over planes [lo, hi): bit (p-lo) set when the projection
+    * onto plane p is ≥ 0. The full-width key is the ANN bucket id; narrow
+    * slices are the recall-tunable bands of the near-dup blocker (q50). */
+  private[queries] def bandKey(v: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+    (lo until hi).map(p =>
+      when(proj(v, p) >= 0, lit(1L << (p - lo))).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** LSH bucket id: all 8 plane sign bits. */
+  private def bucketId(v: org.apache.spark.sql.Column) = bandKey(v, 0, NPLANES)
+
+  /** DuckDB mirror of [[bandKey]]: plane literals inlined as list
+    * constants, identical double-precision projection arithmetic. */
+  private[queries] def duckBandKey(lo: Int, hi: Int, col: String = "embedding"): String =
+    (lo until hi).map { p =>
+      val arr = planes(p).mkString("[", ",", "]")
+      s"""CASE WHEN list_sum(list_transform(range(1, ${DIM + 1}),
+         |  i -> $col[i]::DOUBLE * ($arr)[i]::DOUBLE)) >= 0
+         |THEN CAST(${1L << (p - lo)} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }.mkString(" + ")
 
   /** Brute-force cosine top-k: every query vector against every other
     * vector, rank by cosine (rounded to 6 for a stable cross-engine
@@ -141,13 +156,8 @@ object SimilarityQueries extends QueryPack {
   private def duckCos(a: String, b: String) =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
-  /** Bucket id mirror: plane literals inlined as DuckDB list constants. */
-  private val duckBucket: String = (0 until NPLANES).map { p =>
-    val arr = planes(p).mkString("[", ",", "]")
-    s"""CASE WHEN list_sum(list_transform(range(1, ${DIM + 1}),
-       |  i -> embedding[i]::DOUBLE * ($arr)[i]::DOUBLE)) >= 0
-       |THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
-  }.mkString(" + ")
+  /** Bucket id mirror: the full 8-plane band. */
+  private val duckBucket: String = duckBandKey(0, NPLANES)
 
   val oracle: Map[String, String] = Map(
     "q51_knn_brute" ->
