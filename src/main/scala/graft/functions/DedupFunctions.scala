@@ -74,23 +74,45 @@ object DedupFunctions {
       md5(concat_ws("|", (0 until r).map(i => col(s"mh${j * r + i}")): _*)
         .cast("binary")))
 
-  /** SimHash vote aggregates over an exploded hash column: for each bit,
-    * Σ of +1/-1 across the group's hashes. Aliased v0..v{bits-1}.
+  // Packed-vote lane layout: per-bit ONE-counts accumulate in LANE-bit
+  // lanes, LANES_PER_AGG lanes per long sum. Top lane peaks at
+  // (2^20-1) << 40 < 2^61, so the sum accumulator can never overflow;
+  // a lane itself saturates only past 2^20-1 = ~1M DISTINCT shingles in
+  // one document (simhashes dedups shingles first) — far beyond any
+  // non-pathological doc, and callers feeding longer ones must chunk.
+  private val LANE = 20
+  private val LANES_PER_AGG = 3
+  private def laneGroups(bits: Int): Int =
+    (bits + LANES_PER_AGG - 1) / LANES_PER_AGG
+
+  /** SimHash vote aggregates over an exploded hash column, packed: agg
+    * `pv{g}` accumulates the ONE-counts of bits [3g, 3g+3) in 20-bit
+    * lanes, `pn` counts group rows. One third the agg buffers (and
+    * shuffle bytes) of the naive per-bit ±1 sum; bit b's majority vote is
+    * recovered in [[simhashFromVotes]] as 2·cnt_b > n — identical to
+    * sum(±1) > 0, so the resulting simhash is bit-for-bit unchanged.
     * 32 bits (hash32) is the fixture/oracle width; 64 (hash64) is the
     * production width — 32-bit simhash saturates with bucket collisions
     * at billions of docs. */
   def simhashVoteAggs(h: Column, bits: Int = 32): Seq[Column] =
-    (0 until bits).map(b =>
-      sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"v$b"))
+    (0 until laneGroups(bits)).map { g =>
+      val lanes = math.min(LANES_PER_AGG, bits - g * LANES_PER_AGG)
+      val perRow = (0 until lanes).map { i =>
+        shiftleft(shiftright(h, g * LANES_PER_AGG + i).bitwiseAND(1L), LANE * i)
+      }.reduce(_ + _)
+      sum(perRow).as(s"pv$g")
+    } :+ count(lit(1)).as("pn")
 
-  /** Assemble the simhash from the v0..v{bits-1} vote columns: bit b is
-    * set when its vote is positive. Bitwise-or of disjoint masks — safe
-    * for bit 63 where addition would wrap (and trip ANSI checks). */
+  /** Assemble the simhash from the packed pv0..pv{G-1} + pn vote columns:
+    * bit b is set when its ONE-count lane holds a strict majority.
+    * Bitwise-or of disjoint masks — safe for bit 63 where addition would
+    * wrap (and trip ANSI checks). */
   def simhashFromVotes(bits: Int = 32): Column =
-    (0 until bits).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    (0 until bits).map { b =>
+      val cnt = shiftright(col(s"pv${b / LANES_PER_AGG}"),
+        LANE * (b % LANES_PER_AGG)).bitwiseAND((1L << LANE) - 1)
+      when(cnt * 2 > col("pn"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
 
   /** SimHash LSH bucket key: byte j (0 until bits/8) of the simhash. Near
     * docs (Hamming ≤ 6) share at least one unchanged byte far more often

@@ -44,6 +44,32 @@ class DedupVectorSpec extends SparkSpec {
     assert(hamNear < hamFar)
   }
 
+  test("packed vote lanes reproduce the naive per-bit majority simhash exactly") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val base = DedupFunctions.shingleRows(docs, "doc_id", "text", 3)
+      .dropDuplicates("doc_id", "s")
+      .select(col("doc_id"), DedupFunctions.hash64(col("s")).as("h"))
+    val votes = DedupFunctions.simhashVoteAggs(col("h"), bits = 64)
+    val packed = base.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), DedupFunctions.simhashFromVotes(64).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    // naive reference: per-bit sum of +1/-1, bit set when positive
+    val naiveAggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"nv$b"))
+    val naive = base.groupBy(col("doc_id"))
+      .agg(naiveAggs.head, naiveAggs.tail: _*)
+      .select(col("doc_id"), (0 until 64).map(b =>
+        when(col(s"nv$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(packed == naive)
+  }
+
   test("native dot product matches hand computation and DuckDB contract") {
     import spark.implicits._
     graft.expressions.GraftFunctions.ensureRegistered(spark)
