@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
   * sf0.1 documents/embeddings tables N× with shifted ids into /tmp and
   * time the heaviest operators there, to catch superlinear blowups (LSH
   * bucket collisions, pair explosions) before they surface at real scale.
-  * Run: `sbt "runMain graft.ScaleProbe [N]"` (default 10 → ~50k docs). */
+  * Run: `sbt "runMain graft.ScaleProbe [N] [q_name,...]"` (default 10 →
+  * ~50k docs, all probes). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
     val spark = graft.core.GraftSession.local(
       math.min(32, Runtime.getRuntime.availableProcessors()))
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,6 +45,7 @@ object ScaleProbe {
     val probes = Seq("q46_exact_dedup", "q47_minhash_lsh", "q48_ngram_jaccard",
       "q49_simhash", "q50_embedding_neardup", "q51_knn_brute", "q52_ann_lsh",
       "q53_ann_ivf", "q77_dedup_keep", "q87_corpus_pipeline")
+      .filter(p => only.forall(_.contains(p)))
     probes.foreach { name =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, out).count()

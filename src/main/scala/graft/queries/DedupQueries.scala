@@ -56,23 +56,34 @@ object DedupQueries extends QueryPack {
   /** n-gram Jaccard near-dup: block on minhash row 0 (1-band/1-row LSH),
     * then EXACT Jaccard over 3-token shingle sets on candidates only.
     * The ≥0.8 threshold is tested in integer arithmetic (5·|∩| ≥ 4·|∪|)
-    * so no float boundary can disagree between engines. */
+    * so no float boundary can disagree between engines.
+    *
+    * Shape: the intersection is counted on exploded (mh0, shingle) rows —
+    * two docs share mh0 iff they share the arg-min shingle, so every
+    * candidate pair surfaces in this join with inter ≥ 1, and |∩| is a
+    * codegen'd pair count. The earlier array formulation (collect the
+    * shingle set per doc, array_intersect per candidate) shuffled ~KB
+    * arrays through the self-join and re-hashed both sets per pair —
+    * measured 6× slower at a 10× corpus (ScaleProbe). |∪| = nA + nB − |∩|
+    * from per-doc set sizes carried on the rows (window over the doc —
+    * the partitioning shingleRows' lead-window already established). */
   private val q48: Q = (s, d) => {
     import s.implicits._
-    // one pass builds both the block key (min-agg) and the shingle SET
-    // (collect_list + array_distinct) — no second scan, no re-evaluation
-    val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", K)
-      .groupBy($"doc_id")
-      .agg(
-        array_distinct(collect_list($"s")).as("sh"),
-        minhashAggs(1, $"s").head)
-      // block-key exchange = the self-join reuse point (see NearDup.lshBands)
-      .repartition($"mh0")
-    sh.as("a")
-      .join(sh.as("b"), $"a.mh0" === $"b.mh0" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        size(array_intersect($"a.sh", $"b.sh")).as("inter"),
-        size(array_union($"a.sh", $"b.sh")).as("uni"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    val keyed = shingleRows(Tables.documents(s, d), "doc_id", "text", K)
+      .dropDuplicates("doc_id", "s")
+      .withColumn("mh0",
+        min(md5(concat(lit("0:"), $"s").cast("binary"))).over(byDoc))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      // (block, shingle) exchange = the self-join reuse point
+      .repartition($"mh0", $"s")
+    keyed.as("a")
+      .join(keyed.as("b"),
+        $"a.mh0" === $"b.mh0" && $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first($"a.n").as("na"), first($"b.n").as("nb"))
+      .withColumn("uni", $"na" + $"nb" - $"inter")
       .filter($"inter" * 5 >= $"uni" * 4)
       .select($"doc_a", $"doc_b",
         round($"inter".cast("double") / $"uni".cast("double"), 4).as("jaccard"))
