@@ -58,20 +58,36 @@ object DedupFunctions {
       .select(col(idCol), col("s"))
   }
 
-  /** MinHash aggregate columns over an exploded shingle column: for hash
-    * function h in [0,n), min(md5("h:" + shingle)) — lexicographic min on
-    * the hex string, which any engine with md5 reproduces exactly.
-    * Aliased mh0..mh{n-1}. */
-  def minhashAggs(n: Int, shingle: Column): Seq[Column] =
-    (0 until n).map(h =>
-      min(md5(concat(lit(s"$h:"), shingle).cast("binary"))).as(s"mh$h"))
+  /** Modulus for the Kirsch-Mitzenmacher minhash family: 2³¹−1 (prime). */
+  val MINHASH_P = 2147483647L
+
+  /** Per-shingle-row base hashes for the KM minhash family, aliased
+    * __h1/__h2. Materialized as COLUMNS before the aggregate on purpose:
+    * inlining them into every min() child would re-run both md5s once per
+    * hash function per row. With them, n hash functions cost 2 md5s per
+    * shingle total — at production nh=128 that is 64× less hashing than
+    * the one-md5-per-function scheme this replaced. */
+  def minhashHashCols(shingle: Column): Seq[Column] = Seq(
+    hash32(concat(lit("a:"), shingle)).as("__h1"),
+    hash32(concat(lit("b:"), shingle)).as("__h2"))
+
+  /** MinHash aggregate columns over rows carrying [[minhashHashCols]]:
+    * hash function i is gᵢ = (h1 + i·h2) mod P (Kirsch–Mitzenmacher:
+    * two independent base hashes extend to any family size with pairwise
+    * guarantees minhash needs). h1,h2 < 2³², i ≤ few hundred — the sum
+    * stays far below 2⁶³, so ANSI arithmetic never overflows. Aliased
+    * mh0..mh{n-1}, LongType. */
+  def minhashAggs(n: Int): Seq[Column] =
+    (0 until n).map(i =>
+      min((col("__h1") + lit(i.toLong) * col("__h2")) % MINHASH_P).as(s"mh$i"))
 
   /** LSH band keys from the mh0..mh{b*r-1} minhash columns: b bands of r
     * rows, each band hashed to one value. Documents sharing ANY band key
     * become candidate pairs (band match probability = jaccard^r). */
   def lshBandCols(b: Int, r: Int): Seq[Column] =
     (0 until b).map(j =>
-      md5(concat_ws("|", (0 until r).map(i => col(s"mh${j * r + i}")): _*)
+      md5(concat_ws("|",
+        (0 until r).map(i => col(s"mh${j * r + i}").cast("string")): _*)
         .cast("binary")))
 
   // Packed-vote lane layout: per-bit ONE-counts accumulate in LANE-bit

@@ -20,14 +20,16 @@ import graft.functions.DedupFunctions._
   */
 object NearDup {
 
-  /** MinHash signature: one row per doc, columns mh0..mh{nh-1}. Docs with
-    * fewer than k tokens have no shingles and drop out (they cannot
-    * near-dup by shingle overlap). */
+  /** MinHash signature: one row per doc, columns mh0..mh{nh-1} (KM
+    * family — 2 md5s per shingle regardless of nh). Docs with fewer than
+    * k tokens have no shingles and drop out (they cannot near-dup by
+    * shingle overlap). */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, nh: Int = 9): DataFrame = {
     require(nh >= 1, s"need at least one hash (got $nh)")
-    val aggs = minhashAggs(nh, col("s"))
+    val aggs = minhashAggs(nh)
     shingleRows(docs, idCol, textCol, k)
+      .select(col(idCol) +: minhashHashCols(col("s")): _*)
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
   }

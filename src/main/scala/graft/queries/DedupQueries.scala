@@ -224,9 +224,14 @@ object DedupQueries extends QueryPack {
 
   private val shingleCte = shingleCteFrom("documents")
 
-  /** Mirror of DedupFunctions.minhashSignature over list column `s`. */
-  private def duckSig(n: Int): String =
-    s"list_transform(range(0, $n), h -> list_min(list_transform(s, x -> md5(CAST(h AS VARCHAR) || ':' || x))))"
+  /** Mirror of DedupFunctions.minhashSignature over list column `s`:
+    * KM family gₕ = (h1 + h·h2) mod 2³¹−1 over the two md5-based base
+    * hashes — identical integer arithmetic on both engines. */
+  private def duckSig(n: Int): String = {
+    val h1 = "(('0x' || substr(md5('a:' || x), 1, 8))::BIGINT)"
+    val h2 = "(('0x' || substr(md5('b:' || x), 1, 8))::BIGINT)"
+    s"list_transform(range(0, $n), h -> list_min(list_transform(s, x -> ($h1 + h * $h2) % 2147483647)))"
+  }
 
   /** Mirror of DedupFunctions.simhash32 over token-hash list `hs`. */
   private val duckSimhash: String = {
@@ -272,7 +277,7 @@ object DedupQueries extends QueryPack {
          |${shingleCteFrom("gd")},
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
          |bands AS (SELECT doc_id, j AS band_idx,
-         |    md5(array_to_string(list_slice(sig, j*$R + 1, j*$R + $R), '|')) AS band_hash
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
          |  FROM sig, range(0, $B) r(j)),
          |keeper AS (SELECT band_idx, band_hash, min(doc_id) AS keeper
          |  FROM bands GROUP BY 1, 2),
@@ -290,7 +295,7 @@ object DedupQueries extends QueryPack {
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
          |bands AS (SELECT doc_id, j AS band_idx,
-         |    md5(array_to_string(list_slice(sig, j*$R + 1, j*$R + $R), '|')) AS band_hash
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
          |  FROM sig, range(0, $B) r(j)),
          |keeper AS (SELECT band_idx, band_hash, min(doc_id) AS keeper
          |  FROM bands GROUP BY 1, 2),
@@ -312,7 +317,7 @@ object DedupQueries extends QueryPack {
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
          |bands AS (SELECT doc_id, j AS band_idx,
-         |    md5(array_to_string(list_slice(sig, j*$R + 1, j*$R + $R), '|')) AS band_hash
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
          |  FROM sig, range(0, $B) r(j))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
          |FROM bands a JOIN bands b
