@@ -249,7 +249,29 @@ object AggQueries extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Skew-safe aggregation through the driver gate: the 5-value
+    * event_type key is genuinely hot (each key ≫ one reducer's share),
+    * so the plain one-exchange groupBy would funnel ~N/5 rows through
+    * single tasks at scale. saltedSum splits each key 16 ways on a
+    * user-id salt before combining (integral measure → exactly the
+    * direct sum); saltedCountDistinct spreads on the (key, user) tuple
+    * itself. The join after is 5 rows. Oracle = the plain GROUP BY —
+    * passing means the salted decomposition is invisible in the result. */
+  private val q88: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type",
+      floor($"value").cast("long").as("v"), $"user_id")
+    val sums = graft.functions.SkewUtils
+      .saltedSum(ev, Seq("event_type"), "v", saltSource = Seq("user_id"))
+    val uv = graft.functions.SkewUtils
+      .saltedCountDistinct(ev, Seq("event_type"), "user_id")
+    sums.join(uv, Seq("event_type"))
+      .select($"event_type", $"sum_v", $"n_distinct_user_id".as("n_users"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_salted_agg" -> q88,
     "q61_set_union_agg" -> q61,
     "q69_percentiles" -> q69,
     "q72_cube" -> q72,
@@ -268,6 +290,11 @@ object AggQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q75_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
