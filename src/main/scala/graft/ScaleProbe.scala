@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   * ~50k docs, all probes). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(10)
-    val only = args.drop(1).headOption.map(_.split(",").toSet)
+    // both args optional: a non-numeric first arg is the probe filter
+    val (n, only) = args.toList match {
+      case num :: rest if num.nonEmpty && num.forall(_.isDigit) =>
+        (num.toInt, rest.headOption.map(_.split(",").toSet))
+      case filt :: _ => (10, Some(filt.split(",").toSet))
+      case Nil => (10, None)
+    }
     val spark = graft.core.GraftSession.local(
       math.min(32, Runtime.getRuntime.availableProcessors()))
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,10 +47,12 @@ object ScaleProbe {
             p, java.nio.file.Paths.get(s"$src/$t.parquet"))
       }
 
-    val probes = Seq("q46_exact_dedup", "q47_minhash_lsh", "q48_ngram_jaccard",
+    val allProbes = Seq("q46_exact_dedup", "q47_minhash_lsh", "q48_ngram_jaccard",
       "q49_simhash", "q50_embedding_neardup", "q51_knn_brute", "q52_ann_lsh",
       "q53_ann_ivf", "q77_dedup_keep", "q87_corpus_pipeline")
-      .filter(p => only.forall(_.contains(p)))
+    only.foreach(req => (req -- allProbes.toSet)
+      .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))
+    val probes = allProbes.filter(p => only.forall(_.contains(p)))
     probes.foreach { name =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, out).count()

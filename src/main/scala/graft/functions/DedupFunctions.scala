@@ -122,13 +122,20 @@ object DedupFunctions {
   /** Assemble the simhash from the packed pv0..pv{G-1} + pn vote columns:
     * bit b is set when its ONE-count lane holds a strict majority.
     * Bitwise-or of disjoint masks — safe for bit 63 where addition would
-    * wrap (and trip ANSI checks). */
-  def simhashFromVotes(bits: Int = 32): Column =
-    (0 until bits).map { b =>
+    * wrap (and trip ANSI checks). A doc at or past the lane capacity
+    * fails LOUDLY (raise_error) rather than emitting a silently-corrupt
+    * simhash from an overflowed lane. */
+  def simhashFromVotes(bits: Int = 32): Column = {
+    val sim = (0 until bits).map { b =>
       val cnt = shiftright(col(s"pv${b / LANES_PER_AGG}"),
         LANE * (b % LANES_PER_AGG)).bitwiseAND((1L << LANE) - 1)
       when(cnt * 2 > col("pn"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+    when(col("pn") >= (1L << LANE), raise_error(concat(
+      lit("simhash vote lane overflow: "), col("pn").cast("string"),
+      lit(s" distinct shingles in one doc (max ${(1L << LANE) - 1}); chunk it"))))
+      .otherwise(sim)
+  }
 
   /** SimHash LSH bucket key: byte j (0 until bits/8) of the simhash. Near
     * docs (Hamming ≤ 6) share at least one unchanged byte far more often

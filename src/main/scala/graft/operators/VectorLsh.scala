@@ -46,19 +46,29 @@ object VectorLsh {
     // the native dot product resolves through the function registry;
     // Tables.load registers it for query paths, standalone callers here
     graft.expressions.GraftFunctions.ensureRegistered(embs.sparkSession)
-    val ps = planes(nBands * bandBits, firstVecDim(embs, vecCol), seed)
-    embs.select(col(idCol), col(vecCol).as("__vec"),
-        l2norm(col(vecCol)).as("__nrm"),
-        posexplode(array((0 until nBands).map(b =>
-          bandKey(col(vecCol), ps, b * bandBits, bandBits)): _*)))
-      .toDF(idCol, "__vec", "__nrm", "band", "key")
-      .repartition(col("band"), col("key"))
+    val nonNull = embs.filter(col(vecCol).isNotNull)
+    firstVecDim(nonNull, vecCol) match {
+      case None => // no vectors at all: empty result, correct schema
+        nonNull.select(col(idCol), col(vecCol).as("__vec"),
+            lit(0d).as("__nrm"), lit(0).as("band"), lit(0L).as("key"))
+          .where(lit(false))
+      case Some(dim) =>
+        val ps = planes(nBands * bandBits, dim, seed)
+        nonNull.select(col(idCol), col(vecCol).as("__vec"),
+            l2norm(col(vecCol)).as("__nrm"),
+            posexplode(array((0 until nBands).map(b =>
+              bandKey(col(vecCol), ps, b * bandBits, bandBits)): _*)))
+          .toDF(idCol, "__vec", "__nrm", "band", "key")
+          .repartition(col("band"), col("key"))
+    }
   }
 
-  /** Dimension probe: one driver action on one row (schema-free callers
-    * pass vectors of uniform length — the first row defines it). */
-  private def firstVecDim(embs: DataFrame, vecCol: String): Int =
-    embs.select(size(col(vecCol))).head().getInt(0)
+  /** Dimension probe: one driver action on one non-null row (callers
+    * pass vectors of uniform length — the first row defines it); None
+    * when the input has no vectors. */
+  private def firstVecDim(embs: DataFrame, vecCol: String): Option[Int] =
+    embs.select(size(col(vecCol)).as("__d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
 
   /** Near-dup pairs (id_a, id_b, n_bands, cos) with exact cosine ≥
     * `threshold`, candidates from the band buckets; a pair sharing
@@ -80,10 +90,12 @@ object VectorLsh {
   }
 
   /** Ids to DROP under min-neighbor suppression: an id is dropped when
-    * any of its band buckets contains a smaller id whose exact cosine
-    * clears the threshold. Verification cost is each id against only the
-    * per-bucket MINIMUM candidate (not all bucket members), so both
-    * output AND compare work stay O(n·bands) at any clique size. */
+    * the MINIMUM id of one of its band buckets is smaller than it AND
+    * clears the cosine threshold. Verifying against only the bucket
+    * minimum (not every smaller bucket member) is what keeps output AND
+    * compare work O(n·bands) at any clique size; the trade is recall — a
+    * near-dup of a non-minimum member survives when the bucket minimum
+    * itself is not near (add bands to re-bucket such pairs). */
   def cosineDropIds(embs: DataFrame, idCol: String, vecCol: String,
       nBands: Int = 8, bandBits: Int = 8, threshold: Double = 0.9,
       seed: Long = 42L): DataFrame = {

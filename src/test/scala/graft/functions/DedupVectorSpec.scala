@@ -70,6 +70,21 @@ class DedupVectorSpec extends SparkSpec {
     assert(packed == naive)
   }
 
+  test("vote-lane overflow fails loudly instead of corrupting the simhash") {
+    import spark.implicits._
+    // fake partial-vote row claiming 2^20 shingles: the guard must fire
+    val row = Seq(1L).toDF("doc_id")
+      .select(col("doc_id") +:
+        (0 to 10).map(g => lit(0L).as(s"pv$g")) :+
+        lit(1L << 20).as("pn"): _*)
+    val ex = intercept[Exception] {
+      row.select(DedupFunctions.simhashFromVotes(32)).collect()
+    }
+    assert(ex.getMessage.contains("overflow") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("overflow"),
+      ex.getMessage)
+  }
+
   test("native dot product matches hand computation and DuckDB contract") {
     import spark.implicits._
     graft.expressions.GraftFunctions.ensureRegistered(spark)

@@ -65,6 +65,16 @@ class VectorLshSpec extends SparkSpec {
     assert(dropped == 0L)
   }
 
+  test("empty and all-null inputs yield empty results, not a crash") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val empty = embs.where(lit(false))
+    assert(VectorLsh.cosinePairs(empty, "vec_id", "embedding").count() == 0L)
+    assert(VectorLsh.cosineDropIds(empty, "vec_id", "embedding").count() == 0L)
+    val nulls = embs.select(col("vec_id"),
+      lit(null).cast("array<float>").as("embedding"))
+    assert(VectorLsh.cosinePairs(nulls, "vec_id", "embedding").count() == 0L)
+  }
+
   test("invalid band shapes are rejected") {
     intercept[IllegalArgumentException] {
       VectorLsh.cosinePairs(embs, "vec_id", "embedding", nBands = 0)
