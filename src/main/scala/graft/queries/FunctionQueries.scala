@@ -63,13 +63,17 @@ object FunctionQueries extends QueryPack {
       .select(
         (floor($"l_quantity" / 10) * 10).cast("long").as("qty_bucket"),
         ceil($"l_extendedprice" / 1000).cast("long").as("price_k"),
-        abs($"l_discount" - 0.05).as("disc_dev"))
+        // integer basis-point deviation: discounts are 2-decimal, so the
+        // per-group sum is exact and the single closing division is the
+        // only float op — round(avg(double)) would flip on 1-ulp
+        // engine-order differences (the q19 lesson)
+        round(abs($"l_discount" - 0.05) * 100).cast("long").as("disc_dev_c"))
       .groupBy($"qty_bucket")
       .agg(
         count(lit(1)).as("n"),
         min($"price_k").as("min_price_k"),
         max($"price_k").as("max_price_k"),
-        round(avg($"disc_dev"), 4).as("avg_disc_dev"))
+        round(sum($"disc_dev_c") / (count(lit(1)) * 100.0), 4).as("avg_disc_dev"))
       .orderBy($"qty_bucket")
   }
 
@@ -196,7 +200,8 @@ object FunctionQueries extends QueryPack {
         |  count(*) AS n,
         |  CAST(min(ceil(l_extendedprice / 1000)) AS BIGINT) AS min_price_k,
         |  CAST(max(ceil(l_extendedprice / 1000)) AS BIGINT) AS max_price_k,
-        |  round(avg(abs(l_discount - 0.05)), 4) AS avg_disc_dev
+        |  round(CAST(sum(CAST(round(abs(l_discount - 0.05) * 100) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 100.0), 4) AS avg_disc_dev
         |FROM lineitem GROUP BY 1 ORDER BY qty_bucket""".stripMargin,
     "q37_json_access" ->
       """SELECT event_type, count(*) AS n,

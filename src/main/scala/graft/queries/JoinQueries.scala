@@ -138,7 +138,12 @@ object JoinQueries extends QueryPack {
     Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(count(lit(1)).as("n_customers"), round(avg($"c_acctbal"), 2).as("avg_bal"))
+      .agg(count(lit(1)).as("n_customers"),
+        // exact integer cents, no closing division: round(avg(double))
+        // flips on 1-ulp engine-order noise AND on .xx5 display-round
+        // boundaries (both observed at sf0.001) — an integer sum has
+        // neither failure mode, and the consumer divides if it wants
+        sum(round($"c_acctbal" * 100).cast("long")).as("sum_bal_cents"))
       .orderBy($"n_name")
   }
 
@@ -247,7 +252,8 @@ object JoinQueries extends QueryPack {
         |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q19_broadcast_join" ->
-      """SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+      """SELECT n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q68_asof_join" ->

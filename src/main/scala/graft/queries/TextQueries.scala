@@ -68,7 +68,10 @@ object TextQueries extends QueryPack {
       .groupBy($"lang", $"score")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg($"stop_ratio"), 4).as("avg_stop_ratio"),
+        // stop_ratio is 4-decimal by construction: sum exact basis points,
+        // divide once (1-ulp-proof cross-engine; the q19 lesson)
+        round(sum(round($"stop_ratio" * 10000).cast("long")) /
+          (count(lit(1)) * 10000.0), 4).as("avg_stop_ratio"),
         min($"doc_id").as("min_doc"))
       .orderBy($"lang", $"score")
   }
@@ -133,7 +136,10 @@ object TextQueries extends QueryPack {
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"repetitive".cast("long")).as("n_repetitive"),
-        round(avg(($"n_tok" - $"n_uniq").cast("double") / $"n_tok"), 4)
+        // per-row ratio rounded to 6 first (identical doubles on both
+        // engines), then exact micro-unit sum + one closing division
+        round(sum(round((($"n_tok" - $"n_uniq").cast("double") / $"n_tok") * 1000000)
+          .cast("long")) / (count(lit(1)) * 1000000.0), 4)
           .as("avg_dup_ratio"))
       .orderBy($"lang")
   }
@@ -157,7 +163,8 @@ object TextQueries extends QueryPack {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN (n_tok - n_uniq) * 2 >= n_tok THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_repetitive,
-        |  round(avg((n_tok - n_uniq)::DOUBLE / n_tok), 4) AS avg_dup_ratio
+        |  round(CAST(sum(CAST(round((n_tok - n_uniq)::DOUBLE / n_tok * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 1000000.0), 4) AS avg_dup_ratio
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q42_token_count" ->
       """SELECT lang, count(*) AS n_docs,
@@ -175,7 +182,8 @@ object TextQueries extends QueryPack {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q43_quality_score" ->
       (s"""SELECT lang, score, count(*) AS n_docs,
-        |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+        |  round(CAST(sum(CAST(round(stop_ratio * 10000) AS BIGINT)) AS DOUBLE)
+        |    / (count(*) * 10000.0), 4) AS avg_stop_ratio,
         |  min(doc_id) AS min_doc
         |FROM (SELECT lang, doc_id,
         |        round(
