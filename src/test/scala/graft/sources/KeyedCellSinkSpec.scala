@@ -65,6 +65,30 @@ class KeyedCellSinkSpec extends SparkSpec {
     assert(rows("b") == Map("w" -> "z"), "null cell must be absent, not empty")
   }
 
+  test("bulkWriteWithSplits routes every key to exactly the region its split range dictates") {
+    import spark.implicits._
+    val df = spark.range(300).selectExpr(
+      "concat('k', lpad(cast(pmod(id * 7919, 300) as string), 4, '0')) AS rk",
+      "cast(id as string) AS v")
+    // region starts: r0 = (-inf, k0100), r1 = [k0100, k0200), r2 = [k0200, inf)
+    KeyedCellSink.bulkWriteWithSplits(df, "rk", Seq("k0100", "k0200"),
+      pid => new RecordingWriter("splits", pid))
+    val parts = seen.get("splits").asScala.toMap.map { case (p, v) => (p.toInt, v) }
+    assert(parts.values.map(_.size).sum == 300)
+    // partition id IS the region id — verify against the pure range rule,
+    // and rows arrive sorted (repartitionAndSortWithinPartitions contract)
+    parts.foreach { case (p, rows) =>
+      val ks = rows.map(_._1)
+      assert(ks == ks.sorted, s"region $p not sorted")
+      ks.foreach { k =>
+        val expected = if (k < "k0100") 0 else if (k < "k0200") 1 else 2
+        assert(p == expected, s"key $k landed in region $p, belongs to $expected")
+      }
+    }
+    // the exact-hit boundary key belongs to the region it starts
+    assert(parts(1).map(_._1).contains("k0100"))
+  }
+
   test("saltedRowkey spreads monotonic keys across buckets, order = (bucket, key)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
