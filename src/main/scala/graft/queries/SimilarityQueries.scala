@@ -142,10 +142,44 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Int8 symmetric quantization of the embedding column (the compression
+    * step before shipping vectors to an ANN index): per vector,
+    * scale = max|x|, q = floor(x/scale·127 + 0.5) — already in [-127,127]
+    * since x/scale ∈ [-1,1], so no clamp — and the per-element squared
+    * reconstruction error is reported as exact integer picounits
+    * (floor(err·1e12)); the sum is a long, so no float aggregation
+    * order-noise can flip the hash. Shape: posexplode + per-vector window
+    * max + one grouped agg — shuffles only on vec_id/label, codegen'd
+    * end to end. */
+  private val q91: Q = (s, d) => {
+    import s.implicits._
+    val ex = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull)
+      .select($"label", $"vec_id", posexplode($"embedding"))
+      .toDF("label", "vec_id", "pos", "x")
+    val w = Window.partitionBy($"vec_id")
+    // max over FLOATs, cast to double after — both engines see the exact
+    // same scale value
+    val withM = ex.withColumn("mx", max(abs($"x")).over(w)).where($"mx" > 0)
+    val xd = $"x".cast("double")
+    val md = $"mx".cast("double")
+    val qv = floor(xd / md * 127 + 0.5)
+    val err = (xd - qv * md / 127) * (xd - qv * md / 127)
+    withM
+      .select($"label", $"vec_id", floor(err * 1e12).cast("long").as("epico"))
+      .groupBy($"label")
+      .agg(
+        countDistinct($"vec_id").as("n_vecs"),
+        count(lit(1)).as("n_elems"),
+        sum($"epico").as("sum_err_pico"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q51_knn_brute" -> q51,
     "q52_ann_lsh" -> q52,
-    "q53_ann_ivf" -> q53
+    "q53_ann_ivf" -> q53,
+    "q91_quantize_int8" -> q91
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -210,6 +244,18 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q_id, n_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
          |  FROM scored)
-         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "q91_quantize_int8" ->
+      """WITH ex AS (SELECT label, vec_id, unnest(embedding) AS x
+        |            FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (SELECT label, vec_id, x,
+        |        max(abs(x)) OVER (PARTITION BY vec_id) AS mx FROM ex),
+        |e AS (SELECT label, vec_id, x::DOUBLE AS xd, mx::DOUBLE AS md,
+        |        floor(x::DOUBLE / mx::DOUBLE * 127 + 0.5) AS q
+        |      FROM m WHERE mx > 0)
+        |SELECT label, count(DISTINCT vec_id) AS n_vecs, count(*) AS n_elems,
+        |  CAST(sum(CAST(floor((xd - q * md / 127) * (xd - q * md / 127) * 1e12)
+        |    AS BIGINT)) AS BIGINT) AS sum_err_pico
+        |FROM e GROUP BY label ORDER BY label""".stripMargin
   )
 }

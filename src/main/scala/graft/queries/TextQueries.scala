@@ -144,12 +144,65 @@ object TextQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Benchmark decontamination (the train/eval n-gram overlap check every
+    * LLM data pipeline runs before training): the eval split is the docs
+    * with `doc_id % 97 == 0`; a training doc is contaminated when it
+    * shares any 5-token shingle with any eval doc. Candidates come from
+    * an equi join on the shingle — a uniform shuffle key, never an
+    * all-pairs compare; at 100 TB the (tiny) eval shingle set broadcasts. */
+  private val q89: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val sh = graft.functions.DedupFunctions
+      .shingleRows(docs.select($"doc_id", $"text"), "doc_id", "text", 5)
+    val ev = sh.where($"doc_id" % 97 === 0).select($"s").distinct()
+    val tr = sh.where($"doc_id" % 97 =!= 0).distinct()
+    // ev is distinct on the join key, so inner join == semi join + count
+    val ov = tr.join(ev, "s").groupBy($"doc_id").agg(count(lit(1)).as("n_ov"))
+    docs.where($"doc_id" % 97 =!= 0)
+      .join(ov, Seq("doc_id"), "left")
+      .select($"lang", coalesce($"n_ov", lit(0L)).as("n_ov"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"n_ov" > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        sum($"n_ov").as("total_overlap"))
+      .orderBy($"lang")
+  }
+
+  /** TF-IDF keyword extraction, integer-exact: per language, term
+    * frequency tf and document frequency df from one explode + grouped
+    * agg; the idf weight is the reciprocal-df proxy
+    * `(tf * 1e6) div (df + 1)` — monotone in 1/df like log-idf but exact
+    * integer arithmetic on both engines (ln() is libm-dependent and
+    * unsafe to hash-compare). Top-3 terms per language, ties broken by
+    * term; the ranking window partitions by lang over the already
+    * vocabulary-sized agg output, not the corpus. */
+  private val q90: Q = (s, d) => {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"score".desc, $"tok")
+    tf.withColumn("score", expr("(tf * 1000000) DIV (df + 1)"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"lang", $"rank".cast("long").as("rank"), $"tok".as("term"),
+        $"tf", $"df", $"score")
+      .orderBy($"lang", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q76_repetition" -> q76,
     "q42_token_count" -> q42,
     "q43_quality_score" -> q43,
     "q44_lang_id" -> q44,
-    "q45_fingerprint" -> q45
+    "q45_fingerprint" -> q45,
+    "q89_decontaminate" -> q89,
+    "q90_tfidf" -> q90
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -226,6 +279,36 @@ object TextQueries extends QueryPack {
     "q45_fingerprint" ->
       """SELECT substr(md5(trim(text)), 1, 1) AS bucket,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q89_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |              FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, array_to_string(a[i:i+4], ' ') AS s
+        |       FROM toks, unnest(range(1, len(a) - 3)) AS t(i)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+        |ov AS (SELECT doc_id, count(*) AS n_ov FROM tr JOIN ev USING (s) GROUP BY doc_id)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(o.n_ov, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(sum(coalesce(o.n_ov, 0)) AS BIGINT) AS total_overlap
+        |FROM documents d LEFT JOIN ov o ON d.doc_id = o.doc_id
+        |WHERE d.text IS NOT NULL AND d.doc_id % 97 <> 0
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q90_tfidf" ->
+      """WITH tf AS (
+        |  SELECT lang, tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM (SELECT lang, doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY lang, tok)
+        |SELECT lang, rank, term, tf, df, score FROM (
+        |  SELECT lang, tok AS term, CAST(tf AS BIGINT) AS tf,
+        |    CAST(df AS BIGINT) AS df,
+        |    CAST((tf * 1000000) // (df + 1) AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (tf * 1000000) // (df + 1) DESC, tok) AS rank
+        |  FROM tf)
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
   )
 }

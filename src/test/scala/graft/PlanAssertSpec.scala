@@ -53,6 +53,36 @@ class PlanAssertSpec extends SparkSpec {
       "week/month rollups must reuse the day-partial exchange")
   }
 
+  test("runtime bloom filter pre-filters the fact side of a selective shuffle join") {
+    // At 100 TB the win is real: the bloom filter built from the selective
+    // dim side drops fact rows BEFORE the shuffle. Local fixture scans are
+    // below the default size thresholds, so lower them for the assert;
+    // broadcast must be off or the join needs no runtime filter at all.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "expected a runtime bloom filter (might_contain) on the fact scan side")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q73: no un-partitioned window over customer data") {
     val p = plan("q73_rank_family")
     // every window must be keyed by the range-partition id: the data-side

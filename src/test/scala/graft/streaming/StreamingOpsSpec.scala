@@ -200,6 +200,36 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
     assert(spark.table("dedup_t").count() == 2)
   }
+
+  test("stateful ops run on the RocksDB state store (the 100 TB state backend)") {
+    // HDFS-backed state lives on the executor heap; RocksDB spills keyed
+    // state to local disk, which is what makes billion-key streaming
+    // dedup/session state viable. Same query, swapped provider.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val df = in.toDF().toDF("ts", "event_id", "payload")
+      val q = StreamingOps.dedupWithinWatermark(df, Seq("event_id"), "10 minutes")
+        .writeStream.format("memory").queryName("dedup_rocks_t")
+        .outputMode("append").start()
+      in.addData((ts(0), 10L, "a"), (ts(1), 10L, "dup"), (ts(2), 11L, "b"))
+      q.processAllAvailable()
+      in.addData((ts(3), 11L, "dup2"), (ts(4), 12L, "c"))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("dedup_rocks_t").count() == 3)
+    } finally saved match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
 }
 
 /** Minimal in-memory GroupState for unit-testing transition functions. */
