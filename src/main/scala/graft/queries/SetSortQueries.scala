@@ -86,13 +86,45 @@ object SetSortQueries extends QueryPack {
       .orderBy($"user_id")
   }
 
+  private val ZBITS = 10
+
+  /** Z-order (Morton) interleave of two ZBITS-bit dims — pure shift/mask
+    * arithmetic, codegen'd, identical in DuckDB. */
+  private def zorder(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until ZBITS).flatMap(i => Seq(
+      shiftleft(shiftright(x, i).bitwiseAND(1L), 2 * i),
+      shiftleft(shiftright(y, i).bitwiseAND(1L), 2 * i + 1)))
+      .reduce(_ bitwiseOR _)
+
+  /** O4 at 100 TB: the multi-dimensional clustering key behind
+    * sorted/clustered writes (`IoOps.writeClustered`). Sorting a fact
+    * table by the Z-order interleave of two filter dims gives parquet
+    * row-group min/max pruning on BOTH dims from ONE sort order — the
+    * technique behind Delta OPTIMIZE ZORDER. The query computes the
+    * 20-bit Morton key over (l_orderkey, l_partkey) low bits and censuses
+    * its top-6-bit buckets: exact integer evidence the interleave is
+    * correct and uniform. */
+  private val q92: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(zorder($"l_orderkey" % 1024, $"l_partkey" % 1024).as("z"))
+      .groupBy(shiftright($"z", 14).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min($"z").as("min_z"),
+        max($"z").as("max_z"),
+        countDistinct($"z").as("n_cells"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q28_union_all" -> q28,
     "q29_union_distinct" -> q29,
     "q30_except" -> q30,
     "q31_intersect" -> q31,
     "q32_orderby_limit" -> q32,
-    "q33_path_agg" -> q33
+    "q33_path_agg" -> q33,
+    "q92_zorder_key" -> q92
   )
 
   val oracle: Map[String, String] = Map(
@@ -125,6 +157,19 @@ object SetSortQueries extends QueryPack {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
         |      FROM events)
         |WHERE rn <= 5
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q92_zorder_key" -> {
+      val terms = (0 until ZBITS).flatMap(i => Seq(
+        s"(((l_orderkey % 1024) >> $i) & 1) << ${2 * i}",
+        s"(((l_partkey % 1024) >> $i) & 1) << ${2 * i + 1}"))
+        .map(t => s"($t)").mkString(" | ")
+      s"""SELECT bucket, count(*) AS n,
+         |  CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z,
+         |  count(DISTINCT z) AS n_cells
+         |FROM (SELECT CAST(($terms) AS BIGINT) AS z,
+         |        CAST(($terms) AS BIGINT) >> 14 AS bucket
+         |      FROM lineitem)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   )
 }

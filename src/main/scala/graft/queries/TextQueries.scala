@@ -195,6 +195,28 @@ object TextQueries extends QueryPack {
       .orderBy($"lang", $"rank")
   }
 
+  /** Dataset mixing / stratified downsampling (the "data recipe" step:
+    * rebalance language shares before training): keep a doc iff the
+    * portable 32-bit hash of "mix:"+doc_id lands under the language's
+    * quota (en downsampled to 40%, the rest kept whole). Hash-based
+    * sampling is deterministic, re-runnable, and needs no coordination —
+    * every executor decides keep/drop from the row alone, so the op is a
+    * narrow filter at any scale. */
+  private val q93: Q = (s, d) => {
+    import s.implicits._
+    val quota = when($"lang" === "en", 40L).otherwise(100L)
+    val kept = graft.functions.DedupFunctions
+      .hash32(concat(lit("mix:"), $"doc_id".cast("string"))) % 100 < quota
+    Tables.documents(s, d)
+      .select($"lang", $"n_chars", kept.as("kept"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"kept".cast("long")).as("n_kept"),
+        sum(when($"kept", $"n_chars").otherwise(0L)).as("kept_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q76_repetition" -> q76,
     "q42_token_count" -> q42,
@@ -202,7 +224,8 @@ object TextQueries extends QueryPack {
     "q44_lang_id" -> q44,
     "q45_fingerprint" -> q45,
     "q89_decontaminate" -> q89,
-    "q90_tfidf" -> q90
+    "q90_tfidf" -> q90,
+    "q93_stratified_mix" -> q93
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -309,6 +332,15 @@ object TextQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (tf * 1000000) // (df + 1) DESC, tok) AS rank
         |  FROM tf)
-        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "q93_stratified_mix" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM (SELECT lang, n_chars,
+        |        ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 100
+        |          < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END) AS kept
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
