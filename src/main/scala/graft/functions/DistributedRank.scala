@@ -52,12 +52,15 @@ object DistributedRank {
     * `totalCol` — derived from the same per-bucket counts, so callers
     * needing N (percent_rank/cume_dist/ntile) don't pay a second scan of
     * the input to count it. */
-  def withRowNumberAndTotal(df: DataFrame, rnCol: String, totalCol: String,
-      sortCols: Column*): DataFrame = {
+  /** Shared first pass: freeze quantile boundaries of the leading sort
+    * column, tag every row with its range-bucket id `__pid` (a pure
+    * function of the row value — see the object scaladoc), and exchange
+    * on it. nb <= 1 short-circuits to one bucket: no cuts to sample (and
+    * percentile_approx with an empty percentage array is undefined
+    * territory). */
+  private def rangeBucketed(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val nb = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val lead = sortCols.head.cast("double")
-    // nb <= 1 means one bucket: no cuts to sample (and percentile_approx
-    // with an empty percentage array is undefined territory)
     val bounds: Seq[Double] = if (nb <= 1) Seq.empty else df
       .select(percentile_approx(lead,
         typedlit((1 until nb).map(_.toDouble / nb)), lit(10000)).as("b"))
@@ -70,7 +73,12 @@ object DistributedRank {
         case (acc, (b, i)) => acc.when(lead <= b, i)
       }
       .otherwise(bounds.size).cast("int")
-    val parted = df.withColumn("__pid", pid).repartition(col("__pid"))
+    df.withColumn("__pid", pid).repartition(col("__pid"))
+  }
+
+  def withRowNumberAndTotal(df: DataFrame, rnCol: String, totalCol: String,
+      sortCols: Column*): DataFrame = {
+    val parted = rangeBucketed(df, sortCols)
     val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = parted.withColumn("__lrn", row_number().over(localW).cast("long"))
     val offW = Window.orderBy(col("__pid"))
@@ -85,6 +93,32 @@ object DistributedRank {
     local.join(broadcast(offsets), "__pid")
       .withColumn(rnCol, col("__off") + col("__lrn"))
       .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Distributed global RUNNING TOTAL (inclusive prefix sum of `valCol`
+    * in `sortCols` order) — same two-pass shape as [[withRowNumberAndTotal]]
+    * with per-bucket SUMS instead of counts: bucket-local window prefix
+    * sums + broadcast per-bucket offsets. The naive
+    * `sum().over(Window.orderBy(...))` funnels every row through one task;
+    * this funnels only numBuckets metadata rows. Same contract: leading
+    * sort column numeric, full sort key unique, `valCol` integral (the
+    * offsets must be exact — floats would reorder-drift across buckets). */
+  def withRunningTotal(df: DataFrame, rtCol: String, valCol: Column,
+      sortCols: Column*): DataFrame = {
+    val parted = rangeBucketed(df.withColumn("__v", valCol.cast("long")), sortCols)
+    val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__lrt", sum(col("__v")).over(localW))
+    val offW = Window.orderBy(col("__pid"))
+    val offsets = parted
+      .groupBy(col("__pid")).agg(sum(col("__v")).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(offW.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(rtCol, col("__off") + col("__lrt"))
+      .drop("__pid", "__v", "__lrt", "__off")
   }
 
   /** SQL-standard ntile bucket from a global row number and total count:

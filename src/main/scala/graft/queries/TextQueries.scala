@@ -217,6 +217,31 @@ object TextQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Sequence packing (the pre-training batch-prep step: concatenate the
+    * corpus in a canonical order and chunk it into fixed-token training
+    * sequences): each doc's bin is its STARTING token offset div 4096.
+    * The offset is a global running total of per-doc token counts — via
+    * [[graft.functions.DistributedRank.withRunningTotal]], so no row-data
+    * window ever runs unpartitioned (the q73 lesson, applied to prefix
+    * sums); token counts come from size(split(...)), codegen'd without an
+    * explode. Census per bin, exact integers. */
+  private val q94: Q = (s, d) => {
+    import s.implicits._
+    val perDoc = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("toks"))
+    graft.functions.DistributedRank
+      .withRunningTotal(perDoc, "rt", $"toks", $"doc_id")
+      .select($"doc_id", $"toks", expr("(rt - toks) DIV 4096").as("bin"))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"toks").as("bin_tokens"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "q76_repetition" -> q76,
     "q42_token_count" -> q42,
@@ -225,7 +250,8 @@ object TextQueries extends QueryPack {
     "q45_fingerprint" -> q45,
     "q89_decontaminate" -> q89,
     "q90_tfidf" -> q90,
-    "q93_stratified_mix" -> q93
+    "q93_stratified_mix" -> q93,
+    "q94_sequence_pack" -> q94
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -341,6 +367,17 @@ object TextQueries extends QueryPack {
         |        ('0x' || substr(md5('mix:' || doc_id), 1, 8))::BIGINT % 100
         |          < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END) AS kept
         |      FROM documents)
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q94_sequence_pack" ->
+      """WITH p AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, toks,
+        |    sum(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS rt
+        |  FROM p)
+        |SELECT CAST((rt - toks) // 4096 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

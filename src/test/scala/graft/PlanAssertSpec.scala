@@ -92,4 +92,10 @@ class PlanAssertSpec extends SparkSpec {
     val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
     assert(specs.nonEmpty && specs.forall(_.contains("__pid")), specs.mkString("\n"))
   }
+
+  test("q94: the packing prefix sum never runs as an un-partitioned data window") {
+    val p = plan("q94_sequence_pack")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")), specs.mkString("\n"))
+  }
 }

@@ -41,6 +41,16 @@ class DistributedRankSpec extends SparkSpec {
     assert(actual.except(expected).isEmpty && expected.except(actual).isEmpty)
   }
 
+  test("withRunningTotal matches global-window prefix sum") {
+    import spark.implicits._
+    val vals = df.withColumn("v", ($"id" % 37L) + 1L)
+    val expected = vals.withColumn("rt",
+      sum($"v").over(Window.orderBy($"key", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val actual = DistributedRank.withRunningTotal(vals, "rt", $"v", $"key", $"id")
+    assert(actual.except(expected).isEmpty && expected.except(actual).isEmpty)
+  }
+
   test("ntileOf handles total smaller than bucket count") {
     import spark.implicits._
     val tiny = spark.range(0L, 3L).select($"id".as("key"), $"id")
