@@ -9,15 +9,16 @@ import graft.reports.GrainReports
   * per-grain report mains, plus the rolling-window distinct grain. */
 object ReportQueries extends QueryPack {
 
-  /** A16: three calendar grains from ONE fact scan via
-    * [[GrainReports.multiGrainRolled]] (day-grain partials, exchange-reused
-    * across the week/month rollups) — date_trunc semantics match DuckDB
-    * (ISO weeks). */
+  /** A16: the reference's full calendar-grain fan
+    * (`_by_day/_by_week/_by_month/_by_quarter/_by_year` report tables) from
+    * ONE fact scan via [[GrainReports.multiGrainRolled]] (day-grain
+    * partials, exchange-reused across the coarser rollups) — date_trunc
+    * semantics match DuckDB (ISO weeks). */
   private val q66: Q = (s, d) => {
     import s.implicits._
     GrainReports.multiGrainRolled(
       Tables.events(s, d), "ts",
-      grains = Seq("day", "week", "month"),
+      grains = Seq("day", "week", "month", "quarter", "year"),
       dims = Seq("event_type"),
       distinctCol = "user_id", valueCol = "value")
       .withColumn("bucket", date_format($"bucket", "yyyy-MM-dd"))
@@ -48,7 +49,8 @@ object ReportQueries extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "q66_multigrain" ->
-      (Seq("day", "week", "month").map(grainSql).mkString("\nUNION ALL\n") +
+      (Seq("day", "week", "month", "quarter", "year").map(grainSql)
+        .mkString("\nUNION ALL\n") +
         "\nORDER BY grain, bucket, event_type"),
     "q67_rolling_uv" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
