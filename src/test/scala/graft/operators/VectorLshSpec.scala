@@ -75,6 +75,27 @@ class VectorLshSpec extends SparkSpec {
     assert(VectorLsh.cosinePairs(nulls, "vec_id", "embedding").count() == 0L)
   }
 
+  test("zero-norm vectors are excluded, never emitted as NaN-cosine pairs") {
+    val s = spark
+    import s.implicits._
+    // two all-zero vectors share identical all-sign band keys in every
+    // band; cos would be 0/0 = NaN, which Spark orders ABOVE any
+    // threshold — the guard must drop them at the source
+    val withZeros = embs.union(Seq(
+      (6L, Array.fill(dim)(0f)), (7L, Array.fill(dim)(0f))
+    ).toDF("vec_id", "embedding"))
+    val pairs = VectorLsh
+      .cosinePairs(withZeros, "vec_id", "embedding",
+        nBands = 4, bandBits = 6, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    val dropped = VectorLsh
+      .cosineDropIds(withZeros, "vec_id", "embedding",
+        nBands = 4, bandBits = 6, threshold = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped == Set(2L, 3L), dropped.toString)
+  }
+
   test("invalid band shapes are rejected") {
     intercept[IllegalArgumentException] {
       VectorLsh.cosinePairs(embs, "vec_id", "embedding", nBands = 0)
