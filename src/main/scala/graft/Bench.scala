@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * stdout line uses SHORT query keys (`q15`, not `q15_multikey_join`)
   * and 3-decimal timings to stay well inside that window; the full-name,
   * full-precision result goes to `SPARK_GRAFT_BENCH_OUT`
-  * (default `BENCH_LOCAL.json`, committed per round).
+  * (default `BENCH_LOCAL.json`, a gitignored dev artifact).
   *
   * Timings are min-of-runs for the slowest queries: the first pass times
   * everything once in sorted name order, then the slowest `RERUN` get one
