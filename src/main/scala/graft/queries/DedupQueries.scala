@@ -199,6 +199,25 @@ object DedupQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Dedup clustering: q47's MinHash candidate pairs closed into full
+    * components via [[graft.operators.ConnectedComponents.minLabel]]
+    * (min-label propagation, one shuffle per round) — the exact-recall
+    * cluster form of dedup, vs q77's bucket-local suppression. Output is
+    * the component-size histogram; comp id = min doc_id of the cluster,
+    * which the oracle reproduces with a recursive CTE. */
+  private val q95: Q = (s, d) => {
+    import s.implicits._
+    val pairs = graft.operators.NearDup
+      .minhashPairs(Tables.documents(s, d), "doc_id", "text", K, NH, B, R)
+    graft.operators.ConnectedComponents
+      .minLabel(pairs, "doc_a", "doc_b")
+      .groupBy($"comp")
+      .agg(count(lit(1)).as("csize"))
+      .groupBy($"csize")
+      .agg(count(lit(1)).as("n_components"), min($"comp").as("min_comp"))
+      .orderBy($"csize")
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_corpus_pipeline" -> q87,
     "q77_dedup_keep" -> q77,
@@ -206,7 +225,8 @@ object DedupQueries extends QueryPack {
     "q47_minhash_lsh" -> q47,
     "q48_ngram_jaccard" -> q48,
     "q49_simhash" -> q49,
-    "q50_embedding_neardup" -> q50
+    "q50_embedding_neardup" -> q50,
+    "q95_dedup_components" -> q95
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -368,6 +388,27 @@ object DedupQueries extends QueryPack {
          |SELECT vec_a, vec_b, CAST(count(*) AS BIGINT) AS n_bands,
          |  round(max(cos_raw), 4) AS cos
          |FROM cand WHERE cos_raw >= 0.35
-         |GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b""".stripMargin
+         |GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b""".stripMargin,
+    "q95_dedup_components" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j)),
+         |pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+         |          UNION SELECT pb, pa FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT ea, ea FROM edges
+         |  UNION
+         |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.id),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+         |SELECT csize, count(*) AS n_components, min(comp) AS min_comp
+         |FROM (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
+         |GROUP BY csize ORDER BY csize""".stripMargin
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ConnectedComponents must compute the exact transitive closure — its
+  * whole point over lshDropIds is exact recall. Truth computed with an
+  * in-memory union-find. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def compute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    ConnectedComponents
+      .minLabel(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("matches union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(compute(edges) == unionFind(edges))
+  }
+
+  test("long chain converges (diameter >> 1)") {
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val got = compute(chain)
+    assert(got.values.toSet == Set(0L), got.toString)
+    assert(got.keySet == (0L to 20L).toSet)
+  }
+
+  test("two disjoint cliques get their own minimum labels") {
+    val edges = Seq((10L, 11L), (11L, 12L), (10L, 12L), (50L, 51L))
+    assert(compute(edges) ==
+      Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 50L -> 50L, 51L -> 50L))
+  }
+
+  test("empty edge list yields empty labeling, not a crash") {
+    assert(compute(Seq.empty).isEmpty)
+  }
+}
