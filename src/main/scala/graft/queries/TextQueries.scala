@@ -242,6 +242,25 @@ object TextQueries extends QueryPack {
       .orderBy($"bin")
   }
 
+  /** Corpus n-gram hotspots (the memorization / boilerplate audit run
+    * before training): top repeated 8-grams appearing in 2+ documents,
+    * with occurrence and document counts. One shingle explode + hash agg
+    * on the gram (uniform key), then global top-10 via orderBy+limit —
+    * which plans as per-partition top-k + single-reducer merge
+    * (TakeOrderedAndProject), never a full sort. */
+  private val q96: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.DedupFunctions
+      .shingleRows(Tables.documents(s, d).where($"text".isNotNull),
+        "doc_id", "text", 8)
+      .groupBy($"s")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct($"doc_id").as("n_docs"))
+      .where($"n_docs" >= 2)
+      .select($"s".as("gram"), $"n_occurrences", $"n_docs")
+      .orderBy($"n_occurrences".desc, $"gram")
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     "q76_repetition" -> q76,
     "q42_token_count" -> q42,
@@ -251,7 +270,8 @@ object TextQueries extends QueryPack {
     "q89_decontaminate" -> q89,
     "q90_tfidf" -> q90,
     "q93_stratified_mix" -> q93,
-    "q94_sequence_pack" -> q94
+    "q94_sequence_pack" -> q94,
+    "q96_ngram_hotspots" -> q96
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -378,6 +398,15 @@ object TextQueries extends QueryPack {
         |SELECT CAST((rt - toks) // 4096 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS bin_tokens,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q96_ngram_hotspots" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |              FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, array_to_string(a[i:i+7], ' ') AS s
+        |       FROM toks, unnest(range(1, len(a) - 6)) AS t(i))
+        |SELECT s AS gram, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occurrences DESC, gram LIMIT 10""".stripMargin
   )
 }
