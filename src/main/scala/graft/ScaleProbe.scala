@@ -50,7 +50,8 @@ object ScaleProbe {
     val allProbes = Seq("q46_exact_dedup", "q47_minhash_lsh", "q48_ngram_jaccard",
       "q49_simhash", "q50_embedding_neardup", "q51_knn_brute", "q52_ann_lsh",
       "q53_ann_ivf", "q77_dedup_keep", "q87_corpus_pipeline",
-      "q89_decontaminate", "q91_quantize_int8", "q93_stratified_mix")
+      "q89_decontaminate", "q91_quantize_int8", "q93_stratified_mix",
+      "q95_dedup_components")
     only.foreach(req => (req -- allProbes.toSet)
       .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))
     val probes = allProbes.filter(p => only.forall(_.contains(p)))
