@@ -112,4 +112,32 @@ object IoOps {
       props: java.util.Properties, connections: Int = 10,
       mode: SaveMode = SaveMode.Append): Unit =
     df.coalesce(connections).write.mode(mode).jdbc(url, table, props)
+
+  /** Small-file compaction of selected day partitions — the maintenance
+    * half of the reference's explicit `repartition(args.partitions)`
+    * before every partition insert (`etl/RunLogParser.scala:192`): a day
+    * that accumulated many small files (per-micro-batch appends,
+    * over-parallel writers) is rewritten in place as `filesPerDay` files.
+    * Dynamic partition overwrite makes the rewrite idempotent and touches
+    * ONLY the listed days; at 100 TB this runs as a nightly sweep over
+    * yesterday's ingest, not the whole table. Repartition on the
+    * partition column + a spread key would skew to one task per day —
+    * instead each day is repartitioned independently (days are rewritten
+    * one at a time; the per-day write parallelism is the point). */
+  def compactDayPartitions(spark: SparkSession, path: String, days: Seq[String],
+      filesPerDay: Int = 1, partitionCol: String = "day"): Unit = {
+    require(filesPerDay >= 1, s"filesPerDay must be >= 1 (got $filesPerDay)")
+    days.foreach { d =>
+      readDayPartition(spark, path, d, partitionCol)
+        .repartition(filesPerDay)
+        // materialize BEFORE the write: Spark (correctly) refuses to
+        // overwrite a path its own plan is still reading from
+        .localCheckpoint()
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol)
+        .parquet(path)
+    }
+  }
 }

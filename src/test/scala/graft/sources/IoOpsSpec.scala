@@ -19,6 +19,30 @@ class IoOpsSpec extends SparkSpec {
     assert(back == Set((1L, "20240101"), (9L, "20240102")))
   }
 
+  test("compactDayPartitions rewrites listed days to few files, preserves data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // fragment two days into many small files; leave a third day intact
+    val frag = spark.range(0L, 200L)
+      .selectExpr("id", "concat('2024010', 1 + id % 2) AS day")
+      .repartition(20)
+    IoOps.replaceDayPartitions(frag, dir)
+    val intact = Seq((999L, "20240103")).toDF("id", "day")
+    IoOps.replaceDayPartitions(intact, dir)
+    def files(day: String): Long = {
+      val p = java.nio.file.Paths.get(dir, s"day=$day")
+      Files.list(p).filter(f => f.toString.endsWith(".parquet")).count()
+    }
+    assert(files("20240101") > 1, "fixture must start fragmented")
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+
+    IoOps.compactDayPartitions(spark, dir, Seq("20240101", "20240102"))
+    assert(files("20240101") == 1 && files("20240102") == 1)
+    assert(files("20240103") == 1, "unlisted day must be untouched")
+    val after = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("readDayPartition prunes partitions in the plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_io2").toString
