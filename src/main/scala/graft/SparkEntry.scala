@@ -24,7 +24,8 @@ object SparkEntry {
     EtlQueries,
     PipelineQueries,
     ReportQueries,
-    ComposedReportQueries
+    ComposedReportQueries,
+    BehaviorQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -218,6 +218,32 @@ object AggQueries extends QueryPack {
       .orderBy($"gid", $"rf", $"ls")
   }
 
+  /** A16 (explicit GROUPING SETS): the exact grain list the reference
+    * materializes as separate per-grain jobs/tables
+    * (`common/Tables.scala:6-357` `_by_day/_by_week/…` registry), computed
+    * in ONE pass via Spark 4's `Dataset.groupingSets` — unlike rollup/cube
+    * the set list is arbitrary: here (rf,ls), (rf), (ls), () — and the
+    * planner expands+re-aggregates without rescanning the fact. */
+  private val q97: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"),
+            Seq($"l_returnflag"),
+            Seq($"l_linestatus"),
+            Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        grouping_id($"l_returnflag", $"l_linestatus").cast("long").as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"n", $"sum_qty", $"gid")
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
   /** Pivot: event counts per day pivoted into one column per event type
     * (`groupBy().pivot()` with explicit values — the explicit list keeps
     * the schema static, which is what you want at scale: no extra pass
@@ -275,6 +301,7 @@ object AggQueries extends QueryPack {
     "q61_set_union_agg" -> q61,
     "q69_percentiles" -> q69,
     "q72_cube" -> q72,
+    "q97_grouping_sets" -> q97,
     "q74_pivot" -> q74,
     "q75_stats" -> q75,
     "q01_agg" -> q01,
@@ -315,6 +342,14 @@ object AggQueries extends QueryPack {
         |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "q97_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         |ORDER BY gid, rf, ls""".stripMargin,
     "q69_percentiles" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** User-behavior analytics — the reference's online-user / success-rate /
+  * active-user report families, re-expressed as three classic distributed
+  * shapes: a concurrency (sweep-line) curve, an ordered conversion funnel,
+  * and cohort retention.
+  *
+  * Reference analogues:
+  *   - concurrent online users over time: `homed/realtime/OnlineUsers.scala:61-64`
+  *     (count per region/terminal each batch) and
+  *     `homed/repots/OnlineRate.scala` / `ChannelUserOnlineAnalytics.scala`
+  *     (online counts vs totals per time slot);
+  *   - ordered conversion: `homed/general/RecommendSuccessRate.scala:40-53`
+  *     (recommend exposure → demand-play match rate);
+  *   - daily active/new user censuses: `homed/repots/ActiveAnalysis.scala:55-62`,
+  *     `NewAnalysis.scala` (first-seen vs returning users per day).
+  *
+  * Scale notes (100 TB):
+  *   - q98's sweep line collapses deltas per (day, event_type, ts) BEFORE
+  *     the running sum, so the window input is one row per distinct
+  *     timestamp — the prefix sum itself partitions by (day, stream) and a
+  *     day×stream slice is bounded; for an unbounded single stream the
+  *     q94 distributed two-pass prefix sum is the drop-in replacement.
+  *   - q101 is three hash-agg passes over the fact (one per funnel step),
+  *     each shuffling on user_id — no window over the raw events, no
+  *     per-user state larger than one timestamp per step.
+  *   - q102 shuffles the (user, day) activity grid once on user_id; the
+  *     cohort matrix output is O(days × horizon).
+  */
+object BehaviorQueries extends QueryPack {
+
+  /** Peak concurrent sessions per (day, stream, hour) via a sweep line:
+    * per-user daily intervals → ±1 deltas → collapse per timestamp →
+    * running sum → max per hour. The reference approximates this with
+    * per-batch snapshot counts (`OnlineUsers.scala:61-64`); the sweep line
+    * is the exact batch formulation. */
+  private val q98: Q = (s, d) => {
+    import s.implicits._
+    val iv = Tables.events(s, d)
+      .groupBy(
+        $"user_id",
+        date_format($"ts", "yyyy-MM-dd").as("day"),
+        $"event_type")
+      .agg(min($"ts").as("st"), max($"ts").as("en"))
+    val deltas = iv.select(
+      $"day", $"event_type",
+      explode(array(
+        struct($"st".as("t"), lit(1).as("dlt")),
+        struct($"en".as("t"), lit(-1).as("dlt")))).as("x"))
+      .select($"day", $"event_type", $"x.t".as("t"), $"x.dlt".as("dlt"))
+    // collapse ties first: the running sum then has a unique ORDER BY key
+    // per partition, so its value is deterministic in both engines
+    val collapsed = deltas.groupBy($"day", $"event_type", $"t")
+      .agg(sum($"dlt").as("dl"))
+    val w = Window.partitionBy($"day", $"event_type").orderBy($"t")
+    collapsed
+      .withColumn("conc", sum($"dl").over(w))
+      .groupBy($"day", $"event_type", hour($"t").cast("bigint").as("hr"))
+      .agg(max($"conc").cast("bigint").as("peak"))
+      .orderBy($"day", $"event_type", $"hr")
+  }
+
+  /** Ordered conversion funnel view → click → purchase: step N's timestamp
+    * must be >= step N-1's. Three aggregation passes (min-ts per user per
+    * step), each a plain hash agg — the scalable form of the reference's
+    * exposure→play match (`RecommendSuccessRate.scala:40-53`). Cohorted by
+    * the day of the first view. */
+  private val q101: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, Seq("user_id"))
+      .filter($"ts" >= $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id"))
+      .filter($"ts" >= $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .groupBy(date_format($"t1", "yyyy-MM-dd").as("cohort_day"))
+      .agg(
+        count(lit(1)).as("n_view"),
+        count($"t2").as("n_click"),
+        count($"t3").as("n_purchase"))
+      .orderBy($"cohort_day")
+  }
+
+  /** Cohort retention: users grouped by first-active day; n active again
+    * k days later (k <= 14). The distributed form of the reference's
+    * active/new-user split (`ActiveAnalysis.scala:55-62`): one shuffle on
+    * user_id, output O(cohorts × horizon). */
+  private val q102: Q = (s, d) => {
+    import s.implicits._
+    val act = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("dy"))
+      .distinct()
+    val first = act.groupBy($"user_id").agg(min($"dy").as("d0"))
+    act.join(first, Seq("user_id"))
+      .select($"d0", datediff($"dy", $"d0").cast("bigint").as("k"))
+      .filter($"k" <= 14)
+      .groupBy(date_format($"d0", "yyyy-MM-dd").as("cohort_day"), $"k")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"k")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q98_concurrency" -> q98,
+    "q101_funnel" -> q101,
+    "q102_retention" -> q102
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q98_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, event_type,
+        |         min(ts::TIMESTAMP) AS st, max(ts::TIMESTAMP) AS en
+        |  FROM events GROUP BY 1, 2, 3),
+        |dl AS (
+        |  SELECT day, event_type, st AS t, 1 AS dlt FROM iv
+        |  UNION ALL
+        |  SELECT day, event_type, en AS t, -1 AS dlt FROM iv),
+        |cl AS (
+        |  SELECT day, event_type, t, sum(dlt) AS dl FROM dl GROUP BY 1, 2, 3),
+        |rs AS (
+        |  SELECT day, event_type, t,
+        |         sum(dl) OVER (PARTITION BY day, event_type ORDER BY t) AS conc
+        |  FROM cl)
+        |SELECT day, event_type, hour(t) AS hr, CAST(max(conc) AS BIGINT) AS peak
+        |FROM rs GROUP BY day, event_type, hr
+        |ORDER BY day, event_type, hr""".stripMargin,
+    "q101_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP >= v.t1
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP >= c.t2
+        |  GROUP BY e.user_id)
+        |SELECT strftime(v.t1, '%Y-%m-%d') AS cohort_day,
+        |       count(*) AS n_view,
+        |       count(c.t2) AS n_click,
+        |       count(p.t3) AS n_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    "q102_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events),
+        |f AS (
+        |  SELECT user_id, min(dy) AS d0 FROM act GROUP BY user_id)
+        |SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', f.d0, act.dy) AS BIGINT) AS k,
+        |       count(*) AS n_users
+        |FROM act JOIN f ON act.user_id = f.user_id
+        |WHERE date_diff('day', f.d0, act.dy) <= 14
+        |GROUP BY cohort_day, k ORDER BY cohort_day, k""".stripMargin
+  )
+}

@@ -218,8 +218,32 @@ object DedupQueries extends QueryPack {
       .orderBy($"csize")
   }
 
+  /** Fuzzy (edit-distance) near-dup: block on (lang, length bucket), then
+    * exact `levenshtein` over 80-char prefixes for in-block pairs — the
+    * verification stage that follows LSH candidate generation in a
+    * production pipeline (cf. the exact-Jaccard verify in q48). The block
+    * key is cheap and order-free so the oracle mirrors it literally; the
+    * integer edit-distance threshold can't hit a float boundary. At scale
+    * the block key would BE the LSH band key (NearDup.minhashPairs) — the
+    * levenshtein verify attaches to whatever candidate join feeds it. */
+  private val q99: Q = (s, d) => {
+    import s.implicits._
+    val p = Tables.documents(s, d)
+      .select($"doc_id", $"lang", expr("n_chars div 20").as("lb"),
+        substring($"text", 1, 80).as("pfx"))
+    val a = p.select($"lang", $"lb", $"doc_id".as("doc_a"), $"pfx".as("pfx_a"))
+    val b = p.select($"lang", $"lb", $"doc_id".as("doc_b"), $"pfx".as("pfx_b"))
+    a.join(b, Seq("lang", "lb"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"pfx_a", $"pfx_b").cast("bigint").as("lev"))
+      .filter($"lev" <= 20)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_corpus_pipeline" -> q87,
+    "q99_fuzzy_neardup" -> q99,
     "q77_dedup_keep" -> q77,
     "q46_exact_dedup" -> q46,
     "q47_minhash_lsh" -> q47,
@@ -286,6 +310,16 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q99_fuzzy_neardup" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, n_chars // 20 AS lb, substr(text, 1, 80) AS pfx
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS lev
+        |FROM p a JOIN p b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q87_corpus_pipeline" ->
       s"""WITH q AS (
          |  SELECT lang, doc_id,

@@ -261,8 +261,34 @@ object TextQueries extends QueryPack {
       .limit(10)
   }
 
+  /** Token-blocklist scrub — the token-granularity form of the reference's
+    * substring blacklist filter (P5, `etl/RunLogParser.scala:548-560`) and
+    * the shape of a profanity/boilerplate scrub in a training-data
+    * pipeline: drop blocked tokens, keep order, re-join, fingerprint the
+    * cleaned text. Counting runs on exploded rows (codegen'd); the ordered
+    * rebuild uses the q33 pattern (transform over a per-doc bounded
+    * collect_list — interpreted, but on ≤100-element arrays after the
+    * aggregate, not on the scan path). */
+  private val q100: Q = (s, d) => {
+    import s.implicits._
+    val block = Seq("the", "a", "value")
+    Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("blocked", $"w".isin(block: _*))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum($"blocked".cast("long")).as("n_removed"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(when(!$"blocked", struct($"pos", $"w")))),
+            x => x.getField("w")))).as("scrub_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q76_repetition" -> q76,
+    "q100_token_scrub" -> q100,
     "q42_token_count" -> q42,
     "q43_quality_score" -> q43,
     "q44_lang_id" -> q44,
@@ -277,6 +303,14 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q100_token_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the', 'a', 'value'))) AS BIGINT) AS n_removed,
+        |  md5(array_to_string(list_filter(string_split(text, ' '),
+        |    x -> x NOT IN ('the', 'a', 'value')), ' ')) AS scrub_md5
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "q76_repetition" ->
       """WITH t AS (SELECT lang, doc_id,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,

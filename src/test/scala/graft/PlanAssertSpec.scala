@@ -98,4 +98,25 @@ class PlanAssertSpec extends SparkSpec {
     val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
     assert(specs.nonEmpty && specs.forall(_.contains("__pid")), specs.mkString("\n"))
   }
+
+  test("q97: grouping sets expand from ONE fact scan, not one scan per set") {
+    val p = plan("q97_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must plan as Expand")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      "expected a single lineitem scan feeding the Expand")
+  }
+
+  test("q98: the sweep-line running sum windows by (day, stream), never globally") {
+    val p = plan("q98_concurrency")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(s =>
+      s.contains("day") && s.contains("event_type")), specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "concurrency window must not serialize onto one task")
+  }
+
+  test("q99: fuzzy candidates come from an equi join on block keys") {
+    val p = plan("q99_fuzzy_neardup")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
