@@ -25,7 +25,8 @@ object SparkEntry {
     PipelineQueries,
     ReportQueries,
     ComposedReportQueries,
-    BehaviorQueries
+    BehaviorQueries,
+    CorpusOpsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

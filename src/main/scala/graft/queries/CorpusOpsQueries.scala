@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.DedupFunctions.{hash32, shingleRows}
+import graft.functions.TextFunctions.fingerprint
+import graft.operators.NearDup
+
+/** Corpus-lifecycle operators: the jobs a training-data pipeline runs
+  * AROUND the per-document transforms — dimension history (SCD-2),
+  * calendar gap-fill, overlapping chunking, incremental
+  * batch-vs-corpus dedup, containment dedup, and per-stratum quota
+  * sampling.
+  *
+  * Reference analogues: the reference maintains slowly-changing user/
+  * device dimensions by full daily rewrite (`etl/ReportLog.scala`
+  * user-region snapshots; `homed/repots/UserStatistics.scala` re-derives
+  * per-day state) — q103 is the incremental interval form of the same
+  * history. Its report tables fill missing time slots driver-side when
+  * rendering (`homed/repots/LiveChannelStatisticByTimerange.scala`
+  * half-hour slot loops); q104 is the engine-side equivalent. The daily
+  * "patch yesterday with today's late logs" jobs (`etl/LogDelay.scala`)
+  * are the batch-vs-corpus shape of q106.
+  *
+  * Scale notes (100 TB):
+  *   - q103 shuffles once on the dimension key; runs are detected with a
+  *     per-key window (bounded by one entity's history, never global).
+  *   - q104's calendar × type grid is O(days × types) — broadcast side;
+  *     the fact side is one hash agg. Forward-fill windows partition per
+  *     series, each series bounded by the calendar length.
+  *   - q105 is embarrassingly parallel: split + posexplode of chunk
+  *     starts, no shuffle at all before the final ORDER BY.
+  *   - q106 computes minhash bands for the NEW batch only and
+  *     semi-joins the corpus's band index — the incremental-ingest
+  *     shape: at production the corpus bands are a materialized store
+  *     (written once, appended per batch), so daily cost is
+  *     O(batch + matched buckets), never a corpus rescan.
+  *   - q107's Spark side uses PREFIX FILTERING (index only each doc's
+  *     ⌊(1−t)·n⌋+1 smallest-by-hash shingles): if containment ≥ t, at
+  *     most (1−t)·n of A's shingles are missing from B, so at least one
+  *     prefix shingle is shared — candidates are complete, and the
+  *     inverted index carries ~(1−t) of the shingle volume instead of
+  *     all of it. The oracle runs the naive full inverted-index form;
+  *     identical output IS the proof the filter loses nothing.
+  *   - q108's per-stratum rank orders by a salted md5 of the key — a
+  *     deterministic uniform shuffle, so the quota keeps a reproducible
+  *     uniform sample per language regardless of input order.
+  */
+object CorpusOpsQueries extends QueryPack {
+
+  /** SCD Type-2 dimension build: collapse each customer's order-priority
+    * sequence into validity intervals (version, valid_from, valid_to).
+    * Change detection = lag ≠ current per key; version = running count of
+    * changes; valid_to = next version's valid_from (open interval
+    * '9999-12-31' for the current row) — the standard merge the reference
+    * avoids by rewriting whole daily snapshots. */
+  private val q103: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"od", $"o_orderkey")
+    val runs = Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("od"),
+        $"o_orderpriority".as("prio"))
+      .withColumn("prev", lag($"prio", 1).over(w))
+      .withColumn("chg", when($"prev".isNull || $"prev" =!= $"prio", 1L).otherwise(0L))
+      .withColumn("version", sum($"chg").over(w))
+    val wv = Window.partitionBy($"o_custkey").orderBy($"version")
+    runs.groupBy($"o_custkey", $"version", $"prio")
+      .agg(min($"od").as("vf"), count(lit(1)).as("n_orders"))
+      .withColumn("vt", lead($"vf", 1).over(wv))
+      .select($"o_custkey", $"version", $"prio".as("o_orderpriority"),
+        date_format($"vf", "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format($"vt", "yyyy-MM-dd"), lit("9999-12-31")).as("valid_to"),
+        $"n_orders")
+      .orderBy($"o_custkey", $"version")
+  }
+
+  /** Calendar gap-fill + forward-fill: complete the (event_type × day)
+    * grid over the observed span, mark synthesized rows, carry the last
+    * observed daily total forward. The grid is generated engine-side
+    * (sequence + explode), not driver-side like the reference's slot
+    * loops. */
+  private val q104: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type", to_date($"ts").as("dy"), $"value")
+    val daily = e.groupBy($"event_type", $"dy").agg(round(sum($"value"), 2).as("v"))
+    val days = e.agg(min($"dy").as("d0"), max($"dy").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("dy"))
+    val grid = e.select($"event_type").distinct().crossJoin(days)
+    val w = Window.partitionBy($"event_type").orderBy($"dy")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("event_type", "dy"), "left")
+      .withColumn("filled", when($"v".isNull, 1L).otherwise(0L))
+      .withColumn("value_ff", coalesce(last($"v", ignoreNulls = true).over(w), lit(0.0)))
+      .select($"event_type", date_format($"dy", "yyyy-MM-dd").as("day"),
+        $"filled", $"value_ff")
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Overlapping token-window chunking (size 32, stride 24): the
+    * context-window prep step of a training pipeline. Chunk starts are a
+    * per-row `sequence`, the chunk itself a `slice` of the token array —
+    * all codegen'd collection functions (not lambda HOFs), zero shuffle. */
+  private val q105: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(0), greatest(size($"w") - 1, lit(0)), lit(24))))
+      .toDF("doc_id", "w", "chunk_id", "st")
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        size(slice($"w", $"st" + 1, lit(32))).cast("long").as("n_tok"),
+        md5(array_join(slice($"w", $"st" + 1, lit(32)), " ").cast("binary")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Incremental batch-vs-corpus dedup: classify each NEW document
+    * (source src19) against the existing corpus (all other sources) as
+    * exact_dup (fingerprint already present), near_dup (shares a MinHash
+    * LSH band bucket with any corpus doc), or new. Both checks are
+    * semi-joins against corpus-side DISTINCT indexes — the daily-ingest
+    * form of q46/q47 where the right side is a persisted index, not a
+    * rescan. */
+  private val q106: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter($"source" === "src19")
+    val corpus = docs.filter($"source" =!= "src19")
+    val exactIds = batch.select($"doc_id", fingerprint($"text").as("fp"))
+      .join(corpus.select(fingerprint($"text").as("fp")).distinct(), Seq("fp"), "left_semi")
+      .select($"doc_id")
+    val nearIds = NearDup.lshBands(batch, "doc_id", "text",
+        DedupQueries.K, DedupQueries.NH, DedupQueries.B, DedupQueries.R)
+      .join(NearDup.lshBands(corpus, "doc_id", "text",
+          DedupQueries.K, DedupQueries.NH, DedupQueries.B, DedupQueries.R)
+          .select($"band_idx", $"band_hash").distinct(),
+        Seq("band_idx", "band_hash"), "left_semi")
+      .select($"doc_id").distinct()
+    batch.select($"doc_id")
+      .join(exactIds.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"is_exact" === 1, "exact_dup")
+          .when($"is_near" === 1, "near_dup")
+          .otherwise("new").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  /** Containment near-dup (|A∩B| / |A| ≥ 0.8, A ≠ B): finds documents
+    * mostly CONTAINED in another — boilerplate expansions, quote-reply
+    * chains — which symmetric Jaccard (q48) under-scores when |B| ≫ |A|.
+    * Spark side: prefix-filtered inverted index (see object scaladoc);
+    * threshold tested in integer arithmetic (10·|∩| ≥ 8·|A|). */
+  private val q107: Q = (s, d) => {
+    import s.implicits._
+    val byDoc = Window.partitionBy($"doc_id")
+    val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", DedupQueries.K)
+      .dropDuplicates("doc_id", "s")
+      .withColumn("n", count(lit(1)).over(byDoc))
+    // prefix = the ⌊n/5⌋+1 smallest-by-hash shingles of the contained side
+    val pref = sh
+      .withColumn("rk", row_number().over(byDoc.orderBy(hash32($"s"), $"s")))
+      .filter(($"rk" - 1) * 5 <= $"n")
+    val cand = pref.as("a")
+      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"s", $"n".as("na")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"s", $"n".as("nb")), Seq("doc_b", "s"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"), first($"na").as("na"), first($"nb").as("nb"))
+      .filter($"inter" * 10 >= $"na" * 8)
+      .select($"doc_a", $"doc_b", $"inter", $"na",
+        round($"inter".cast("double") / $"na".cast("double"), 4).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Deterministic per-language quota sample (30 docs/lang): rank within
+    * each language by a salted md5 of the doc id — a reproducible uniform
+    * shuffle — and keep rank ≤ quota. The census output proves which docs
+    * were kept without dumping text. */
+  private val q108: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("smp:"), $"doc_id".cast("string")).cast("binary")), $"doc_id")
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 30)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
+      .orderBy($"lang", $"rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q103_scd2" -> q103,
+    "q104_gap_fill" -> q104,
+    "q105_chunk_overlap" -> q105,
+    "q106_incremental_dedup" -> q106,
+    "q107_containment" -> q107,
+    "q108_quota_sample" -> q108
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q103_scd2" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |         o_orderpriority AS prio
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(prio) OVER
+        |      (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+        |      IS DISTINCT FROM prio THEN 1 ELSE 0 END AS chg
+        |  FROM o),
+        |v AS (
+        |  SELECT *, sum(chg) OVER
+        |      (PARTITION BY o_custkey ORDER BY od, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM r),
+        |h AS (
+        |  SELECT o_custkey, version, prio AS o_orderpriority,
+        |         min(od) AS vf, count(*) AS n_orders
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderpriority,
+        |       strftime(vf, '%Y-%m-%d') AS valid_from,
+        |       coalesce(strftime(lead(vf) OVER
+        |         (PARTITION BY o_custkey ORDER BY version), '%Y-%m-%d'),
+        |         '9999-12-31') AS valid_to,
+        |       CAST(n_orders AS BIGINT) AS n_orders
+        |FROM h ORDER BY o_custkey, version""".stripMargin,
+    "q104_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dy, value FROM events),
+        |daily AS (
+        |  SELECT event_type, dy, round(sum(value), 2) AS v
+        |  FROM e GROUP BY 1, 2),
+        |days AS (
+        |  SELECT unnest(generate_series(min(dy), max(dy), INTERVAL 1 DAY))::DATE AS dy
+        |  FROM e),
+        |grid AS (
+        |  SELECT t.event_type, days.dy
+        |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days)
+        |SELECT g.event_type, strftime(g.dy, '%Y-%m-%d') AS day,
+        |       CAST(CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled,
+        |       coalesce(last_value(d.v IGNORE NULLS) OVER
+        |         (PARTITION BY g.event_type ORDER BY g.dy
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value_ff
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.event_type = d.event_type AND g.dy = d.dy
+        |ORDER BY g.event_type, day""".stripMargin,
+    "q105_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(0, greatest(len(w), 1), 24)) AS st
+        |  FROM t)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(w, st + 1, st + 32)) AS BIGINT) AS n_tok,
+        |       md5(array_to_string(list_slice(w, st + 1, st + 32), ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "q106_incremental_dedup" -> {
+      val cte = DedupQueries.shingleCteFrom("documents")
+      val sig = DedupQueries.duckSig(DedupQueries.NH)
+      val (b, r) = (DedupQueries.B, DedupQueries.R)
+      s"""WITH $cte,
+         |sig AS (SELECT doc_id, $sig AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$r + 1, j*$r + $r),
+         |      v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, $b) rr(j)),
+         |src AS (SELECT doc_id, source, md5(trim(text)) AS fp FROM documents),
+         |bat AS (SELECT doc_id, fp FROM src WHERE source = 'src19'),
+         |cfp AS (SELECT DISTINCT fp FROM src WHERE source <> 'src19'),
+         |cband AS (
+         |  SELECT DISTINCT band_idx, band_hash
+         |  FROM bands JOIN src USING (doc_id) WHERE src.source <> 'src19'),
+         |bnear AS (
+         |  SELECT DISTINCT bands.doc_id
+         |  FROM bands JOIN src USING (doc_id)
+         |       JOIN cband USING (band_idx, band_hash)
+         |  WHERE src.source = 'src19')
+         |SELECT bat.doc_id,
+         |       CASE WHEN bat.fp IN (SELECT fp FROM cfp) THEN 'exact_dup'
+         |            WHEN bat.doc_id IN (SELECT doc_id FROM bnear) THEN 'near_dup'
+         |            ELSE 'new' END AS verdict
+         |FROM bat ORDER BY doc_id""".stripMargin
+    },
+    "q107_containment" -> {
+      // naive full inverted-index form: identical output to the Spark
+      // side's prefix-filtered plan proves the filter is lossless
+      val cte = DedupQueries.shingleCteFrom("documents")
+      s"""WITH $cte,
+         |rows_ AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sized AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n
+         |          FROM rows_)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*) AS inter, CAST(any_value(a.n) AS BIGINT) AS na,
+         |       round(count(*)::DOUBLE / any_value(a.n), 4) AS containment
+         |FROM sized a JOIN sized b
+         |  ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) * 10 >= any_value(a.n) * 8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q108_quota_sample" ->
+      """WITH rk AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        |FROM rk WHERE rk <= 30 ORDER BY lang, rk""".stripMargin
+  )
+}

@@ -21,10 +21,10 @@ object DedupQueries extends QueryPack {
 
   // MinHash parameters shared by Spark and oracle SQL: 3-token shingles,
   // 9 hash functions in 3 bands of 3 rows (band match prob = j³ per band).
-  private val K = 3
-  private val NH = 9
-  private val B = 3
-  private val R = 3
+  private[queries] val K = 3
+  private[queries] val NH = 9
+  private[queries] val B = 3
+  private[queries] val R = 3
 
   /** Exact dedup census per source: docs vs distinct md5 fingerprints.
     * The groupBy(fingerprint) behind this is the canonical exact-dedup
@@ -258,7 +258,7 @@ object DedupQueries extends QueryPack {
   /** Shared CTE: doc_id + distinct 3-token shingle list (mirror of
     * TextFunctions.shingles: trim, split on whitespace runs, k=3) over
     * any doc-shaped relation. */
-  private def shingleCteFrom(table: String) =
+  private[queries] def shingleCteFrom(table: String) =
     s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       |         FROM $table),
       |sh AS (SELECT doc_id,
@@ -271,7 +271,7 @@ object DedupQueries extends QueryPack {
   /** Mirror of DedupFunctions.minhashSignature over list column `s`:
     * KM family gₕ = (h1 + h·h2) mod 2³¹−1 over the two md5-based base
     * hashes — identical integer arithmetic on both engines. */
-  private def duckSig(n: Int): String = {
+  private[queries] def duckSig(n: Int): String = {
     val h1 = "(('0x' || substr(md5('a:' || x), 1, 8))::BIGINT)"
     val h2 = "(('0x' || substr(md5('b:' || x), 1, 8))::BIGINT)"
     s"list_transform(range(0, $n), h -> list_min(list_transform(s, x -> ($h1 + h * $h2) % 2147483647)))"
