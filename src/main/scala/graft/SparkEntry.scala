@@ -26,7 +26,8 @@ object SparkEntry {
     ReportQueries,
     ComposedReportQueries,
     BehaviorQueries,
-    CorpusOpsQueries
+    CorpusOpsQueries,
+    SqlSurfaceQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

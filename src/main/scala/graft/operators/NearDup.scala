@@ -119,4 +119,47 @@ object NearDup {
       .agg(count(lit(1)).as("n_bands"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Containment pairs |A∩B| / |A| ≥ tNum/tDen via PREFIX FILTERING
+    * (SSJoin): only each doc's ⌊(1−t)·n⌋+1 smallest-by-hash shingles are
+    * indexed on the probe side. If containment ≥ t then at most (1−t)·n
+    * of A's shingles are missing from B, so some prefix shingle is
+    * shared (pigeonhole) — candidate generation is complete. Candidates
+    * are then verified with an exact intersection count.
+    *
+    * Cost model: wins when shingles are near-unique (real text — the
+    * inverted index probe carries ~(1−t) of the volume and candidates
+    * are few); on hot-shingle corpora every pair sharing any shingle
+    * becomes a candidate and the single grouped self-join
+    * (`queries/CorpusOpsQueries` q107) is cheaper because it skips the
+    * candidate materialization. Output identical either way —
+    * NearDupSpec asserts it on the fixture.
+    *
+    * Threshold is a ratio of integers (default 8/10) so the prefix
+    * length and the final test stay in exact integer arithmetic. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, tNum: Int = 8, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val sh = shingleRows(docs, idCol, textCol, k)
+      .dropDuplicates(idCol, "s")
+      .withColumn("n", count(lit(1)).over(byDoc))
+    // prefix size ⌊(1−t)n⌋+1:  rk ≤ ⌊n(tDen−tNum)/tDen⌋+1
+    //   ⟺  (rk−1)·tDen ≤ n·(tDen−tNum)   (integer rk, n)
+    val pref = sh
+      .withColumn("rk", row_number().over(byDoc.orderBy(hash32(col("s")), col("s"))))
+      .filter((col("rk") - 1) * tDen <= col("n") * (tDen - tNum))
+    val cand = pref.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col(idCol).as("doc_a"), col("s"), col("n").as("na")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("s"), col("n").as("nb")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("inter") * tDen >= col("na") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
+  }
 }

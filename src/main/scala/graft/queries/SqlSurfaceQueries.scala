@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+
+/** The `spark.sql(...)` entry path: the reference drives EVERY batch job
+  * through HiveQL strings (`HiveContext.sql`, e.g.
+  * `homed/repots/DemandReport.scala`, `UserStatistics.scala` — SURVEY §3:
+  * "no query language of its own"), so a user switching to graft must be
+  * able to keep writing SQL. These queries register the graft tables as
+  * temp views and run classic TPC-H-shaped SQL TEXT through Catalyst —
+  * same optimizer, same physical plans as the DataFrame API (proven by
+  * the shared PlanAssertSpec machinery), hash-checked against DuckDB
+  * running near-identical SQL.
+  *
+  * Float parity: revenue terms are per-row cents integers
+  * (`CAST(round(x*100) AS BIGINT)`) before SUM — no float summation
+  * order can flip a digit (the q19 lesson).
+  *
+  * Scale notes: q109 is the canonical fact-two-dims star join — dims
+  * broadcast under the 200 MB threshold, the fact never re-shuffles
+  * before the group-by on its own key; q110's 6-way join chains
+  * broadcasts on the dim side of every hop; q111's correlated scalar
+  * subquery is DECORRELATED by Catalyst into one aggregate + join (the
+  * reference relies on exactly this for its nested HiveQL — SURVEY §6). */
+object SqlSurfaceQueries extends QueryPack {
+
+  /** Register every graft table as a session temp view. Idempotent per
+    * session; cheap (plans, no scans). */
+  private def views(s: SparkSession, d: String): Unit =
+    Tables.all.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+
+  private def sql(text: String): Q = (s, d) => { views(s, d); s.sql(text) }
+
+  /** TPC-H Q3 shape: unshipped-order revenue for one market segment. */
+  private val q109 = sql("""
+    SELECT l_orderkey,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS order_day,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+    GROUP BY l_orderkey, order_day, o_orderpriority
+    ORDER BY revenue_c DESC, l_orderkey
+    LIMIT 10""")
+
+  /** TPC-H Q5 shape: revenue by nation where supplier and customer share
+    * the nation, one region, one year. */
+  private val q110 = sql("""
+    SELECT n_name,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1999-01-01'
+    GROUP BY n_name
+    ORDER BY revenue_c DESC, n_name""")
+
+  /** Correlated scalar subquery (customers above their nation's average
+    * balance) — Catalyst decorrelates it into an aggregate + join; the
+    * threshold compares integer cents so the avg can't float-flip. */
+  private val q111 = sql("""
+    SELECT c_nationkey, COUNT(*) AS n_above
+    FROM customer c1
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+      SELECT CAST(round(AVG(CAST(round(c_acctbal * 100) AS BIGINT))) AS BIGINT)
+      FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey""")
+
+  val queries: Map[String, Q] = Map(
+    "q109_sql_star_topn" -> q109,
+    "q110_sql_regional_revenue" -> q110,
+    "q111_sql_decorrelated" -> q111
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q109_sql_star_topn" ->
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |       strftime(o_orderdate::DATE, '%Y-%m-%d') AS order_day,
+        |       o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate::DATE < DATE '1998-06-01'
+        |  AND l_shipdate::DATE > DATE '1998-06-01'
+        |GROUP BY l_orderkey, order_day, o_orderpriority
+        |ORDER BY revenue_c DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q110_sql_regional_revenue" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |       COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate::DATE >= DATE '1997-01-01'
+        |  AND o_orderdate::DATE <  DATE '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_c DESC, n_name""".stripMargin,
+    "q111_sql_decorrelated" ->
+      """SELECT c_nationkey, COUNT(*) AS n_above
+        |FROM customer c1
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+        |  SELECT CAST(round(AVG(CAST(round(c_acctbal * 100) AS BIGINT))) AS BIGINT)
+        |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
+  )
+}

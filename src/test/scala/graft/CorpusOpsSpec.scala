@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.queries.CorpusOpsQueries
-import graft.functions.DedupFunctions.shingleRows
 import graft.core.Tables
 
 /** Semantic invariants for the corpus-lifecycle pack (q103-q108) beyond
@@ -77,24 +76,17 @@ class CorpusOpsSpec extends SparkSpec {
     v.unpersist()
   }
 
-  test("q107 prefix filter is lossless vs the naive inverted index") {
+  test("prefix-filtered containmentPairs equals q107's grouped self-join") {
     import spark.implicits._
-    val got = q("q107_containment")
+    val grouped = q("q107_containment")
       .select($"doc_a", $"doc_b", $"inter").as[(Long, Long, Long)]
       .collect().toSet
-    // naive reference: full inverted-index join, no prefix pruning
-    val sh = shingleRows(Tables.documents(spark, sfDir), "doc_id", "text", 3)
-      .dropDuplicates("doc_id", "s")
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
-    val naive = sh.as("a")
-      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("inter"), first($"a.n").as("na"))
-      .filter($"inter" * 10 >= $"na" * 8)
+    val prefixed = graft.operators.NearDup
+      .containmentPairs(Tables.documents(spark, sfDir), "doc_id", "text", 3, 8, 10)
       .select($"doc_a", $"doc_b", $"inter").as[(Long, Long, Long)]
       .collect().toSet
-    assert(got == naive)
+    assert(grouped == prefixed,
+      "prefix filtering must not change the containment pair set")
   }
 
   test("q108 keeps exactly min(30, |lang|) docs per language, deterministically") {

@@ -119,4 +119,20 @@ class PlanAssertSpec extends SparkSpec {
     val p = plan("q99_fuzzy_neardup")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q110 (SQL text): every dim side of the 6-way join broadcasts") {
+    val p = plan("q110_sql_regional_revenue")
+    // customer/supplier/nation/region all sit under the 200 MB threshold;
+    // the fact (lineitem⋈orders) side must never broadcast-nested-loop
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(800))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
+    val p = plan("q111_sql_decorrelated")
+    // decorrelation rewrites the per-row subquery into a grouped agg
+    // joined back on the correlation key — no per-row subquery node
+    assert(!p.contains("ScalarSubquery"), "subquery must be decorrelated")
+    assert("HashAggregate".r.findAllIn(p).nonEmpty)
+  }
 }
