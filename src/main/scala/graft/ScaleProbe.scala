@@ -51,8 +51,8 @@ object ScaleProbe {
       "q49_simhash", "q50_embedding_neardup", "q51_knn_brute", "q52_ann_lsh",
       "q53_ann_ivf", "q77_dedup_keep", "q87_corpus_pipeline",
       "q89_decontaminate", "q91_quantize_int8", "q93_stratified_mix",
-      "q95_dedup_components", "q105_chunk_overlap", "q106_incremental_dedup",
-      "q107_containment")
+      "q95_dedup_components", "q99_fuzzy_neardup", "q105_chunk_overlap",
+      "q106_incremental_dedup", "q107_containment")
     only.foreach(req => (req -- allProbes.toSet)
       .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))
     val probes = allProbes.filter(p => only.forall(_.contains(p)))

@@ -235,9 +235,12 @@ object DedupQueries extends QueryPack {
     val b = p.select($"lang", $"lb", $"doc_id".as("doc_b"), $"pfx".as("pfx_b"))
     a.join(b, Seq("lang", "lb"))
       .filter($"doc_a" < $"doc_b")
+      // thresholded levenshtein runs a banded DP (O(len·t), not O(len²))
+      // and early-exits to -1 past the bound; distances ≤ 20 are exact,
+      // so the kept pairs are identical to the unbounded form
       .select($"doc_a", $"doc_b",
-        levenshtein($"pfx_a", $"pfx_b").cast("bigint").as("lev"))
-      .filter($"lev" <= 20)
+        levenshtein($"pfx_a", $"pfx_b", 20).cast("bigint").as("lev"))
+      .filter($"lev" >= 0)
       .orderBy($"doc_a", $"doc_b")
   }
 
