@@ -50,4 +50,27 @@ object SkewUtils {
       .distinct()
       .groupBy(keys.map(col): _*)
       .agg(count(col(valueCol)).as(s"n_distinct_$valueCol"))
+
+  /** Skew-safe shuffle equi join: every fact row gets a deterministic
+    * salt from `spreadCols` (fine-grained columns — line number, user
+    * id), and the dim side is replicated once per salt value, so the
+    * join key becomes (key, salt) and a hot key's rows fan out over
+    * `buckets` reducers instead of one. Result is EXACTLY the plain
+    * equi join — the salt is an internal column, dropped on output.
+    *
+    * This is the manual form for when AQE's skew-join split (on in
+    * GraftSession) can't act: AQE only splits FINISHED shuffle blocks
+    * of sort-merge joins, so a hot key hidden behind a bucketed-table
+    * scan or a stream-static join still needs explicit salting. Dim
+    * replication costs buckets× its size — keep `buckets` at the skew
+    * factor, not the cluster size, and never salt a broadcastable dim
+    * (broadcast already has no shuffle to skew). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      spreadCols: Seq[String], buckets: Int = 16): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    val salted = fact.withColumn("_salt", salt(buckets, spreadCols.map(col): _*))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -175,6 +175,42 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Linear interpolation across calendar gaps — q104's sibling for
+    * metrics where carry-forward lies (rates, gauges): each synthesized
+    * day gets prev + (next−prev)·elapsed/span from the nearest observed
+    * neighbors; boundary gaps clamp to the nearest observation. All
+    * inputs integer cents; ONE closing multiply-divide, then a
+    * half-up round back to cents — no accumulated float path. */
+  private val q112: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d).select($"event_type", to_date($"ts").as("dy"), $"value")
+    val daily = e.groupBy($"event_type", $"dy")
+      .agg(round(sum($"value") * 100).cast("long").as("v_c"))
+    val days = e.agg(min($"dy").as("d0"), max($"dy").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("dy"))
+    val grid = e.select($"event_type").distinct().crossJoin(days)
+    val wPast = Window.partitionBy($"event_type").orderBy($"dy")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy($"event_type").orderBy($"dy")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when($"v_c".isNotNull, $"dy")
+    grid.join(daily, Seq("event_type", "dy"), "left")
+      .withColumn("pv", last($"v_c", ignoreNulls = true).over(wPast))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPast))
+      .withColumn("nv", first($"v_c", ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .select($"event_type", date_format($"dy", "yyyy-MM-dd").as("day"),
+        when($"v_c".isNotNull, lit(0L)).otherwise(1L).as("filled"),
+        when($"v_c".isNotNull, $"v_c")
+          .when($"pv".isNull, $"nv")
+          .when($"nv".isNull, $"pv")
+          .otherwise(round($"pv" +
+            ($"nv" - $"pv") * datediff($"dy", $"pd") / datediff($"nd", $"pd"))
+            .cast("long"))
+          .as("cents"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Deterministic per-language quota sample (30 docs/lang): rank within
     * each language by a salted md5 of the doc id — a reproducible uniform
     * shuffle — and keep rank ≤ quota. The census output proves which docs
@@ -196,7 +232,8 @@ object CorpusOpsQueries extends QueryPack {
     "q105_chunk_overlap" -> q105,
     "q106_incremental_dedup" -> q106,
     "q107_containment" -> q107,
-    "q108_quota_sample" -> q108
+    "q108_quota_sample" -> q108,
+    "q112_interpolate" -> q112
   )
 
   val oracle: Map[String, String] = Map(
@@ -302,6 +339,46 @@ object CorpusOpsQueries extends QueryPack {
          |HAVING count(*) * 10 >= any_value(a.n) * 8
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q112_interpolate" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dy, value FROM events),
+        |daily AS (
+        |  SELECT event_type, dy, CAST(round(sum(value) * 100) AS BIGINT) AS v_c
+        |  FROM e GROUP BY 1, 2),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS dy
+        |  FROM (SELECT min(dy) AS d0, max(dy) AS d1 FROM e)),
+        |grid AS (
+        |  SELECT t.event_type, days.dy
+        |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days),
+        |j AS (
+        |  SELECT g.event_type, g.dy, d.v_c
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.event_type = d.event_type AND g.dy = d.dy),
+        |f AS (
+        |  SELECT event_type, dy, v_c,
+        |    last_value(v_c IGNORE NULLS) OVER w_past AS pv,
+        |    last_value(CASE WHEN v_c IS NOT NULL THEN dy END IGNORE NULLS)
+        |      OVER w_past AS pd,
+        |    first_value(v_c IGNORE NULLS) OVER w_next AS nv,
+        |    first_value(CASE WHEN v_c IS NOT NULL THEN dy END IGNORE NULLS)
+        |      OVER w_next AS nd
+        |  FROM j
+        |  WINDOW
+        |    w_past AS (PARTITION BY event_type ORDER BY dy
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w_next AS (PARTITION BY event_type ORDER BY dy
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, strftime(dy, '%Y-%m-%d') AS day,
+        |  CAST(CASE WHEN v_c IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS filled,
+        |  CAST(CASE WHEN v_c IS NOT NULL THEN v_c
+        |            WHEN pv IS NULL THEN nv
+        |            WHEN nv IS NULL THEN pv
+        |            ELSE CAST(round(pv + (nv - pv)
+        |                   * date_diff('day', pd, dy)
+        |                   / date_diff('day', pd, nd)) AS BIGINT)
+        |       END AS BIGINT) AS cents
+        |FROM f ORDER BY event_type, day""".stripMargin,
     "q108_quota_sample" ->
       """WITH rk AS (
         |  SELECT lang, doc_id, n_chars,

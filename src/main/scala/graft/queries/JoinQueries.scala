@@ -181,8 +181,32 @@ object JoinQueries extends QueryPack {
       .orderBy($"user_bucket")
   }
 
+  /** Skew-safe salted fact-dim join through the driver gate: lineitem
+    * rows are salted on (orderkey, linenumber), part is replicated 8×,
+    * and the join runs on (l_partkey, salt) — a hot part key fans out
+    * over 8 reducers instead of one. The salt is internal and dropped,
+    * so the oracle is the PLAIN join: passing means salting is invisible
+    * in the result. Manual salting matters where AQE's skew split can't
+    * act (bucketed scans, stream-static joins — see
+    * [[graft.functions.SkewUtils.saltedJoin]]); quantity sums stay in
+    * integer units so no float op survives. */
+  private val q113: Q = (s, d) => {
+    import s.implicits._
+    val fact = Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_orderkey", $"l_linenumber",
+        floor($"l_quantity").cast("long").as("qty"))
+    val dim = Tables.part(s, d).select($"p_partkey".as("l_partkey"), $"p_brand")
+    graft.functions.SkewUtils
+      .saltedJoin(fact, dim, Seq("l_partkey"),
+        spreadCols = Seq("l_orderkey", "l_linenumber"), buckets = 8)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"), sum($"qty").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
     "q68_asof_join" -> q68,
+    "q113_salted_join" -> q113,
     "q11_star_join" -> q11,
     "q12_left_default" -> q12,
     "q13_right_join" -> q13,
@@ -195,6 +219,11 @@ object JoinQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q113_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q11_star_join" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
         |FROM orders

@@ -25,6 +25,25 @@ class SkewUtilsSpec extends SparkSpec {
     assert(out == Map("hot" -> 997L, "cold" -> 2L))
   }
 
+  test("saltedJoin equals the plain equi join and spreads the hot key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // one hot key with 5000 fact rows against a 3-row dim
+    val fact = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (1 to 50).map(i => (2L + i % 2, i.toLong))).toDF("k", "row_id")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "attr")
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("k", "attr").count().as[(Long, String, Long)].collect().toSet
+    val salted = SkewUtils.saltedJoin(fact, dim, Seq("k"), Seq("row_id"), buckets = 8)
+      .groupBy("k", "attr").count().as[(Long, String, Long)].collect().toSet
+    assert(salted == plain)
+    // the hot key's rows must actually occupy many salt buckets
+    val spread = fact.filter($"k" === 1L)
+      .select(SkewUtils.salt(8, col("row_id")).as("s"))
+      .agg(countDistinct(col("s"))).first().getLong(0)
+    assert(spread == 8L, s"hot key must spread over all 8 buckets (got $spread)")
+  }
+
   test("salt is deterministic and bounded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
