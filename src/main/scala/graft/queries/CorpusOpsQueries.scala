@@ -226,8 +226,32 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang", $"rk")
   }
 
+  /** Pre-publish data-quality audit: fused constraint census over
+    * lineitem (ONE scan for all predicates, stack-unpivoted), foreign-key
+    * orphan checks on the two production join keys, and primary-key
+    * uniqueness — the engine-side form of Delta CHECK constraints /
+    * deequ, here an oracle-checkable report. Healthy fixtures yield
+    * n_bad = 0 rows; the oracle proves the CHECKS compute identically,
+    * not that the data is dirty. */
+  private val q114: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.DataAudit
+    DataAudit.report(Seq(
+      DataAudit.predicateChecks(Tables.lineitem(s, d), Seq(
+        "li_qty_range" -> ($"l_quantity" < 1.0 || $"l_quantity" > 50.0),
+        "li_price_nonpos" -> ($"l_extendedprice" <= 0.0),
+        "li_disc_range" -> ($"l_discount" < 0.0 || $"l_discount" > 0.5))),
+      DataAudit.orphanCheck("li_orphan_order", Tables.lineitem(s, d),
+        Tables.orders(s, d), "l_orderkey", "o_orderkey"),
+      DataAudit.orphanCheck("ord_orphan_cust", Tables.orders(s, d),
+        Tables.customer(s, d), "o_custkey", "c_custkey"),
+      DataAudit.duplicateKeyCheck("ord_pk_dup", Tables.orders(s, d),
+        Seq("o_orderkey"))))
+  }
+
   val queries: Map[String, Q] = Map(
     "q103_scd2" -> q103,
+    "q114_quality_audit" -> q114,
     "q104_gap_fill" -> q104,
     "q105_chunk_overlap" -> q105,
     "q106_incremental_dedup" -> q106,
@@ -237,6 +261,42 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q114_quality_audit" ->
+      """SELECT 'li_disc_range' AS check_name,
+        |       CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'li_price_nonpos',
+        |       CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'li_qty_range',
+        |       CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'li_orphan_order',
+        |       (SELECT count(*) FROM lineitem l
+        |        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |          ON l.l_orderkey = o.o_orderkey
+        |        WHERE o.o_orderkey IS NULL),
+        |       (SELECT count(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'ord_orphan_cust',
+        |       (SELECT count(*) FROM orders r
+        |        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |          ON r.o_custkey = c.c_custkey
+        |        WHERE c.c_custkey IS NULL),
+        |       (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'ord_pk_dup',
+        |       (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+        |       (SELECT count(*) FROM orders)
+        |ORDER BY check_name""".stripMargin,
     "q103_scd2" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,

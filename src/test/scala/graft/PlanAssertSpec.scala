@@ -120,6 +120,28 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q103: SCD-2 windows partition by the dimension key, never globally") {
+    val p = plan("q103_scd2")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("o_custkey")),
+      specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q106: both dedup membership checks are semi joins, no product") {
+    val p = plan("q106_incremental_dedup")
+    assert("LeftSemi".r.findAllIn(p).length >= 2, "expected 2 semi joins")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q114: fused predicate census reads lineitem once per plan branch") {
+    val p = plan("q114_quality_audit")
+    val liScans = "FileScan parquet[^\n]*lineitem".r.findAllIn(p).length
+    // 1 fused scan for ALL three predicate checks + 1 for the orphan
+    // check's child side — a per-predicate plan would need 4
+    assert(liScans == 2, s"expected 2 lineitem scans, got $liScans")
+  }
+
   test("q110 (SQL text): every dim side of the 6-way join broadcasts") {
     val p = plan("q110_sql_regional_revenue")
     // customer/supplier/nation/region all sit under the 200 MB threshold;
