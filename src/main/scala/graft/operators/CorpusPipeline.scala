@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{fingerprint, tokenCount}
+import graft.functions.DedupFunctions.shingleRows
+
+/** End-to-end training-corpus builder: one composition of the library's
+  * corpus operators in production order, each stage exposed as a lazy
+  * DataFrame so callers can branch, audit, or persist between stages.
+  *
+  *   1. token-length gate            (q43's length band)
+  *   2. language allowlist           (optional)
+  *   3. exact dedup                  (fingerprint, min-doc_id survives — q46)
+  *   4. near-dedup keep/drop         (LSH min-neighbor suppression, O(n) — q77)
+  *   5. decontamination              (drop docs sharing a k-gram with an
+  *                                    eval set — q89's shape; optional)
+  *   6. per-language quota sample    (deterministic salted rank — q108; optional)
+  *
+  * This is the composed form of q87 widened to the full stage list; the
+  * oracle-checked queries pin each stage's semantics, the
+  * CorpusPipelineSpec pins the composition (monotone shrinkage, stage
+  * order, census arithmetic).
+  *
+  * Scale notes: every stage is a narrow filter, hash-agg, or bucketed
+  * semi/anti join — no stage materializes pairs, so the whole pipeline
+  * stays O(n·bands). Stages share nothing but the flowing DataFrame:
+  * Catalyst fuses the filters, and the three shuffles (fingerprint
+  * group, band group, quota rank) are each on uniformly-distributed
+  * keys. For repeated builds, persist `afterNearDedup` — the stages
+  * above it are the expensive ones. */
+object CorpusPipeline {
+
+  /** All knobs default to the library's fixture/oracle parameters. */
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      minTokens: Long = 10L,
+      maxTokens: Long = 1000L,
+      langs: Seq[String] = Nil,
+      k: Int = 3, nh: Int = 9, b: Int = 3, r: Int = 3,
+      decontamK: Int = 5,
+      evalDocs: Option[DataFrame] = None,
+      quotaPerLang: Option[Int] = None)
+
+  /** Lazily-staged pipeline; each field is the corpus AFTER that stage. */
+  final class Staged private[CorpusPipeline] (
+      val input: DataFrame,
+      val afterGate: DataFrame,
+      val afterLang: DataFrame,
+      val afterExact: DataFrame,
+      val afterNearDedup: DataFrame,
+      val afterDecontam: DataFrame,
+      val result: DataFrame) {
+
+    /** Per-stage census (stage, n_docs), ordered by pipeline position.
+      * One count job per stage — run it for audits, not per-batch. */
+    def census(): Seq[(String, Long)] = Seq(
+      "0_input" -> input.count(),
+      "1_gate" -> afterGate.count(),
+      "2_lang" -> afterLang.count(),
+      "3_exact" -> afterExact.count(),
+      "4_neardup" -> afterNearDedup.count(),
+      "5_decontam" -> afterDecontam.count(),
+      "6_quota" -> result.count())
+  }
+
+  def build(docs: DataFrame, cfg: Config = Config()): Staged = {
+    val id = col(cfg.idCol)
+    val nTok = tokenCount(col(cfg.textCol))
+    val afterGate = docs.where(col(cfg.textCol).isNotNull &&
+      nTok.between(cfg.minTokens, cfg.maxTokens))
+    val afterLang =
+      if (cfg.langs.isEmpty) afterGate
+      else afterGate.where(col(cfg.langCol).isin(cfg.langs: _*))
+    // exact: min doc id per fingerprint survives (deterministic, q46/q77 rule)
+    val afterExact = afterLang
+      .withColumn("__fp_min",
+        min(id).over(Window.partitionBy(fingerprint(col(cfg.textCol)))))
+      .where(id === col("__fp_min")).drop("__fp_min")
+    val afterNearDedup = afterExact.join(
+      NearDup.lshDropIds(afterExact, cfg.idCol, cfg.textCol,
+        cfg.k, cfg.nh, cfg.b, cfg.r),
+      Seq(cfg.idCol), "left_anti")
+    val afterDecontam = cfg.evalDocs match {
+      case None => afterNearDedup
+      case Some(eval) =>
+        val evalGrams = shingleRows(
+            eval.select(col(cfg.idCol), col(cfg.textCol)),
+            cfg.idCol, cfg.textCol, cfg.decontamK)
+          .select(col("s")).distinct()
+        val contaminated = shingleRows(afterNearDedup
+            .select(col(cfg.idCol), col(cfg.textCol)),
+            cfg.idCol, cfg.textCol, cfg.decontamK)
+          .join(evalGrams, Seq("s"), "left_semi")
+          .select(col(cfg.idCol)).distinct()
+        afterNearDedup.join(contaminated, Seq(cfg.idCol), "left_anti")
+    }
+    val result = cfg.quotaPerLang match {
+      case None => afterDecontam
+      case Some(q) =>
+        val w = Window.partitionBy(col(cfg.langCol))
+          .orderBy(md5(concat(lit("smp:"), id.cast("string")).cast("binary")), id)
+        afterDecontam.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= q).drop("__rk")
+    }
+    new Staged(docs, afterGate, afterLang, afterExact, afterNearDedup,
+      afterDecontam, result)
+  }
+}

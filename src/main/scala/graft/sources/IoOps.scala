@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions.col
   */
 object IoOps {
 
+  /** K7: delimited text/report sink (`monitor/MonitorApp.scala:44-48`
+    * local report file; `etl/ArateFilter.scala` saveAsTextFile exports).
+    * Formats every column through a null-safe concat_ws line (nulls
+    * render as `nullToken`, column order = schema order), coalesces to a
+    * bounded writer count (report files are consumed by humans/scripts,
+    * not re-scanned at scale — few big files beat 200 shards), and
+    * optionally compresses. Ordering inside a part file follows the
+    * input partition order; pass a pre-sorted df for ordered reports. */
+  def writeTextReport(df: DataFrame, path: String, sep: String = "|",
+      nullToken: String = "\\N", writers: Int = 1,
+      codec: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{coalesce => cf, concat_ws, lit}
+    val line = concat_ws(sep,
+      df.schema.fieldNames.map(f => cf(col(f).cast("string"), lit(nullToken))): _*)
+    val w = df.select(line.as("value")).coalesce(writers).write.mode(SaveMode.Overwrite)
+    codec.fold(w)(c => w.option("compression", c)).text(path)
+  }
+
   /** S1: multi-path raw log scan (`etl/RunLogParser.scala:69,688-697`). */
   def textLogs(spark: SparkSession, paths: Seq[String]): Dataset[String] =
     spark.read.textFile(paths: _*)

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("stages shrink monotonically and the census adds up") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val eval = docs.filter($"source" === "src19").select($"doc_id", $"text")
+    val staged = CorpusPipeline.build(
+      docs.filter($"source" =!= "src19"),
+      CorpusPipeline.Config(
+        langs = Seq("en", "zh", "es"),
+        evalDocs = Some(eval),
+        quotaPerLang = Some(20)))
+    val c = staged.census().toMap
+    assert(c("0_input") >= c("1_gate"))
+    assert(c("1_gate") >= c("2_lang"))
+    assert(c("2_lang") >= c("3_exact"))
+    assert(c("3_exact") >= c("4_neardup"))
+    assert(c("4_neardup") >= c("5_decontam"))
+    assert(c("5_decontam") >= c("6_quota"))
+    assert(c("6_quota") > 0)
+    // quota respected per language
+    val over = staged.result.groupBy($"lang").count().filter($"count" > 20)
+    assert(over.count() == 0)
+    // only allowed languages survive
+    assert(staged.result.filter(!$"lang".isin("en", "zh", "es")).count() == 0)
+  }
+
+  test("exact stage keeps exactly one doc per fingerprint, the smallest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (7L, "one two three four five six seven eight nine ten", "en"))
+      .toDF("doc_id", "text", "lang")
+    val staged = CorpusPipeline.build(docs, CorpusPipeline.Config())
+    assert(staged.afterExact.select($"doc_id").as[Long].collect().toSet == Set(1L, 7L))
+  }
+
+  test("decontamination drops docs sharing a 5-gram with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today friends", "en"),
+      (2L, "completely different words with no overlap at all here now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq(
+      (100L, "xx the quick brown fox jumps yy zz aa bb cc", "en"))
+      .toDF("doc_id", "text", "lang").select($"doc_id", $"text")
+    val staged = CorpusPipeline.build(corpus,
+      CorpusPipeline.Config(evalDocs = Some(eval)))
+    assert(staged.result.select($"doc_id").as[Long].collect().toSet == Set(2L))
+  }
+}

@@ -113,6 +113,20 @@ class IoOpsSpec extends SparkSpec {
     assert(back == Set((1L, "20240101"), (2L, "20240102")))
   }
 
+  test("writeTextReport formats delimited lines with null tokens, one file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_report").toString + "/out"
+    val df = Seq((1L, Some("a"), 2.5), (2L, None, 10.0))
+      .toDF("id", "name", "score")
+    IoOps.writeTextReport(df, dir, sep = "|", nullToken = "\\N")
+    val lines = spark.read.textFile(dir).collect().sorted.toSeq
+    assert(lines == Seq("1|a|2.5", "2|\\N|10.0"))
+    // exactly one part file (writers = 1)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+
   test("textLogs reads multiple paths as one dataset") {
     val dir = Files.createTempDirectory("graft_txt")
     val f1 = dir.resolve("a.log"); val f2 = dir.resolve("b.log")
