@@ -63,4 +63,54 @@ object ConnectedComponents {
           "(diameter too large — use the large-star/small-star form)")
     labels
   }
+
+  /** Connected components over a BIPARTITE membership list (id, bucket):
+    * ids are connected iff they share a bucket. Components equal
+    * [[minLabel]] over the explicit pair list "share ≥ 1 bucket" — but
+    * NO pair list is ever materialized: each round is two grouped
+    * min-joins over O(|memberships|) rows, so a clique of c members in
+    * one bucket costs c rows per round instead of c² pair rows up
+    * front. This is the 100 TB form for dedup clustering, where the
+    * membership list is exactly [[NearDup.lshBands]]'s output.
+    *
+    * Single-member buckets are dropped up front, so the node set
+    * matches the pair graph's (ids with no partner are absent — same
+    * contract as minLabel over pairs). A full round propagates labels
+    * two pair-graph hops (id → bucket → id); near-dup graphs are
+    * bucket-cliques with tiny diameters, so a handful of rounds
+    * converge, and the same large-star escape hatch applies past
+    * `maxIter`. */
+  def minLabelByBucket(memberships: DataFrame, idCol: String,
+      bucketCol: String, maxIter: Int = 25): DataFrame = {
+    val m = memberships
+      .select(col(idCol).cast("long").as("id"), col(bucketCol).as("bkt"))
+      .where(col("id").isNotNull && col("bkt").isNotNull)
+      .distinct()
+    val multi = m.groupBy(col("bkt")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2).select(col("bkt"))
+    val mm = m.join(multi, Seq("bkt"), "left_semi").localCheckpoint()
+    var labels = mm.select(col("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = mm.isEmpty
+    while (!converged && iter < maxIter) {
+      val bucketMin = mm.join(labels, Seq("id"))
+        .groupBy(col("bkt")).agg(min(col("comp")).as("bmin"))
+      val idMin = mm.join(bucketMin, Seq("bkt"))
+        .groupBy(col("id")).agg(min(col("bmin")).as("nmin"))
+      val next = labels.join(idMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .localCheckpoint()
+      converged = next.where(col("comp") < col("prev")).isEmpty
+      labels = next.drop("prev")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"bipartite connected components did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -207,10 +207,15 @@ object DedupQueries extends QueryPack {
     * which the oracle reproduces with a recursive CTE. */
   private val q95: Q = (s, d) => {
     import s.implicits._
-    val pairs = graft.operators.NearDup
-      .minhashPairs(Tables.documents(s, d), "doc_id", "text", K, NH, B, R)
+    // bipartite doc↔band-bucket propagation: same components as CC over
+    // the q47 pair list (the DuckDB oracle's recursive CTE), but no
+    // O(clique²) pair materialization — at 30× the pair listing alone
+    // was 12.3 s of this query's 19.1 s (SCALE.md)
+    val bands = graft.operators.NearDup
+      .lshBands(Tables.documents(s, d), "doc_id", "text", K, NH, B, R)
+      .select($"doc_id", concat_ws("|", $"band_idx", $"band_hash").as("bucket"))
     graft.operators.ConnectedComponents
-      .minLabel(pairs, "doc_a", "doc_b")
+      .minLabelByBucket(bands, "doc_id", "bucket")
       .groupBy($"comp")
       .agg(count(lit(1)).as("csize"))
       .groupBy($"csize")

@@ -48,6 +48,36 @@ class ConnectedComponentsSpec extends SparkSpec {
       Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 50L -> 50L, 51L -> 50L))
   }
 
+  test("bipartite bucket form equals pair-list form on random memberships") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 60 ids scattered over 25 buckets, some buckets singleton
+    val members = (0 until 120)
+      .map(_ => (rnd.nextInt(60).toLong, s"b${rnd.nextInt(25)}"))
+      .distinct
+    val viaBucket = ConnectedComponents
+      .minLabelByBucket(members.toDF("id", "bkt"), "id", "bkt")
+      .as[(Long, Long)].collect().toMap
+    // explicit pair list: ids sharing any bucket
+    val pairs = for {
+      (a, ba) <- members; (b, bb) <- members
+      if ba == bb && a < b
+    } yield (a, b)
+    val viaPairs = compute(pairs.distinct)
+    assert(viaBucket == viaPairs)
+  }
+
+  test("bipartite form drops ids appearing only in singleton buckets") {
+    val s = spark
+    import s.implicits._
+    val members = Seq((1L, "shared"), (2L, "shared"), (3L, "alone"))
+    val out = ConnectedComponents
+      .minLabelByBucket(members.toDF("id", "bkt"), "id", "bkt")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("empty edge list yields empty labeling, not a crash") {
     assert(compute(Seq.empty).isEmpty)
   }
