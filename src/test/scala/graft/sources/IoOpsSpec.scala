@@ -127,6 +127,20 @@ class IoOpsSpec extends SparkSpec {
     assert(parts == 1)
   }
 
+  test("CSV roundtrip with header and explicit schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_csv").toString + "/t"
+    val df = Seq((1L, "a,with comma", 2.5), (2L, null, 10.0))
+      .toDF("id", "name", "score")
+    df.write.option("header", "true").csv(dir)
+    val back = spark.read
+      .option("header", "true")
+      .schema("id LONG, name STRING, score DOUBLE")
+      .csv(dir)
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(back == Set((1L, Some("a,with comma"), 2.5), (2L, None, 10.0)))
+  }
+
   test("textLogs reads multiple paths as one dataset") {
     val dir = Files.createTempDirectory("graft_txt")
     val f1 = dir.resolve("a.log"); val f2 = dir.resolve("b.log")
