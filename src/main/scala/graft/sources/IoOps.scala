@@ -34,6 +34,37 @@ object IoOps {
     codec.fold(w)(c => w.option("compression", c)).text(path)
   }
 
+  /** Retention sweep — the lake-side form of the reference's realtime
+    * retention (keep latest 2 node snapshots + 24 h of hourly marks,
+    * `homed/realtime/NodeTime.scala:27-35,96-104`, enforced there with
+    * DELETE statements): list the table's day partitions from the
+    * filesystem, drop every partition strictly older than `keepDays`
+    * distinct newest days. Deletes whole partition DIRECTORIES — never
+    * a row-level rewrite — so the sweep is O(partitions) metadata work
+    * regardless of table size, and re-running it is a no-op
+    * (idempotent). Returns the dropped day values. */
+  def expireDayPartitions(spark: SparkSession, path: String, keepDays: Int,
+      partitionCol: String = "day"): Seq[String] = {
+    require(keepDays >= 1, s"keepDays must be >= 1 (got $keepDays)")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val prefix = s"$partitionCol="
+    val days = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix))
+      .sorted
+    val expired = days.dropRight(keepDays)
+    expired.foreach { d =>
+      if (!fs.delete(new org.apache.hadoop.fs.Path(root, s"$prefix$d"), true))
+        throw new java.io.IOException(
+          s"retention sweep failed to delete $path/$prefix$d")
+    }
+    expired
+  }
+
   /** S1: multi-path raw log scan (`etl/RunLogParser.scala:69,688-697`). */
   def textLogs(spark: SparkSession, paths: Seq[String]): Dataset[String] =
     spark.read.textFile(paths: _*)

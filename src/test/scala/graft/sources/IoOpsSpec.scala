@@ -127,6 +127,22 @@ class IoOpsSpec extends SparkSpec {
     assert(parts == 1)
   }
 
+  test("expireDayPartitions drops only days beyond the retention window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ret").toString + "/t"
+    Seq((1L, "20240101"), (2L, "20240102"), (3L, "20240103"), (4L, "20240104"))
+      .toDF("id", "day").write.partitionBy("day").parquet(dir)
+    val dropped = IoOps.expireDayPartitions(spark, dir, keepDays = 2)
+    assert(dropped == Seq("20240101", "20240102"))
+    val left = spark.read.parquet(dir).select($"day").distinct()
+      .as[String].collect().sorted.toSeq
+    assert(left == Seq("20240103", "20240104"))
+    // idempotent: second sweep drops nothing
+    assert(IoOps.expireDayPartitions(spark, dir, keepDays = 2).isEmpty)
+    // missing path is a no-op, not a crash
+    assert(IoOps.expireDayPartitions(spark, dir + "_missing", 2).isEmpty)
+  }
+
   test("CSV roundtrip with header and explicit schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_csv").toString + "/t"
