@@ -18,9 +18,8 @@ import org.apache.spark.sql.functions._
   * round's result is `localCheckpoint`ed: iterative DataFrame loops
   * otherwise stack lineage until planning itself dominates. At cluster
   * scale use reliable `checkpoint()` (survives executor loss), and for
-  * adversarial diameters (long chains) switch to the large-star /
-  * small-star form (Kiveris et al., "Connected Components in MapReduce
-  * and Beyond") whose round count is O(log n) regardless of diameter —
+  * adversarial diameters (long chains) switch to
+  * [[alternatingStar]], whose round count is O(log n) regardless of diameter —
   * near-dup graphs in practice are dense cliques with tiny diameters, so
   * plain propagation converges in a handful of rounds.
   */
@@ -60,7 +59,7 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
-          "(diameter too large — use the large-star/small-star form)")
+          "(diameter too large — use alternatingStar)")
     labels
   }
 
@@ -78,7 +77,7 @@ object ConnectedComponents {
     * contract as minLabel over pairs). A full round propagates labels
     * two pair-graph hops (id → bucket → id); near-dup graphs are
     * bucket-cliques with tiny diameters, so a handful of rounds
-    * converge, and the same large-star escape hatch applies past
+    * converge, and the same [[alternatingStar]] escape hatch applies past
     * `maxIter`. */
   def minLabelByBucket(memberships: DataFrame, idCol: String,
       bucketCol: String, maxIter: Int = 25): DataFrame = {
@@ -112,5 +111,72 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"bipartite connected components did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): converges in O(log n) rounds REGARDLESS of graph
+    * diameter — the form [[minLabel]]'s scaladoc points to for
+    * adversarial chains, where plain min-propagation needs
+    * diameter-many rounds.
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u});
+    *   small-star(u): every neighbor v < u, and u itself, attach to m.
+    *
+    * Each half-round is one grouped min + one join over O(|E|) rows;
+    * at the fixpoint the edge set is a union of stars centered at
+    * component minima, so the labeling is one final grouped least().
+    * Returns (id, comp) with comp = component minimum — identical
+    * contract (and spec-proven identical output) to [[minLabel]]. */
+  def alternatingStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // one star half-round: re-attach the selected neighbors to
+    // m(u) = min(Γ(u) ∪ {u}); keepLarger selects v > u (large) or v < u
+    // plus u itself (small)
+    def halfRound(cur: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = cur.select(col("u").as("a"), col("v").as("b"))
+        .union(cur.select(col("v").as("a"), col("u").as("b")))
+      val m = nbrs.groupBy(col("a"))
+        .agg(least(min(col("b")), col("a")).as("m"))
+      val attach =
+        if (large)
+          nbrs.join(m, Seq("a")).where(col("b") > col("a"))
+            .select(col("m").as("u"), col("b").as("v"))
+        else
+          nbrs.join(m, Seq("a")).where(col("b") < col("a"))
+            .select(col("m").as("u"), col("b").as("v"))
+            .union(m.select(col("m").as("u"), col("a").as("v")))
+      attach
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+    }
+
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = halfRound(halfRound(e, large = true), large = false)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternating-star did not converge in $maxIter rounds")
+    // stars: comp(x) = least(x, min neighbor)
+    e.select(col("u").as("id"), col("v").as("nb"))
+      .union(e.select(col("v").as("id"), col("u").as("nb")))
+      .groupBy(col("id"))
+      .agg(least(min(col("nb")), col("id")).as("comp"))
   }
 }

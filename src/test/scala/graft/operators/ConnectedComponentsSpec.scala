@@ -78,6 +78,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("alternatingStar matches union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }
+    val got = ConnectedComponents
+      .alternatingStar(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == unionFind(edges))
+  }
+
+  test("alternatingStar handles a 300-chain in O(log n) rounds") {
+    val s = spark
+    import s.implicits._
+    // diameter 300: plain minLabel at its default 25 rounds must refuse,
+    // the star form must finish
+    val chain = (0L until 300L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val got = ConnectedComponents
+      .alternatingStar(chain.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 300 && got.values.forall(_ == 0L))
+    intercept[IllegalStateException] {
+      ConnectedComponents.minLabel(chain.toDF("src", "dst"), "src", "dst")
+    }
+  }
+
   test("empty edge list yields empty labeling, not a crash") {
     assert(compute(Seq.empty).isEmpty)
   }
