@@ -110,13 +110,82 @@ object BehaviorQueries extends QueryPack {
       .orderBy($"cohort_day", $"k")
   }
 
+  /** Event-transition matrix (Markov bigram census): per user, order
+    * events by time and count (from → to) transitions — the reference's
+    * per-session "path" analyses (`queries/SetSortQueries` q33 path agg)
+    * generalized to the full transition matrix. One window shuffle on
+    * user_id, output O(|types|²); the event_id tie-break makes the
+    * sequence — and therefore every count — engine-deterministic. */
+  private val q115: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .where($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  /** Conversion-latency distribution: exact percentiles of the
+    * first-view → first-qualifying-purchase lag (q101's funnel edge,
+    * measured instead of counted). Lag is integer seconds floored on
+    * both engines (epoch_us // 1e6 mirrors unix_timestamp's floor —
+    * a double epoch() cast would ROUND in DuckDB and disagree). */
+  private val q116: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val lag = e.filter($"event_type" === "purchase")
+      .join(v, Seq("user_id"))
+      .filter($"ts" >= $"t1")
+      .groupBy($"user_id", $"t1").agg(min($"ts").as("t3"))
+      .select((unix_timestamp($"t3") - unix_timestamp($"t1")).as("lag_sec"))
+    lag.agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_sec, 0.5)"), 4).as("p50_sec"),
+        round(expr("percentile(lag_sec, 0.9)"), 4).as("p90_sec"),
+        max($"lag_sec").as("max_sec"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q98_concurrency" -> q98,
     "q101_funnel" -> q101,
-    "q102_retention" -> q102
+    "q102_retention" -> q102,
+    "q115_transitions" -> q115,
+    "q116_conversion_lag" -> q116
   )
 
   val oracle: Map[String, String] = Map(
+    "q115_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type, count(*) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q116_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, v.t1, min(e.ts::TIMESTAMP) AS t3
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP >= v.t1
+        |  GROUP BY e.user_id, v.t1),
+        |lag_ AS (
+        |  SELECT epoch_us(t3) // 1000000 - epoch_us(t1) // 1000000 AS lag_sec
+        |  FROM p)
+        |SELECT count(*) AS n_converted,
+        |       round(quantile_cont(lag_sec, 0.5), 4) AS p50_sec,
+        |       round(quantile_cont(lag_sec, 0.9), 4) AS p90_sec,
+        |       CAST(max(lag_sec) AS BIGINT) AS max_sec
+        |FROM lag_""".stripMargin,
     "q98_concurrency" ->
       """WITH iv AS (
         |  SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, event_type,
