@@ -93,6 +93,34 @@ object MediaCodec {
     }
   }
 
+  /** STUB feature extractor ??? — in production this runs the vision/
+    * audio encoder (CLIP, wav2vec) over the decoded payload. Here the
+    * embedding is derived deterministically from the payload's md5
+    * (16 md5 bytes → `dim` floats in [-1, 1), repeating the digest as
+    * needed), so: identical payloads ⇒ identical embeddings, and the
+    * downstream geometry (norms, cosines, LSH bands) is real and
+    * engine-recomputable. The Spark-side shape is what matters: a
+    * narrow mapPartitions that would hold ONE encoder per partition. */
+  def featuresOne(b: MediaBlob, dim: Int = 16): Array[Float] = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(b.bytes)
+    Array.tabulate(dim) { i =>
+      val x = digest(i % digest.length) & 0xff
+      (x - 128) / 128.0f
+    }
+  }
+
+  /** Batched per-partition feature extraction — the same narrow shape as
+    * [[decode]]; output feeds [[graft.operators.VectorLsh]] directly for
+    * embedding-space media dedup. */
+  def features(blobs: Dataset[MediaBlob], dim: Int = 16)(
+      implicit s: SparkSession): Dataset[(Long, Array[Float])] = {
+    import s.implicits._
+    blobs.mapPartitions { it =>
+      // real impl: val enc = Encoder.load(); it.map(b => enc.embed(b))
+      it.map(b => (b.media_id, featuresOne(b, dim)))
+    }
+  }
+
   /** Resize stub: recompute metadata for a target box, preserving aspect
     * ratio via integer arithmetic (floor), payload untouched. */
   def resizeMeta(m: MediaMeta, maxSide: Int): MediaMeta = {

@@ -41,6 +41,32 @@ class MediaCodecSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes.nonEmpty))
   }
 
+  test("features: identical payloads embed identically, bounded values") {
+    val a = MediaCodec.featuresOne(blob(1, "image", "same bytes"))
+    val b = MediaCodec.featuresOne(blob(2, "image", "same bytes"))
+    val c = MediaCodec.featuresOne(blob(3, "image", "other bytes"))
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+    assert(a.length == 16 && a.forall(v => v >= -1f && v < 1f))
+  }
+
+  test("media dedup end to end: blobs -> features -> LSH drop list") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    // 8 distinct payloads + exact duplicates of payloads 0 and 3
+    val blobs = (0L until 8L).map(i => blob(i, "image", s"payload-$i")) ++
+      Seq(blob(100L, "image", "payload-0"), blob(101L, "image", "payload-3"))
+    val feats = MediaCodec.features(blobs.toDS())
+      .toDF("media_id", "embedding")
+    val dropped = graft.operators.VectorLsh
+      .cosineDropIds(feats, "media_id", "embedding",
+        nBands = 4, bandBits = 4, threshold = 0.999)
+      .as[Long].collect().toSet
+    // the duplicate (larger) ids must drop; the 8 originals must survive
+    assert(dropped.contains(100L) && dropped.contains(101L))
+    assert(dropped.intersect((0L until 8L).toSet).isEmpty)
+  }
+
   test("resizeMeta preserves aspect and never upsizes") {
     val m = MediaCodec.decodeOne(blob(9, "image", "payload")).copy(
       width = 1920, height = 1080)
