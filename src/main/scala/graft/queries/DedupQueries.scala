@@ -223,6 +223,37 @@ object DedupQueries extends QueryPack {
       .orderBy($"csize")
   }
 
+  /** Leakage-safe train/val/test split: assign whole NEAR-DUP CLUSTERS
+    * to splits, never individual documents — a near-dup pair straddling
+    * train and eval is exactly how benchmark contamination happens
+    * (q89's decontamination catches it after the fact; this prevents
+    * it). Cluster label = connected component of the LSH band graph
+    * (bipartite propagation, no pair materialization); docs with no
+    * near-dup partner are their own cluster. Split = md5 bucket of the
+    * CLUSTER id, 8/1/1 — deterministic, engine-portable, and every
+    * cluster lands whole by construction on both engines. */
+  private val q117: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val bands = graft.operators.NearDup
+      .lshBands(docs, "doc_id", "text", K, NH, B, R)
+      .select($"doc_id", concat_ws("|", $"band_idx", $"band_hash").as("bucket"))
+    val comps = graft.operators.ConnectedComponents
+      .minLabelByBucket(bands, "doc_id", "bucket")
+      .withColumnRenamed("id", "doc_id")
+    val bucket = pmod(
+      graft.functions.DedupFunctions.hash32(
+        concat(lit("split:"), $"comp".cast("string"))), lit(10L))
+    docs.select($"doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce($"comp", $"doc_id"))
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"comp").as("n_clusters"))
+      .orderBy($"split")
+  }
+
   /** Fuzzy (edit-distance) near-dup: block on (lang, length bucket), then
     * exact `levenshtein` over 80-char prefixes for in-block pairs — the
     * verification stage that follows LSH candidate generation in a
@@ -258,7 +289,8 @@ object DedupQueries extends QueryPack {
     "q48_ngram_jaccard" -> q48,
     "q49_simhash" -> q49,
     "q50_embedding_neardup" -> q50,
-    "q95_dedup_components" -> q95
+    "q95_dedup_components" -> q95,
+    "q117_leakage_split" -> q117
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -431,6 +463,36 @@ object DedupQueries extends QueryPack {
          |  round(max(cos_raw), 4) AS cos
          |FROM cand WHERE cos_raw >= 0.35
          |GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b""".stripMargin,
+    "q117_leakage_split" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j)),
+         |pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+         |          UNION SELECT pb, pa FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT ea, ea FROM edges
+         |  UNION
+         |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.id),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |spl AS (
+         |  SELECT doc_id, comp,
+         |    CASE WHEN ('0x' || substr(md5('split:' || CAST(comp AS VARCHAR)), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+         |         WHEN ('0x' || substr(md5('split:' || CAST(comp AS VARCHAR)), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM lab)
+         |SELECT split, count(*) AS n_docs,
+         |       count(DISTINCT comp) AS n_clusters
+         |FROM spl GROUP BY split ORDER BY split""".stripMargin,
     "q95_dedup_components" ->
       s"""WITH RECURSIVE $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
