@@ -223,6 +223,20 @@ object DedupQueries extends QueryPack {
       .orderBy($"csize")
   }
 
+  /** q49 at the PRODUCTION width: 64-bit simhash (hash64), 8 byte
+    * bands, Hamming <= 12 — oracle-mirrored in DuckDB UBIGINT
+    * arithmetic, so the width that actually survives billions of docs
+    * (32-bit buckets saturate with collisions there) is verified, not
+    * extrapolated. */
+  private val q119: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.NearDup
+      .simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        K, bits = 64, maxHamming = 12)
+      .select($"doc_a", $"doc_b", $"hamming", $"n_bands")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** q47 at a SECOND parameter point (nh=16, b=4, r=4): the judge-grade
     * proof that the MinHash family parameterization is correct as a
     * FUNCTION of (nh, b, r), not just at the 9/3/3 fixture values — the
@@ -306,7 +320,8 @@ object DedupQueries extends QueryPack {
     "q50_embedding_neardup" -> q50,
     "q95_dedup_components" -> q95,
     "q117_leakage_split" -> q117,
-    "q118_minhash_wide" -> q118
+    "q118_minhash_wide" -> q118,
+    "q119_simhash64" -> q119
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -341,6 +356,19 @@ object DedupQueries extends QueryPack {
          |THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
     }.mkString(" + ")
     s"CAST($bits AS BIGINT)"
+  }
+
+  /** Mirror of DedupFunctions.simhash 64-bit over UBIGINT hash list
+    * `hs` (masks emitted as decimal literals — DuckDB's checked shift
+    * rejects 1 << 63 even on UBIGINT). */
+  private val duckSimhash64: String = {
+    val bits = (0 until 64).map { b =>
+      val mask = java.lang.Long.toUnsignedString(1L << b)
+      s"""CASE WHEN list_sum(list_transform(hs,
+         |  h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |THEN $mask::UBIGINT ELSE 0::UBIGINT END""".stripMargin
+    }.mkString(" + ")
+    s"($bits)"
   }
 
   /** Mirror of VectorFunctions.cosine for 64-dim float lists a/b. */
@@ -479,6 +507,20 @@ object DedupQueries extends QueryPack {
          |  round(max(cos_raw), 4) AS cos
          |FROM cand WHERE cos_raw >= 0.35
          |GROUP BY vec_a, vec_b ORDER BY vec_a, vec_b""".stripMargin,
+    "q119_simhash64" ->
+      s"""WITH $shingleCte,
+         |hsv AS (SELECT doc_id,
+         |    list_transform(s, tk -> ('0x' || substr(md5(tk), 1, 16))::UBIGINT) AS hs
+         |  FROM sh),
+         |sim AS (SELECT doc_id, $duckSimhash64 AS sim FROM hsv),
+         |bands AS (SELECT doc_id, sim, j, (sim >> (8*j)) & 255 AS bv
+         |  FROM sim, range(0, 8) r(j))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming,
+         |  count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3 HAVING hamming <= 12 ORDER BY 1, 2""".stripMargin,
     "q118_minhash_wide" ->
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(16)} AS sig FROM sh WHERE len(s) > 0),
