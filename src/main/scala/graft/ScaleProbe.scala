@@ -38,8 +38,20 @@ object ScaleProbe {
     (0 until n).map { i =>
       embs.withColumn("vec_id", $"vec_id" + lit(i * nEmbs))
     }.reduce(_ union _).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // the probe queries only touch documents/embeddings; link the rest
-    graft.core.Tables.all.filterNot(t => t == "documents" || t == "embeddings")
+    // events replicate by user population (ids AND event ids shifted):
+    // N× users with the same per-user activity — the growth axis the
+    // behavior family (q98/q101/q102/q115/q116) scales along
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val nUsers = events.agg(max($"user_id")).head.getLong(0) + 1
+    val nEvents = events.agg(max($"event_id")).head.getLong(0) + 1
+    (0 until n).map { i =>
+      events
+        .withColumn("user_id", $"user_id" + lit(i * nUsers))
+        .withColumn("event_id", $"event_id" + lit(i * nEvents))
+    }.reduce(_ union _).write.mode("overwrite").parquet(s"$out/events.parquet")
+    // remaining tables are linked unmodified
+    graft.core.Tables.all
+      .filterNot(t => t == "documents" || t == "embeddings" || t == "events")
       .foreach { t =>
         val p = java.nio.file.Paths.get(s"$out/$t.parquet")
         if (!java.nio.file.Files.exists(p))
@@ -51,8 +63,9 @@ object ScaleProbe {
       "q49_simhash", "q50_embedding_neardup", "q51_knn_brute", "q52_ann_lsh",
       "q53_ann_ivf", "q77_dedup_keep", "q87_corpus_pipeline",
       "q89_decontaminate", "q91_quantize_int8", "q93_stratified_mix",
-      "q95_dedup_components", "q99_fuzzy_neardup", "q105_chunk_overlap",
-      "q106_incremental_dedup", "q107_containment")
+      "q95_dedup_components", "q98_concurrency", "q99_fuzzy_neardup",
+      "q101_funnel", "q102_retention", "q105_chunk_overlap",
+      "q106_incremental_dedup", "q107_containment", "q115_transitions")
     only.foreach(req => (req -- allProbes.toSet)
       .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))
     val probes = allProbes.filter(p => only.forall(_.contains(p)))

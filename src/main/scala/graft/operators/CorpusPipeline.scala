@@ -109,4 +109,25 @@ object CorpusPipeline {
     new Staged(docs, afterGate, afterLang, afterExact, afterNearDedup,
       afterDecontam, result)
   }
+
+  /** Final materialization stage: overlapping token-window chunks of the
+    * surviving corpus (q105's layout — starts every `stride` tokens,
+    * `size`-token windows). Embarrassingly parallel; one output row per
+    * chunk with the source doc id carried for provenance. */
+  def chunk(corpus: DataFrame, cfg: Config = Config(),
+      size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size >= 1 && stride >= 1, s"size/stride must be >= 1 ($size/$stride)")
+    corpus
+      .select(col(cfg.idCol),
+        split(trim(col(cfg.textCol)), "\\s+").as("__w"))
+      .select(col(cfg.idCol), col("__w"),
+        posexplode(sequence(lit(0), greatest(size_(col("__w")) - 1, lit(0)),
+          lit(stride))))
+      .toDF(cfg.idCol, "__w", "chunk_id", "__st")
+      .select(col(cfg.idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__w"), col("__st") + 1, lit(size)), " ").as("chunk"))
+  }
+
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
 }

@@ -31,6 +31,22 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(staged.result.filter(!$"lang".isin("en", "zh", "es")).count() == 0)
   }
 
+  test("chunk stage emits q105's layout over the pipeline survivors") {
+    import spark.implicits._
+    val staged = CorpusPipeline.build(Tables.documents(spark, sfDir))
+    val chunks = CorpusPipeline.chunk(staged.result)
+    val perDoc = chunks.groupBy($"doc_id").count()
+    val toks = staged.result
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).as("n"))
+    val bad = perDoc.join(toks, "doc_id")
+      .filter($"count" =!= floor(($"n" - 1) / 24) + 1)
+    assert(bad.count() == 0)
+    // every chunk holds at most 32 tokens
+    val over = chunks
+      .filter(size(split($"chunk", " ")) > 32)
+    assert(over.count() == 0)
+  }
+
   test("exact stage keeps exactly one doc per fingerprint, the smallest id") {
     import spark.implicits._
     val docs = Seq(
