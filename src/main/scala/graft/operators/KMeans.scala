@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DedupFunctions.hash32
+import graft.functions.VectorFunctions.dot
+
+/** Distributed Lloyd's k-means over an embedding column — the TRAINING
+  * step behind IVF list assignment (q53 probes per-label centroids; in
+  * production the "labels" are exactly these trained cluster ids).
+  *
+  * Deterministic by construction, so reruns and spec assertions are
+  * stable: seeds are the k vectors with the smallest salted-md5 rank
+  * (not `rand()`), every argmin tie breaks on cluster id, and the
+  * centroid means are computed per (cluster, dimension) from exploded
+  * rows — the same shuffle q53's oracle centroids use.
+  *
+  * Scale shape per iteration: ONE broadcast of k centroids against the
+  * full table (assignment = codegen'd dot products + a per-row min,
+  * no shuffle), then ONE (cluster, dim)-keyed hash agg for the new
+  * means (shuffle rows = n·dim, uniformly keyed). State between
+  * iterations is k centroid rows localCheckpoint'ed — at cluster scale
+  * swap for reliable checkpoint(). Assignment cost dominates at
+  * k·n·dim multiply-adds per iter, the textbook Lloyd bound. */
+object KMeans {
+
+  /** Train k centroids for `iters` Lloyd rounds; returns the final
+    * assignment (idCol, cluster) — centroids are an implementation
+    * detail callers re-derive per cluster if needed (one agg). */
+  def lloyd(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1 (got $k, $iters)")
+    // dot() resolves through the session function registry — install it
+    // for callers that never touched Tables.load
+    graft.expressions.GraftFunctions.ensureRegistered(embs.sparkSession)
+    val e = embs.select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
+      .where(col("__v").isNotNull)
+      .localCheckpoint()
+
+    // deterministic farthest-first seeding (the greedy 2-approximation
+    // behind k-means++): seed 1 = smallest salted-hash rank, each next
+    // seed = the point farthest from every chosen seed (ties on id).
+    // Hash-rank seeding alone can land two seeds in one true cluster
+    // and permanently lose another — farthest-first cannot, as long as
+    // clusters are separated. k-1 tiny driver rounds of one scan each.
+    val first = e
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(hash32(concat(lit("km:"), col("__id").cast("string"))), col("__id"))))
+      .where(col("__rk") === 1)
+      .select(lit(0L).as("__cid"), col("__v").as("__c"))
+      .localCheckpoint()
+    var cent = first
+    for (i <- 1 until k) {
+      val mind = e.crossJoin(broadcast(
+          cent.withColumn("__cn", dot(col("__c"), col("__c")))))
+        .groupBy(col("__id"))
+        .agg(first_value(col("__v")).as("__v"),
+          min(col("__cn") - lit(2.0) * dot(col("__v"), col("__c"))).as("__s"))
+        .withColumn("__d", dot(col("__v"), col("__v")) + col("__s"))
+        .orderBy(col("__d").desc, col("__id"))
+        .limit(1)
+        .select(lit(i.toLong).as("__cid"), col("__v").as("__c"))
+      cent = cent.unionByName(mind).localCheckpoint()
+    }
+
+    var assign: DataFrame = null
+    for (_ <- 0 until iters) {
+      // argmin ||x-c||² = argmin (|c|² − 2·x·c); |x|² is constant per row
+      val scored = e.crossJoin(broadcast(
+          cent.withColumn("__cn", dot(col("__c"), col("__c")))))
+        .withColumn("__score", col("__cn") - lit(2.0) * dot(col("__v"), col("__c")))
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__score"), col("__cid"))
+      assign = scored
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .select(col("__id"), col("__cid"), col("__v"))
+        .localCheckpoint()
+      // new means per (cluster, dimension); empty clusters keep their
+      // previous centroid (left join + coalesce)
+      val means = assign
+        .select(col("__cid"), posexplode(col("__v")))
+        .groupBy(col("__cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("__cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("__cid"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("__cNew"))
+      cent = cent.join(means, Seq("__cid"), "left")
+        .select(col("__cid"), coalesce(col("__cNew"), col("__c")).as("__c"))
+        .localCheckpoint()
+    }
+    assign.select(col("__id").as(idCol), col("__cid").cast("long").as("cluster"))
+  }
+}

@@ -105,8 +105,10 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** IVF skeleton: centroids = per-label mean vector (the "coarse
-    * quantizer" — at scale these come from k-means), each query probes
-    * its top-2 nearest centroids and searches only those lists (top-3).
+    * quantizer" — at scale these come from k-means: the deterministic
+    * Lloyd trainer is [[graft.operators.KMeans.lloyd]], whose cluster
+    * ids play exactly this label's role), each query probes its top-2
+    * nearest centroids and searches only those lists (top-3).
     * Exercises posexplode → per-dimension agg → re-assembled vector. */
   private val q53: Q = (s, d) => {
     import s.implicits._
