@@ -24,6 +24,10 @@ final case class TimedJob(action: String, millis: Long, succeeded: Boolean,
   * sink for the ops-side tail -f the reference's timer logs served. */
 final class JobTimer(maxEntries: Int = 10000) extends QueryExecutionListener {
   private val buf = new ConcurrentLinkedQueue[TimedJob]()
+  // ConcurrentLinkedQueue.size() is O(n) — walking 10k nodes per completed
+  // action would itself stall the listener bus, so the count is tracked
+  // beside the queue and every callback stays O(1)
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def head(qe: QueryExecution): String = {
     val s = qe.executedPlan.nodeName
@@ -32,7 +36,10 @@ final class JobTimer(maxEntries: Int = 10000) extends QueryExecutionListener {
 
   private def add(j: TimedJob): Unit = {
     buf.add(j)
-    while (buf.size() > maxEntries) buf.poll() // drop oldest, stay bounded
+    var c = n.incrementAndGet()
+    while (c > maxEntries) { // drop oldest, stay bounded
+      c = if (buf.poll() != null) n.decrementAndGet() else maxEntries
+    }
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

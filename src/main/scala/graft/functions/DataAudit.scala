@@ -23,6 +23,13 @@ object DataAudit {
     * of `df` total. `n_bad` counts rows where the predicate holds. */
   def predicateChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "need at least one predicate check")
+    // names are spliced into selectExpr (stack literal + __bad_ column):
+    // anything beyond identifier characters would break parsing or inject
+    // expressions, so reject it up front
+    checks.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"check name '$name' must match [A-Za-z0-9_]+")
+    }
     val aggs = checks.map { case (name, bad) =>
       sum(when(bad, 1L).otherwise(0L)).as(s"__bad_$name")
     } :+ count(lit(1)).as("__n")

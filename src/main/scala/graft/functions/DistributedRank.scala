@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *  2. One hash exchange on `__pid` (the bucket window's own required
   *     distribution — no second full-data shuffle), then a per-bucket
   *     row_number. Bucket counts — numBuckets rows of metadata, not
-  *     data — cumulate into starting offsets (the only unpartitioned
-  *     window runs over that tiny set) and broadcast back:
-  *     global row number = offset + local row number.
+  *     data — cumulate into starting offsets via a triangular broadcast
+  *     self-join (NOT an un-partitioned window: even over 32 metadata
+  *     rows that plans as a single-partition WindowExec and logs the
+  *     scale warning — O(numBuckets²) join rows are cheaper than the
+  *     noise) and broadcast back: global row number = offset + local
+  *     row number.
   *
   * Exact (not approximate): correctness needs only the bucket invariant —
   * every row in bucket p sorts before every row in p+1 — which holds for
@@ -81,18 +84,27 @@ object DistributedRank {
     val parted = rangeBucketed(df, sortCols)
     val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = parted.withColumn("__lrn", row_number().over(localW).cast("long"))
-    val offW = Window.orderBy(col("__pid"))
-    val offsets = parted
-      .groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum(col("__cnt")).over(offW.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn(totalCol, sum(col("__cnt")).over(
-        offW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cnts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = prefixOffsets(cnts)
+      .crossJoin(broadcast(cnts.agg(sum(col("__cnt")).as(totalCol))))
       .select(col("__pid"), col("__off"), col(totalCol))
     local.join(broadcast(offsets), "__pid")
       .withColumn(rnCol, col("__off") + col("__lrn"))
       .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Exclusive prefix sums over the per-bucket totals `(__pid, __cnt)`
+    * WITHOUT a window: even a numBuckets-row un-partitioned window plans
+    * as a single-partition WindowExec (and logs Spark's scale warning),
+    * so the offsets come from a triangular broadcast self-join instead —
+    * O(numBuckets²) joined metadata rows, zero global-window shapes
+    * anywhere in the codebase. */
+  private def prefixOffsets(cnts: DataFrame): DataFrame = {
+    val prior = cnts.select(col("__pid").as("__bpid"), col("__cnt").as("__bcnt"))
+    cnts.join(broadcast(prior), col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(first(col("__cnt")).as("__cnt"),
+        coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
   }
 
   /** Distributed global RUNNING TOTAL (inclusive prefix sum of `valCol`
@@ -100,7 +112,8 @@ object DistributedRank {
     * with per-bucket SUMS instead of counts: bucket-local window prefix
     * sums + broadcast per-bucket offsets. The naive
     * `sum().over(Window.orderBy(...))` funnels every row through one task;
-    * this funnels only numBuckets metadata rows. Same contract: leading
+    * here the only cross-bucket state is the numBuckets-row offsets join.
+    * Same contract: leading
     * sort column numeric, full sort key unique, `valCol` integral (the
     * offsets must be exact — floats would reorder-drift across buckets). */
   def withRunningTotal(df: DataFrame, rtCol: String, valCol: Column,
@@ -109,13 +122,8 @@ object DistributedRank {
     val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__lrt", sum(col("__v")).over(localW))
-    val offW = Window.orderBy(col("__pid"))
-    val offsets = parted
-      .groupBy(col("__pid")).agg(sum(col("__v")).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum(col("__cnt")).over(offW.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__pid"), col("__off"))
+    val cnts = parted.groupBy(col("__pid")).agg(sum(col("__v")).as("__cnt"))
+    val offsets = prefixOffsets(cnts).select(col("__pid"), col("__off"))
     local.join(broadcast(offsets), "__pid")
       .withColumn(rtCol, col("__off") + col("__lrt"))
       .drop("__pid", "__v", "__lrt", "__off")

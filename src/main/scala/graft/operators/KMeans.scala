@@ -44,12 +44,7 @@ object KMeans {
     // Hash-rank seeding alone can land two seeds in one true cluster
     // and permanently lose another — farthest-first cannot, as long as
     // clusters are separated. k-1 tiny driver rounds of one scan each.
-    val first = e
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(hash32(concat(lit("km:"), col("__id").cast("string"))), col("__id"))))
-      .where(col("__rk") === 1)
-      .select(lit(0L).as("__cid"), col("__v").as("__c"))
-      .localCheckpoint()
+    val first = seedFirst(e).localCheckpoint()
     var cent = first
     for (i <- 1 until k) {
       val mind = e.crossJoin(broadcast(
@@ -92,5 +87,20 @@ object KMeans {
         .localCheckpoint()
     }
     assign.select(col("__id").as(idCol), col("__cid").cast("long").as("cluster"))
+  }
+
+  /** Seed-1 selection (exposed for plan assertions): the smallest
+    * salted-hash row via orderBy+limit(1), which plans as
+    * TakeOrderedAndProject — a parallel partial top-1 per partition.
+    * A `row_number().over(Window.orderBy(...))` would compute the same
+    * row but funnel the ENTIRE table through one task (the only
+    * un-partitioned WindowExec the codebase ever had); at 100 TB that
+    * is a hard single-executor bottleneck, so the shape is pinned by
+    * KMeansSpec. */
+  private[graft] def seedFirst(e: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(e.sparkSession)
+    e.orderBy(hash32(concat(lit("km:"), col("__id").cast("string"))), col("__id"))
+      .limit(1)
+      .select(lit(0L).as("__cid"), col("__v").as("__c"))
   }
 }

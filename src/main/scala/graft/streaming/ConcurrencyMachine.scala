@@ -8,7 +8,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * e.g. "day|event_type"; tSec = epoch seconds). */
 final case class ConcDelta(key: String, tSec: Long, delta: Long)
 
-/** Per-batch peak concurrency observed in one UTC hour of a series. */
+/** Per-batch peak concurrency observed in one EPOCH hour (tSec / 3600)
+  * of a series. The epoch hour is globally unique, so series keys need
+  * not embed the day: peaks from different days can never collapse into
+  * one (key, hr) bucket. Callers wanting hour-of-day take `hr % 24`. */
 final case class ConcPeak(key: String, hr: Long, peak: Long)
 
 /** Streaming peak-concurrency sweep line — the incremental twin of batch
@@ -42,7 +45,7 @@ object ConcurrencyMachine {
       val points = rows.toSeq.groupBy(_.tSec).toSeq.sortBy(_._1)
         .map { case (t, ds) => c += ds.map(_.delta).sum; (t, c) }
       conc.update(c)
-      points.groupBy { case (t, _) => t % 86400L / 3600L }
+      points.groupBy { case (t, _) => t / 3600L }
         .map { case (hr, pts) => ConcPeak(key, hr, pts.map(_._2).max) }
         .iterator
     }

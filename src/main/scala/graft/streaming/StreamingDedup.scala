@@ -23,31 +23,40 @@ import graft.operators.NearDup
   *
   * Scale notes: both membership checks are semi-joins against
   * DISTINCT-projected parquet indexes — the same plan shape as q106,
-  * which ScaleProbe measured flat at 10×. Index appends are plain
-  * columnar appends; a micro-batch RETRY may double-append rows, which
-  * is harmless because the index is only ever used for membership
-  * (duplicate index rows cannot change any verdict) — the sink is
-  * idempotent by semantics, not by write-path dedup. At lake scale the
+  * which ScaleProbe measured flat at 10×. Index rows carry the writing
+  * `batch_id` (a partition column): membership reads EXCLUDE the current
+  * batch's id and the write dynamically overwrites only that batch's
+  * partitions, so an at-least-once foreachBatch RETRY can neither see
+  * its own prior half-written attempt (which would flip every doc to
+  * `exact_dup` by self-match) nor leave duplicate index rows behind —
+  * verdicts are stable under retry by construction. At lake scale the
   * two index dirs map 1:1 to Delta tables and the band index gets
   * bucket-partitioned so the semi-join prunes files.
   */
 object StreamingDedup {
 
   /** Classify one (batch) DataFrame of `(doc_id, text)` against the
-    * index at `indexDir`, append the batch's fingerprint/band rows to
-    * the index, and return the verdicts `(doc_id, verdict)`. The
-    * returned frame is materialized (localCheckpoint) BEFORE the index
-    * append — its plan reads the index lazily, so appending first would
-    * make every document match itself. */
-  def classifyAndIndex(batch: DataFrame, indexDir: String,
+    * index at `indexDir`, write the batch's fingerprint/band rows into
+    * the index under its `batchId`, and return the verdicts
+    * `(doc_id, verdict)`. The returned frame is materialized
+    * (localCheckpoint) BEFORE the index write — its plan reads the index
+    * lazily, so writing first would make every document match itself.
+    * Membership reads skip `batch_id = batchId` and the write overwrites
+    * exactly that partition, so a retried batch never sees (or
+    * duplicates) its own prior attempt. */
+  def classifyAndIndex(batch: DataFrame, indexDir: String, batchId: Long,
       k: Int = 3, nh: Int = 9, b: Int = 3, r: Int = 3): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val fpPath = new Path(s"$indexDir/fp")
     val bandPath = new Path(s"$indexDir/bands")
     val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exclude THIS batch's partitions: on a retry they hold the failed
+    // attempt's rows (partition pruning makes the exclusion free)
     def readIf(p: Path): Option[DataFrame] =
-      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      if (fs.exists(p))
+        Some(spark.read.parquet(p.toString).where($"batch_id" =!= batchId))
+      else None
 
     val docs = batch.select($"doc_id", $"text").persist()
     try {
@@ -87,8 +96,14 @@ object StreamingDedup {
           // eager: must be computed before the appends below
           .localCheckpoint()
 
-        fp.write.mode(SaveMode.Append).parquet(fpPath.toString)
-        bands.write.mode(SaveMode.Append).parquet(bandPath.toString)
+        def writeIdx(df: DataFrame, p: Path): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(p.toString)
+        writeIdx(fp, fpPath)
+        writeIdx(bands, bandPath)
         verdicts
       } finally { fp.unpersist(); bands.unpersist() }
     } finally { docs.unpersist() }
@@ -101,5 +116,5 @@ object StreamingDedup {
       onVerdicts: (DataFrame, Long) => Unit,
       k: Int = 3, nh: Int = 9, b: Int = 3, r: Int = 3): (DataFrame, Long) => Unit =
     (batch, batchId) =>
-      onVerdicts(classifyAndIndex(batch, indexDir, k, nh, b, r), batchId)
+      onVerdicts(classifyAndIndex(batch, indexDir, batchId, k, nh, b, r), batchId)
 }

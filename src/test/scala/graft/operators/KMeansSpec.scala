@@ -41,6 +41,58 @@ class KMeansSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("seed-1 selection plans as TakeOrderedAndProject, never a global window") {
+    val s = spark
+    import s.implicits._
+    val e = clusteredData.toDF("vec_id", "embedding")
+      .select($"vec_id".as("__id"), $"embedding".cast("array<float>").as("__v"))
+    val p = KMeans.seedFirst(e).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Window"), p.take(600))
+  }
+
+  test("no un-partitioned WindowExec anywhere in lloyd training") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        seen.add(qe.executedPlan)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    s.listenerManager.register(l)
+    try {
+      KMeans.lloyd(clusteredData.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, iters = 2).collect()
+      // listener delivery is async on the bus: wait until the count is
+      // stable for a beat before asserting over the captured plans
+      var last = -1
+      var tries = 0
+      while (seen.size() != last && tries < 100) {
+        last = seen.size(); tries += 1; Thread.sleep(100)
+      }
+      // AQE wraps the final plan in leaf-like nodes, so walk explicitly
+      def badWindows(p: SparkPlan): Seq[WindowExec] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        (p match {
+          case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+          case _ => Nil
+        }) ++ kids.flatMap(badWindows)
+      }
+      import scala.jdk.CollectionConverters._
+      val bad = seen.asScala.toSeq.flatMap(badWindows)
+      assert(bad.isEmpty,
+        s"single-task windows in training plans:\n${bad.mkString("\n")}")
+    } finally s.listenerManager.unregister(l)
+  }
+
   test("k larger than distinct points still assigns every row") {
     val s = spark
     import s.implicits._

@@ -59,9 +59,14 @@ class ConcurrencyMachineSpec extends SparkSpec {
     val streaming = peaks.groupBy(p => (p.key, p.hr))
       .map { case ((k, h), ps) => (k, h, ps.map(_.peak).max) }.toSet
 
+    // batch q98 reports (day, hour-of-day); the machine reports the
+    // globally-unique epoch hour — align by day·24h + hr (UTC session tz)
     val batch = graft.queries.BehaviorQueries
       .queries("q98_concurrency")(spark, sfDir)
-      .select(concat_ws("|", $"day", $"event_type"), $"hr", $"peak")
+      .select(concat_ws("|", $"day", $"event_type"),
+        ((unix_timestamp(to_timestamp($"day")) + $"hr" * 3600L) / 3600L)
+          .cast("long"),
+        $"peak")
       .as[(String, Long, Long)].collect().toSet
     assert(streaming == batch)
   }

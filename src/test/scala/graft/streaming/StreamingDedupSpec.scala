@@ -48,6 +48,32 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
   }
 
+  test("a retried batch never sees its own prior attempt (verdicts stable)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_r").toString
+    val idx = s"$dir/index"
+    StreamingDedup.classifyAndIndex(
+      Seq((1L, text("a"))).toDF("doc_id", "text"), idx, batchId = 0L)
+    val b1 = Seq((2L, text("b")), (3L, text("a"))).toDF("doc_id", "text")
+    val attempt1 = StreamingDedup.classifyAndIndex(b1, idx, batchId = 1L)
+      .as[(Long, String)].collect().toMap
+    // foreachBatch is at-least-once: the same batchId re-runs after the
+    // index write of the failed attempt. Without batch-scoped writes, doc
+    // 2 would self-match via attempt 1's index rows and flip to exact_dup.
+    val retry = StreamingDedup.classifyAndIndex(b1, idx, batchId = 1L)
+      .as[(Long, String)].collect().toMap
+    assert(attempt1 == Map(2L -> "new", 3L -> "exact_dup"))
+    assert(retry == attempt1, "retry must reproduce the first attempt's verdicts")
+    // and the retry's overwrite leaves no duplicate index rows behind
+    val fpRows = spark.read.parquet(s"$idx/fp")
+    assert(fpRows.count() == fpRows.dropDuplicates("doc_id", "fp", "batch_id").count())
+    // a LATER batch does see batch 1's rows through the index
+    val next = StreamingDedup.classifyAndIndex(
+      Seq((4L, text("b"))).toDF("doc_id", "text"), idx, batchId = 2L)
+      .as[(Long, String)].collect().toMap
+    assert(next == Map(4L -> "exact_dup"))
+  }
+
   test("streaming classification matches the batch q106 semi-join form") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_b").toString
@@ -56,9 +82,11 @@ class StreamingDedupSpec extends SparkSpec {
     val batch = docs.filter($"source" === "src19")
     // seed the index with the corpus, then classify the batch — must
     // equal the batch query's verdicts on the same split
-    StreamingDedup.classifyAndIndex(corpus.select($"doc_id", $"text"), s"$dir/index")
+    StreamingDedup.classifyAndIndex(corpus.select($"doc_id", $"text"),
+      s"$dir/index", batchId = 0L)
     val streaming = StreamingDedup
-      .classifyAndIndex(batch.select($"doc_id", $"text"), s"$dir/index")
+      .classifyAndIndex(batch.select($"doc_id", $"text"),
+        s"$dir/index", batchId = 1L)
       .as[(Long, String)].collect().toMap
     val reference = graft.queries.CorpusOpsQueries
       .queries("q106_incremental_dedup")(spark, sfDir)
