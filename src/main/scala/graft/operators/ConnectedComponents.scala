@@ -130,7 +130,7 @@ object ConnectedComponents {
     * Returns (id, comp) with comp = component minimum — identical
     * contract (and spec-proven identical output) to [[minLabel]]. */
   def alternatingStar(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, onRound: Int => Unit = _ => ()): DataFrame = {
     var e = edges
       .select(
         least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
@@ -169,6 +169,7 @@ object ConnectedComponents {
       converged = next.count() == e.count() && next.except(e).isEmpty
       e = next
       iter += 1
+      onRound(iter)
     }
     if (!converged)
       throw new IllegalStateException(

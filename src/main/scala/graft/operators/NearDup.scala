@@ -127,13 +127,25 @@ object NearDup {
     * shared (pigeonhole) — candidate generation is complete. Candidates
     * are then verified with an exact intersection count.
     *
-    * Cost model: wins when shingles are near-unique (real text — the
-    * inverted index probe carries ~(1−t) of the volume and candidates
-    * are few); on hot-shingle corpora every pair sharing any shingle
-    * becomes a candidate and the single grouped self-join
-    * (`queries/CorpusOpsQueries` q107) is cheaper because it skips the
-    * candidate materialization. Output identical either way —
-    * NearDupSpec asserts it on the fixture.
+    * Prefixes are taken in ASCENDING GLOBAL DOCUMENT FREQUENCY order
+    * (ties on hash, then the shingle itself — fully deterministic): any
+    * ⌊(1−t)n⌋+1 shingles satisfy the pigeonhole, but frequency order is
+    * what makes the filter WIN — each doc's prefix holds its RAREST
+    * shingles, so hot boilerplate shingles sit only on the index side
+    * and never generate candidates (hash order scatters hot shingles
+    * into ~(1−t) of the prefixes, and the candidate join degenerates
+    * toward the grouped form's Σdeg² — measured in ScaleProbe's
+    * `containment_lowcol`). The df census is one extra count agg over
+    * the shingle rows — the standard SSJoin preprocessing.
+    *
+    * Cost model: wins when colliding pairs are mostly SUB-threshold
+    * (real text: Zipfian shingles, where hot n-grams connect unrelated
+    * docs) — those pairs never reach the exact intersection count. On
+    * corpora where every collision is a true near-dup pair the verify
+    * stage is the whole cost either way and the single grouped
+    * self-join ([[containmentPairsGrouped]], q107) is cheaper because
+    * it skips the candidate materialization. Output identical either
+    * way — NearDupSpec asserts it on the fixture.
     *
     * Threshold is a ratio of integers (default 8/10) so the prefix
     * length and the final test stay in exact integer arithmetic. */
@@ -144,10 +156,12 @@ object NearDup {
     val sh = shingleRows(docs, idCol, textCol, k)
       .dropDuplicates(idCol, "s")
       .withColumn("n", count(lit(1)).over(byDoc))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // prefix size ⌊(1−t)n⌋+1:  rk ≤ ⌊n(tDen−tNum)/tDen⌋+1
     //   ⟺  (rk−1)·tDen ≤ n·(tDen−tNum)   (integer rk, n)
-    val pref = sh
-      .withColumn("rk", row_number().over(byDoc.orderBy(hash32(col("s")), col("s"))))
+    val pref = sh.join(df, Seq("s"))
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("df"), hash32(col("s")), col("s"))))
       .filter((col("rk") - 1) * tDen <= col("n") * (tDen - tNum))
     val cand = pref.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
@@ -159,6 +173,34 @@ object NearDup {
       .join(sh.select(col(idCol).as("doc_b"), col("s"), col("n").as("nb")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter(col("inter") * tDen >= col("na") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** Containment pairs via a single GROUPED inverted-index self-join —
+    * [[containmentPairs]]' hot-shingle sibling, identical output (the
+    * equality is both spec-proven and oracle-proven at two thresholds:
+    * q107 drives this form, q121 the prefix-filtered one). One exchange
+    * on the shingle feeds both join sides; no candidate materialization.
+    * Wins when shingles are hot (every pair sharing any shingle would be
+    * a candidate anyway); loses to the prefix filter on real text, where
+    * shingles are near-unique and the probe side can skip ~t of each
+    * doc's rows — ScaleProbe's `containment_lowcol` measures the
+    * crossover. */
+  def containmentPairsGrouped(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, tNum: Int = 8, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val sh = shingleRows(docs, idCol, textCol, k)
+      .dropDuplicates(idCol, "s")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .repartition(col("s"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .filter(col("inter") * tDen >= col("na") * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
   }

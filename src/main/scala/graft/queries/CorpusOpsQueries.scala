@@ -160,16 +160,25 @@ object CorpusOpsQueries extends QueryPack {
     * this one. */
   private val q107: Q = (s, d) => {
     import s.implicits._
-    val byDoc = Window.partitionBy($"doc_id")
-    val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", DedupQueries.K)
-      .dropDuplicates("doc_id", "s")
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .repartition($"s")
-    sh.as("a")
-      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("inter"), first($"a.n").as("na"), first($"b.n").as("nb"))
-      .filter($"inter" * 10 >= $"na" * 8)
+    NearDup.containmentPairsGrouped(
+        Tables.documents(s, d), "doc_id", "text", DedupQueries.K, 8, 10)
+      .select($"doc_a", $"doc_b", $"inter", $"na",
+        round($"inter".cast("double") / $"na".cast("double"), 4).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The PREFIX-FILTERED containment form through the oracle gate itself
+    * (VERDICT r3 item 3): [[graft.operators.NearDup.containmentPairs]] at
+    * a second threshold point (0.9 — stricter prefixes than q107's 0.8,
+    * so the pigeonhole index carries ~10% of each doc's shingles). This is
+    * the variant that survives a real-text 100 TB corpus, where shingles
+    * are near-unique and candidate generation touches a fraction of the
+    * inverted index; now hash-verified, not only spec-equal to q107's
+    * grouped form. Same output contract as q107. */
+  private val q121: Q = (s, d) => {
+    import s.implicits._
+    NearDup.containmentPairs(
+        Tables.documents(s, d), "doc_id", "text", DedupQueries.K, 9, 10)
       .select($"doc_a", $"doc_b", $"inter", $"na",
         round($"inter".cast("double") / $"na".cast("double"), 4).as("containment"))
       .orderBy($"doc_a", $"doc_b")
@@ -256,6 +265,7 @@ object CorpusOpsQueries extends QueryPack {
     "q105_chunk_overlap" -> q105,
     "q106_incremental_dedup" -> q106,
     "q107_containment" -> q107,
+    "q121_containment_prefix" -> q121,
     "q108_quota_sample" -> q108,
     "q112_interpolate" -> q112
   )
@@ -397,6 +407,23 @@ object CorpusOpsQueries extends QueryPack {
          |  ON a.sh = b.sh AND a.doc_id <> b.doc_id
          |GROUP BY 1, 2
          |HAVING count(*) * 10 >= any_value(a.n) * 8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q121_containment_prefix" -> {
+      // same naive full inverted-index oracle at the 0.9 threshold: a
+      // green row proves the Spark-side PREFIX FILTER loses no pair
+      val cte = DedupQueries.shingleCteFrom("documents")
+      s"""WITH $cte,
+         |rows_ AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sized AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n
+         |          FROM rows_)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       count(*) AS inter, CAST(any_value(a.n) AS BIGINT) AS na,
+         |       round(count(*)::DOUBLE / any_value(a.n), 4) AS containment
+         |FROM sized a JOIN sized b
+         |  ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) * 10 >= any_value(a.n) * 9
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q112_interpolate" ->

@@ -309,9 +309,35 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Fuzzy near-dup behind MinHash LSH bands — the PRODUCTION composition
+    * (q99's scaladoc promises it; this query proves it against the
+    * oracle): candidates from the q47 band-bucket equi-join, then the
+    * thresholded-levenshtein verify over 80-char prefixes on candidates
+    * ONLY. q99's (lang, length-bucket) blocks grow linearly with the
+    * corpus, so its in-block all-pairs is O(n²) at a fixed language mix;
+    * band buckets stay collision-bounded, so here the quadratic edit
+    * distance runs on O(candidates) pairs — the shape that survives
+    * 100 TB. Distances ≤ 20 are exact under the banded DP; the join back
+    * to the doc table for prefixes is on the (already small) candidate
+    * list. */
+  private val q120: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pfx = docs.select($"doc_id", substring($"text", 1, 80).as("pfx"))
+    graft.operators.NearDup
+      .minhashPairs(docs, "doc_id", "text", K, NH, B, R)
+      .join(pfx.select($"doc_id".as("doc_a"), $"pfx".as("pfx_a")), Seq("doc_a"))
+      .join(pfx.select($"doc_id".as("doc_b"), $"pfx".as("pfx_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"n_bands",
+        levenshtein($"pfx_a", $"pfx_b", 20).cast("bigint").as("lev"))
+      .filter($"lev" >= 0)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_corpus_pipeline" -> q87,
     "q99_fuzzy_neardup" -> q99,
+    "q120_fuzzy_lsh" -> q120,
     "q77_dedup_keep" -> q77,
     "q46_exact_dedup" -> q46,
     "q47_minhash_lsh" -> q47,
@@ -404,6 +430,24 @@ object DedupQueries extends QueryPack {
         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pfx, b.pfx) <= 20
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q120_fuzzy_lsh" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j)),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, c.n_bands,
+         |  CAST(levenshtein(substr(pa.text, 1, 80), substr(pb.text, 1, 80)) AS BIGINT) AS lev
+         |FROM cand c
+         |  JOIN documents pa ON pa.doc_id = c.doc_a
+         |  JOIN documents pb ON pb.doc_id = c.doc_b
+         |WHERE levenshtein(substr(pa.text, 1, 80), substr(pb.text, 1, 80)) <= 20
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q87_corpus_pipeline" ->
       s"""WITH q AS (
          |  SELECT lang, doc_id,
