@@ -10,14 +10,16 @@ import org.apache.spark.sql.SparkSession
   * full-precision result goes to `SPARK_GRAFT_BENCH_OUT`
   * (default `BENCH_LOCAL.json`, a gitignored dev artifact).
   *
-  * Timings are min-of-runs for the slowest queries: the first pass times
-  * everything once in sorted name order, then the slowest `RERUN` get one
-  * more timed run and keep the minimum — a shared-machine CPU spike (the
-  * harness runs other work concurrently) otherwise lands on whichever
-  * queries it happens to overlap and reads as a 10x regression.
+  * Timings are min-of-2 for EVERY query: two full timed passes in sorted
+  * name order, keep the per-query minimum. A shared-machine CPU spike
+  * (the harness runs other work concurrently) lands on whichever queries
+  * it happens to overlap and reads as a 10x regression; with one sample
+  * per mid-pack query, cross-round deltas were unfalsifiable (round-3
+  * verdict) — min-of-2 makes a reported regression mean a plan change,
+  * not scheduler noise. (The earlier slowest-12-only rerun left exactly
+  * the mid-pack queries unprotected.)
   */
 object Bench {
-  private val Rerun = 12
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,10 +51,12 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val first = names.map(n => n -> timeOne(n)).toMap
-    val retimed = first.filter(_._2 > 0).toSeq.sortBy(-_._2).take(Rerun).map {
-      case (n, t1) => n -> math.min(t1, timeOne(n))
-    }
-    val results = first ++ retimed
+    val results = names.map { n =>
+      val t1 = first(n)
+      val t2 = timeOne(n)
+      // a pass that failed (-1) never masks a pass that ran
+      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+    }.toMap
 
     def jsonLine(f: String => String, fmt: Double => String): String = {
       val qs = names.map(n => "\"" + f(n) + "\":" + fmt(results(n)))

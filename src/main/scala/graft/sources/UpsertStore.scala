@@ -65,3 +65,69 @@ final class ParquetUpsertStore(path: String, keys: Seq[String]) extends UpsertSt
     * overwrite (R4's external round-trip, now one merge per trigger). */
   def asBatchSink: (DataFrame, Long) => Unit = (batch, _) => upsert(batch)
 }
+
+/** JDBC realization of [[UpsertStore]] — the reference's state-table
+  * upsert (`utils/DBUtils.scala:142-162`: per-batch DELETE + re-insert
+  * from `foreachRDD`), as a distributed delete-then-insert: rows
+  * repartition on the key (all rows of a key land in ONE task), each
+  * task opens one connection and runs its batched `DELETE WHERE key=?`
+  * + `INSERT` inside a single transaction, so a reader never sees a key
+  * half-replaced and the connection fan-out is exactly `writers` (the
+  * K1 bounded-connection rule).
+  *
+  * Contract: ONE row per key per upsert call (feed it keep-latest
+  * output, as the streaming spec does) — duplicate keys in one batch
+  * would both survive the batched delete phase. Failure semantics are
+  * the reference's: a mid-batch crash leaves some keys replaced and
+  * some not, and the foreachBatch RETRY re-runs the same delete+insert
+  * pairs — convergent (idempotent per key), not atomic across keys.
+  * Cross-key atomicity needs a staging table + MERGE, which this env's
+  * Derby cannot express. */
+final class JdbcUpsertStore(url: String, table: String, keyCols: Seq[String],
+    props: java.util.Properties, writers: Int = 10) extends UpsertStore {
+
+  override def upsert(rows: DataFrame): Unit = {
+    val cols = rows.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"key columns $keyCols must be a subset of $cols")
+    def q(c: String) = "\"" + c + "\""
+    val del = s"DELETE FROM $table WHERE " +
+      keyCols.map(k => s"${q(k)} = ?").mkString(" AND ")
+    val ins = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val keyIdx = keyCols.map(cols.indexOf)
+    val (u, p) = (url, props) // serializable captures, not `this`
+    rows.repartition(writers, keyCols.map(col): _*)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val c = java.sql.DriverManager.getConnection(u, p)
+          try {
+            c.setAutoCommit(false)
+            val ds = c.prepareStatement(del)
+            val is = c.prepareStatement(ins)
+            try {
+              it.foreach { r =>
+                keyIdx.zipWithIndex.foreach { case (ci, pi) =>
+                  ds.setObject(pi + 1, r.get(ci))
+                }
+                ds.addBatch()
+                cols.indices.foreach(i => is.setObject(i + 1, r.get(i)))
+                is.addBatch()
+              }
+              ds.executeBatch()
+              is.executeBatch()
+              c.commit()
+            } catch {
+              case t: Throwable => c.rollback(); throw t
+            } finally { ds.close(); is.close() }
+          } finally c.close()
+        }
+      }
+  }
+
+  override def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** foreachBatch adapter, same shape as [[ParquetUpsertStore.asBatchSink]]. */
+  def asBatchSink: (DataFrame, Long) => Unit = (batch, _) => upsert(batch)
+}

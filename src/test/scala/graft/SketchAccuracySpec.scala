@@ -11,11 +11,11 @@ import graft.core.Tables
   * safe, regression-catching envelope). */
 class SketchAccuracySpec extends SparkSpec {
 
-  test("q08's HLL UV stays within 5% of the exact distinct count per group") {
+  private def pinAccuracy(dir: String): Unit = {
     import spark.implicits._
-    val approx = SparkEntry.queries("q08_approx_uv")(spark, sfDir)
+    val approx = SparkEntry.queries("q08_approx_uv")(spark, dir)
       .as[(String, Long)].collect().toMap
-    val exact = Tables.events(spark, sfDir)
+    val exact = Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("uv"))
       .as[(String, Long)].collect().toMap
@@ -23,7 +23,22 @@ class SketchAccuracySpec extends SparkSpec {
     exact.foreach { case (k, ex) =>
       val ap = approx(k).toDouble
       val relErr = math.abs(ap - ex) / math.max(ex.toDouble, 1.0)
-      assert(relErr <= 0.05, f"$k: approx $ap vs exact $ex (relErr $relErr%.4f)")
+      assert(relErr <= 0.05, f"$dir $k: approx $ap vs exact $ex (relErr $relErr%.4f)")
     }
+  }
+
+  test("q08's HLL UV stays within 5% of the exact distinct count per group") {
+    pinAccuracy(sfDir)
+  }
+
+  test("the 5% bound holds at the Verify scale factor (sf0.01)") {
+    pinAccuracy("/root/testdata/sf0.01")
+  }
+
+  test("the 5% bound holds at the bench scale factor (sf0.1)") {
+    // q08's only guarantee must track the scale the bench runs at: HLL
+    // error drifts with register saturation, so a bound checked only on
+    // toy cardinalities says nothing about the 10^5-user bench table
+    pinAccuracy("/root/testdata/sf0.1")
   }
 }

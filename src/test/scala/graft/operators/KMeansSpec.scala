@@ -102,4 +102,25 @@ class KMeansSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out.keySet == Set(1L, 2L))
   }
+
+  test("k exceeding the DISTINCT vector count: duplicate seeds, empty clusters, total assignment") {
+    val s = spark
+    import s.implicits._
+    // 4 rows but only 2 distinct vectors, k = 3: farthest-first must pick
+    // a duplicate seed (max distance 0 after round 2), some cluster ends
+    // empty every iteration (keeping its previous centroid), and the
+    // argmin tie rule must still assign EVERY row deterministically
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0f)), (4L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    def run() = KMeans.lloyd(df, "vec_id", "embedding", k = 3, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val out = run()
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // identical vectors land in the same cluster (tie broken on cluster id)
+    assert(out(1L) == out(3L) && out(2L) == out(4L))
+    assert(out(1L) != out(2L), "the two distinct vectors must separate")
+    assert(run() == out, "degenerate-k path must stay deterministic")
+  }
 }
