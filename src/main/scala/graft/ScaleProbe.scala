@@ -66,7 +66,8 @@ object ScaleProbe {
       "q95_dedup_components", "q98_concurrency", "q99_fuzzy_neardup",
       "q101_funnel", "q102_retention", "q105_chunk_overlap",
       "q106_incremental_dedup", "q107_containment", "q115_transitions",
-      "q120_fuzzy_lsh", "q121_containment_prefix")
+      "q120_fuzzy_lsh", "q121_containment_prefix", "q122_shard_assign",
+      "q123_minhash_estimate", "q124_token_budget")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)
       .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))

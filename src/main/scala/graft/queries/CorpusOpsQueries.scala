@@ -258,6 +258,62 @@ object CorpusOpsQueries extends QueryPack {
         Seq("o_orderkey"))))
   }
 
+  /** Deterministic shard assignment for training-corpus export — the
+    * "global shuffle then write fixed-size shards" step every tokenized
+    * dataset ends with. Order = salted hash of the doc id (a reproducible
+    * uniform permutation, ties on doc_id), global row number via
+    * [[graft.functions.DistributedRank]] (two-pass, NO single-task
+    * window), shard = (rn−1) div 64. The census output (docs + char
+    * mass per shard) hash-proves the assignment; the actual writer is
+    * [[graft.sources.IoOps.writeShards]] (same assignment,
+    * partitionBy(shard)). */
+  private val q122: Q = (s, d) => {
+    import s.implicits._
+    val h = graft.functions.DedupFunctions.hash32(
+      concat(lit("shard:"), $"doc_id".cast("string")))
+    val ranked = graft.functions.DistributedRank.withRowNumber(
+      Tables.documents(s, d).select($"doc_id", $"n_chars", h.as("hk")),
+      "rn", $"hk", $"doc_id")
+    ranked
+      .select((($"rn" - 1L) / 64L).cast("long").as("shard"), $"n_chars")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"shard")
+  }
+
+  /** Token-budget corpus selection — "take the best documents until the
+    * token budget is spent", the selection step of data mixing (the
+    * quality-ranked complement of q108's uniform quotas): rank docs by
+    * the q43 quality-score lattice (desc, ties on doc_id), keep the
+    * prefix whose INCLUSIVE running token total stays ≤ 5000. The
+    * running total is [[graft.functions.DistributedRank.withRunningTotal]]
+    * — the distributed two-pass prefix sum, so the global greedy scan
+    * that looks inherently sequential costs one bucket exchange + a
+    * numBuckets-row offsets join at any corpus size. Score is a 0.1-step
+    * lattice and tokens are integers: no float boundary can flip a doc
+    * in or out between engines. */
+  private val q124: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.TextFunctions.{isStopword, qualityScoreOf, stopwordRatioOf, tokens}
+    val scored = Tables.documents(s, d)
+      .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(isStopword($"tok").cast("long")).as("n_stop"),
+        sum(length($"tok").cast("long")).as("sum_len"))
+      .select($"lang", $"doc_id", $"n_tok",
+        qualityScoreOf($"n_tok",
+          stopwordRatioOf($"n_stop", $"n_tok"),
+          round($"sum_len".cast("double") / $"n_tok", 4)).as("score"))
+    graft.functions.DistributedRank
+      .withRunningTotal(scored, "cum", $"n_tok", -$"score", $"doc_id")
+      .where($"cum" <= 5000L)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sel"), sum($"n_tok").as("tok_sel"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q103_scd2" -> q103,
     "q114_quality_audit" -> q114,
@@ -266,6 +322,8 @@ object CorpusOpsQueries extends QueryPack {
     "q106_incremental_dedup" -> q106,
     "q107_containment" -> q107,
     "q121_containment_prefix" -> q121,
+    "q122_shard_assign" -> q122,
+    "q124_token_budget" -> q124,
     "q108_quota_sample" -> q108,
     "q112_interpolate" -> q112
   )
@@ -409,6 +467,30 @@ object CorpusOpsQueries extends QueryPack {
          |HAVING count(*) * 10 >= any_value(a.n) * 8
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q122_shard_assign" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (
+        |      ORDER BY ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |               doc_id) AS rn
+        |  FROM documents)
+        |SELECT (rn - 1) // 64 AS shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_token_budget" ->
+      s"""WITH q AS (
+         |  SELECT lang, doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         |    ${DedupQueries.duckScore} AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, n_tok,
+         |    sum(n_tok) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM q)
+         |SELECT lang, count(*) AS n_sel, CAST(sum(n_tok) AS BIGINT) AS tok_sel
+         |FROM r WHERE cum <= 5000
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q121_containment_prefix" -> {
       // same naive full inverted-index oracle at the 0.9 threshold: a
       // green row proves the Spark-side PREFIX FILTER loses no pair

@@ -334,8 +334,46 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** MinHash Jaccard ESTIMATION — the missing rung between candidate
+    * generation (q47/q118) and exact verification (q48): for band
+    * candidates at the production-style width (nh=16, b=4, r=4), estimate
+    * jaccard as (# agreeing signature rows)/nh straight from the
+    * signatures already in hand — no shingle-set re-join, no exact
+    * intersection. At 100 TB this is how the verify ladder stays cheap:
+    * bands → signature-agreement estimate (this query, O(candidates)
+    * column compares) → exact verify (q48's shape) only where the
+    * estimate is borderline. n_agree is exact integer agreement, so the
+    * oracle can hash-match it; est is its display-only round(4). */
+  private val q123: Q = (s, d) => {
+    import s.implicits._
+    val nh = 16
+    val sig = graft.operators.NearDup
+      .minhashSignature(Tables.documents(s, d), "doc_id", "text", K, nh)
+      .localCheckpoint() // ONE signature pass feeds candidates AND both compare sides
+    val bands = sig
+      .select($"doc_id", posexplode(array(lshBandCols(4, 4): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+      .repartition($"band_idx", $"band_hash")
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        $"x.band_idx" === $"y.band_idx" && $"x.band_hash" === $"y.band_hash" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val agree = (0 until nh)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), $"doc_a" === $"a.doc_id")
+      .join(sig.as("b"), $"doc_b" === $"b.doc_id")
+      .select($"doc_a", $"doc_b", agree.as("n_agree"))
+      .withColumn("est", round($"n_agree".cast("double") / nh, 4))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_corpus_pipeline" -> q87,
+    "q123_minhash_estimate" -> q123,
     "q99_fuzzy_neardup" -> q99,
     "q120_fuzzy_lsh" -> q120,
     "q77_dedup_keep" -> q77,
@@ -409,7 +447,7 @@ object DedupQueries extends QueryPack {
 
   /** q43's score expression over the token array of `documents.text`
     * (same rounding points as the Spark side). */
-  private val duckScore = {
+  private[queries] val duckScore = {
     val t = """regexp_split_to_array(trim(text), '\s+')"""
     s"""round(
        |  (CASE WHEN len($t) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.1 END)
@@ -430,6 +468,23 @@ object DedupQueries extends QueryPack {
         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pfx, b.pfx) <= 20
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q123_minhash_estimate" ->
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, ${duckSig(16)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, j*4 + 1, j*4 + 4), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, 4) r(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_agree,
+         |  round(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16, 4) AS est
+         |FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q120_fuzzy_lsh" ->
       s"""WITH $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),

@@ -162,6 +162,30 @@ object IoOps {
       mode: SaveMode = SaveMode.Append): Unit =
     df.coalesce(connections).write.mode(mode).jdbc(url, table, props)
 
+  /** Training-corpus shard export: deterministic salted-hash shuffle →
+    * global row number (two-pass [[graft.functions.DistributedRank]], no
+    * single-task window) → fixed-size shards written one directory per
+    * shard. The assignment is a pure function of the id column, so
+    * re-runs (and incremental re-exports after a corpus change) are
+    * reproducible; q122 hash-proves the same assignment against DuckDB.
+    * `docsPerShard` fixes shard SIZE (what trainers want) rather than
+    * shard count — the final shard may run short. */
+  def writeShards(df: DataFrame, path: String, idCol: String,
+      docsPerShard: Int): Unit = {
+    require(docsPerShard >= 1, s"docsPerShard must be >= 1 (got $docsPerShard)")
+    import org.apache.spark.sql.functions.{concat, lit}
+    graft.expressions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val h = graft.functions.DedupFunctions.hash32(
+      concat(lit("shard:"), col(idCol).cast("string")))
+    graft.functions.DistributedRank
+      .withRowNumber(df.withColumn("__hk", h), "__rn", col("__hk"), col(idCol))
+      .withColumn("shard",
+        ((col("__rn") - 1L) / docsPerShard.toLong).cast("long"))
+      .drop("__hk", "__rn")
+      .repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
+
   /** Small-file compaction of selected day partitions — the maintenance
     * half of the reference's explicit `repartition(args.partitions)`
     * before every partition insert (`etl/RunLogParser.scala:192`): a day

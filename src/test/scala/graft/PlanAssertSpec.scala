@@ -120,6 +120,17 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q120: the levenshtein verify sits on band-bucket equi joins only") {
+    val p = plan("q120_fuzzy_lsh")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    assert(p.contains("levenshtein"), "the verify must be in-plan, not post-hoc")
+  }
+
+  test("q121: prefix-filtered containment joins stay equi (no product)") {
+    val p = plan("q121_containment_prefix")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("q103: SCD-2 windows partition by the dimension key, never globally") {
     val p = plan("q103_scd2")
     val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq

@@ -165,4 +165,24 @@ class IoOpsSpec extends SparkSpec {
     val ds = IoOps.textLogs(spark, Seq(f1.toString, f2.toString))
     assert(ds.collect().sorted.toSeq == Seq("line1", "line2", "line3"))
   }
+
+  test("writeShards: fixed-size deterministic shards, every doc exactly once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val docs = (0L until 100L).map(i => (i, s"doc$i")).toDF("doc_id", "payload")
+    IoOps.writeShards(docs, s"$dir/corpus", "doc_id", docsPerShard = 16)
+    val back = spark.read.parquet(s"$dir/corpus")
+    val byShard = back.groupBy($"shard").count()
+      .as[(Long, Long)].collect().toMap
+    // 100 docs / 16 per shard = shards 0..5 full, shard 6 short
+    assert(byShard.keySet == (0L to 6L).toSet)
+    assert((0L to 5L).forall(byShard(_) == 16L) && byShard(6L) == 4L)
+    assert(back.select($"doc_id").distinct().count() == 100L)
+    // assignment is a pure function of the id: a re-export reproduces it
+    val first = back.select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    IoOps.writeShards(docs, s"$dir/corpus2", "doc_id", docsPerShard = 16)
+    val second = spark.read.parquet(s"$dir/corpus2")
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    assert(first == second)
+  }
 }
