@@ -17,6 +17,10 @@ import graft.functions.DedupFunctions.shingleRows
   *   5. decontamination              (drop docs sharing a k-gram with an
   *                                    eval set — q89's shape; optional)
   *   6. per-language quota sample    (deterministic salted rank — q108; optional)
+  *   7. token-budget cap             ([[budget]] — distributed running
+  *                                    prefix sum, q124's shape; optional)
+  *   8. chunk + shard export         ([[chunk]] → `IoOps.writeShards` —
+  *                                    q105/q122's shapes)
   *
   * This is the composed form of q87 widened to the full stage list; the
   * oracle-checked queries pin each stage's semantics, the
@@ -109,6 +113,32 @@ object CorpusPipeline {
     new Staged(docs, afterGate, afterLang, afterExact, afterNearDedup,
       afterDecontam, result)
   }
+
+  /** Stage 7 (optional, after [[build]]): token-budget cap — keep the
+    * greedy prefix of the deterministic salted-hash shuffle order whose
+    * INCLUSIVE running token total stays ≤ `maxTokens` (a uniform budget
+    * cap; q124 pins the quality-RANKED sibling of the same shape). The
+    * running total is the distributed two-pass prefix sum
+    * ([[graft.functions.DistributedRank.withRunningTotal]]) — no
+    * single-task window at any corpus size. */
+  def budget(corpus: DataFrame, cfg: Config, maxTokens: Long): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1 (got $maxTokens)")
+    graft.expressions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val id = col(cfg.idCol)
+    val h = graft.functions.DedupFunctions.hash32(
+      concat(lit("bud:"), id.cast("string")))
+    graft.functions.DistributedRank
+      .withRunningTotal(
+        corpus.withColumn("__nt", tokenCount(col(cfg.textCol))),
+        "__cum", col("__nt"), h, id)
+      .where(col("__cum") <= maxTokens)
+      .drop("__nt", "__cum")
+  }
+
+  /** Final export stage: [[graft.sources.IoOps.writeShards]] — the
+    * deterministic fixed-size shard writer (q122 hash-proves the
+    * assignment). Chain as `IoOps.writeShards(chunk(staged.result), ...)`
+    * or shard the documents directly. */
 
   /** Final materialization stage: overlapping token-window chunks of the
     * surviving corpus (q105's layout — starts every `stride` tokens,

@@ -131,3 +131,33 @@ final class JdbcUpsertStore(url: String, table: String, keyCols: Seq[String],
   /** foreachBatch adapter, same shape as [[ParquetUpsertStore.asBatchSink]]. */
   def asBatchSink: (DataFrame, Long) => Unit = (batch, _) => upsert(batch)
 }
+
+/** Dialect-specific upsert statement generators. [[JdbcUpsertStore]]'s
+  * portable delete-then-insert works on any JDBC database; against MySQL
+  * the reference instead issues single-statement duplicate-key upserts
+  * (`utils/DBUtils.scala:56-109`) — half the round trips and atomic per
+  * row. The statement TEXT is generated and spec-pinned here (this env
+  * has no MySQL to execute it, only embedded Derby — the one seam noted
+  * as untestable in round 3); wire it as the prepared statement of a
+  * foreachPartition writer exactly like JdbcUpsertStore's insert. */
+object UpsertSql {
+
+  private def ident(c: String): String = {
+    require(c.matches("[A-Za-z0-9_]+"), s"unsafe identifier: $c")
+    s"`$c`"
+  }
+
+  /** `INSERT ... ON DUPLICATE KEY UPDATE` — every non-key column takes
+    * the incoming row's value (MySQL 8.0.19+ alias form, which replaced
+    * the deprecated VALUES() the reference uses). */
+  def mysqlUpsert(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"key columns $keyCols must be a subset of $cols")
+    val nonKey = cols.filterNot(keyCols.contains)
+    require(nonKey.nonEmpty,
+      "all columns are keys — use INSERT IGNORE, there is nothing to update")
+    s"INSERT INTO ${ident(table)} (${cols.map(ident).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) AS new " +
+      s"ON DUPLICATE KEY UPDATE ${nonKey.map(c => s"${ident(c)} = new.${ident(c)}").mkString(", ")}"
+  }
+}

@@ -71,4 +71,27 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.Config(evalDocs = Some(eval)))
     assert(staged.result.select($"doc_id").as[Long].collect().toSet == Set(2L))
   }
+
+  test("budget stage keeps the greedy salted-hash prefix within the token cap") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 50L)
+      .map(i => (i, (1 to 10).map(j => s"w${i}_$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = CorpusPipeline
+      .budget(docs, CorpusPipeline.Config(), maxTokens = 105L)
+      .select($"doc_id").as[Long].collect().toSet
+    // 10 tokens per doc, inclusive cum <= 105 => exactly 10 docs survive
+    assert(kept.size == 10)
+    // and they are THE first 10 in the salted-hash order (local replay)
+    def h(i: Long) = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"bud:$i").take(8), 16)
+    val expected = (1L to 50L).sortBy(i => (h(i), i)).take(10).toSet
+    assert(kept == expected)
+    // determinism: a second run selects the identical prefix
+    val again = CorpusPipeline
+      .budget(docs, CorpusPipeline.Config(), maxTokens = 105L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
 }

@@ -90,4 +90,21 @@ class JdbcOpsSpec extends SparkSpec {
       assert(ids == ids.sorted, s"file not clustered by id: ${ids.take(10)}")
     }
   }
+
+  test("UpsertSql.mysqlUpsert pins the duplicate-key statement text") {
+    assert(UpsertSql.mysqlUpsert("t_report",
+      Seq("day", "channel", "uv", "pv"), Seq("day", "channel")) ==
+      "INSERT INTO `t_report` (`day`, `channel`, `uv`, `pv`) " +
+        "VALUES (?, ?, ?, ?) AS new " +
+        "ON DUPLICATE KEY UPDATE `uv` = new.`uv`, `pv` = new.`pv`")
+    intercept[IllegalArgumentException] {
+      UpsertSql.mysqlUpsert("t", Seq("a", "b"), Seq("c")) // key not a column
+    }
+    intercept[IllegalArgumentException] {
+      UpsertSql.mysqlUpsert("t", Seq("a"), Seq("a")) // nothing to update
+    }
+    intercept[IllegalArgumentException] {
+      UpsertSql.mysqlUpsert("t; DROP TABLE x", Seq("a", "b"), Seq("a"))
+    }
+  }
 }
