@@ -41,4 +41,32 @@ class SketchAccuracySpec extends SparkSpec {
     // toy cardinalities says nothing about the 10^5-user bench table
     pinAccuracy("/root/testdata/sf0.1")
   }
+
+  test("approx_percentile stays within 1% rank error of exact at sf0.1") {
+    // the other sketch a 100 TB engine leans on (KLL/GK-style quantiles:
+    // percentile_approx's contract is RANK error <= 1/accuracy, not value
+    // error). Verified the way the contract states it: the approximate
+    // value's true CDF position must sit within eps of the target rank.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val ps = Seq(0.5, 0.9, 0.99)
+    val e = Tables.events(spark, dir).select($"event_type", $"value")
+    e.persist()
+    try {
+      val approx = e.groupBy($"event_type")
+        .agg(percentile_approx($"value",
+          typedlit(ps), lit(10000)).as("ap"))
+        .as[(String, Seq[Double])].collect().toMap
+      val counts = e.groupBy($"event_type").count()
+        .as[(String, Long)].collect().toMap
+      approx.foreach { case (et, vals) =>
+        ps.zip(vals).foreach { case (p, v) =>
+          val below = e.filter($"event_type" === et && $"value" <= v).count()
+          val rank = below.toDouble / counts(et)
+          assert(math.abs(rank - p) <= 0.01,
+            f"$et p$p: approx value $v sits at rank $rank%.4f")
+        }
+      }
+    } finally e.unpersist()
+  }
 }
