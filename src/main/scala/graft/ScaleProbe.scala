@@ -67,8 +67,10 @@ object ScaleProbe {
       "q101_funnel", "q102_retention", "q105_chunk_overlap",
       "q106_incremental_dedup", "q107_containment", "q115_transitions",
       "q120_fuzzy_lsh", "q121_containment_prefix", "q122_shard_assign",
-      "q123_minhash_estimate", "q124_token_budget")
-    val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol")
+      "q123_minhash_estimate", "q124_token_budget", "q125_ring_negatives",
+      "q126_norm_dedup")
+    val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
+      "bpe_train")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)
       .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))
     val probes = allProbes.filter(p => only.forall(_.contains(p)))
@@ -122,6 +124,16 @@ object ScaleProbe {
       }
       println(s"[scale] alternatingStar converged in $rounds rounds " +
         s"(log2(n) = ${(math.log(nodes.toDouble) / math.log(2)).round})")
+    }
+
+    // BPE vocabulary induction: training runs on the word HISTOGRAM, so
+    // corpus replication (which barely grows the distinct-word set) must
+    // leave the cost flat — the scale claim in BpeTrainer's scaladoc
+    if (want("bpe_train")) {
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      timed("bpe_train(30 merges)") {
+        graft.operators.BpeTrainer.train(docs, "text", nMerges = 30).size.toLong
+      }
     }
 
     // containment on a REAL-TEXT-regime corpus (perturbed vocabulary):

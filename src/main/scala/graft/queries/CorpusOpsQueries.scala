@@ -314,6 +314,58 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Ring negative sampling for contrastive training: each document
+    * (anchor) gets 3 negatives — the next 3 documents in the q122
+    * deterministic permutation, ring-wrapped. Because the permutation is
+    * a salted-hash shuffle, ring neighbors are uniform random docs, yet
+    * the pairing is reproducible across runs/engines (the property
+    * in-batch negatives lose when batch composition shifts). Shape:
+    * global rank (two-pass DistributedRank), then an equi self-join on
+    * the MODULAR target rank — shuffles on the rank value, no window
+    * over the full corpus, no all-pairs anything. */
+  private val q125: Q = (s, d) => {
+    import s.implicits._
+    val h = graft.functions.DedupFunctions.hash32(
+      concat(lit("shard:"), $"doc_id".cast("string")))
+    val ranked = graft.functions.DistributedRank.withRowNumberAndTotal(
+        Tables.documents(s, d).select($"doc_id", h.as("hk")),
+        "rn", "n", $"hk", $"doc_id")
+      .select($"doc_id", $"rn", $"n")
+      .localCheckpoint() // both join sides + 3 offsets read it
+    val offsets = ranked
+      .select($"doc_id", $"rn", $"n",
+        explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+      .withColumn("tgt", ($"rn" - 1L + $"j") % $"n" + 1L)
+    offsets
+      .join(ranked.select($"rn".as("tgt"), $"doc_id".as("neg_id")), Seq("tgt"))
+      .select($"doc_id", $"j", $"neg_id")
+      .orderBy($"doc_id", $"j")
+  }
+
+  /** Normalization-aware exact dedup: real pipelines fingerprint the
+    * NORMALIZED text (lowercase, punctuation stripped, whitespace
+    * collapsed) — raw-byte fingerprints (q46) miss trivially-reformatted
+    * copies. Census per source: raw-distinct vs normalized-distinct and
+    * the extra rows only normalization catches. One scan, two hash
+    * distincts on uniformly-distributed md5 keys. */
+  private val q126: Q = (s, d) => {
+    import s.implicits._
+    val norm = regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")
+    Tables.documents(s, d)
+      .select($"source",
+        fingerprint($"text").as("fp_raw"),
+        md5(trim(norm).cast("binary")).as("fp_norm"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"fp_raw").as("n_uniq_raw"),
+        countDistinct($"fp_norm").as("n_uniq_norm"),
+        (countDistinct($"fp_raw") - countDistinct($"fp_norm"))
+          .as("n_caught_by_norm"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q103_scd2" -> q103,
     "q114_quality_audit" -> q114,
@@ -324,6 +376,8 @@ object CorpusOpsQueries extends QueryPack {
     "q121_containment_prefix" -> q121,
     "q122_shard_assign" -> q122,
     "q124_token_budget" -> q124,
+    "q125_ring_negatives" -> q125,
+    "q126_norm_dedup" -> q126,
     "q108_quota_sample" -> q108,
     "q112_interpolate" -> q112
   )
@@ -477,6 +531,26 @@ object CorpusOpsQueries extends QueryPack {
         |SELECT (rn - 1) // 64 AS shard, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q125_ring_negatives" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      ORDER BY ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |               doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT a.doc_id, j.j, b.doc_id AS neg_id
+        |FROM r a
+        |JOIN (SELECT unnest([1, 2, 3]) AS j) j ON TRUE
+        |JOIN r b ON b.rn = (a.rn - 1 + j.j) % a.n + 1
+        |ORDER BY a.doc_id, j.j""".stripMargin,
+    "q126_norm_dedup" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(trim(text))) AS n_uniq_raw,
+        |  count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS n_uniq_norm,
+        |  count(DISTINCT md5(trim(text)))
+        |    - count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS n_caught_by_norm
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q124_token_budget" ->
       s"""WITH q AS (
          |  SELECT lang, doc_id,

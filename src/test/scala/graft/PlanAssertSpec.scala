@@ -131,6 +131,32 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q122: shard ranking never reads text; bucket-count branches prune to doc_id") {
+    val p = plan("q122_shard_assign")
+    val schemas = "ReadSchema: [^\n]*".r.findAllIn(p).toSeq
+    // data branch reads (doc_id, n_chars); the bucket-count/offset
+    // branches prune all the way down to doc_id alone; the wide text
+    // column must appear in NO scan
+    assert(schemas.exists(s => s.contains("doc_id") && s.contains("n_chars")))
+    assert(schemas.forall(s => !s.contains("text")), schemas.mkString("\n"))
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")), specs.mkString("\n"))
+  }
+
+  test("q124: the budget prefix sum never runs as an un-partitioned data window") {
+    val p = plan("q124_token_budget")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("__pid")), specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q125: ring negatives join on the modular rank, no product, no data window") {
+    val p = plan("q125_ring_negatives")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.forall(_.contains("__pid")), specs.mkString("\n"))
+  }
+
   test("q103: SCD-2 windows partition by the dimension key, never globally") {
     val p = plan("q103_scd2")
     val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
