@@ -68,7 +68,7 @@ object ScaleProbe {
       "q106_incremental_dedup", "q107_containment", "q115_transitions",
       "q120_fuzzy_lsh", "q121_containment_prefix", "q122_shard_assign",
       "q123_minhash_estimate", "q124_token_budget", "q125_ring_negatives",
-      "q126_norm_dedup")
+      "q126_norm_dedup", "q127_source_overlap")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

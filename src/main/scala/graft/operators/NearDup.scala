@@ -163,9 +163,13 @@ object NearDup {
       .withColumn("rk", row_number().over(
         byDoc.orderBy(col("df"), hash32(col("s")), col("s"))))
       .filter((col("rk") - 1) * tDen <= col("n") * (tDen - tNum))
+    // size filter (standard SSJoin companion to the prefix filter, also
+    // lossless): |A∩B| ≤ |B|, so containment ≥ t forces |B|·tDen ≥ |A|·tNum
+    // — undersized B's are pruned before the candidate even materializes
     val cand = pref.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") &&
-        col(s"a.$idCol") =!= col(s"b.$idCol"))
+        col(s"a.$idCol") =!= col(s"b.$idCol") &&
+        col("b.n") * tDen >= col("a.n") * tNum)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
     cand

@@ -366,6 +366,35 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Cross-source near-duplicate overlap matrix — the dataset-curation
+    * diagnostic behind "how much of source A is already in source B"
+    * (deciding mixture weights / drop order between crawls): for every
+    * source pair, the number of q48 blocking keys (mh0 = min shingle
+    * hash, a 1-row MinHash) present in BOTH — each shared block is a
+    * cross-source near-dup candidate family. Shape: distinct
+    * (block, source) membership, self-join on the block with src_a <
+    * src_b, one pair agg — join fan-out per block is bounded by
+    * sources², never by docs². (Exact-fingerprint overlap is the same
+    * query with fp in place of mh0; this fixture's exact dups are
+    * within-source only, so the near-dup key is the informative one.) */
+  private val q127: Q = (s, d) => {
+    import s.implicits._
+    val blocks = shingleRows(Tables.documents(s, d), "doc_id", "text",
+        DedupQueries.K)
+      .dropDuplicates("doc_id", "s")
+      .groupBy($"doc_id")
+      .agg(min(md5(concat(lit("0:"), $"s").cast("binary"))).as("mh0"))
+      .join(Tables.documents(s, d).select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"mh0", $"source")
+      .distinct()
+      .repartition($"mh0")
+    blocks.as("a")
+      .join(blocks.as("b"), $"a.mh0" === $"b.mh0" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q103_scd2" -> q103,
     "q114_quality_audit" -> q114,
@@ -378,6 +407,7 @@ object CorpusOpsQueries extends QueryPack {
     "q124_token_budget" -> q124,
     "q125_ring_negatives" -> q125,
     "q126_norm_dedup" -> q126,
+    "q127_source_overlap" -> q127,
     "q108_quota_sample" -> q108,
     "q112_interpolate" -> q112
   )
@@ -531,6 +561,18 @@ object CorpusOpsQueries extends QueryPack {
         |SELECT (rn - 1) // 64 AS shard, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q127_source_overlap" -> {
+      val cte = DedupQueries.shingleCteFrom("documents")
+      s"""WITH $cte,
+         |mh AS (SELECT doc_id,
+         |    list_min(list_transform(s, x -> md5('0:' || x))) AS mh0
+         |  FROM sh WHERE len(s) > 0),
+         |m AS (SELECT DISTINCT mh.mh0, d.source
+         |  FROM mh JOIN documents d USING (doc_id))
+         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |FROM m a JOIN m b ON a.mh0 = b.mh0 AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q125_ring_negatives" ->
       """WITH r AS (
         |  SELECT doc_id,
