@@ -66,6 +66,7 @@ object ScaleProbe {
       "q95_dedup_components", "q98_concurrency", "q99_fuzzy_neardup",
       "q101_funnel", "q102_retention", "q105_chunk_overlap",
       "q106_incremental_dedup", "q107_containment", "q115_transitions",
+      "q116_conversion_lag",
       "q120_fuzzy_lsh", "q121_containment_prefix", "q122_shard_assign",
       "q123_minhash_estimate", "q124_token_budget", "q125_ring_negatives",
       "q126_norm_dedup", "q127_source_overlap")
