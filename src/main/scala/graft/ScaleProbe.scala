@@ -69,9 +69,9 @@ object ScaleProbe {
       "q116_conversion_lag",
       "q120_fuzzy_lsh", "q121_containment_prefix", "q122_shard_assign",
       "q123_minhash_estimate", "q124_token_budget", "q125_ring_negatives",
-      "q126_norm_dedup", "q127_source_overlap")
+      "q126_norm_dedup", "q127_source_overlap", "q129_span_copy")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
-      "bpe_train")
+      "bpe_train", "bloom_semi")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)
       .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))
     val probes = allProbes.filter(p => only.forall(_.contains(p)))
@@ -167,6 +167,40 @@ object ScaleProbe {
         graft.operators.NearDup
           .containmentPairs(low, "doc_id", "text", 3, 8, 10).count()
       }
+    }
+    // bloom-pruned vs plain semi-join at N× fact volume: on one box the
+    // shuffle is memory-local, so the honest wall-clock claim is parity;
+    // the 100 TB win is the PRUNE FRACTION (rows dropped before the
+    // exchange), which is printed alongside
+    if (want("bloom_semi")) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val nLi = li.agg(max($"l_orderkey")).head.getLong(0) + 1
+      val fact = (0 until n).map { i =>
+        li.withColumn("l_orderkey", $"l_orderkey" + lit(i * nLi))
+      }.reduce(_ union _)
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      val dim = (0 until n).map { i =>
+        ord.withColumn("o_orderkey", $"o_orderkey" + lit(i * nLi))
+      }.reduce(_ union _)
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000.0)
+        .select($"o_orderkey")
+      fact.write.mode("overwrite").parquet(s"$out/li_big.parquet")
+      dim.write.mode("overwrite").parquet(s"$out/ord_sel.parquet")
+      val f = spark.read.parquet(s"$out/li_big.parquet")
+      val d = spark.read.parquet(s"$out/ord_sel.parquet")
+      timed("semi plain") {
+        f.join(d.select($"o_orderkey".as("l_orderkey")).distinct(),
+          Seq("l_orderkey"), "left_semi").count()
+      }
+      timed("semi bloom-pruned") {
+        graft.operators.BloomJoin
+          .prunedSemiJoin(f, "l_orderkey", d, "o_orderkey", 100000L * n).count()
+      }
+      val sk = graft.operators.BloomJoin.buildSketch(d, "o_orderkey", 100000L * n)
+      val total = f.count()
+      val pass = f.filter(graft.operators.BloomJoin.mightContain(sk, $"l_orderkey")).count()
+      println(f"[scale] bloom prune: $pass%d of $total%d fact rows reach the " +
+        f"shuffle (${100.0 * (total - pass) / total}%.1f%% dropped map-side)")
     }
     spark.stop()
   }

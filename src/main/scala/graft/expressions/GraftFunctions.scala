@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Registry for graft's native Catalyst expressions. Registration is
   * per-session and idempotent; queries reach the expressions through
@@ -10,22 +11,48 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * this registry at analysis time. [[graft.core.Tables]] calls
   * [[ensureRegistered]] on every table load, so any externally-created
   * SparkSession that runs a graft query gets the functions installed
-  * without needing `spark.sql.extensions` configuration.
+  * without needing `spark.sql.extensions` configuration (and
+  * [[graft.core.GraftExtensions]] installs the same set through the
+  * `spark.sql.extensions` config for sessions that never touch Tables).
+  *
+  * `graft_bloom_agg` / `graft_might_contain` surface Spark's own
+  * runtime-filter expressions (`BloomFilterAggregate`,
+  * `BloomFilterMightContain` — the pair `InjectRuntimeFilter` plants
+  * under shuffle joins) so [[graft.operators.BloomJoin]] can build the
+  * same map-side bloom prune explicitly, with graft controlling sizing
+  * and placement. `BloomFilterMightContain` has `doGenCode`, so the
+  * probe stays inside whole-stage codegen. Both sides hash with
+  * `xxhash64` (LongType), exactly as `InjectRuntimeFilter` does.
   */
 object GraftFunctions {
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_fdot" -> { args => FloatDotProduct(args.head, args(1)) }
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_fdot", classOf[FloatDotProduct].getName,
+      args => FloatDotProduct(args.head, args(1))),
+    // (xxhash64(key), estimatedNumItems [, numBits]) -> binary sketch
+    ("graft_bloom_agg", classOf[BloomFilterAggregate].getName,
+      args =>
+        if (args.size >= 3) new BloomFilterAggregate(args(0), args(1), args(2))
+        else new BloomFilterAggregate(args(0), args(1))),
+    // (bloom binary literal, xxhash64(key)) -> boolean, codegen'd
+    ("graft_might_contain", classOf[BloomFilterMightContain].getName,
+      args => BloomFilterMightContain(args(0), args(1)))
   )
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, className, builder) =>
       val id = FunctionIdentifier(name)
       if (!reg.functionExists(id)) {
-        reg.registerFunction(id,
-          new ExpressionInfo(classOf[FloatDotProduct].getName, name), builder)
+        reg.registerFunction(id, new ExpressionInfo(className, name), builder)
       }
     }
   }
+
+  /** The same registrations, for injection points that hand out
+    * (name, info, builder) triples — see [[graft.core.GraftExtensions]]. */
+  def injectable: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, className, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo(className, name), builder)
+    }
 }

@@ -395,7 +395,35 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** α-temperature domain mixture (α=0.5, the multilingual-sampling
+    * smoothing of Conneau & Lample): per-source token mass → sampling
+    * weight w_s ∝ tokens_s^α, normalized; then the token allocation and
+    * per-source sampling rate for a 1M-token training budget. Upweights
+    * tail sources, damps head sources — the step that decides how much
+    * of each corpus a training run actually reads.
+    *
+    * Scale shape: one hash agg over documents (partial map-side sums),
+    * then arithmetic on |sources| rows; the global normalizer is a
+    * 1-row broadcast cross join, never an unpartitioned window. */
+  private val q130: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .select($"source", size(split(trim($"text"), "\\s+")).cast("long").as("tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"))
+      .withColumn("w_raw", pow($"n_tokens", 0.5))
+    val tot = per.agg(sum($"w_raw").as("w_tot"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"w_raw" / $"w_tot", 6).as("mix_weight"),
+        round(lit(1000000.0) * $"w_raw" / $"w_tot").cast("long").as("alloc_tokens"),
+        round(least(lit(1.0), lit(1000000.0) * $"w_raw" / $"w_tot" / $"n_tokens"), 6)
+          .as("sample_rate"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q130_mixture_weights" -> q130,
     "q103_scd2" -> q103,
     "q114_quality_audit" -> q114,
     "q104_gap_fill" -> q104,
@@ -413,6 +441,18 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q130_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, power(n_tokens, 0.5) AS w_raw FROM per),
+        |t AS (SELECT sum(w_raw) AS w_tot FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       round(w_raw / w_tot, 6) AS mix_weight,
+        |       CAST(round(1000000.0 * w_raw / w_tot) AS BIGINT) AS alloc_tokens,
+        |       round(least(1.0, 1000000.0 * w_raw / w_tot / n_tokens), 6) AS sample_rate
+        |FROM w, t ORDER BY source""".stripMargin,
     "q114_quality_audit" ->
       """SELECT 'li_disc_range' AS check_name,
         |       CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5

@@ -371,7 +371,40 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Span-level copy census — exact-substring dedup at fixed granularity
+    * (the scalable approximation of suffix-array substring dedup, cf.
+    * Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better"): hash every 16-token stride-8 span, give each distinct
+    * span to its minimum doc_id, and report per document how many of its
+    * spans already exist in an earlier document. Downstream, `copy_ratio`
+    * drives span-scrub or doc-drop decisions.
+    *
+    * Scale shape: span extraction is embarrassingly parallel (split +
+    * posexplode, ~n_tokens/8 rows); ownership is one hash-partitioned
+    * groupBy on the span hash; the join back is the same key, so the
+    * exchange is reused. No all-pairs anywhere — cost is O(total spans)
+    * regardless of how many documents share a span. */
+  private val q129: Q = (s, d) => {
+    import s.implicits._
+    val spans = Tables.documents(s, d)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(0), greatest(size($"w") - 16, lit(0)), lit(8))))
+      .toDF("doc_id", "w", "i", "st")
+      .select($"doc_id",
+        md5(array_join(slice($"w", $"st" + 1, lit(16)), " ").cast("binary")).as("h"))
+    val owner = spans.groupBy($"h").agg(min($"doc_id").as("owner"))
+    spans.join(owner, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"owner" < $"doc_id", 1L).otherwise(0L)).as("n_copied"))
+      .select($"doc_id", $"n_spans", $"n_copied",
+        round($"n_copied" / $"n_spans", 4).as("copy_ratio"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q129_span_copy" -> q129,
     "q87_corpus_pipeline" -> q87,
     "q123_minhash_estimate" -> q123,
     "q99_fuzzy_neardup" -> q99,
@@ -458,6 +491,24 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q129_span_copy" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(0, greatest(len(w) - 16, 0) + 1, 8)) AS st
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_slice(w, st + 1, st + 16), ' ')) AS h
+        |  FROM st),
+        |own AS (SELECT h, min(doc_id) AS owner FROM sp GROUP BY h)
+        |SELECT sp.doc_id, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN own.owner < sp.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_copied,
+        |       round(sum(CASE WHEN own.owner < sp.doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS copy_ratio
+        |FROM sp JOIN own USING (h)
+        |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
     "q99_fuzzy_neardup" ->
       """WITH p AS (
         |  SELECT doc_id, lang, n_chars // 20 AS lb, substr(text, 1, 80) AS pfx

@@ -204,9 +204,32 @@ object JoinQueries extends QueryPack {
       .orderBy($"p_brand")
   }
 
+  /** Bloom-pruned semi-join (explicit runtime filter): prune lineitem to
+    * the orderkeys of urgent high-value orders. The dim key set at 100 TB
+    * is too big for an exact broadcast set, so a constant-size bloom
+    * sketch drops non-joining fact rows inside the scan stage before the
+    * shuffle; the exact semi-join then strips the ~3% false positives.
+    * Oracle is the plain semi-join — passing proves the bloom invisible
+    * in the result, like q113 proves the salt invisible. */
+  private val q128: Q = (s, d) => {
+    import s.implicits._
+    val dim = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000.0)
+      .select($"o_orderkey")
+    graft.operators.BloomJoin
+      .prunedSemiJoin(Tables.lineitem(s, d), "l_orderkey", dim, "o_orderkey",
+        estItems = 100000L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor($"l_quantity")).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q68_asof_join" -> q68,
     "q113_salted_join" -> q113,
+    "q128_bloom_semi_join" -> q128,
     "q11_star_join" -> q11,
     "q12_left_default" -> q12,
     "q13_right_join" -> q13,
@@ -219,6 +242,16 @@ object JoinQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q128_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey
+        |                AND o_orderpriority = '1-URGENT'
+        |                AND o_totalprice > 150000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q113_salted_join" ->
       """SELECT p_brand, count(*) AS n_items,
         |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty

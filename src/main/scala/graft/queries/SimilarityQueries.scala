@@ -177,7 +177,32 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"label")
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the 3 most-similar vectors carrying a DIFFERENT label — the
+    * negatives that actually teach a contrastive model, vs q125's
+    * uniform ring negatives. Same broadcast-probe plan as q51 (anchors
+    * broadcast, one scan of the corpus, per-anchor top-k window); at
+    * production scale the corpus side routes through the IVF probe
+    * (q53) instead of the full scan, with identical output contract. */
+  private val q131: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding", l2norm($"embedding").as("nrm"))
+    val q = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val scored = broadcast(q).join(e, $"label" =!= $"q_label")
+      .select($"q_id", $"vec_id".as("n_id"), $"label".cast("long").as("n_label"),
+        round(dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm"), 6).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"rnk".cast("long").as("rnk"), $"n_id", $"n_label", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q131_hard_negatives" -> q131,
     "q51_knn_brute" -> q51,
     "q52_ann_lsh" -> q52,
     "q53_ann_ivf" -> q53,
@@ -196,6 +221,18 @@ object SimilarityQueries extends QueryPack {
   private val duckBucket: String = duckBandKey(0, NPLANES)
 
   val oracle: Map[String, String] = Map(
+    "q131_hard_negatives" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |    CAST(e.label AS BIGINT) AS n_label,
+         |    round(${duckCos("q.embedding", "e.embedding")}, 6) AS cos
+         |  FROM embeddings q JOIN embeddings e ON e.label <> q.label
+         |  WHERE q.vec_id < $NQ)
+         |SELECT q_id, rnk, n_id, n_label, cos FROM (
+         |  SELECT q_id, n_id, n_label, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "q51_knn_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,

@@ -83,6 +83,32 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: selective dim join prunes fact partitions at runtime") {
+    // The 100 TB case: facts live partitioned by day; a join against a
+    // dim filtered to a few days must scan only those partitions, with
+    // the day set discovered AT RUNTIME from the dim side (DPP subquery
+    // in the scan), not by reading every partition.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val factDir = base + "/events_by_day"
+    val dimDir = base + "/day_dim"
+    val events = graft.core.Tables.events(spark, sfDir)
+      .withColumn("day", date_format($"ts", "yyyyMMdd"))
+    events.write.partitionBy("day").parquet(factDir)
+    events.select($"day").distinct().write.parquet(dimDir)
+    val twoDays = spark.read.parquet(dimDir)
+      .orderBy($"day").limit(2).as[String].collect()
+    val fact = spark.read.parquet(factDir)
+    // the selective predicate lives on the DIM relation only; DPP is what
+    // carries it over to the fact scan's partition filter at runtime
+    val dim = spark.read.parquet(dimDir).filter($"day".isin(twoDays: _*))
+    val joined = fact.join(dim, Seq("day")).groupBy($"event_type").count()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n${p.take(1200)}")
+  }
+
   test("q73: no un-partitioned window over customer data") {
     val p = plan("q73_rank_family")
     // every window must be keyed by the range-partition id: the data-side
