@@ -296,7 +296,32 @@ object AggQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Grouped exact top-k via the typed heap Aggregator
+    * ([[graft.functions.TopKAggregator]]): top-3 users per event_type by
+    * exact spend cents. The window row_number form (the oracle) shuffles
+    * every row; this reduces each task's slice of a group to ≤ 3 rows
+    * map-side, so the exchange carries O(groups × k). Scores are integer
+    * cents — deterministic order, no float tie ambiguity. */
+  private val q132: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val per = Tables.events(s, d)
+      .groupBy($"event_type", $"user_id")
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val topk = per
+      .select($"event_type",
+        struct($"user_id".as("id"), $"cents".as("score")).as("s"))
+      .as[(String, ScoredId)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator(3).toColumn.name("top"))
+    topk.flatMap { case (t, hits) =>
+      hits.iterator.zipWithIndex.map { case (h, i) => (t, (i + 1).toLong, h.id, h.score) }
+    }.toDF("event_type", "rnk", "user_id", "cents")
+      .orderBy($"event_type", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_topk_agg" -> q132,
     "q88_salted_agg" -> q88,
     "q61_set_union_agg" -> q61,
     "q69_percentiles" -> q69,
@@ -317,6 +342,18 @@ object AggQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q132_topk_agg" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, user_id, cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY cents DESC, user_id) AS rnk
+        |  FROM per)
+        |SELECT event_type, rnk, user_id, cents FROM r
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
     "q88_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,

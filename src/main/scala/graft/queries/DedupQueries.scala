@@ -403,7 +403,43 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Span scrub — the ACTING counterpart of q129's census: disjoint
+    * 16-token spans, global first-occurrence ownership (min doc_id per
+    * span hash), then each document is rebuilt from only the spans it
+    * owns — repeated boilerplate vanishes corpus-wide while each span's
+    * first occurrence survives. Output is per-doc span counts plus the
+    * md5 of the scrubbed text (the text itself is re-derivable; the
+    * hash keeps the oracle row narrow).
+    *
+    * Scale shape: same as q129 — narrow span extraction, one groupBy on
+    * the span hash, join-back on the same key; the rebuild is a grouped
+    * collect_list of ≤ (tokens/16) spans per doc, sorted by offset
+    * (`sort_array` on (st, txt) structs + `getField`, all codegen'd
+    * collection ops — no lambda HOFs). */
+  private val q134: Q = (s, d) => {
+    import s.implicits._
+    val spans = Tables.documents(s, d)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .select($"doc_id", $"w",
+        posexplode(sequence(lit(0), greatest(size($"w") - 1, lit(0)), lit(16))))
+      .toDF("doc_id", "w", "i", "st")
+      .select($"doc_id", $"st",
+        array_join(slice($"w", $"st" + 1, lit(16)), " ").as("txt"))
+      .withColumn("h", md5($"txt".cast("binary")))
+    val owner = spans.groupBy($"h").agg(min($"doc_id").as("owner"))
+    spans.join(owner, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"owner" === $"doc_id", 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          sort_array(collect_list(when($"owner" === $"doc_id",
+            struct($"st", $"txt")))).getField("txt"), " ").cast("binary"))
+          .as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_span_scrub" -> q134,
     "q129_span_copy" -> q129,
     "q87_corpus_pipeline" -> q87,
     "q123_minhash_estimate" -> q123,
@@ -491,6 +527,25 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q134_span_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 16)) AS st
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id, st,
+        |         array_to_string(list_slice(w, st + 1, st + 16), ' ') AS txt
+        |  FROM st),
+        |hs AS (SELECT doc_id, st, txt, md5(txt) AS h FROM sp),
+        |own AS (SELECT h, min(doc_id) AS owner FROM hs GROUP BY h)
+        |SELECT hs.doc_id, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN own.owner = hs.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       md5(coalesce(string_agg(CASE WHEN own.owner = hs.doc_id THEN txt END,
+        |                               ' ' ORDER BY hs.st), '')) AS clean_md5
+        |FROM hs JOIN own USING (h)
+        |GROUP BY hs.doc_id ORDER BY hs.doc_id""".stripMargin,
     "q129_span_copy" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

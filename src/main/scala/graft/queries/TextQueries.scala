@@ -286,7 +286,33 @@ object TextQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * per language, draw 2 docs with probability ∝ weight (n_chars/100)
+    * by ranking on key = u^(1/w), u a deterministic md5-derived uniform
+    * — the quality-weighted corpus subsampling step, reproducible
+    * run-to-run because the "randomness" is a salted content hash, not
+    * an RNG. One narrow projection + one per-stratum top-k window
+    * (strata are bounded); the key is rounded to 9 digits BEFORE
+    * ranking so the 1-ulp cross-engine pow() difference can't flip an
+    * order, with doc_id as the tie-break. */
+  private val q133: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d)
+      .select($"doc_id", $"lang", ($"n_chars" / 100.0).as("wt"),
+        (conv(substring(md5(concat($"doc_id".cast("string"), lit("ws")).cast("binary")), 1, 8),
+          16, 10).cast("double") / lit(4294967296.0)).as("u"))
+      .withColumn("samp_key", round(pow($"u", lit(1.0) / $"wt"), 9))
+    val w = Window.partitionBy($"lang").orderBy($"samp_key".desc, $"doc_id")
+    keyed.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 2)
+      .select($"lang", $"rnk".cast("long").as("rnk"), $"doc_id",
+        round($"samp_key", 6).as("samp_key"))
+      .orderBy($"lang", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_weighted_sample" -> q133,
     "q76_repetition" -> q76,
     "q100_token_scrub" -> q100,
     "q42_token_count" -> q42,
@@ -303,6 +329,19 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q133_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars / 100.0 AS wt,
+        |         CAST(('0x' || substr(md5(doc_id::VARCHAR || 'ws'), 1, 8)) AS UBIGINT)
+        |           / 4294967296.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, round(power(u, 1.0 / wt), 9) AS samp_key FROM b),
+        |r AS (SELECT lang, doc_id, samp_key,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY samp_key DESC, doc_id) AS rnk
+        |      FROM k)
+        |SELECT lang, rnk, doc_id, round(samp_key, 6) AS samp_key FROM r
+        |WHERE rnk <= 2 ORDER BY lang, rnk""".stripMargin,
     "q100_token_scrub" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

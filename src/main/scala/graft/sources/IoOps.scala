@@ -135,6 +135,33 @@ object IoOps {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Point-lookup-optimized parquet write: file-level bloom filters on
+    * the given columns (parquet-mr `parquet.bloom.filter.enabled#col`),
+    * so selective equality scans skip whole row groups WITHOUT reading
+    * the column data — the storage-side complement of the join-time
+    * bloom prune in [[graft.operators.BloomJoin]]. At 100 TB a
+    * `WHERE device_id = X` probe against bloom-filtered files touches
+    * only the row groups whose filter might contain X; min/max stats
+    * alone can't do that for high-cardinality unsorted keys. `ndv`
+    * sizes the filter (distinct values per row group).
+    *
+    * Dictionary encoding is turned OFF for the bloom columns:
+    * parquet-mr omits the bloom filter when every page of a column is
+    * dictionary-encoded (the dictionary is already an exact filter), and
+    * a high-cardinality probe key gains little from a dictionary — this
+    * keeps the filter present deterministically instead of depending on
+    * whether the data happened to fall back to plain encoding. */
+  def writeBloomFiltered(df: DataFrame, path: String, bloomCols: Seq[String],
+      ndv: Long = 100000L): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    val configured = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    configured.parquet(path)
+  }
+
   /** O4: clustered partition write (`etl/RunLogParser.scala:175` —
     * sortWithinPartitions before the fact write). Repartition on the
     * partition column, then sort INSIDE each task (no global sort, no

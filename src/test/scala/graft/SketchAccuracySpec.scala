@@ -69,4 +69,26 @@ class SketchAccuracySpec extends SparkSpec {
       }
     } finally e.unpersist()
   }
+
+  test("count-min sketch overcounts within eps·N at sf0.1 and never undercounts") {
+    // the heavy-hitter sketch (CMS): its contract is one-sided —
+    // estimate >= true count, and estimate <= true + eps·N with
+    // probability 1-delta. Pinned per user_id over the bench-scale
+    // events table the way the contract states it, with a 3× envelope
+    // on eps·N so only a real regression (seed handling, merge bug)
+    // trips it, not sketch noise.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val e = Tables.events(spark, dir).select($"user_id")
+    val eps = 0.001
+    val cms = e.stat.countMinSketch($"user_id", eps = eps, confidence = 0.99, seed = 42)
+    val n = e.count()
+    val exact = e.groupBy($"user_id").count().as[(Long, Long)].collect()
+    exact.foreach { case (uid, cnt) =>
+      val est = cms.estimateCount(uid)
+      assert(est >= cnt, s"CMS undercounted user $uid: $est < $cnt")
+      assert(est <= cnt + (3 * eps * n).toLong,
+        s"CMS overcount beyond 3·eps·N for user $uid: $est vs $cnt (N=$n)")
+    }
+  }
 }
