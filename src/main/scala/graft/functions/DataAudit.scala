@@ -67,4 +67,25 @@ object DataAudit {
   /** Union any number of check frames into one ordered report. */
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionByName _).orderBy(col("check_name"))
+
+  /** Zero-extra-scan pipeline metrics via Spark's Observation API: the
+    * returned frame computes `metrics` as a side effect of whatever
+    * action next runs on it (a write, a count), with NO second scan —
+    * at 100 TB the difference between "audited" and "audited at 2×
+    * cost". The thunk blocks until that action completes, then yields
+    * the metric row as a map.
+    *
+    * The reference audits by re-querying published tables
+    * (`monitor/MonitorApp.scala` re-reads report output); this rides
+    * the production action itself. Metrics must be aggregates
+    * (sum/count/min/max...) per the Observation contract. */
+  def observed(df: DataFrame, name: String, metrics: (String, Column)*)
+      : (DataFrame, () => Map[String, Any]) = {
+    require(metrics.nonEmpty, "need at least one observed metric")
+    val obs = new org.apache.spark.sql.Observation(name)
+    val out = df.observe(obs,
+      metrics.head._2.as(metrics.head._1),
+      metrics.tail.map { case (n, c) => c.as(n) }: _*)
+    (out, () => obs.get)
+  }
 }

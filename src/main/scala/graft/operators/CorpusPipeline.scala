@@ -135,6 +135,39 @@ object CorpusPipeline {
       .drop("__nt", "__cum")
   }
 
+  /** Optional text-rewrite stage: span scrub (q134's operator) — every
+    * disjoint `every`-token span survives only in the document that owns
+    * its first occurrence (min id), so corpus-wide boilerplate collapses
+    * to one copy while per-doc content stays. Run BETWEEN near-dedup and
+    * chunking: dedup drops whole near-identical docs, the scrub removes
+    * the sub-document repetition dedup can't see. Docs scrubbed empty
+    * are dropped. Same shapes as q134: narrow span extraction, one hash
+    * agg on the span hash, grouped ordered rebuild. */
+  def spanScrub(corpus: DataFrame, cfg: Config = Config(),
+      every: Int = 16): DataFrame = {
+    require(every >= 1, s"every must be >= 1 (got $every)")
+    val id = col(cfg.idCol)
+    val spans = corpus
+      .select(id, split(trim(col(cfg.textCol)), "\\s+").as("__w"))
+      .select(id, col("__w"),
+        posexplode(sequence(lit(0), greatest(size_(col("__w")) - 1, lit(0)),
+          lit(every))))
+      .toDF(cfg.idCol, "__w", "__i", "__st")
+      .select(id, col("__st"),
+        array_join(slice(col("__w"), col("__st") + 1, lit(every)), " ").as("__txt"))
+      .withColumn("__h", md5(col("__txt").cast("binary")))
+    val owner = spans.groupBy(col("__h")).agg(min(id).as("__owner"))
+    val rebuilt = spans.join(owner, Seq("__h"))
+      .where(col("__owner") === id)
+      .groupBy(id)
+      .agg(array_join(
+        sort_array(collect_list(struct(col("__st"), col("__txt"))))
+          .getField("__txt"), " ").as("__clean"))
+    corpus.drop(cfg.textCol)
+      .join(rebuilt, Seq(cfg.idCol)) // inner: fully-scrubbed docs drop out
+      .withColumnRenamed("__clean", cfg.textCol)
+  }
+
   /** Final export stage: [[graft.sources.IoOps.writeShards]] — the
     * deterministic fixed-size shard writer (q122 hash-proves the
     * assignment). Chain as `IoOps.writeShards(chunk(staged.result), ...)`

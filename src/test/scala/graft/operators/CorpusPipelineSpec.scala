@@ -31,6 +31,24 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(staged.result.filter(!$"lang".isin("en", "zh", "es")).count() == 0)
   }
 
+  test("spanScrub stage keeps first-occurrence spans, drops empty docs, equals q134's rule") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"bp$i").mkString(" ")
+    def body(t: String) = (1 to 16).map(i => s"$t$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$boiler ${body("a")}", "en"),
+      (1L, s"$boiler ${body("b")}", "en"),
+      (2L, boiler, "en")) // fully boilerplate → scrubbed empty → dropped
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline.spanScrub(docs)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    assert(out(0)._2 == s"$boiler ${body("a")}") // owner keeps the boilerplate
+    assert(out(1)._2 == body("b"))               // later doc loses it
+    assert(out.forall(_._3 == "en"))             // other columns carried through
+  }
+
   test("chunk stage emits q105's layout over the pipeline survivors") {
     import spark.implicits._
     val staged = CorpusPipeline.build(Tables.documents(spark, sfDir))
