@@ -438,7 +438,49 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** LSH s-curve diagnostic — the (b, r) tuning tool: bucket every
+    * shingle-sharing pair by exact Jaccard, and report per bucket how
+    * often the MinHash band join actually emitted the pair, next to the
+    * theoretical collision curve 1−(1−j^r)^b at the bucket midpoint.
+    * Reading the two columns side by side is how an operator picks band
+    * geometry for a target similarity threshold before burning a week
+    * of cluster time on the wrong one.
+    *
+    * Scale shape: the exact-Jaccard side is the q107/q48 inverted-index
+    * self-join (run this diagnostic on a SAMPLE at 100 TB — it's a
+    * calibration tool, not an ingest stage); the candidate side is the
+    * production band join itself, so the measured rate is the real
+    * pipeline's, not a simulation's. */
+  private val q135: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sh = shingleRows(docs, "doc_id", "text", K).dropDuplicates("doc_id", "s")
+    val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val jac = sh.as("a")
+      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+      .join(n.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jac"))
+    val cand = graft.operators.NearDup
+      .minhashPairs(docs, "doc_id", "text", K, NH, B, R)
+      .select($"doc_a", $"doc_b", lit(1).as("is_cand"))
+    jac.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", least(floor($"jac" * 10), lit(9L)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"is_cand" === 1, 1L).otherwise(0L)).as("n_cand"))
+      .select($"bucket".cast("long").as("bucket"), $"n_pairs", $"n_cand",
+        round($"n_cand".cast("double") / $"n_pairs", 4).as("cand_rate"),
+        round(lit(1.0) - pow(lit(1.0) - pow($"bucket" / 10.0 + 0.05, R), B), 4)
+          .as("theory_rate"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_lsh_scurve" -> q135,
     "q134_span_scrub" -> q134,
     "q129_span_copy" -> q129,
     "q87_corpus_pipeline" -> q87,
@@ -527,6 +569,41 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q135_lsh_scurve" -> {
+      val sig = duckSig(NH)
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+         |nn AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.shg = b.shg AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |         inter * 1.0 / (na.n + nb.n - inter) AS jac
+         |  FROM inter
+         |  JOIN nn na ON na.doc_id = doc_a
+         |  JOIN nn nb ON nb.doc_id = doc_b),
+         |sig AS (SELECT doc_id, $sig AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, rr.j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, rr.j*$R + 1, rr.j*$R + $R),
+         |      v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, $B) rr(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |bkt AS (
+         |  SELECT least(CAST(floor(jac * 10) AS BIGINT), 9) AS bucket,
+         |         CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+         |  FROM j LEFT JOIN cand USING (doc_a, doc_b))
+         |SELECT bucket, count(*) AS n_pairs,
+         |       CAST(sum(is_cand) AS BIGINT) AS n_cand,
+         |       round(sum(is_cand) * 1.0 / count(*), 4) AS cand_rate,
+         |       round(1.0 - power(1.0 - power(bucket / 10.0 + 0.05, $R), $B), 4) AS theory_rate
+         |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "q134_span_scrub" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -135,6 +135,21 @@ object IoOps {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Resilient lake scan: at 100 TB a directory ALWAYS has a few
+    * truncated/corrupt files (killed writers, partial uploads) and
+    * schema drift across ingest generations. `ignoreCorruptFiles` skips
+    * unreadable files instead of failing the whole job N hours in;
+    * `mergeSchema` unions per-file schemas so early files surface nulls
+    * for later-added columns. Both are per-read options here — NOT
+    * session-wide flags, which would mask corruption in jobs that must
+    * fail loudly (the audit/publish paths). */
+  def readResilient(spark: SparkSession, path: String,
+      mergeSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("ignoreCorruptFiles", "true")
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(path)
+
   /** Point-lookup-optimized parquet write: file-level bloom filters on
     * the given columns (parquet-mr `parquet.bloom.filter.enabled#col`),
     * so selective equality scans skip whole row groups WITHOUT reading

@@ -102,6 +102,29 @@ class IoOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
   }
 
+  test("readResilient skips corrupt files and merges drifted schemas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_resilient").toString + "/lake"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(dir)
+    // a truncated/garbage file among the good ones
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.parquet"),
+      "not a parquet file".getBytes)
+    // the strict read fails on the bad footer...
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).collect()
+    }
+    // ...the resilient read returns every good row, nulling the column
+    // the older file predates
+    val rows = IoOps.readResilient(spark, dir)
+      .select($"id", $"v", $"extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(rows == Set((1L, "a", -1L), (2L, "b", 9L)))
+  }
+
   test("ORC roundtrip (the reference's at-rest columnar format)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_orc").toString + "/t"
