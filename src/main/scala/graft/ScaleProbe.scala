@@ -70,7 +70,8 @@ object ScaleProbe {
       "q120_fuzzy_lsh", "q121_containment_prefix", "q122_shard_assign",
       "q123_minhash_estimate", "q124_token_budget", "q125_ring_negatives",
       "q126_norm_dedup", "q127_source_overlap", "q129_span_copy",
-      "q132_topk_agg", "q133_weighted_sample", "q134_span_scrub")
+      "q132_topk_agg", "q133_weighted_sample", "q134_span_scrub",
+      "q135_lsh_scurve", "q136_unigram_bits", "q137_pmi_collocations")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bloom_semi")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -311,7 +311,71 @@ object TextQueries extends QueryPack {
       .orderBy($"lang", $"rnk")
   }
 
+  /** Unigram cross-entropy quality score — the LM-perplexity proxy of
+    * CCNet-style filtering, self-trained: build the corpus token
+    * histogram, then score each document by its mean
+    * −log2 p(token) (bits/token). Low bits = templated/common text,
+    * high bits = rare-token soup; both tails are what quality filters
+    * cut. Real pipelines swap the histogram for a KenLM scored the same
+    * shape.
+    *
+    * Scale shape: one token-histogram shuffle (output O(vocab) — Zipf
+    * guarantees it's small), histogram BROADCAST back onto the token
+    * stream (no second token shuffle), one hash agg per doc. */
+  private val q136: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+    val hist = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = hist.agg(sum($"cnt").as("n"))
+    toks.join(broadcast(hist), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id", (-log2($"cnt" / $"n")).as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg($"bits"), 4).as("bits_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bigram PMI collocations — phrase mining for vocabulary/tokenizer
+    * work: score adjacent pairs by pointwise mutual information
+    * log2(p(ab) / (p(a)·p(b))), floor cnt_ab ≥ 5, top-20. The PMI is
+    * ONE log2 over a ratio of exact integer products (all < 2^53), so
+    * both engines see identical doubles; ordering is on the ROUNDED
+    * score with the pair as tie-break.
+    *
+    * Scale shape: bigrams from a per-doc window lead (partitioned by
+    * doc — never global), two histogram aggs (O(vocab), O(bigram
+    * vocab)), unigram histogram broadcast onto the bigram counts, final
+    * TakeOrdered top-20 (no global sort). */
+  private val q137: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split(trim($"text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bi = toks.withColumn("nxt", lead($"tok", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"tok".as("tok_a"), $"nxt".as("tok_b"))
+      .agg(count(lit(1)).as("cnt_ab"))
+    val totals = toks.agg(count(lit(1)).as("n_tok")).crossJoin(
+      bi.agg(sum($"cnt_ab").as("n_bi")))
+    bi.filter($"cnt_ab" >= 5)
+      .join(broadcast(uni.select($"tok".as("tok_a"), $"cnt".as("cnt_a"))), Seq("tok_a"))
+      .join(broadcast(uni.select($"tok".as("tok_b"), $"cnt".as("cnt_b"))), Seq("tok_b"))
+      .crossJoin(broadcast(totals))
+      .select($"tok_a", $"tok_b", $"cnt_ab",
+        round(log2(($"cnt_ab" * $"n_tok" * $"n_tok").cast("double") /
+          ($"n_bi" * $"cnt_a" * $"cnt_b").cast("double")), 4).as("pmi"))
+      .orderBy($"pmi".desc, $"tok_a", $"tok_b")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_pmi_collocations" -> q137,
+    "q136_unigram_bits" -> q136,
     "q133_weighted_sample" -> q133,
     "q76_repetition" -> q76,
     "q100_token_scrub" -> q100,
@@ -329,6 +393,37 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q137_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |bi AS (
+        |  SELECT w[r.i] AS tok_a, w[r.i + 1] AS tok_b, count(*) AS cnt_ab
+        |  FROM t, unnest(range(1, len(w))) r(i)
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM toks) AS n_tok,
+        |         (SELECT CAST(sum(cnt_ab) AS BIGINT) FROM bi) AS n_bi)
+        |SELECT tok_a, tok_b, cnt_ab,
+        |       round(log2((cnt_ab * n_tok * n_tok)::DOUBLE /
+        |                  (n_bi * ua.cnt * ub.cnt)::DOUBLE), 4) AS pmi
+        |FROM bi
+        |JOIN uni ua ON ua.tok = tok_a
+        |JOIN uni ub ON ub.tok = tok_b, tot
+        |WHERE cnt_ab >= 5
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+    "q136_unigram_bits" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |hist AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist)
+        |SELECT doc_id, count(*) AS n_tok,
+        |       round(avg(-log2(cnt / n)), 4) AS bits_per_token
+        |FROM toks JOIN hist USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q133_weighted_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang, n_chars / 100.0 AS wt,
