@@ -12,7 +12,8 @@ case class ScoredId(id: Long, score: Long)
 /** Grouped exact top-k as a typed Aggregator — the scale path for
   * "top N per group" when groups are huge: each task reduces its slice
   * of a group to ≤ k rows BEFORE the shuffle (partial aggregation), so
-  * the exchange carries O(groups × k) rows and merge is O(k). The
+  * the exchange carries O(groups × k) rows and merge touches 2k
+  * elements. The
   * window form (`row_number().over(partitionBy(g).orderBy(...))`)
   * shuffles EVERY row of every group and sorts whole groups — at 100 TB
   * with million-row groups that is the difference between a bounded agg
@@ -35,7 +36,8 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[ScoredId] = Vector.empty
 
-  // buffer stays sorted and ≤ k, so insert + re-take is O(k)
+  // buffer stays sorted and ≤ k, so insert + re-take touches k+1
+  // elements — constant-bounded work per input row
   override def reduce(b: Seq[ScoredId], a: (String, ScoredId)): Seq[ScoredId] =
     (b :+ a._2).sorted(ord).take(k)
 

@@ -51,6 +51,25 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("merge is a commutative monoid on sorted-k buffers (what makes partial agg correct)") {
+    // pure, no Spark: associativity + commutativity + zero identity over
+    // buffers that arose from reduce (sorted, ≤ k) — the precondition
+    // Spark's partial aggregation actually provides
+    val agg = new TopKAggregator(3)
+    def bufOf(xs: Seq[(Long, Long)]): Seq[ScoredId] =
+      xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, ("g", ScoredId(x._1, x._2))))
+    val gen = Gen.listOfN(10, Gen.zip(Gen.choose(0L, 20L), Gen.choose(-9L, 9L)))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(gen, gen, gen) { (xs, ys, zs) =>
+        val (a, b, c) = (bufOf(xs), bufOf(ys), bufOf(zs))
+        agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)) &&
+          agg.merge(a, b) == agg.merge(b, a) &&
+          agg.merge(a, agg.zero) == a
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("aggregation is partial: exchange carries buffers, not raw rows") {
     import spark.implicits._
     val plan = Seq(("a", 1L, 5L), ("a", 2L, 7L), ("b", 3L, 1L)).toDF("g", "id", "score")
