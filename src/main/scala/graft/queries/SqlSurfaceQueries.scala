@@ -78,10 +78,32 @@ object SqlSurfaceQueries extends QueryPack {
     GROUP BY c_nationkey
     ORDER BY c_nationkey""")
 
+  /** CTE + window functions in SQL text — the rank-report HiveQL shape
+    * (`homed/repots/ColumnVisitStatistics.scala` rank() windows): top-2
+    * orders per priority with each one's share of the priority's total.
+    * Two windows over one partitioning (rank + partition sum) → ONE
+    * exchange; share divides exact integer cents so no float flip. */
+  private val q138 = sql("""
+    WITH per AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT o_orderpriority, o_orderkey, cents,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rnk,
+             SUM(cents) OVER (PARTITION BY o_orderpriority) AS tot_c
+      FROM per)
+    SELECT o_orderpriority, rnk, o_orderkey, cents,
+           round(cents * 1.0 / tot_c, 6) AS share
+    FROM r WHERE rnk <= 2
+    ORDER BY o_orderpriority, rnk""")
+
   val queries: Map[String, Q] = Map(
     "q109_sql_star_topn" -> q109,
     "q110_sql_regional_revenue" -> q110,
-    "q111_sql_decorrelated" -> q111
+    "q111_sql_decorrelated" -> q111,
+    "q138_sql_window_share" -> q138
   )
 
   val oracle: Map[String, String] = Map(
@@ -121,6 +143,21 @@ object SqlSurfaceQueries extends QueryPack {
         |  SELECT CAST(round(AVG(CAST(round(c_acctbal * 100) AS BIGINT))) AS BIGINT)
         |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin
+        |ORDER BY c_nationkey""".stripMargin,
+    "q138_sql_window_share" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, cents,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rnk,
+        |         CAST(SUM(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot_c
+        |  FROM per)
+        |SELECT o_orderpriority, rnk, o_orderkey, cents,
+        |       round(cents * 1.0 / tot_c, 6) AS share
+        |FROM r WHERE rnk <= 2
+        |ORDER BY o_orderpriority, rnk""".stripMargin
   )
 }
