@@ -422,7 +422,43 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Bipartite random-walk rank (PageRank-style, damping 0.85, 3
+    * iterations unrolled): the centrality primitive corpus curation
+    * uses for source/domain quality (Common Crawl ranks hosts by
+    * centrality before sampling) — demonstrated on the order↔part
+    * bipartite graph, where a part is central when many orders that
+    * also touch other central parts include it.
+    *
+    * Scale shape: NO pair materialization ever — each iteration is two
+    * grouped equi-joins over the EDGE list (walk mass to the order
+    * side, then back), so cost is O(E) per iteration with fixed
+    * iteration count. The only driver value is the node count (one
+    * scalar). Ranks are ordered on a 9-digit rounding so cross-engine
+    * float-sum ulp noise (≈1e-19 abs here) can't flip the order. */
+  private val q139: Q = (s, d) => {
+    import s.implicits._
+    val edges = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val degP = edges.groupBy($"p").agg(count(lit(1)).as("dp"))
+    val degO = edges.groupBy($"o").agg(count(lit(1)).as("dn"))
+    val nP = degP.count()
+    var rank = degP.select($"p", lit(1.0 / nP).as("r"))
+    for (_ <- 1 to 3) {
+      val walkToOrders = edges.join(rank, Seq("p")).join(degP, Seq("p"))
+        .groupBy($"o").agg(sum($"r" / $"dp").as("qo"))
+      rank = edges.join(walkToOrders, Seq("o")).join(degO, Seq("o"))
+        .groupBy($"p").agg(
+          (lit(0.15 / nP) + lit(0.85) * sum($"qo" / $"dn")).as("r"))
+    }
+    rank.join(degP, Seq("p"))
+      .select($"p".as("p_partkey"), $"dp".as("n_orders"),
+        round($"r" * 1000, 6).as("walk_rank_k"))
+      .orderBy(round($"r" * 1000, 9).desc, $"p_partkey")
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_walk_rank" -> q139,
     "q130_mixture_weights" -> q130,
     "q103_scd2" -> q103,
     "q114_quality_audit" -> q114,
@@ -441,6 +477,28 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q139_walk_rank" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |dp AS (SELECT p, count(*) AS dp FROM e GROUP BY p),
+        |dn AS (SELECT o, count(*) AS dn FROM e GROUP BY o),
+        |np AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM dp),
+        |r0 AS (SELECT p, 1.0 / np AS r FROM dp, np),
+        |q1 AS (SELECT o, sum(r / dp) AS qo
+        |       FROM e JOIN r0 USING (p) JOIN dp USING (p) GROUP BY o),
+        |r1 AS (SELECT p, 0.15 / any_value(np) + 0.85 * sum(qo / dn) AS r
+        |       FROM e JOIN q1 USING (o) JOIN dn USING (o), np GROUP BY p),
+        |q2 AS (SELECT o, sum(r / dp) AS qo
+        |       FROM e JOIN r1 USING (p) JOIN dp USING (p) GROUP BY o),
+        |r2 AS (SELECT p, 0.15 / any_value(np) + 0.85 * sum(qo / dn) AS r
+        |       FROM e JOIN q2 USING (o) JOIN dn USING (o), np GROUP BY p),
+        |q3 AS (SELECT o, sum(r / dp) AS qo
+        |       FROM e JOIN r2 USING (p) JOIN dp USING (p) GROUP BY o),
+        |r3 AS (SELECT p, 0.15 / any_value(np) + 0.85 * sum(qo / dn) AS r
+        |       FROM e JOIN q3 USING (o) JOIN dn USING (o), np GROUP BY p)
+        |SELECT p AS p_partkey, dp AS n_orders,
+        |       round(r * 1000, 6) AS walk_rank_k
+        |FROM r3 JOIN dp USING (p)
+        |ORDER BY round(r * 1000, 9) DESC, p_partkey LIMIT 10""".stripMargin,
     "q130_mixture_weights" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,
