@@ -457,7 +457,100 @@ object CorpusOpsQueries extends QueryPack {
       .limit(10)
   }
 
+  /** Content-defined chunking (CDC) duplicate census — the
+    * backup/dedup-systems primitive (Rabin-karp rolling-window
+    * breakpoints) applied to training text: chunk boundaries are set
+    * where the hash of the local 4-token window meets a mask, so an
+    * insertion early in a document shifts ONLY the chunk it lands in —
+    * unlike fixed-size chunking where every later chunk changes. The
+    * census then measures how much chunk-level content is duplicated
+    * per language (the shift-robust complement of q129's fixed-stride
+    * span census).
+    *
+    * Boundary rule: a position p is a cut when the md5-derived hash of
+    * tokens[p..p+3] ≡ 0 (mod 16) — expected chunk length 16 tokens;
+    * the cut closes the chunk AT p (next chunk starts at p+1); tail
+    * positions with no full 4-gram never cut.
+    *
+    * Scale shape: one window pass per document (partitioned by doc_id,
+    * never global) produces leads + the running cut count; chunk
+    * reassembly is the codegen'd sort_array(collect_list(struct))
+    * .getField idiom (no interpreted HOFs); the census is two hash
+    * aggs keyed by (lang, chunk_md5) then lang. Output is O(langs). */
+  private val q141: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"doc_id", posexplode(split(trim($"text"), "\\s+")))
+      .toDF("lang", "doc_id", "pos", "tok")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val marked = toks
+      .withColumn("g", concat_ws(" ", $"tok",
+        lead($"tok", 1).over(w), lead($"tok", 2).over(w), lead($"tok", 3).over(w)))
+      .withColumn("cut",
+        when(lead($"tok", 3).over(w).isNotNull &&
+          (conv(substring(md5($"g".cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 16) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_no", coalesce(
+        sum($"cut").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = marked.groupBy($"lang", $"doc_id", $"chunk_no")
+      .agg(md5(array_join(sort_array(collect_list(struct($"pos", $"tok")))
+          .getField("tok"), " ").cast("binary")).as("h"),
+        count(lit(1)).as("len_tok"))
+    val census = chunks.groupBy($"lang", $"h")
+      .agg(count(lit(1)).as("copies"), max($"len_tok").as("len_tok"))
+    census.groupBy($"lang")
+      .agg(
+        sum($"copies").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(($"copies" >= 2).cast("long")).as("n_dup_chunks"),
+        round((sum($"len_tok" * $"copies") / sum($"copies")).cast("double"), 4)
+          .as("avg_len_tok"),
+        round(sum(($"copies" - 1) * $"len_tok").cast("double") /
+          sum($"copies" * $"len_tok"), 6).as("dup_token_frac"))
+      .orderBy($"lang")
+  }
+
+  /** Per-language percentile quality gate — the FineWeb-style RELATIVE
+    * threshold: instead of one global cutoff, each language keeps its
+    * middle deciles (ntile 2..9 on a lexical uniqueness score), so a
+    * morphology-rich language is not mass-rejected by a threshold tuned
+    * on English. ntile is integer-deterministic under the total
+    * (score, doc_id) order — no float percentile boundary to disagree
+    * on across engines.
+    *
+    * Scale shape: the per-doc score is one explode + grouped agg
+    * (codegen'd); the decile window partitions by lang (parallel across
+    * languages; within a language ntile needs the lang's docs sorted —
+    * at 100 TB swap in DistributedRank's two-pass ranks like q94, the
+    * gate semantics are unchanged). Final census is one hash agg. */
+  private val q142: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"source", $"doc_id",
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"lang", $"source", $"doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_uniq"))
+      .withColumn("score",
+        round($"n_uniq".cast("double") / $"n_tok" * 1000000).cast("long"))
+    val gated = scored.withColumn("decile",
+      ntile(10).over(Window.partitionBy($"lang").orderBy($"score", $"doc_id")))
+    gated
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(($"decile" >= 2 && $"decile" <= 9).cast("long")).as("n_kept"),
+        sum(when($"decile" >= 2 && $"decile" <= 9, $"n_tok")
+          .otherwise(0L)).as("kept_tokens"))
+      .withColumn("kept_frac",
+        round($"n_kept".cast("double") / $"n_docs", 4))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q141_cdc_chunks" -> q141,
+    "q142_quality_gate" -> q142,
     "q139_walk_rank" -> q139,
     "q130_mixture_weights" -> q130,
     "q103_scd2" -> q103,
@@ -477,6 +570,57 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q141_cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT lang, doc_id, r.i AS i, w[r.i] AS tok,
+        |    CASE WHEN r.i + 3 <= len(w) AND
+        |      CAST(('0x' || substr(md5(w[r.i] || ' ' || w[r.i+1] || ' ' ||
+        |        w[r.i+2] || ' ' || w[r.i+3]), 1, 8)) AS UBIGINT) % 16 = 0
+        |    THEN 1 ELSE 0 END AS cut
+        |  FROM t, unnest(range(1, len(w) + 1)) r(i)),
+        |c AS (
+        |  SELECT lang, doc_id, i, tok,
+        |    COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+        |  FROM p),
+        |ch AS (
+        |  SELECT lang, doc_id, chunk_no,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS h, count(*) AS len_tok
+        |  FROM c GROUP BY lang, doc_id, chunk_no),
+        |census AS (
+        |  SELECT lang, h, count(*) AS copies, max(len_tok) AS len_tok
+        |  FROM ch GROUP BY lang, h)
+        |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_chunks,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  round(sum(len_tok * copies)::DOUBLE / sum(copies), 4) AS avg_len_tok,
+        |  round(sum((copies - 1) * len_tok)::DOUBLE / sum(copies * len_tok), 6)
+        |    AS dup_token_frac
+        |FROM census GROUP BY lang ORDER BY lang""".stripMargin,
+    "q142_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT lang, source, doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_uniq
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT lang, source, doc_id, n_tok,
+        |    ntile(10) OVER (PARTITION BY lang
+        |      ORDER BY CAST(round(n_uniq::DOUBLE / n_tok * 1000000) AS BIGINT),
+        |               doc_id) AS decile
+        |  FROM scored)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN decile BETWEEN 2 AND 9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN decile BETWEEN 2 AND 9 THEN n_tok ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  round(sum(CASE WHEN decile BETWEEN 2 AND 9 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 4) AS kept_frac
+        |FROM g GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q139_walk_rank" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |dp AS (SELECT p, count(*) AS dp FROM e GROUP BY p),

@@ -373,7 +373,51 @@ object TextQueries extends QueryPack {
       .limit(20)
   }
 
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every document by how much more likely its
+    * hashed-unigram features are under a TARGET distribution than under
+    * the RAW corpus distribution — the published recipe for steering a
+    * 100 TB crawl toward a high-quality target domain. Target here is
+    * the English slice; features are tokens hashed into 1024 buckets
+    * (md5-derived so both engines agree); add-one smoothing on both
+    * histograms. Per-doc log-weight = Σ_b c_db · llr_b.
+    *
+    * Determinism: each bucket's llr is ONE log2 over a ratio of exact
+    * integer products (all < 2^53 at any plausible SF), so both engines
+    * see identical doubles; the per-doc sum runs over ≤1024 bucket
+    * terms (rounded to 4 — ulp noise is ~1e-12).
+    *
+    * Scale shape: ONE pass builds BOTH histograms (conditional sum vs
+    * count in the same grouped agg — no second token scan); the
+    * O(1024)-row llr table is BROADCAST back onto the per-(doc,bucket)
+    * counts, so the only data-sized shuffles are the two map-side-
+    * combinable hash aggs keyed by bucket and by (doc,bucket). */
+  private val q140: Q = (s, d) => {
+    import s.implicits._
+    val nB = 1024
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"tok".cast("binary")), 1, 8), 16, 10)
+          .cast("long") % nB).as("b"))
+    val hist = toks.groupBy($"b").agg(
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = hist.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
+    val llr = hist.crossJoin(broadcast(tot))
+      .select($"b", log2((($"ct" + 1) * ($"nr" + nB)).cast("double") /
+        (($"cr" + 1) * ($"nt" + nB)).cast("double")).as("llr"))
+    toks.groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tok"),
+        round(sum($"c" * $"llr"), 4).as("dsir_logw"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_dsir_weights" -> q140,
     "q137_pmi_collocations" -> q137,
     "q136_unigram_bits" -> q136,
     "q133_weighted_sample" -> q133,
@@ -393,6 +437,28 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q140_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)),
+        |hist AS (
+        |  SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |         count(*) AS cr
+        |  FROM toks GROUP BY b),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |               CAST(sum(cr) AS BIGINT) AS nr FROM hist),
+        |llr AS (
+        |  SELECT b, log2(((ct + 1) * (nr + 1024))::DOUBLE /
+        |                 ((cr + 1) * (nt + 1024))::DOUBLE) AS llr
+        |  FROM hist, tot),
+        |pdb AS (SELECT doc_id, b, count(*) AS c FROM toks GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |       round(sum(c * llr), 4) AS dsir_logw
+        |FROM pdb JOIN llr USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q137_pmi_collocations" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
