@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.DedupFunctions.shingleRows
+import graft.functions.DistributedRank
 import graft.functions.TextFunctions.fingerprint
 import graft.operators.NearDup
 
@@ -548,7 +549,125 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang", $"source")
   }
 
+  /** k-anonymity audit over the release quasi-identifiers — the
+    * privacy gate a corpus passes BEFORE export: any combination of
+    * (lang, source, 256-char length bucket) shared by fewer than k=5
+    * documents re-identifies; the audit reports, per language, how many
+    * equivalence classes violate k and what fraction of rows would need
+    * suppression (Sweeney 2002's k-anonymity measure, the standard
+    * release check).
+    *
+    * Scale shape: two map-side-combinable hash aggs (QI-class census,
+    * then per-lang rollup) — output O(langs); no windows, no joins. */
+  private val q143: Q = (s, d) => {
+    import s.implicits._
+    val cls = Tables.documents(s, d)
+      .groupBy($"lang", $"source", floor($"n_chars" / 256).as("len_b"))
+      .agg(count(lit(1)).as("c"))
+    cls.groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum($"c").as("n_docs"),
+        min($"c").as("min_class"),
+        sum(($"c" < 5).cast("long")).as("k_violations"),
+        sum(when($"c" < 5, $"c").otherwise(0L)).as("docs_at_risk"))
+      .withColumn("risk_frac",
+        round($"docs_at_risk".cast("double") / $"n_docs", 4))
+      .orderBy($"lang")
+  }
+
+  /** Duplicate-aware loss weighting — the modern ALTERNATIVE to
+    * dropping duplicates: keep every copy but weight each 1/copies, so
+    * a document cluster contributes one document's worth of gradient
+    * mass no matter how often the crawl re-fetched it. Reports, per
+    * (lang, source), nominal vs EFFECTIVE document and token mass —
+    * the number that actually predicts training epochs over the
+    * deduplicated distribution.
+    *
+    * Determinism: copies are exact integers from an md5-fingerprint
+    * census; the float sums (Σ 1/copies, Σ n_tok/copies) accumulate
+    * ≤1 ulp each over ≲10⁴ rows per group and are rounded to 4 / 2 —
+    * far above the noise floor.
+    *
+    * Scale shape: ONE exchange on the fingerprint feeds both the
+    * copy census and the join back to docs (same key, reused); the
+    * final per-(lang, source) rollup is a map-side-combinable hash
+    * agg. No broadcast needed, no windows. */
+  private val q144: Q = (s, d) => {
+    import s.implicits._
+    val fp = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"source", $"doc_id",
+        md5(trim($"text").cast("binary")).as("fp"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+    val copies = fp.groupBy($"fp").agg(count(lit(1)).as("copies"))
+    fp.join(copies, Seq("fp"))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(($"copies" >= 2).cast("long")).as("n_dup_docs"),
+        sum($"n_tok").as("n_tokens"),
+        round(sum(lit(1.0) / $"copies"), 4).as("effective_docs"),
+        round(sum($"n_tok".cast("double") / $"copies"), 2)
+          .as("effective_tokens"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Interleaved curriculum batching — order each source's documents
+    * easy→hard (ascending lexical-uniqueness score) and round-robin
+    * across sources into fixed 64-doc batches, so early training
+    * batches are easy AND source-diverse (the curriculum + mixing
+    * schedule a pre-training loader implements). Emits the batch
+    * composition census a pipeline owner eyeballs before a run.
+    *
+    * Scale shape: NO global window — the global position is computed
+    * arithmetically as (rank_within_source - 1) × n_sources +
+    * source_idx from per-source windows (each partitioned, parallel)
+    * plus an O(sources) broadcast dim ranked by the two-pass
+    * DistributedRank (keeping the repo invariant of NO unpartitioned
+    * WindowExec, even on the dim); n_sources arrives as a broadcast
+    * 1-row crossJoin (the q104 calendar-grid idiom), so the whole plan
+    * stays lazy — no driver-side count. Source index order is the md5
+    * hash of the name (engine-agnostic, mirrored in the oracle). */
+  private val q145: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"source", $"doc_id",
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"source", $"doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_uniq"))
+      .withColumn("score",
+        round($"n_uniq".cast("double") / $"n_tok" * 1000000).cast("long"))
+    val srcs = scored.groupBy($"source").agg(count(lit(1)).as("src_n"))
+      .select($"source",
+        conv(substring(md5($"source".cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("sh"))
+    val srcDim = DistributedRank
+      .withRowNumber(srcs, "sidx", $"sh", $"source")
+      .select($"source", $"sidx".cast("long").as("sidx"))
+    val nSrc = srcDim.agg(count(lit(1)).as("n_src"))
+    val pos = scored
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy($"source").orderBy($"score", $"doc_id"))
+        .cast("long"))
+      .join(broadcast(srcDim), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("pos", ($"rn" - 1) * $"n_src" + ($"sidx" - 1))
+      .withColumn("batch", floor($"pos" / 64))
+    pos.groupBy($"batch")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        round(avg($"score".cast("double")), 2).as("avg_score"),
+        sum($"n_tok").as("batch_tokens"))
+      .orderBy($"batch")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q143_k_anonymity" -> q143,
+    "q144_dup_weights" -> q144,
+    "q145_curriculum" -> q145,
     "q141_cdc_chunks" -> q141,
     "q142_quality_gate" -> q142,
     "q139_walk_rank" -> q139,
@@ -570,6 +689,60 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q143_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT lang, source, n_chars // 256 AS len_b, count(*) AS c
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_classes,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(min(c) AS BIGINT) AS min_class,
+        |  CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS k_violations,
+        |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+        |    AS docs_at_risk,
+        |  round(sum(CASE WHEN c < 5 THEN c ELSE 0 END)::DOUBLE / sum(c), 4)
+        |    AS risk_frac
+        |FROM cls GROUP BY lang ORDER BY lang""".stripMargin,
+    "q144_dup_weights" ->
+      """WITH fp AS (
+        |  SELECT lang, source, doc_id, md5(trim(text)) AS fp,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |copies AS (SELECT fp, count(*) AS copies FROM fp GROUP BY fp)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(sum(1.0::DOUBLE / copies), 4) AS effective_docs,
+        |  round(sum(n_tok::DOUBLE / copies), 2) AS effective_tokens
+        |FROM fp JOIN copies USING (fp)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q145_curriculum" ->
+      """WITH scored AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    CAST(round(
+        |      len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')) * 1000000)
+        |      AS BIGINT) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |sd AS (
+        |  SELECT source, row_number() OVER (ORDER BY
+        |      CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT), source)
+        |    AS sidx
+        |  FROM (SELECT DISTINCT source FROM scored)),
+        |n AS (SELECT count(*) AS n_src FROM sd),
+        |p AS (
+        |  SELECT s.source, s.n_tok, s.score,
+        |    (row_number() OVER (PARTITION BY s.source
+        |       ORDER BY s.score, s.doc_id) - 1) * n.n_src + (sd.sidx - 1)
+        |      AS pos
+        |  FROM scored s JOIN sd USING (source) CROSS JOIN n)
+        |SELECT pos // 64 AS batch, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  round(avg(score), 2) AS avg_score,
+        |  CAST(sum(n_tok) AS BIGINT) AS batch_tokens
+        |FROM p GROUP BY 1 ORDER BY batch""".stripMargin,
     "q141_cdc_chunks" ->
       """WITH t AS (
         |  SELECT lang, doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -416,7 +416,53 @@ object TextQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Zipf rank-frequency slope per language — the corpus-health
+    * diagnostic curation teams run after filtering: natural text obeys
+    * freq ∝ rank^s with s ≈ −1, and a filtered/deduplicated slice whose
+    * slope drifts far from −1 signals boilerplate domination (too
+    * shallow) or over-aggressive dedup (too steep). Slope/intercept are
+    * the closed-form OLS of ln(freq) on ln(rank) over each language's
+    * top-100 tokens.
+    *
+    * Determinism: ranks and frequencies are exact integers under the
+    * total (freq DESC, tok) order; the OLS sums run over ≤100 doubles
+    * (magnitudes ≲40, no cancellation in the denominator — n·Σx² ≈
+    * 1.2·(Σx)² at n=100), rounded to 4 — far above ulp noise.
+    *
+    * Scale shape: token census = one map-side-combinable hash agg; the
+    * top-100 window partitions by lang (parallel across languages — and
+    * at web scale the census first prunes with a per-partition top-k,
+    * the q132 TopKAggregator shape); OLS is one tiny hash agg. */
+  private val q146: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("f"))
+    val top = freq
+      .withColumn("r", row_number()
+        .over(Window.partitionBy($"lang").orderBy($"f".desc, $"tok")))
+      .where($"r" <= 100)
+      .select($"lang",
+        log($"r".cast("double")).as("x"), log($"f".cast("double")).as("y"))
+    top.groupBy($"lang")
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .where($"n_terms" >= 2)
+      .withColumn("slope_raw",
+        ($"n_terms" * $"sxy" - $"sx" * $"sy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx"))
+      .select($"lang", $"n_terms",
+        round($"slope_raw", 4).as("zipf_slope"),
+        round(($"sy" - $"slope_raw" * $"sx") / $"n_terms", 4)
+          .as("zipf_intercept"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q146_zipf_slope" -> q146,
     "q140_dsir_weights" -> q140,
     "q137_pmi_collocations" -> q137,
     "q136_unigram_bits" -> q136,
@@ -437,6 +483,28 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q146_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT lang, tok, count(*) AS f
+        |  FROM (SELECT lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY lang, tok),
+        |top AS (
+        |  SELECT lang, ln(r) AS x, ln(f) AS y FROM (
+        |    SELECT lang, f, row_number() OVER (PARTITION BY lang
+        |        ORDER BY f DESC, tok) AS r
+        |    FROM freq) WHERE r <= 100),
+        |ols AS (
+        |  SELECT lang, count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM top GROUP BY lang HAVING count(*) >= 2)
+        |SELECT lang, n_terms,
+        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4)
+        |    AS zipf_slope,
+        |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+        |    * sx) / n_terms, 4) AS zipf_intercept
+        |FROM ols ORDER BY lang""".stripMargin,
     "q140_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

@@ -213,6 +213,55 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q140: the O(1024)-row llr table joins back via broadcast hash join") {
+    val p = plan("q140_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the llr join must broadcast, not shuffle the per-(doc,bucket) counts")
+  }
+
+  test("q141: CDC window passes partition by doc_id, never globally") {
+    val p = plan("q141_cdc_chunks")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+      specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q142: the decile gate windows by lang, never globally") {
+    val p = plan("q142_quality_gate")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("lang")),
+      specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q143: the k-anonymity census aggregates map-side then final") {
+    val p = plan("q143_k_anonymity")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "both census levels must have partial + final HashAggregate")
+  }
+
+  test("q144: the copy-count join back to docs is an equi join, no product") {
+    val p = plan("q144_dup_weights")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q145: curriculum windows are per-source or __pid — no global sort window") {
+    val p = plan("q145_curriculum")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(s =>
+      s.contains("source") || s.contains("__pid")), specs.mkString("\n"))
+  }
+
+  test("q146: the top-100 rank windows by lang, never globally") {
+    val p = plan("q146_zipf_slope")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("lang")),
+      specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
     val p = plan("q111_sql_decorrelated")
     // decorrelation rewrites the per-row subquery into a grouped agg
