@@ -150,7 +150,44 @@ object BehaviorQueries extends QueryPack {
         max($"lag_sec").as("max_sec"))
   }
 
+  /** Recency-weighted engagement: half-life decay scoring (weight
+    * halves every 7 days of age), the feature-store staple for "recent
+    * activity counts more". Age is measured in whole days from the
+    * corpus max date — obtained as a broadcast 1-row crossJoin so the
+    * plan stays lazy (no driver-side collect) — and the weight is
+    * 1/2^(age/7 weeks): an EXACT power of two, so dividing by it only
+    * shifts the float exponent and the decayed sum carries no more
+    * rounding noise than the raw sum (libm pow on (2.0, small int) is
+    * exact in both engines; a continuous e^-λt form would hand the
+    * hash gate cross-libm 1-ulp noise instead).
+    *
+    * Scale shape: one narrow scan, one map-side-combinable hash agg on
+    * (tier, type) — output O(10 × types). */
+  private val q149: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select(($"user_id" % 10).as("tier"), $"event_type", $"value",
+        to_date($"ts").as("dy"))
+    val ref = e.agg(max($"dy").as("d1"))
+    e.crossJoin(broadcast(ref))
+      .withColumn("age", datediff($"d1", $"dy"))
+      // exact-cents trick: every term is cents / 2^k — a multiple of
+      // 2⁻⁴ cents, so the sum is EXACT (no rounding at any add, in
+      // any order) and the single closing round() sits on an exact
+      // .5-or-better boundary both engines agree on. No closing /100:
+      // a raw double sum here landed on a .xx5 boundary where Spark
+      // rounds the SHORTEST DECIMAL repr and DuckDB the binary value
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .groupBy($"tier", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"cents").as("raw_cents"),
+        round(sum($"cents" / pow(lit(2.0), floor($"age" / 7))))
+          .cast("long").as("decayed_cents"))
+      .orderBy($"tier", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q149_decay_score" -> q149,
     "q98_concurrency" -> q98,
     "q101_funnel" -> q101,
     "q102_retention" -> q102,
@@ -159,6 +196,19 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q149_decay_score" ->
+      """WITH mx AS (SELECT max(ts::TIMESTAMP::DATE) AS d1 FROM events),
+        |e AS (
+        |  SELECT user_id % 10 AS tier, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         datediff('day', ts::TIMESTAMP::DATE, d1) AS age
+        |  FROM events CROSS JOIN mx)
+        |SELECT tier, event_type, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(round(sum(cents / power(2, age // 7))) AS BIGINT)
+        |    AS decayed_cents
+        |FROM e GROUP BY tier, event_type
+        |ORDER BY tier, event_type""".stripMargin,
     "q115_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,

@@ -664,7 +664,76 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"batch")
   }
 
+  /** Robust outlier gate: median + MAD (median absolute deviation) per
+    * language, flagging docs with |len − median| > 3·MAD. The robust
+    * sibling of a z-score gate — a handful of megabyte-scale outliers
+    * move a mean/stddev fence but CANNOT move the median fence, which
+    * is why curation filters (length, symbol ratio) quote MAD. Exact
+    * medians: n_chars are integers, interpolated medians land on .5
+    * and MADs on .25 — all exact in binary, so the 3·MAD comparison is
+    * bit-deterministic across engines.
+    *
+    * Scale shape: exact `percentile` collects each group's values into
+    * one aggregation buffer — fine per LANGUAGE (bounded group count,
+    * values spill-sorted), and the two O(langs) stat frames broadcast
+    * back, so the docs table is never shuffled: two narrow scans + two
+    * broadcast joins. At 100 TB swap `percentile` for
+    * `approx_percentile(…, 1e-4)` (sketch-mergeable, same plan shape)
+    * — q69 pins that family. */
+  private val q148: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"lang", $"n_chars")
+    val med = docs.groupBy($"lang")
+      .agg(percentile($"n_chars", lit(0.5)).as("med"))
+    val dev = docs.join(broadcast(med), Seq("lang"))
+      .withColumn("adev", abs($"n_chars" - $"med"))
+    val mad = dev.groupBy($"lang")
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("lang"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min($"med"), 2).as("med_chars"),
+        round(min($"mad"), 2).as("mad_chars"),
+        sum(($"adev" > $"mad" * 3).cast("long")).as("n_outliers"))
+      .orderBy($"lang")
+  }
+
+  /** Distribution-drift monitor: Population Stability Index of each
+    * source's length histogram against the corpus-wide histogram —
+    * the production check that a crawl snapshot / new source hasn't
+    * shifted the length mix before it contaminates training (PSI > 0.2
+    * is the classic "investigate" fence). PSI = Σ (p−q)·ln(p/q) over
+    * the 64-char buckets (capped at bucket 8) present on both sides;
+    * one-sided buckets are counted, not folded into an epsilon term,
+    * keeping every emitted number a deterministic function of integer
+    * counts.
+    *
+    * Scale shape: ONE census agg over (source, bucket); the per-source
+    * and corpus marginals both derive from that O(sources×9) frame, so
+    * the documents table is scanned once and everything downstream is
+    * broadcast-sized. */
+  private val q150: Q = (s, d) => {
+    import s.implicits._
+    val cls = Tables.documents(s, d)
+      .groupBy($"source", least(floor($"n_chars" / 64), lit(8)).as("len_b"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = cls.groupBy($"source").agg(sum($"c").as("st"))
+    val corpus = cls.groupBy($"len_b").agg(sum($"c").as("qc"))
+    val corpTot = corpus.agg(sum($"qc").as("qt"))
+    cls.join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(corpus), Seq("len_b"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("p", $"c".cast("double") / $"st")
+      .withColumn("q", $"qc".cast("double") / $"qt")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_buckets"),
+        round(sum(($"p" - $"q") * log($"p" / $"q")), 4).as("psi"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_mad_gate" -> q148,
+    "q150_psi_drift" -> q150,
     "q143_k_anonymity" -> q143,
     "q144_dup_weights" -> q144,
     "q145_curriculum" -> q145,
@@ -689,6 +758,35 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q148_mad_gate" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY lang),
+        |dev AS (
+        |  SELECT d.lang, d.n_chars, m.med, abs(d.n_chars - m.med) AS adev
+        |  FROM documents d JOIN med m USING (lang)),
+        |mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY lang)
+        |SELECT dev.lang, count(*) AS n_docs,
+        |  round(min(med), 2) AS med_chars,
+        |  round(min(mad), 2) AS mad_chars,
+        |  CAST(sum(CASE WHEN adev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad USING (lang)
+        |GROUP BY dev.lang ORDER BY lang""".stripMargin,
+    "q150_psi_drift" ->
+      """WITH cls AS (
+        |  SELECT source, least(n_chars // 64, 8) AS len_b, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, sum(c) AS st FROM cls GROUP BY source),
+        |corpus AS (SELECT len_b, sum(c) AS qc FROM cls GROUP BY len_b),
+        |qt AS (SELECT sum(qc) AS qt FROM corpus)
+        |SELECT cls.source, count(*) AS n_buckets,
+        |  round(sum((c::DOUBLE / st - qc::DOUBLE / qt)
+        |    * ln((c::DOUBLE / st) / (qc::DOUBLE / qt))), 4) AS psi
+        |FROM cls JOIN st USING (source) JOIN corpus USING (len_b)
+        |  CROSS JOIN qt
+        |GROUP BY cls.source ORDER BY source""".stripMargin,
     "q143_k_anonymity" ->
       """WITH cls AS (
         |  SELECT lang, source, n_chars // 256 AS len_b, count(*) AS c

@@ -226,7 +226,51 @@ object JoinQueries extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Interval-OVERLAP self-join without an equi key — incident
+    * clustering over error windows ([ts, ts+30 min)): which pairs of
+    * error intervals overlap, per day. Spark has no native interval
+    * join; the naive formulation (`a.st < b.en && b.st < a.en`) plans
+    * as a BroadcastNestedLoop / cartesian — O(n²) comparisons, dead at
+    * scale. The scalable shape is BUCKET DECOMPOSITION: explode each
+    * interval into the fixed-width time buckets it touches (≤ 2 here,
+    * since duration ≤ bucket width), equi-join on the bucket, and count
+    * each pair exactly once by keeping only the bucket that contains
+    * the overlap's start (`b = floor(greatest(st_a, st_b) / width)`) —
+    * no distinct needed. One exchange on the bucket key; comparisons
+    * bounded by per-bucket density², not corpus². The DuckDB oracle
+    * states the naive inequality join — passing proves the
+    * decomposition exact.
+    *
+    * Scale note: bucket width should track the p99 interval duration;
+    * long-tail intervals explode into more buckets (rows ∝ duration /
+    * width) but never break once-per-pair counting, because the
+    * overlap-start bucket is unique per pair. */
+  private val q147: Q = (s, d) => {
+    import s.implicits._
+    val iv = Tables.events(s, d)
+      .where($"event_type" === "error")
+      .select($"event_id".as("id"), unix_timestamp($"ts").as("st"))
+      .withColumn("en", $"st" + 1800L)
+    val buckets = iv.select($"id", $"st", $"en",
+      explode(sequence(floor($"st" / 3600), floor(($"en" - 1) / 3600))).as("b"))
+    val lhs = buckets.select($"b", $"id".as("a_id"), $"st".as("a_st"), $"en".as("a_en"))
+    val rhs = buckets.select($"b", $"id".as("b_id"), $"st".as("b_st"), $"en".as("b_en"))
+    lhs.join(rhs, Seq("b"))
+      .where($"a_id" < $"b_id" &&
+        $"a_st" < $"b_en" && $"b_st" < $"a_en" &&
+        $"b" === floor(greatest($"a_st", $"b_st") / 3600))
+      .select(
+        from_unixtime(greatest($"a_st", $"b_st"), "yyyy-MM-dd").as("day"),
+        (least($"a_en", $"b_en") - greatest($"a_st", $"b_st")).as("ov"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"ov").as("overlap_sec"),
+        max($"ov").as("max_overlap"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q147_overlap_join" -> q147,
     "q68_asof_join" -> q68,
     "q113_salted_join" -> q113,
     "q128_bloom_semi_join" -> q128,
@@ -242,6 +286,22 @@ object JoinQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q147_overlap_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS id,
+        |         floor(epoch(ts::TIMESTAMP))::BIGINT AS st,
+        |         floor(epoch(ts::TIMESTAMP))::BIGINT + 1800 AS en
+        |  FROM events WHERE event_type = 'error')
+        |SELECT strftime(make_timestamp(greatest(a.st, b.st) * 1000000),
+        |         '%Y-%m-%d') AS day,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT)
+        |    AS overlap_sec,
+        |  CAST(max(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT)
+        |    AS max_overlap
+        |FROM iv a JOIN iv b
+        |  ON a.id < b.id AND a.st < b.en AND b.st < a.en
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q128_bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         |       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

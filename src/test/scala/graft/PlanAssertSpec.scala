@@ -262,6 +262,26 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q147: bucket-decomposed overlap join plans as an equi join, never a product") {
+    val p = plan("q147_overlap_join")
+    // the whole point of the decomposition: the naive inequality-only
+    // join would be a BroadcastNestedLoop / cartesian
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q148: both MAD stat frames join back via broadcast — docs never shuffled for a join") {
+    val p = plan("q148_mad_gate")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "O(langs) stat frames must broadcast, not shuffle the docs table")
+  }
+
+  test("q150: PSI marginals all join broadcast — one census scan, no doc-table shuffle join") {
+    val p = plan("q150_psi_drift")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
     val p = plan("q111_sql_decorrelated")
     // decorrelation rewrites the per-row subquery into a grouped agg
