@@ -71,7 +71,12 @@ object ScaleProbe {
       "q123_minhash_estimate", "q124_token_budget", "q125_ring_negatives",
       "q126_norm_dedup", "q127_source_overlap", "q129_span_copy",
       "q132_topk_agg", "q133_weighted_sample", "q134_span_scrub",
-      "q135_lsh_scurve", "q136_unigram_bits", "q137_pmi_collocations")
+      "q135_lsh_scurve", "q136_unigram_bits", "q137_pmi_collocations",
+      "q139_walk_rank", "q140_dsir_weights", "q141_cdc_chunks",
+      "q142_quality_gate", "q143_k_anonymity", "q144_dup_weights",
+      "q145_curriculum", "q146_zipf_slope", "q147_overlap_join",
+      "q148_mad_gate", "q149_decay_score", "q150_psi_drift",
+      "q151_stitch_pairs", "q152_rrf_fusion")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bloom_semi")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -731,7 +731,45 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Reciprocal-rank fusion: merge two per-language document rankings
+    * (lexical uniqueness and length) into one list via RRF(k=60) —
+    * the standard score-free way to combine retrieval/curation
+    * rankings whose raw scores aren't commensurable. Top-5 fused per
+    * language. Every rrf value is a sum of two reciprocals of small
+    * INTEGERS — both engines compute bit-identical doubles, so even
+    * the fused-rank ORDER is deterministic (doc_id breaks exact ties
+    * from symmetric rank pairs).
+    *
+    * Scale shape: all three windows partition by lang; the component
+    * ranks at web scale would first prune per-partition with the q132
+    * TopKAggregator (only rank ≤ N survivors need fusing). */
+  private val q152: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"doc_id", $"n_chars",
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"lang", $"doc_id", $"n_chars")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_uniq"))
+      .withColumn("score",
+        round($"n_uniq".cast("double") / $"n_tok" * 1000000).cast("long"))
+    val ranked = scored.select($"lang", $"doc_id",
+      row_number().over(Window.partitionBy($"lang")
+        .orderBy($"score".desc, $"doc_id")).cast("long").as("ra"),
+      row_number().over(Window.partitionBy($"lang")
+        .orderBy($"n_chars".desc, $"doc_id")).cast("long").as("rb"))
+    ranked
+      .withColumn("rrf", lit(1.0) / ($"ra" + 60) + lit(1.0) / ($"rb" + 60))
+      .withColumn("fused_rank", row_number().over(Window.partitionBy($"lang")
+        .orderBy($"rrf".desc, $"doc_id")).cast("long"))
+      .where($"fused_rank" <= 5)
+      .select($"lang", $"fused_rank", $"doc_id", $"ra", $"rb",
+        round($"rrf", 6).as("rrf"))
+      .orderBy($"lang", $"fused_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q152_rrf_fusion" -> q152,
     "q148_mad_gate" -> q148,
     "q150_psi_drift" -> q150,
     "q143_k_anonymity" -> q143,
@@ -758,6 +796,31 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q152_rrf_fusion" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(round(len(list_distinct(w))::DOUBLE / len(w) * 1000000)
+        |      AS BIGINT) AS score
+        |  FROM (SELECT lang, doc_id, n_chars,
+        |          regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents WHERE text IS NOT NULL)),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id) AS ra,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rb
+        |  FROM scored),
+        |f AS (
+        |  SELECT lang, doc_id, ra, rb,
+        |    1.0::DOUBLE / (ra + 60) + 1.0::DOUBLE / (rb + 60) AS rrf
+        |  FROM r),
+        |top AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY rrf DESC, doc_id) AS fused_rank FROM f)
+        |SELECT lang, fused_rank, doc_id, ra, rb, round(rrf, 6) AS rrf
+        |FROM top WHERE fused_rank <= 5
+        |ORDER BY lang, fused_rank""".stripMargin,
     "q148_mad_gate" ->
       """WITH med AS (
         |  SELECT lang, quantile_cont(n_chars, 0.5) AS med

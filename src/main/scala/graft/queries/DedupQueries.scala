@@ -479,7 +479,39 @@ object DedupQueries extends QueryPack {
       .orderBy($"bucket")
   }
 
+  /** Crawl-stitch detection: doc A's LAST 8 tokens equal doc B's FIRST
+    * 8 tokens — the boundary signature of re-crawled pages glued from
+    * overlapping fragments (truncate-and-continue artifacts), which
+    * whole-doc fingerprints (q46) and symmetric shingle measures (q48)
+    * both miss because the docs differ everywhere else. One equi join
+    * of tail-boundary hashes against head-boundary hashes — a THIRD
+    * candidate-join key family alongside MinHash bands and SimHash
+    * bytes: still never all-pairs, one exchange on the md5 boundary
+    * key, census output O(langs). Boundary length is a parameter: a
+    * real crawl uses 8+ tokens; the fixture's 30-word vocabulary needs
+    * 3 so the join path is actually exercised (8 finds nothing at any
+    * sf and would green-light an unexercised plan). */
+  private val q151: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", $"lang", tokens($"text").as("w"))
+      .where(size($"w") >= 3)
+    val tails = toks.select($"doc_id".as("a_id"), $"lang",
+      md5(concat_ws(" ", slice($"w", -3, 3)).cast("binary")).as("bk"))
+    val heads = toks.select($"doc_id".as("b_id"),
+      md5(concat_ws(" ", slice($"w", 1, 3)).cast("binary")).as("bk"))
+    tails.join(heads, Seq("bk"))
+      .where($"a_id" =!= $"b_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_stitches"),
+        countDistinct($"a_id").as("n_tail_docs"),
+        countDistinct($"b_id").as("n_head_docs"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_stitch_pairs" -> q151,
     "q135_lsh_scurve" -> q135,
     "q134_span_scrub" -> q134,
     "q129_span_copy" -> q129,
@@ -569,6 +601,24 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q151_stitch_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |tails AS (
+        |  SELECT doc_id AS a_id, lang,
+        |    md5(array_to_string(w[len(w)-2:len(w)], ' ')) AS bk FROM t),
+        |heads AS (
+        |  SELECT doc_id AS b_id,
+        |    md5(array_to_string(w[1:3], ' ')) AS bk FROM t)
+        |SELECT lang, count(*) AS n_stitches,
+        |  count(DISTINCT a_id) AS n_tail_docs,
+        |  count(DISTINCT b_id) AS n_head_docs
+        |FROM tails JOIN heads USING (bk)
+        |WHERE a_id <> b_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q135_lsh_scurve" -> {
       val sig = duckSig(NH)
       s"""WITH $shingleCte,

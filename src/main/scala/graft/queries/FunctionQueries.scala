@@ -164,7 +164,36 @@ object FunctionQueries extends QueryPack {
       .orderBy($"key_class", $"core_cust")
   }
 
+  /** Benford first-digit audit: the leading-digit distribution of
+    * order totals against Benford's law (p(d) = log10(1 + 1/d)) with
+    * per-digit χ² contributions — the classic anomaly screen for
+    * fabricated/synthetic numeric columns (a flat or spiked leading
+    * digit outs generated data; TPC-H prices are uniform-ish, and the
+    * audit SHOWS that — the oracle proves the computation, not
+    * conformance). Counts are exact integers; log10 enters once per
+    * output row, so libm ulp noise sits 12 digits below the rounding.
+    *
+    * Scale shape: one narrow scan → 9-group hash agg; the total
+    * arrives by broadcast 1-row crossJoin (lazy, no driver count). */
+  private val q153: Q = (s, d) => {
+    import s.implicits._
+    val digits = Tables.orders(s, d)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum($"n_obs").as("n_tot"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("exp_n",
+        $"n_tot" * log10(lit(1.0) + lit(1.0) / $"digit".cast("double")))
+      .select($"digit", $"n_obs",
+        round($"exp_n", 2).as("benford_n"),
+        round(($"n_obs" - $"exp_n") * ($"n_obs" - $"exp_n") / $"exp_n", 4)
+          .as("chi2_term"))
+      .orderBy($"digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q153_benford" -> q153,
     "q34_string_funcs" -> q34,
     "q35_date_funcs" -> q35,
     "q36_math_funcs" -> q36,
@@ -176,6 +205,21 @@ object FunctionQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q153_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS digit,
+        |         count(*) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n_obs) AS n_tot FROM d)
+        |SELECT digit, n_obs,
+        |  round(n_tot * log10(1 + 1.0::DOUBLE / digit::DOUBLE), 2)
+        |    AS benford_n,
+        |  round((n_obs - n_tot * log10(1 + 1.0::DOUBLE / digit::DOUBLE))
+        |    * (n_obs - n_tot * log10(1 + 1.0::DOUBLE / digit::DOUBLE))
+        |    / (n_tot * log10(1 + 1.0::DOUBLE / digit::DOUBLE)), 4)
+        |    AS chi2_term
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
     "q34_string_funcs" ->
       """SELECT lang, first_word, count(*) AS n,
         |  CAST(sum(len) AS BIGINT) AS total_len, min(pre3) AS min_pre3

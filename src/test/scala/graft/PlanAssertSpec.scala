@@ -282,6 +282,19 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q151: the stitch boundary join is an equi join on the boundary hash") {
+    val p = plan("q151_stitch_pairs")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q152: all three fusion windows partition by lang — no global rank") {
+    val p = plan("q152_rrf_fusion")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("lang")),
+      specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
     val p = plan("q111_sql_decorrelated")
     // decorrelation rewrites the per-row subquery into a grouped agg
