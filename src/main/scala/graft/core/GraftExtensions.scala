@@ -18,8 +18,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * paths (config-time here, lazy `ensureRegistered` there).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.expressions.GraftFunctions.injectable.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    // equi-keyless interval-overlap joins → bucket-decomposed equi joins
+    ext.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite())
+  }
 }

@@ -237,9 +237,11 @@ object JoinQueries extends QueryPack {
     * each pair exactly once by keeping only the bucket that contains
     * the overlap's start (`b = floor(greatest(st_a, st_b) / width)`) —
     * no distinct needed. One exchange on the bucket key; comparisons
-    * bounded by per-bucket density², not corpus². The DuckDB oracle
-    * states the naive inequality join — passing proves the
-    * decomposition exact.
+    * bounded by per-bucket density², not corpus². The parameterized
+    * operator is [[graft.operators.IntervalJoin.overlapJoin]]
+    * (property-proven equal to the naive join at any width); the
+    * DuckDB oracle here states the naive inequality join — passing
+    * proves the decomposition exact on real data too.
     *
     * Scale note: bucket width should track the p99 interval duration;
     * long-tail intervals explode into more buckets (rows ∝ duration /
@@ -251,17 +253,11 @@ object JoinQueries extends QueryPack {
       .where($"event_type" === "error")
       .select($"event_id".as("id"), unix_timestamp($"ts").as("st"))
       .withColumn("en", $"st" + 1800L)
-    val buckets = iv.select($"id", $"st", $"en",
-      explode(sequence(floor($"st" / 3600), floor(($"en" - 1) / 3600))).as("b"))
-    val lhs = buckets.select($"b", $"id".as("a_id"), $"st".as("a_st"), $"en".as("a_en"))
-    val rhs = buckets.select($"b", $"id".as("b_id"), $"st".as("b_st"), $"en".as("b_en"))
-    lhs.join(rhs, Seq("b"))
-      .where($"a_id" < $"b_id" &&
-        $"a_st" < $"b_en" && $"b_st" < $"a_en" &&
-        $"b" === floor(greatest($"a_st", $"b_st") / 3600))
+    graft.operators.IntervalJoin.overlapJoin(iv, iv, "st", "en", 3600L)
+      .where($"l_id" < $"r_id")
       .select(
-        from_unixtime(greatest($"a_st", $"b_st"), "yyyy-MM-dd").as("day"),
-        (least($"a_en", $"b_en") - greatest($"a_st", $"b_st")).as("ov"))
+        from_unixtime(greatest($"l_st", $"r_st"), "yyyy-MM-dd").as("day"),
+        (least($"l_en", $"r_en") - greatest($"l_st", $"r_st")).as("ov"))
       .groupBy($"day")
       .agg(count(lit(1)).as("n_pairs"),
         sum($"ov").as("overlap_sec"),

@@ -1,0 +1,113 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The optimizer rule must (a) turn the naive inequality-only overlap
+  * join into an equi join — no nested loop in the physical plan — and
+  * (b) change NOTHING about the result, including the adversarial
+  * cases: empty [x, x) intervals strictly inside a partner (the naive
+  * strict-< predicate ADMITS those pairs; the clamped bucket range must
+  * find them) and negative coordinates. Guards: an existing equi key or
+  * a broadcastable side must leave the join untouched. */
+class OverlapJoinRewriteSpec extends SparkSpec {
+
+  private def withRule[A](width: Long = 16L, thr: String = "-1")(body: => A): A = {
+    val s = spark
+    val prev = s.experimental.extraOptimizations
+    val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.experimental.extraOptimizations = prev :+ OverlapJoinRewrite()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    s.conf.set("spark.graft.overlapJoin.bucketWidth", width.toString)
+    try body finally {
+      s.experimental.extraOptimizations = prev
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      s.conf.unset("spark.graft.overlapJoin.bucketWidth")
+    }
+  }
+
+  // seeded population with empties, inversions, negatives, long spans
+  private def intervals(seed: Int, n: Int): Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val st = rnd.nextInt(400).toLong - 200
+      val len = rnd.nextInt(9) match {
+        case 0 => 0L                       // empty
+        case 1 => -(rnd.nextInt(30) + 1L)  // inverted
+        case _ => rnd.nextInt(120).toLong
+      }
+      (i.toLong, st, st + len)
+    }
+  }
+
+  private def frames: (DataFrame, DataFrame) = {
+    val s = spark
+    import s.implicits._
+    (intervals(11, 90).toDF("a_id", "a_st", "a_en"),
+      intervals(23, 70).toDF("b_id", "b_st", "b_en"))
+  }
+
+  private def naive(l: DataFrame, r: DataFrame): DataFrame = {
+    val s = spark
+    import s.implicits._
+    l.join(r, $"a_st" < $"b_en" && $"b_st" < $"a_en")
+      .select($"a_id", $"b_id")
+  }
+
+  test("rewrites the naive overlap join to an equi join with identical results") {
+    val (l, r) = frames
+    val truth = naive(l, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    withRule() {
+      val df = naive(l, r)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        p.linesIterator.take(8).mkString("\n"))
+      assert(p.contains("Generate"), p.linesIterator.take(8).mkString("\n"))
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == truth,
+        s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    }
+  }
+
+  test("results are width-invariant (width tunes cost, never semantics)") {
+    val (l, r) = frames
+    val truth = naive(l, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    for (w <- Seq(1L, 7L, 1000L)) withRule(width = w) {
+      val got = naive(l, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == truth, s"width=$w")
+    }
+  }
+
+  test("a join that already has an equi key is left alone") {
+    val s = spark
+    import s.implicits._
+    val (l, r) = frames
+    withRule() {
+      val df = l.join(r, $"a_id" === $"b_id" && $"a_st" < $"b_en" && $"b_st" < $"a_en")
+      assert(!df.queryExecution.executedPlan.toString.contains("Generate"))
+    }
+  }
+
+  test("a broadcastable side keeps its nested-loop plan (no regression shuffle)") {
+    val (l, r) = frames
+    withRule(thr = "10485760") {
+      val p = naive(l, r).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoop") && !p.contains("Generate"))
+    }
+  }
+
+  test("SQL-text inequality joins rewrite too") {
+    val (l, r) = frames
+    l.createOrReplaceTempView("ov_l")
+    r.createOrReplaceTempView("ov_r")
+    val sql = """SELECT a_id, b_id FROM ov_l JOIN ov_r
+                 ON a_st < b_en AND b_st < a_en"""
+    val truth = spark.sql(sql).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    withRule() {
+      val df = spark.sql(sql)
+      assert(df.queryExecution.executedPlan.toString.contains("Generate"))
+      assert(df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet == truth)
+    }
+  }
+}
