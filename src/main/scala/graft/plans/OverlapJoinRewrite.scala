@@ -43,7 +43,10 @@ import org.apache.spark.sql.types.LongType
   *     bucket equalities);
   *   - BOTH sides' size stats exceed the broadcast threshold — a
   *     broadcastable side makes BNLJ cheap and streaming, and the
-  *     decomposition's shuffle would be a regression.
+  *     decomposition's shuffle would be a regression;
+  *   - no explicit join hint (a user hint is a plan request);
+  *   - a malformed width conf disables the rule with a warning instead
+  *     of failing every query's optimization.
   *
   * Width: `spark.graft.overlapJoin.bucketWidth` (units of the operand
   * values; default 3600). Tune toward the p99 interval duration.
@@ -69,13 +72,19 @@ case class OverlapJoinRewrite() extends Rule[LogicalPlan] {
     else None
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(WidthKey, "3600").toLong
-    require(width > 0, s"$WidthKey must be positive: $width")
+    // a malformed width must not break optimization of EVERY query —
+    // log once and stand down instead of throwing mid-optimizer
+    val width = scala.util.Try(conf.getConfString(WidthKey, "3600").toLong)
+      .toOption.filter(_ > 0).getOrElse {
+        logWarning(s"$WidthKey is not a positive long — OverlapJoinRewrite disabled")
+        return plan
+      }
     val thr = conf.autoBroadcastJoinThreshold
 
     plan transform {
+      // an explicit user join hint is a plan request — leave it alone
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved &&
+          if j.resolved && hint == JoinHint.NONE &&
             left.stats.sizeInBytes > thr && right.stats.sizeInBytes > thr => {
         val conjs = splitConj(cond)
         val hasEqui = conjs.exists {

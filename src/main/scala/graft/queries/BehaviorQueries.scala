@@ -186,7 +186,46 @@ object BehaviorQueries extends QueryPack {
       .orderBy($"tier", $"event_type")
   }
 
+  /** Rolling robust anomaly detection: flag days whose revenue falls
+    * outside median ± 1.5·IQR of the TRAILING week (frame −7..−1, so a
+    * spike never masks itself) — the Tukey-fence monitor a pipeline
+    * owner runs on daily ingest volumes, per series. Robust stats over
+    * the window frame, not mean/stddev: one bad day moves a z-score
+    * fence but not the median fence.
+    *
+    * Determinism: daily sums are integer cents; `percentile` over a
+    * ≤7-int frame interpolates onto quarters (exact dyadic), so
+    * median/IQR/the ×1.5 fence are all EXACT doubles both engines
+    * agree on — the strict > can never flip. Warm-up days (<5 trailing
+    * observations) are suppressed, not flagged on thin frames.
+    *
+    * Scale shape: one hash agg to days (output O(series×days)), then
+    * per-series ordered windows — parallel across series, 7-row
+    * frames. */
+  private val q154: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("dy"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"dy")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prev", count($"cents").over(w))
+      .withColumn("med", percentile($"cents", lit(0.5)).over(w))
+      .withColumn("q1", percentile($"cents", lit(0.25)).over(w))
+      .withColumn("q3", percentile($"cents", lit(0.75)).over(w))
+      .where($"n_prev" >= 5)
+      .select($"event_type", date_format($"dy", "yyyy-MM-dd").as("day"),
+        $"cents",
+        round($"med", 1).as("med_c"),
+        round($"q3" - $"q1", 2).as("iqr_c"),
+        (abs($"cents" - $"med") > ($"q3" - $"q1") * 1.5).cast("int")
+          .as("anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q154_rolling_anomaly" -> q154,
     "q149_decay_score" -> q149,
     "q98_concurrency" -> q98,
     "q101_funnel" -> q101,
@@ -196,6 +235,27 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q154_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::TIMESTAMP::DATE AS dy,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, dy, cents,
+        |    count(cents) OVER fr AS n_prev,
+        |    quantile_cont(cents, 0.5) OVER fr AS med,
+        |    quantile_cont(cents, 0.25) OVER fr AS q1,
+        |    quantile_cont(cents, 0.75) OVER fr AS q3
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY dy
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(dy, '%Y-%m-%d') AS day, cents,
+        |  round(med, 1) AS med_c,
+        |  round(q3 - q1, 2) AS iqr_c,
+        |  CAST(abs(cents - med) > (q3 - q1) * 1.5 AS INT) AS anomaly
+        |FROM r WHERE n_prev >= 5
+        |ORDER BY event_type, day""".stripMargin,
     "q149_decay_score" ->
       """WITH mx AS (SELECT max(ts::TIMESTAMP::DATE) AS d1 FROM events),
         |e AS (

@@ -433,25 +433,34 @@ object CorpusOpsQueries extends QueryPack {
     * Scale shape: NO pair materialization ever — each iteration is two
     * grouped equi-joins over the EDGE list (walk mass to the order
     * side, then back), so cost is O(E) per iteration with fixed
-    * iteration count. The only driver value is the node count (one
-    * scalar). Ranks are ordered on a 9-digit rounding so cross-engine
-    * float-sum ulp noise (≈1e-19 abs here) can't flip the order. */
+    * iteration count. Fully lazy: the node count arrives as a broadcast
+    * 1-row crossJoin (an eager `.count()` here cost a whole extra
+    * scan+agg action before the main job), part degrees ride ON the
+    * rank frame and order degrees are pre-attached to the edge list
+    * once (its exchange is reused by every iteration) — so an
+    * iteration is exactly two joins, not four. Ranks are ordered on a
+    * 9-digit rounding so cross-engine float-sum ulp noise (≈1e-19 abs
+    * here) can't flip the order. */
   private val q139: Q = (s, d) => {
     import s.implicits._
     val edges = Tables.lineitem(s, d)
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
     val degP = edges.groupBy($"p").agg(count(lit(1)).as("dp"))
-    val degO = edges.groupBy($"o").agg(count(lit(1)).as("dn"))
-    val nP = degP.count()
-    var rank = degP.select($"p", lit(1.0 / nP).as("r"))
+    val edgesO = edges.join(
+      edges.groupBy($"o").agg(count(lit(1)).as("dn")), Seq("o"))
+    val np = degP.agg(count(lit(1)).as("np"))
+    var rank = degP.crossJoin(broadcast(np))
+      .select($"p", $"dp", $"np", (lit(1.0) / $"np").as("r"))
     for (_ <- 1 to 3) {
-      val walkToOrders = edges.join(rank, Seq("p")).join(degP, Seq("p"))
+      val walkToOrders = edges.join(rank, Seq("p"))
         .groupBy($"o").agg(sum($"r" / $"dp").as("qo"))
-      rank = edges.join(walkToOrders, Seq("o")).join(degO, Seq("o"))
-        .groupBy($"p").agg(
-          (lit(0.15 / nP) + lit(0.85) * sum($"qo" / $"dn")).as("r"))
+      rank = edgesO.join(walkToOrders, Seq("o"))
+        .groupBy($"p").agg((lit(0.85) * sum($"qo" / $"dn")).as("r85"))
+        .join(degP, Seq("p"))
+        .crossJoin(broadcast(np))
+        .select($"p", $"dp", $"np", (lit(0.15) / $"np" + $"r85").as("r"))
     }
-    rank.join(degP, Seq("p"))
+    rank
       .select($"p".as("p_partkey"), $"dp".as("n_orders"),
         round($"r" * 1000, 6).as("walk_rank_k"))
       .orderBy(round($"r" * 1000, 9).desc, $"p_partkey")
@@ -768,7 +777,51 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang", $"fused_rank")
   }
 
+  /** Degree-oriented triangle census over the co-purchase graph (parts
+    * sharing an order, one ship-date quarter-pair) — triangle count and
+    * global clustering coefficient, the graph-health stats behind
+    * community/cohesion analyses. The DISTRIBUTED-scale point is the
+    * orientation: direct every edge from its lower-(degree, id) to its
+    * higher-(degree, id) endpoint BEFORE the wedge join, so wedges
+    * enumerate per-node out-pairs bounded by O(√E) arboricity-style —
+    * on a power-law graph the unoriented join explodes on hub nodes
+    * (every pair of a hub's neighbors) while the oriented one provably
+    * caps out-degree. Each triangle then appears as EXACTLY one
+    * directed path a→b→c plus closing edge a→c — counted once, no
+    * distinct, no /6.
+    *
+    * Scale shape: edge build is an order-keyed self-join (pairs per
+    * order, not per corpus); wedge join and closing-edge semi-join are
+    * equi joins on node keys; every scalar arrives via broadcast 1-row
+    * crossJoin — fully lazy, single action. */
+  private val q155: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .where($"l_shipdate" >= "1995-01-01" && $"l_shipdate" < "1995-07-01")
+      .select($"l_orderkey".as("k"), $"l_partkey".as("v"))
+    val e0 = li.toDF("k", "a").join(li.toDF("k", "b"), Seq("k"))
+      .where($"a" < $"b").select($"a", $"b").distinct()
+    val deg = e0.select($"a".as("v")).union(e0.select($"b"))
+      .groupBy($"v").agg(count(lit(1)).as("dg"))
+    val lt = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val o = e0
+      .join(deg.toDF("a", "da"), Seq("a")).join(deg.toDF("b", "db"), Seq("b"))
+      .select(when(lt, $"a").otherwise($"b").as("s"),
+        when(lt, $"b").otherwise($"a").as("t"))
+    val w = o.toDF("wa", "wb").join(o.toDF("wb", "wc"), Seq("wb"))
+    val tri = w.join(o.toDF("wa", "wc"), Seq("wa", "wc"), "left_semi")
+    val wedgesAll = deg.agg((sum($"dg" * ($"dg" - 1)) / 2).cast("long").as("open_wedges"))
+    e0.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(w.agg(count(lit(1)).as("n_oriented_wedges"))))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+      .crossJoin(broadcast(wedgesAll))
+      .select($"n_edges", $"n_oriented_wedges", $"n_triangles", $"open_wedges",
+        when($"open_wedges" > 0,
+          round(lit(3.0) * $"n_triangles" / $"open_wedges", 6)).as("global_cc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_triangle_census" -> q155,
     "q152_rrf_fusion" -> q152,
     "q148_mad_gate" -> q148,
     "q150_psi_drift" -> q150,
@@ -796,6 +849,39 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q155_triangle_census" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k, l_partkey AS v FROM lineitem
+        |  WHERE l_shipdate >= DATE '1995-01-01'
+        |    AND l_shipdate < DATE '1995-07-01'),
+        |e0 AS (
+        |  SELECT DISTINCT a.v AS a, b.v AS b
+        |  FROM li a JOIN li b ON a.k = b.k AND a.v < b.v),
+        |deg AS (
+        |  SELECT v, count(*) AS dg
+        |  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY v),
+        |o AS (
+        |  SELECT CASE WHEN (da.dg, a) < (db.dg, b) THEN a ELSE b END AS s,
+        |         CASE WHEN (da.dg, a) < (db.dg, b) THEN b ELSE a END AS t
+        |  FROM e0 JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+        |w AS (
+        |  SELECT e1.s AS wa, e1.t AS wb, e2.t AS wc
+        |  FROM o e1 JOIN o e2 ON e1.t = e2.s),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.wa AND o.t = w.wc)),
+        |agg AS (
+        |  SELECT (SELECT count(*) FROM e0) AS n_edges,
+        |         (SELECT count(*) FROM w) AS n_oriented_wedges,
+        |         (SELECT n_triangles FROM tri) AS n_triangles,
+        |         (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) FROM deg)
+        |           AS open_wedges)
+        |SELECT n_edges, n_oriented_wedges, n_triangles, open_wedges,
+        |  CASE WHEN open_wedges > 0
+        |    THEN round(3.0::DOUBLE * n_triangles / open_wedges, 6) END
+        |    AS global_cc
+        |FROM agg""".stripMargin,
     "q152_rrf_fusion" ->
       """WITH scored AS (
         |  SELECT lang, doc_id, n_chars,

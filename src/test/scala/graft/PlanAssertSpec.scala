@@ -295,6 +295,19 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q154: the trailing-week frames window per series, never globally") {
+    val p = plan("q154_rolling_anomaly")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("event_type")),
+      specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("q155: wedge and closing-edge joins are equi joins — never a product") {
+    val p = plan("q155_triangle_census")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
     val p = plan("q111_sql_decorrelated")
     // decorrelation rewrites the per-row subquery into a grouped agg

@@ -97,6 +97,27 @@ class OverlapJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("an explicit join hint suppresses the rewrite") {
+    val s = spark
+    import s.implicits._
+    val (l, r) = frames
+    withRule() {
+      val df = l.hint("merge").join(r, $"a_st" < $"b_en" && $"b_st" < $"a_en")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("Generate"))
+    }
+  }
+
+  test("a malformed width conf disables the rule instead of failing the query") {
+    val (l, r) = frames
+    val truth = naive(l, r).count()
+    withRule() {
+      spark.conf.set("spark.graft.overlapJoin.bucketWidth", "not-a-number")
+      val df = naive(l, r)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("Generate"))
+      assert(df.count() == truth)
+    }
+  }
+
   test("SQL-text inequality joins rewrite too") {
     val (l, r) = frames
     l.createOrReplaceTempView("ov_l")
