@@ -820,7 +820,45 @@ object CorpusOpsQueries extends QueryPack {
           round(lit(3.0) * $"n_triangles" / $"open_wedges", 6)).as("global_cc"))
   }
 
+  /** Score-calibration reliability census: bucket each language's docs
+    * into lexical-uniqueness-score deciles and measure the EXACT-DUP
+    * rate per decile — the "does the quality score actually predict the
+    * outcome we filter for" check run before trusting a score as a
+    * gate (a flat profile means the score is noise; monotone means the
+    * threshold is meaningful). Integer score (q142's), integer-
+    * deterministic ntile under a total (score, doc_id) order, dup flag
+    * from the exact md5-copy census — the only float is the final
+    * rounded rate.
+    *
+    * Scale shape: one fingerprint exchange (copy census + join back),
+    * per-lang decile windows (parallel across languages), one
+    * (lang, decile) hash agg. */
+  private val q156: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"doc_id",
+        md5(trim($"text").cast("binary")).as("fp"),
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"lang", $"doc_id", $"fp")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_uniq"))
+      .withColumn("score",
+        round($"n_uniq".cast("double") / $"n_tok" * 1000000).cast("long"))
+    val copies = scored.groupBy($"fp").agg(count(lit(1)).as("copies"))
+    scored.join(copies, Seq("fp"))
+      .withColumn("decile", ntile(10)
+        .over(Window.partitionBy($"lang").orderBy($"score", $"doc_id"))
+        .cast("long"))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"score").as("min_score"),
+        sum(($"copies" >= 2).cast("long")).as("n_dups"),
+        round(avg(($"copies" >= 2).cast("double")), 4).as("dup_rate"))
+      .orderBy($"lang", $"decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_calibration" -> q156,
     "q155_triangle_census" -> q155,
     "q152_rrf_fusion" -> q152,
     "q148_mad_gate" -> q148,
@@ -849,6 +887,28 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q156_calibration" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id, md5(trim(text)) AS fp,
+        |    CAST(round(
+        |      len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')) * 1000000)
+        |      AS BIGINT) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |copies AS (SELECT fp, count(*) AS copies FROM scored GROUP BY fp),
+        |dd AS (
+        |  SELECT lang, score, copies,
+        |    ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id)
+        |      AS decile
+        |  FROM scored JOIN copies USING (fp))
+        |SELECT lang, decile, count(*) AS n_docs,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(sum(CASE WHEN copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
+        |  round(avg(CASE WHEN copies >= 2 THEN 1.0::DOUBLE ELSE 0 END), 4)
+        |    AS dup_rate
+        |FROM dd GROUP BY lang, decile
+        |ORDER BY lang, decile""".stripMargin,
     "q155_triangle_census" ->
       """WITH li AS (
         |  SELECT l_orderkey AS k, l_partkey AS v FROM lineitem

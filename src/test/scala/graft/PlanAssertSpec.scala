@@ -308,6 +308,14 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q156: the decile windows partition by lang — no global ntile") {
+    val p = plan("q156_calibration")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("lang")),
+      specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
     val p = plan("q111_sql_decorrelated")
     // decorrelation rewrites the per-row subquery into a grouped agg
