@@ -857,7 +857,60 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang", $"decile")
   }
 
+  /** Point-in-time (PIT) dimension join — the feature-store join that
+    * keeps training features leakage-free: each shipment is enriched
+    * with the priority regime its CUSTOMER was in at ship time (the
+    * q103 SCD-2 dimension), never a later version. The naive form
+    * (equi key + `valid_from <= t < valid_to` filter) fans every fact
+    * out across all of its key's versions before filtering; this
+    * implementation is the AS-OF carry-forward instead: union the
+    * version-change rows with the fact rows, sort per customer by
+    * (time, dim-first, version), carry the last dim value forward —
+    * ONE exchange on the key, zero fan-out, the q68 shape pointed at a
+    * built dimension. The DuckDB oracle states the naive interval
+    * join — passing proves the carry-forward equivalent, including the
+    * same-day-version-change edge (facts on a change day take that
+    * day's LAST version; zero-width versions match nothing). */
+  private val q157: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c").orderBy($"od", $"o_orderkey")
+    val runs = Tables.orders(s, d)
+      .select($"o_custkey".as("c"), $"o_orderkey",
+        to_date($"o_orderdate").as("od"), $"o_orderpriority".as("prio"))
+      .withColumn("prev", lag($"prio", 1).over(w))
+      .withColumn("chg",
+        when($"prev".isNull || $"prev" =!= $"prio", 1L).otherwise(0L))
+      .withColumn("version", sum($"chg").over(w))
+    val dimRows = runs.groupBy($"c", $"version", $"prio")
+      .agg(min($"od").as("t"))
+      .select($"c", $"t", lit(0).as("is_fact"), $"version", $"prio",
+        lit(null).cast("double").as("qty"))
+    val factRows = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .select($"o_orderkey".as("l_orderkey"), $"o_custkey".as("c")),
+        Seq("l_orderkey"))
+      .select($"c", to_date($"l_shipdate").as("t"), lit(1).as("is_fact"),
+        lit(null).cast("long").as("version"), lit(null).cast("string").as("prio"),
+        $"l_quantity".as("qty"))
+    val wc = Window.partitionBy($"c")
+      .orderBy($"t", $"is_fact", $"version")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dimRows.unionByName(factRows)
+      .withColumn("prio_at_ship",
+        last(when($"is_fact" === 0, $"prio"), ignoreNulls = true).over(wc))
+      // SCD-2 intervals tile [first_valid_from, ∞) with no holes, so a
+      // null carry is EXACTLY "fact predates every version" — the rows
+      // an inner interval join drops (this fixture ships 29k lines
+      // before their order date, so the branch is exercised)
+      .where($"is_fact" === 1 && $"prio_at_ship".isNotNull)
+      .groupBy($"prio_at_ship", date_format($"t", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor($"qty")).cast("long").as("sum_qty"))
+      .orderBy($"prio_at_ship", $"month")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q157_pit_join" -> q157,
     "q156_calibration" -> q156,
     "q155_triangle_census" -> q155,
     "q152_rrf_fusion" -> q152,
@@ -887,6 +940,32 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q157_pit_join" ->
+      """WITH runs AS (
+        |  SELECT o_custkey AS c, o_orderkey, o_orderdate::DATE AS od,
+        |    o_orderpriority AS prio,
+        |    CASE WHEN lag(o_orderpriority) OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate::DATE, o_orderkey)
+        |      IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg
+        |  FROM orders),
+        |v AS (
+        |  SELECT c, o_orderkey, od, prio,
+        |    sum(chg) OVER (PARTITION BY c ORDER BY od, o_orderkey)
+        |      AS version
+        |  FROM runs),
+        |dim AS (
+        |  SELECT c, version, prio, min(od) AS vf,
+        |    lead(min(od)) OVER (PARTITION BY c ORDER BY version) AS vt
+        |  FROM v GROUP BY c, version, prio),
+        |f AS (
+        |  SELECT o.o_custkey AS c, l.l_shipdate::DATE AS t, l.l_quantity AS qty
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT d.prio AS prio_at_ship, strftime(f.t, '%Y-%m') AS month,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(f.qty) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM f JOIN dim d ON d.c = f.c
+        |  AND f.t >= d.vf AND (d.vt IS NULL OR f.t < d.vt)
+        |GROUP BY 1, 2 ORDER BY prio_at_ship, month""".stripMargin,
     "q156_calibration" ->
       """WITH scored AS (
         |  SELECT lang, doc_id, md5(trim(text)) AS fp,

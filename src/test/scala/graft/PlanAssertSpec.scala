@@ -316,6 +316,14 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q157: PIT carry-forward windows partition by customer — one key exchange, no fan-out join") {
+    val p = plan("q157_pit_join")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("windowspecdefinition(c#")),
+      specs.mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
   test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
     val p = plan("q111_sql_decorrelated")
     // decorrelation rewrites the per-row subquery into a grouped agg
