@@ -909,7 +909,45 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"prio_at_ship", $"month")
   }
 
+  /** Broadcast-boundary decile gate — the 100 TB form of the ntile
+    * gates (q142/q156): instead of SORTING every row per language to
+    * assign deciles, compute the nine per-language decile BOUNDARIES
+    * in one aggregation (O(langs×9) output), broadcast them back, and
+    * assign each doc its bucket with nine comparisons — no sort, no
+    * per-lang ntile window, plan-asserted broadcast join. Exact
+    * `percentile` here (oracle-checkable: Spark and DuckDB interpolate
+    * `p·(n−1)` with identical IEEE arithmetic, so every boundary is
+    * the same double and `score > boundary` can never disagree); at
+    * real scale swap in `approx_percentile` — same plan, sketch-merged
+    * boundaries. Buckets differ from ntile's ONLY on ties (ntile
+    * force-balances counts; boundaries keep equal scores together —
+    * the semantically better behavior for a gate). */
+  private val q158: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"doc_id",
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_uniq"))
+      .withColumn("score",
+        round($"n_uniq".cast("double") / $"n_tok" * 1000000).cast("long"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val bounds = scored.groupBy($"lang")
+      .agg(percentile($"score", lit(ps.toArray)).as("bs"))
+    val bucket = (1 to 9)
+      .map(i => ($"score" > element_at($"bs", i)).cast("long"))
+      .reduce(_ + _) + 1
+    scored.join(broadcast(bounds), Seq("lang"))
+      .withColumn("decile", bucket)
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .orderBy($"lang", $"decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q158_boundary_deciles" -> q158,
     "q157_pit_join" -> q157,
     "q156_calibration" -> q156,
     "q155_triangle_census" -> q155,
@@ -940,6 +978,35 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q158_boundary_deciles" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id,
+        |    CAST(round(
+        |      len(list_distinct(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')) * 1000000)
+        |      AS BIGINT) AS score
+        |  FROM documents WHERE text IS NOT NULL),
+        |bounds AS (
+        |  SELECT lang, quantile_cont(score,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM scored GROUP BY lang),
+        |assigned AS (
+        |  SELECT s.lang, s.score,
+        |    1 + (CASE WHEN s.score > bs[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s.score > bs[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s.score > bs[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s.score > bs[4] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s.score > bs[5] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s.score > bs[6] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s.score > bs[7] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s.score > bs[8] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN s.score > bs[9] THEN 1 ELSE 0 END) AS decile
+        |  FROM scored s JOIN bounds USING (lang))
+        |SELECT lang, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM assigned GROUP BY lang, decile
+        |ORDER BY lang, decile""".stripMargin,
     "q157_pit_join" ->
       """WITH runs AS (
         |  SELECT o_custkey AS c, o_orderkey, o_orderdate::DATE AS od,

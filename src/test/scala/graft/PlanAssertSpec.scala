@@ -324,6 +324,14 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"))
   }
 
+  test("q158: the boundary gate has NO window at all — boundaries broadcast back") {
+    val p = plan("q158_boundary_deciles")
+    assert(!p.contains("windowspecdefinition"),
+      "the whole point: decile assignment without a per-lang sort")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(800))
+  }
+
   test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
     val p = plan("q111_sql_decorrelated")
     // decorrelation rewrites the per-row subquery into a grouped agg
