@@ -946,7 +946,43 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang", $"decile")
   }
 
+  /** Leave-one-out source novelty: what fraction of each source's
+    * 5-gram occurrences exists NOWHERE else in the corpus — the "what
+    * does this source uniquely add" number that decides whether a
+    * source earns its ingestion cost (q127's pairwise overlap matrix
+    * says who overlaps whom; this says who is REPLACEABLE). Exclusive
+    * mass = occurrences of grams whose source-set is exactly {this
+    * source}; ratio over the source's total gram occurrences.
+    *
+    * Scale shape: shingle extraction's per-doc window exchanges on
+    * doc_id and the source-attach join REUSES that partitioning (one
+    * side pre-exchanged); then one exchange on the gram key feeds the
+    * spread census and the join back (same key, reused); the final
+    * per-source rollup is map-side-combinable. Output O(sources), all
+    * integers until the final rounded ratio. */
+  private val q159: Q = (s, d) => {
+    import s.implicits._
+    val grams = shingleRows(Tables.documents(s, d), "doc_id", "text", 5)
+      .join(Tables.documents(s, d).select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"source", $"s".as("g"))
+    val perSource = grams.groupBy($"g", $"source")
+      .agg(count(lit(1)).as("occ"))
+    val spread = perSource.groupBy($"g")
+      .agg(count(lit(1)).as("n_sources"))
+    perSource.join(spread, Seq("g"))
+      .groupBy($"source")
+      .agg(
+        sum($"occ").as("n_grams"),
+        sum(when($"n_sources" === 1, $"occ").otherwise(0L)).as("n_exclusive"),
+        count(lit(1)).as("n_distinct"),
+        sum(($"n_sources" === 1).cast("long")).as("n_distinct_exclusive"))
+      .withColumn("novelty",
+        round($"n_exclusive".cast("double") / $"n_grams", 4))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q159_source_novelty" -> q159,
     "q158_boundary_deciles" -> q158,
     "q157_pit_join" -> q157,
     "q156_calibration" -> q156,
@@ -978,6 +1014,28 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q159_source_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT source,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] AS g
+        |  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |ps AS (SELECT g, source, count(*) AS occ FROM gr GROUP BY g, source),
+        |sp AS (SELECT g, count(*) AS n_sources FROM ps GROUP BY g)
+        |SELECT source, CAST(sum(occ) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN n_sources = 1 THEN occ ELSE 0 END) AS BIGINT)
+        |    AS n_exclusive,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_distinct_exclusive,
+        |  round(sum(CASE WHEN n_sources = 1 THEN occ ELSE 0 END)::DOUBLE
+        |    / sum(occ), 4) AS novelty
+        |FROM ps JOIN sp USING (g)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q158_boundary_deciles" ->
       """WITH scored AS (
         |  SELECT lang, doc_id,

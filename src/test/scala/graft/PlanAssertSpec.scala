@@ -332,6 +332,11 @@ class PlanAssertSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q159: novelty joins are equi joins on the gram — never a product") {
+    val p = plan("q159_source_novelty")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q111 (SQL text): correlated scalar subquery decorrelates to one agg + join") {
     val p = plan("q111_sql_decorrelated")
     // decorrelation rewrites the per-row subquery into a grouped agg
