@@ -77,7 +77,8 @@ object ScaleProbe {
       "q145_curriculum", "q146_zipf_slope", "q147_overlap_join",
       "q148_mad_gate", "q149_decay_score", "q150_psi_drift",
       "q151_stitch_pairs", "q152_rrf_fusion", "q154_rolling_anomaly",
-      "q156_calibration", "q158_boundary_deciles", "q159_source_novelty")
+      "q156_calibration", "q158_boundary_deciles", "q159_source_novelty",
+      "q160_attribution")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bloom_semi")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

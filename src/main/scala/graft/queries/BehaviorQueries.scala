@@ -224,7 +224,42 @@ object BehaviorQueries extends QueryPack {
       .orderBy($"event_type", $"day")
   }
 
+  /** Attribution-window funnel: per day, how many purchases had a view
+    * by the same user within the trailing 24 h — last-touch attribution
+    * with a timeout, the constraint q68's open-ended as-of join and
+    * q116's unbounded lag both lack. Carry-forward form: one exchange
+    * on user_id, the last view time rides a running window (views sort
+    * BEFORE purchases on timestamp ties so a same-instant view
+    * attributes — matching the oracle's `vt <= pt`), and the 24 h test
+    * is integer seconds.
+    *
+    * Scale shape: one user-keyed window pass over two event types,
+    * then a map-side-combinable day rollup — output O(days). */
+  private val q160: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .where($"event_type".isin("view", "purchase"))
+      .select($"user_id", $"ts", $"event_id",
+        ($"event_type" === "view").cast("int").as("is_view"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_view".desc, $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("lv",
+        last(when($"is_view" === 1, $"ts"), ignoreNulls = true).over(w))
+      .where($"is_view" === 0)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+        when($"lv".isNotNull &&
+          unix_timestamp($"ts") - unix_timestamp($"lv") <= 86400L, 1L)
+          .otherwise(0L).as("attributed"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"attributed").as("n_attributed"),
+        round(avg($"attributed".cast("double")), 4).as("attribution_rate"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q160_attribution" -> q160,
     "q154_rolling_anomaly" -> q154,
     "q149_decay_score" -> q149,
     "q98_concurrency" -> q98,
@@ -235,6 +270,26 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q160_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, ts::TIMESTAMP AS vt FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS pt FROM events
+        |  WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT p.event_id, p.pt, max(v.vt) AS lv
+        |  FROM p LEFT JOIN v
+        |    ON v.user_id = p.user_id AND v.vt <= p.pt
+        |  GROUP BY p.event_id, p.pt)
+        |SELECT strftime(pt, '%Y-%m-%d') AS day, count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN lv IS NOT NULL
+        |    AND floor(epoch(pt))::BIGINT - floor(epoch(lv))::BIGINT <= 86400
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |  round(avg(CASE WHEN lv IS NOT NULL
+        |    AND floor(epoch(pt))::BIGINT - floor(epoch(lv))::BIGINT <= 86400
+        |    THEN 1.0::DOUBLE ELSE 0 END), 4) AS attribution_rate
+        |FROM a GROUP BY 1 ORDER BY day""".stripMargin,
     "q154_rolling_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, ts::TIMESTAMP::DATE AS dy,
