@@ -36,13 +36,38 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[ScoredId] = Vector.empty
 
-  // buffer stays sorted and ≤ k, so insert + re-take touches k+1
-  // elements — constant-bounded work per input row
-  override def reduce(b: Seq[ScoredId], a: (String, ScoredId)): Seq[ScoredId] =
-    (b :+ a._2).sorted(ord).take(k)
+  // buffer stays sorted and ≤ k; the common case (full buffer, new row
+  // sorts after the k-th) is one comparison, otherwise binary-search
+  // insert — O(log k) search + O(k) shift, never a per-row sort
+  override def reduce(b: Seq[ScoredId], a: (String, ScoredId)): Seq[ScoredId] = {
+    val x = a._2
+    if (b.length >= k && ord.compare(x, b.last) >= 0) b
+    else {
+      var lo = 0
+      var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.compare(b(mid), x) <= 0) lo = mid + 1 else hi = mid
+      }
+      val ins = (b.take(lo) :+ x) ++ b.drop(lo)
+      if (ins.length > k) ins.take(k) else ins
+    }
+  }
 
-  override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] =
-    (x ++ y).sorted(ord).take(k)
+  // two sorted runs → linear merge, then cap at k
+  override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] = {
+    val out = Vector.newBuilder[ScoredId]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < k && (i < x.length || j < y.length)) {
+      val takeX = j >= y.length ||
+        (i < x.length && ord.compare(x(i), y(j)) <= 0)
+      if (takeX) { out += x(i); i += 1 } else { out += y(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
 
   override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
 

@@ -265,8 +265,55 @@ object JoinQueries extends QueryPack {
       .orderBy($"day")
   }
 
+  /** The OPTIMIZER-RULE path of q147: a user keeps writing the naive
+    * inequality-only overlap SQL (`a.st < b.en AND b.st < a.en` — the
+    * HiveQL shape the reference's interval reports use, e.g. channel
+    * play-window overlap in `homed/repots/ChannelReport.scala:68-73`)
+    * and [[graft.plans.OverlapJoinRewrite]] — installed here exactly as
+    * a cluster installs it through `GraftExtensions` — rewrites it to
+    * the bucketed equi join q147 builds by hand. Same oracle semantics
+    * as q147, so a green row proves the rewrite exact on real data; the
+    * plan shape (Generate + hash/merge join, no BNLJ, no residual
+    * Union: the `en = st + 1800` projection is constraint-proven
+    * bounded) is asserted in OverlapJoinRewriteSpec.
+    *
+    * Runs in a `newSession()` so the rewrite-forcing confs (broadcast
+    * threshold off, so the stats guard sees both sides big even at
+    * sf0.001) can't leak into other queries' plans — the returned
+    * DataFrame is lazy, so restoring confs before returning would undo
+    * them before optimization ever ran.
+    *
+    * Pair dedup: `a.id != b.id` instead of q147's `a.id < b.id` — a
+    * third long-typed strict `<` would be indistinguishable from the
+    * interval inequalities to the rewriter (any crossing pair is
+    * correct, but [id, en) "intervals" explode into huge bucket
+    * ranges); each unordered pair then appears in both orders, so the
+    * even sums halve exactly with integer DIV. */
+  private val q161: Q = (s0, d) => {
+    val s = s0.newSession()
+    s.experimental.extraOptimizations = Seq(graft.plans.OverlapJoinRewrite())
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.graft.overlapJoin.bucketWidth", "3600")
+    import s.implicits._
+    Tables.events(s, d)
+      .where($"event_type" === "error")
+      .select($"event_id".as("id"), unix_timestamp($"ts").as("st"))
+      .withColumn("en", $"st" + 1800L)
+      .createOrReplaceTempView("ov_iv")
+    s.sql("""
+      SELECT from_unixtime(greatest(a.st, b.st), 'yyyy-MM-dd') AS day,
+             CAST(count(*) DIV 2 AS BIGINT) AS n_pairs,
+             CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) DIV 2 AS BIGINT)
+               AS overlap_sec,
+             max(least(a.en, b.en) - greatest(a.st, b.st)) AS max_overlap
+      FROM ov_iv a JOIN ov_iv b
+        ON a.st < b.en AND b.st < a.en AND a.id != b.id
+      GROUP BY 1 ORDER BY day""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q147_overlap_join" -> q147,
+    "q161_overlap_rewrite_sql" -> q161,
     "q68_asof_join" -> q68,
     "q113_salted_join" -> q113,
     "q128_bloom_semi_join" -> q128,
@@ -297,6 +344,22 @@ object JoinQueries extends QueryPack {
         |    AS max_overlap
         |FROM iv a JOIN iv b
         |  ON a.id < b.id AND a.st < b.en AND b.st < a.en
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q161_overlap_rewrite_sql" ->
+      """WITH iv AS (
+        |  SELECT event_id AS id,
+        |         floor(epoch(ts::TIMESTAMP))::BIGINT AS st,
+        |         floor(epoch(ts::TIMESTAMP))::BIGINT + 1800 AS en
+        |  FROM events WHERE event_type = 'error')
+        |SELECT strftime(make_timestamp(greatest(a.st, b.st) * 1000000),
+        |         '%Y-%m-%d') AS day,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+        |  CAST(CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT) // 2
+        |    AS BIGINT) AS overlap_sec,
+        |  CAST(max(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT)
+        |    AS max_overlap
+        |FROM iv a JOIN iv b
+        |  ON a.st < b.en AND b.st < a.en AND a.id != b.id
         |GROUP BY 1 ORDER BY day""".stripMargin,
     "q128_bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n_lines,

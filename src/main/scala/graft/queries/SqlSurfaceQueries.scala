@@ -82,7 +82,10 @@ object SqlSurfaceQueries extends QueryPack {
     * (`homed/repots/ColumnVisitStatistics.scala` rank() windows): top-2
     * orders per priority with each one's share of the priority's total.
     * Two windows over one partitioning (rank + partition sum) → ONE
-    * exchange; share divides exact integer cents so no float flip. */
+    * exchange; share is integer parts-per-million via BIGINT floor
+    * division — no float or decimal rounding ever crosses the hash
+    * (the r4 red row: `round(cents*1.0/tot_c, 6)` ran DECIMAL in
+    * Spark, DOUBLE in DuckDB, and the two engines rounded apart). */
   private val q138 = sql("""
     WITH per AS (
       SELECT o_orderpriority, o_orderkey,
@@ -95,7 +98,7 @@ object SqlSurfaceQueries extends QueryPack {
              SUM(cents) OVER (PARTITION BY o_orderpriority) AS tot_c
       FROM per)
     SELECT o_orderpriority, rnk, o_orderkey, cents,
-           round(cents * 1.0 / tot_c, 6) AS share
+           CAST((cents * 1000000) DIV tot_c AS BIGINT) AS share_ppm
     FROM r WHERE rnk <= 2
     ORDER BY o_orderpriority, rnk""")
 
@@ -156,7 +159,7 @@ object SqlSurfaceQueries extends QueryPack {
         |         CAST(SUM(cents) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot_c
         |  FROM per)
         |SELECT o_orderpriority, rnk, o_orderkey, cents,
-        |       round(cents * 1.0 / tot_c, 6) AS share
+        |       CAST((cents * 1000000) // tot_c AS BIGINT) AS share_ppm
         |FROM r WHERE rnk <= 2
         |ORDER BY o_orderpriority, rnk""".stripMargin
   )

@@ -211,18 +211,21 @@ object IoOps {
     * re-runs (and incremental re-exports after a corpus change) are
     * reproducible; q122 hash-proves the same assignment against DuckDB.
     * `docsPerShard` fixes shard SIZE (what trainers want) rather than
-    * shard count — the final shard may run short. */
+    * shard count — the final shard may run short. Shard index is
+    * integral `DIV`, never Column `/` (IEEE double): past 2⁵³ rows the
+    * correctly-rounded double quotient can land on the wrong side of a
+    * shard boundary and silently mis-route the boundary doc. */
   def writeShards(df: DataFrame, path: String, idCol: String,
       docsPerShard: Int): Unit = {
     require(docsPerShard >= 1, s"docsPerShard must be >= 1 (got $docsPerShard)")
-    import org.apache.spark.sql.functions.{concat, lit}
+    import org.apache.spark.sql.functions.{concat, expr, lit}
     graft.expressions.GraftFunctions.ensureRegistered(df.sparkSession)
     val h = graft.functions.DedupFunctions.hash32(
       concat(lit("shard:"), col(idCol).cast("string")))
     graft.functions.DistributedRank
       .withRowNumber(df.withColumn("__hk", h), "__rn", col("__hk"), col(idCol))
       .withColumn("shard",
-        ((col("__rn") - 1L) / docsPerShard.toLong).cast("long"))
+        expr(s"(__rn - 1L) DIV ${docsPerShard.toLong}L"))
       .drop("__hk", "__rn")
       .repartition(col("shard"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)

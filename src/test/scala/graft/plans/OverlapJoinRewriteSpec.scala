@@ -61,12 +61,85 @@ class OverlapJoinRewriteSpec extends SparkSpec {
     withRule() {
       val df = naive(l, r)
       val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
-        p.linesIterator.take(8).mkString("\n"))
+      // the short-row path is a real equi join (hash or merge) over the
+      // exploded buckets; residual branches exist (spans here are
+      // data-dependent, not constraint-bounded) but hold only rows the
+      // per-row cap classifies long — none in this population
       assert(p.contains("Generate"), p.linesIterator.take(8).mkString("\n"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), p.linesIterator.take(12).mkString("\n"))
       val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       assert(got == truth,
         s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    }
+  }
+
+  test("open-ended sentinel intervals route to residual branches instead of crashing") {
+    val s = spark
+    import s.implicits._
+    // pre-cap rule: en = Long.MaxValue exploded into ~2.6e15 buckets and
+    // threw; en = Long.MinValue wrapped the en−1 bucket stop. Both now
+    // classify out of the explode (long → residual; degenerate → start
+    // bucket only) and the join answers exactly.
+    val l = (Seq(
+      (0L, 10L, Long.MaxValue),            // open-ended sentinel
+      (1L, Long.MinValue, Long.MaxValue),  // spans everything
+      (2L, 5L, Long.MinValue),             // inverted degenerate at MinValue
+      (3L, Long.MaxValue, Long.MaxValue)   // empty at MaxValue
+    ) ++ intervals(31, 40).map { case (i, st, en) => (i + 10, st, en) })
+      .toDF("a_id", "a_st", "a_en")
+    val r = (Seq(
+      (0L, -50L, Long.MaxValue),
+      (1L, Long.MinValue, -100L)
+    ) ++ intervals(41, 40).map { case (i, st, en) => (i + 10, st, en) })
+      .toDF("b_id", "b_st", "b_en")
+    val truth = naive(l, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    withRule() {
+      val got = naive(l, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == truth,
+        s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    }
+  }
+
+  test("spark.graft.overlapJoin.enabled=false stands the rule down") {
+    val (l, r) = frames
+    withRule() {
+      spark.conf.set("spark.graft.overlapJoin.enabled", "false")
+      try {
+        val df = naive(l, r)
+        assert(!df.queryExecution.optimizedPlan.toString.contains("Generate"))
+      } finally spark.conf.unset("spark.graft.overlapJoin.enabled")
+    }
+  }
+
+  test("constraint-proven fixed-duration intervals keep the single-branch plan") {
+    val s = spark
+    import s.implicits._
+    // withColumn(en = st + K) propagates `en = st + K` as a constraint,
+    // proving every span ≤ cap·width — no residual branches, no Union,
+    // no extra scans: the exact shape bounded-interval queries (q147) hit
+    val l = intervals(51, 60).map { case (i, st, _) => (i, st) }
+      .toDF("a_id", "a_st").withColumn("a_en", $"a_st" + 12L)
+    val r = intervals(61, 50).map { case (i, st, _) => (i, st) }
+      .toDF("b_id", "b_st").withColumn("b_en", $"b_st" + 9L)
+    val truth = naive(l, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    withRule() {
+      // LocalRelation folding erases the Project carrying the alias
+      // constraint before user rules run — a test-only artifact (file
+      // scans keep their projections); exclude it to see the real shape
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+      try {
+      val df = naive(l, r)
+      val opt = df.queryExecution.optimizedPlan.toString
+      val p = df.queryExecution.executedPlan.toString
+      assert(opt.contains("Generate"), opt.linesIterator.take(8).mkString("\n"))
+      assert(!opt.contains("Union"), opt.linesIterator.take(8).mkString("\n"))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        p.linesIterator.take(12).mkString("\n"))
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == truth)
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
     }
   }
 
@@ -116,6 +189,20 @@ class OverlapJoinRewriteSpec extends SparkSpec {
       assert(!df.queryExecution.optimizedPlan.toString.contains("Generate"))
       assert(df.count() == truth)
     }
+  }
+
+  test("q161 drives the rule end-to-end: bucketed equi join, no nested loop, no residual") {
+    // the user-facing path the oracle gates: naive overlap SQL text +
+    // installed rule → Generate + real equi join; the en = st + 1800
+    // projection is proven bounded, so no residual Union appears
+    val df = graft.SparkEntry.queries("q161_overlap_rewrite_sql")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct") &&
+      !p.contains("Union"), p.linesIterator.take(12).mkString("\n"))
+    assert(df.collect().nonEmpty)
   }
 
   test("SQL-text inequality joins rewrite too") {
