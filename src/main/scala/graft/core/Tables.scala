@@ -22,17 +22,22 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** The harness writes `events.ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.core.GraftSession]])
-    * so the scan yields a LongType of epoch-nanos; we convert once here to a
-    * proper UTC TimestampType (micros, truncating — same as DuckDB's
-    * `epoch_us`) so every downstream query sees a normal timestamp column.
+  /** The harness has written `events.ts` in two parquet flavors across
+    * rounds: TIMESTAMP(NANOS) (no native Spark type — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[graft.core.GraftSession]],
+    * and the scan yields epoch-nano longs) and plain TIMESTAMP(MICROS) with
+    * `isAdjustedToUTC=false` (Spark reads TIMESTAMP_NTZ). Normalize both once
+    * here to a proper UTC TimestampType (micros — same instants DuckDB sees)
+    * so every downstream query sees one normal timestamp column regardless of
+    * which generator wrote the file. Sessions run in UTC, so the NTZ→TZ cast
+    * is a pure type change, not a wall-clock shift.
     */
   private def restoreNanoTs(df: DataFrame, col: String): DataFrame =
     df.schema(col).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(col, org.apache.spark.sql.functions.expr(s"timestamp_micros($col div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(col, df(col).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 
