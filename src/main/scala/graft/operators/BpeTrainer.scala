@@ -69,6 +69,118 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Like [[train]] but learns up to `maxBatch` merges per driver round —
+    * the fix for the one-action-per-merge shape (a 50k-vocab production run
+    * would otherwise launch 100k Spark jobs).
+    *
+    * A whole sorted prefix of this round's pair ranking is applied at once
+    * when doing so is PROVABLY what sequential BPE would have done. With
+    * candidates p1 >= p2 >= ... in (count desc, left, right) order, accept
+    * p(i), i>=2, only while ALL hold:
+    *
+    *  1. contiguity — the batch is a prefix; stop (never skip) at the first
+    *     reject, because old-pair counts only decrease under merges, so any
+    *     un-rejected later pair would stay behind its predecessors anyway,
+    *     while a rejected one could legitimately be overtaken;
+    *  2. symbol-disjointness from every accepted pair — merges over disjoint
+    *     symbols commute and leave each other's counts untouched;
+    *  3. no concat collision — p(i)'s merged symbol must not equal an
+    *     existing symbol or another accepted concat (string-keyed symbols
+    *     would alias and counts would add, breaking 2's invariance); p1 may
+    *     collide (it is the exact argmax regardless) but then ends the batch;
+    *  4. count(p(i)) > max pre-merge TRIPLE count touching any accepted
+    *     p(j), j<i. A merge (a,b) creates only pairs (x,ab)/(ab,y) whose
+    *     counts are bounded by the triple counts T(x,a,b)/T(a,b,y), and
+    *     disjoint merges never create new all-old-symbol adjacencies — so
+    *     this strict bound means no newly-created pair can outrank p(i).
+    *
+    * Under 1-4 the sequential argmax at every intermediate step is exactly
+    * the next accepted pair, so the learned sequence is IDENTICAL to
+    * [[train]]'s (BpeTrainerSpec proves equality on fixtures and on
+    * ScalaCheck-random corpora). Cost: 3 actions per ROUND (pair top-k,
+    * triple bound, checkpoint) vs 2 per MERGE — a >=10x action cut whenever
+    * batches average >=15, and worst-case parity on adversarial corpora. */
+  def trainBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, maxBatch: Int = 32): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1 (got $nMerges)")
+    require(maxBatch >= 1, s"maxBatch must be >= 1 (got $maxBatch)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var hist: Dataset[WordSyms] = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .map { case (w, n) => WordSyms(w.map(_.toString), n) }
+      .localCheckpoint()
+    // all symbol strings alive in the histogram: initial alphabet (tiny —
+    // distinct characters) plus every concat we create. Driver-side, exact.
+    val symbolSet = scala.collection.mutable.Set[String](
+      hist.flatMap(_.syms).distinct().collect().toIndexedSeq: _*)
+
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && merges.size < nMerges) {
+      val want = math.min(maxBatch, nMerges - merges.size)
+      val top = hist
+        .flatMap(ws => ws.syms.iterator.sliding(2).withPartial(false)
+          .map(p => (p.head, p(1), ws.n)))
+        .toDF("a", "b", "n")
+        .groupBy($"a", $"b").agg(sum($"n").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(want)
+        .as[(String, String, Long)]
+        .collect()
+      if (top.isEmpty || top.head._3 < minCount) done = true
+      else {
+        // upper bound on any pair a candidate merge can create: the max
+        // pre-merge triple count whose first or last two symbols are the
+        // candidate. One extra aggregation over the same histogram.
+        val cand = top.map(t => (t._1, t._2)).toSet
+        val candBc = spark.sparkContext.broadcast(cand)
+        val maxAdj: Map[(String, String), Long] = hist
+          .flatMap(ws => ws.syms.iterator.sliding(3).withPartial(false)
+            .map(t => (t(0), t(1), t(2), ws.n)))
+          .toDF("x", "y", "z", "n")
+          .groupBy($"x", $"y", $"z").agg(sum($"n").as("tc"))
+          .as[(String, String, String, Long)]
+          .flatMap { case (x, y, z, tc) =>
+            Seq(((x, y), tc), ((y, z), tc)).filter(p => candBc.value(p._1)) }
+          .groupByKey(_._1).mapValues(_._2).reduceGroups((u, v) => math.max(u, v))
+          .collect().toMap
+
+        val used = scala.collection.mutable.Set[String]()
+        val batch = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        var newMax = Long.MinValue
+        var stop = false
+        for ((a, b, c) <- top if !stop) {
+          val concat = a + b
+          if (c < minCount) stop = true
+          else if (batch.isEmpty) {
+            batch += ((a, b)); used += a; used += b
+            newMax = maxAdj.getOrElse((a, b), 0L)
+            // string-aliasing argmax: sequential-correct to apply, but
+            // count invariance is gone for the rest of the ranking
+            if (symbolSet.contains(concat)) stop = true
+          } else if (!used(a) && !used(b) && !symbolSet.contains(concat) &&
+              !batch.exists(p => p._1 + p._2 == concat) && c > newMax) {
+            batch += ((a, b)); used += a; used += b
+            newMax = math.max(newMax, maxAdj.getOrElse((a, b), 0L))
+          } else stop = true
+        }
+        candBc.destroy()
+        merges ++= batch
+        symbolSet ++= batch.map(p => p._1 + p._2)
+        val ms = batch.toIndexedSeq
+        hist = hist
+          .map(ws => WordSyms(
+            ms.foldLeft(ws.syms) { case (s, (a, b)) => applyMerge(s, a, b) }, ws.n))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
   /** Left-to-right greedy application of one merge (standard BPE rule:
     * after "aa"+"a" on "aaaa" the result is ["aa","aa"], not 3 overlaps). */
   private[operators] def applyMerge(s: Seq[String], a: String, b: String): Seq[String] = {

@@ -77,6 +77,68 @@ class BpeTrainerSpec extends SparkSpec {
     assert(totals.last >= words, "cannot go below one token per word")
   }
 
+  test("batched trainer equals the sequential sequence on the textbook corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val words = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val want = localBpe(words, nMerges = 12)
+    for (mb <- Seq(1, 4, 32)) {
+      val got = BpeTrainer.trainBatched(docs, "text", nMerges = 12, maxBatch = mb)
+      assert(got == want, s"maxBatch=$mb: got $got\nwant $want")
+    }
+  }
+
+  test("batched == sequential on seeded random corpora (stop-rule safety)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val alpha = if (trial % 2 == 0) "abc" else "abcdef"
+      val hist: Map[String, Long] = (1 to 14).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(5)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).sum }
+      val docs = hist.toSeq.zipWithIndex
+        .map { case ((w, n), i) => (i.toLong, Seq.fill(n.toInt)(w).mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = BpeTrainer.trainBatched(docs, "text", nMerges = 10, maxBatch = 8)
+      val want = localBpe(hist, nMerges = 10)
+      assert(got == want, s"trial $trial (alpha=$alpha, hist=$hist):\ngot $got\nwant $want")
+    }
+  }
+
+  test("batching cuts driver actions >=10x on a disjoint-pair corpus") {
+    val s = spark
+    import s.implicits._
+    // 64 two-char words over 128 distinct characters: every pair is
+    // symbol-disjoint from every other and no triples exist, so rounds
+    // accept full batches — the regime a real (large-alphabet, post-warmup)
+    // vocabulary run approaches once frequent pairs stop sharing symbols.
+    val docs = (0 until 64).map { i =>
+      val w = "" + (0x3400 + 2 * i).toChar + (0x3400 + 2 * i + 1).toChar
+      (i.toLong, Seq.fill(200 - i)(w).mkString(" "))
+    }.toDF("doc_id", "text").cache()
+    docs.count()
+    def jobsOf(group: String)(f: => Unit): Int = {
+      s.sparkContext.setJobGroup(group, group)
+      try f finally s.sparkContext.clearJobGroup()
+      Thread.sleep(1500) // status tracker updates off the async listener bus
+      s.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    var seqMerges: Seq[(String, String)] = Nil
+    var batMerges: Seq[(String, String)] = Nil
+    val seqJobs = jobsOf("bpe-seq") { seqMerges = BpeTrainer.train(docs, "text", 64) }
+    val batJobs = jobsOf("bpe-bat") { batMerges = BpeTrainer.trainBatched(docs, "text", 64) }
+    assert(seqMerges == batMerges, "sequences must agree")
+    assert(seqMerges.size == 64)
+    assert(batJobs * 10 <= seqJobs,
+      s"batched must use >=10x fewer driver actions: batched=$batJobs sequential=$seqJobs")
+    docs.unpersist()
+  }
+
   test("determinism: retraining yields the identical merge list") {
     val s = spark
     import s.implicits._
