@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions.{fingerprint, isStopword, qualityScoreOf, stopwordRatioOf, tokens}
@@ -447,13 +448,19 @@ object DedupQueries extends QueryPack {
     * of cluster time on the wrong one.
     *
     * Scale shape: the exact-Jaccard side is the q107/q48 inverted-index
-    * self-join (run this diagnostic on a SAMPLE at 100 TB — it's a
-    * calibration tool, not an ingest stage); the candidate side is the
-    * production band join itself, so the measured rate is the real
-    * pipeline's, not a simulation's. */
-  private val q135: Q = (s, d) => {
+    * self-join — quadratic in shingle-sharing pairs, so at 100 TB the
+    * diagnostic runs on a document SAMPLE (`sampleFrac` < 1): both the
+    * exact side and the band join are restricted to the same sampled
+    * population, so the measured cand_rate stays an unbiased estimate of
+    * the production join's collision rate at each Jaccard bucket. q135 is
+    * the `sampleFrac = 1.0` instance (identical plan — no sample node);
+    * SCurveSampleSpec pins that equality and drives the sampled form. */
+  private[graft] def sCurve(s: SparkSession, d: String, sampleFrac: Double): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d)
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0, s"sampleFrac in (0,1] (got $sampleFrac)")
+    val base = Tables.documents(s, d)
+    val docs = if (sampleFrac >= 1.0) base
+               else base.sample(withReplacement = false, sampleFrac, seed = 42L)
     val sh = shingleRows(docs, "doc_id", "text", K).dropDuplicates("doc_id", "s")
     val n = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val jac = sh.as("a")
@@ -478,6 +485,8 @@ object DedupQueries extends QueryPack {
           .as("theory_rate"))
       .orderBy($"bucket")
   }
+
+  private val q135: Q = (s, d) => sCurve(s, d, 1.0)
 
   /** Crawl-stitch detection: doc A's LAST 8 tokens equal doc B's FIRST
     * 8 tokens — the boundary signature of re-crawled pages glued from
