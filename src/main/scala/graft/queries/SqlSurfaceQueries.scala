@@ -102,11 +102,49 @@ object SqlSurfaceQueries extends QueryPack {
     FROM r WHERE rnk <= 2
     ORDER BY o_orderpriority, rnk""")
 
+  /** Correlated EXISTS + NOT EXISTS (TPC-H Q21 family): suppliers with a
+    * returned lineitem but no open one. Catalyst rewrites the two
+    * predicates to a LeftSemi and a LeftAnti hash join (RewritePredicate-
+    * Subquery) — the last untested decorrelation path on the SQL surface
+    * (q109-q111/q138 cover star / decorrelated-scalar / window);
+    * PlanAssertSpec pins both join types and that no subquery survives
+    * into the physical plan. At scale both rewrites shuffle on l_suppkey
+    * once each — never a per-row re-execution of the inner query. */
+  private val q162 = sql("""
+    SELECT s.s_nationkey, COUNT(*) AS n_supp
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+                    AND l.l_linestatus = 'F' AND l.l_quantity >= 50)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'A'
+                        AND l2.l_linestatus = 'O' AND l2.l_quantity >= 50)
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey""")
+
+  /** TPC-H Q22 shape: above-average-balance customers with no orders at
+    * all — an uncorrelated scalar subquery (one broadcast 1-row aggregate)
+    * plus a NOT EXISTS anti join. Balance threshold compares integer cents
+    * (the q111 convention) so the average can't float-flip. */
+  private val q163 = sql("""
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_c
+    FROM customer c
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+            SELECT CAST(round(AVG(CAST(round(c_acctbal * 100) AS BIGINT))) AS BIGINT)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey""")
+
   val queries: Map[String, Q] = Map(
     "q109_sql_star_topn" -> q109,
     "q110_sql_regional_revenue" -> q110,
     "q111_sql_decorrelated" -> q111,
-    "q138_sql_window_share" -> q138
+    "q138_sql_window_share" -> q138,
+    "q162_sql_exists" -> q162,
+    "q163_sql_not_exists" -> q163
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +199,28 @@ object SqlSurfaceQueries extends QueryPack {
         |SELECT o_orderpriority, rnk, o_orderkey, cents,
         |       CAST((cents * 1000000) // tot_c AS BIGINT) AS share_ppm
         |FROM r WHERE rnk <= 2
-        |ORDER BY o_orderpriority, rnk""".stripMargin
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q162_sql_exists" ->
+      """SELECT s.s_nationkey, COUNT(*) AS n_supp
+        |FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+        |                AND l.l_linestatus = 'F' AND l.l_quantity >= 50)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_suppkey = s.s_suppkey AND l2.l_returnflag = 'A'
+        |                    AND l2.l_linestatus = 'O' AND l2.l_quantity >= 50)
+        |GROUP BY s.s_nationkey
+        |ORDER BY s.s_nationkey""".stripMargin,
+    "q163_sql_not_exists" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM customer c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+        |        SELECT CAST(round(AVG(CAST(round(c_acctbal * 100) AS BIGINT))) AS BIGINT)
+        |        FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
   )
 }

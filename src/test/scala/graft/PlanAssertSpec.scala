@@ -36,6 +36,22 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q162: EXISTS/NOT EXISTS decorrelate to semi + anti hash joins") {
+    val p = plan("q162_sql_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must rewrite to a LeftSemi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must rewrite to a LeftAnti join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("ExistenceJoin"),
+      "no per-row subquery execution may survive into the physical plan")
+  }
+
+  test("q163: NOT EXISTS anti join + one scalar subquery, no nested-loop") {
+    val p = plan("q163_sql_not_exists")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must rewrite to a LeftAnti join")
+    assert("Subquery".r.findAllIn(p).nonEmpty,
+      "the uncorrelated average stays a (single-row, broadcast) scalar subquery")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
