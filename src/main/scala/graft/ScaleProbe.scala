@@ -80,7 +80,7 @@ object ScaleProbe {
       "q156_calibration", "q158_boundary_deciles", "q159_source_novelty",
       "q160_attribution")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
-      "bpe_train", "bloom_semi")
+      "bpe_train", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)
       .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))
     val probes = allProbes.filter(p => only.forall(_.contains(p)))
@@ -134,6 +134,23 @@ object ScaleProbe {
       }
       println(s"[scale] alternatingStar converged in $rounds rounds " +
         s"(log2(n) = ${(math.log(nodes.toDouble) / math.log(2)).round})")
+    }
+
+    // walk-rank per-iteration cost must be linear in E: time the SAME
+    // fixed-point loop on 1x and Nx DISJOINT copies of the lineitem
+    // bipartite graph (shifted keys — identical degree structure, N×
+    // edges) — the q139 scaladoc's O(E)/iteration claim, measured
+    if (want("walk_rank_e")) {
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val (nO, nP) = (li.agg(max($"o")).head.getLong(0) + 1,
+        li.agg(max($"p")).head.getLong(0) + 1)
+      def rep(k: Int) = (0 until k).map(i =>
+        li.select(($"o" + lit(i * nO)).as("o"), ($"p" + lit(i * nP)).as("p")))
+        .reduce(_ union _)
+      for (k <- Seq(1, n)) timed(s"walk_rank_e ${k}x") {
+        graft.operators.WalkRank.bipartite(rep(k), "o", "p", iters = 3).count()
+      }
     }
 
     // BPE vocabulary induction: training runs on the word HISTOGRAM, so

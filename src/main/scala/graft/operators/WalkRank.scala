@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bipartite random-walk rank (PageRank-style with damping): the
+  * centrality primitive corpus curation uses for source/domain quality
+  * (Common Crawl ranks hosts by centrality before sampling). A right-side
+  * node is central when many left-side nodes that also touch other
+  * central right-side nodes include it.
+  *
+  * Scale shape: NO pair materialization ever — each iteration is two
+  * grouped equi-joins over the EDGE list (walk mass to the left side,
+  * then back), so cost is O(E) per iteration with a fixed iteration
+  * count (the `walk_rank_e` ScaleProbe row measures per-iteration cost
+  * linear in E). The ONE loop input — the edge list with BOTH endpoint
+  * degrees pre-attached — is localCheckpoint'ed before iterating (the
+  * KMeans/BpeTrainer pattern): without it every round's lazy plan
+  * re-scans and re-shuffles the source from scratch and plan size grows
+  * per round. The right-side degree rides the per-round aggregate as
+  * first(dp) — constant per group — so no per-round dimension join
+  * re-attaches it; the node count is ONE driver-side count over the
+  * materialized edges (a bounded 1-value action, the k-means loop
+  * shape). Each round is then exactly two joins + two grouped aggs over
+  * in-memory input; only the rank frame stays lazy.
+  *
+  * Reference analogue: none (the reference has no graph primitive);
+  * beyond-reference H-family operator like the dedup suite. */
+object WalkRank {
+
+  /** Rank the `pCol` side of the bipartite graph `edges(oCol, pCol)`.
+    * Returns one row per distinct `pCol` value: (p, dp, r) where `dp` is
+    * its degree and `r` its stationary mass after `iters` rounds of
+    * `r ← teleport/N + damping · Σ walk-through-o mass`. The teleport
+    * mass is an explicit parameter, NOT derived as `1 − damping`: the
+    * binary double `1.0 - 0.85` is one ulp away from the literal `0.15`
+    * an oracle writes, and that ulp survives into the hash. Duplicate
+    * edges are collapsed first (a multi-edge would double-count mass). */
+  def bipartite(edges: DataFrame, oCol: String, pCol: String,
+      iters: Int = 3, damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val e0 = edges.select(col(oCol).as("o"), col(pCol).as("p")).distinct()
+    val edgesF = e0
+      .join(e0.groupBy(col("o")).agg(count(lit(1)).as("dn")), Seq("o"))
+      .join(e0.groupBy(col("p")).agg(count(lit(1)).as("dp")), Seq("p"))
+      .localCheckpoint()
+    val np = edgesF.select(col("p")).distinct().count().toDouble
+    var rank = edgesF.select(col("p"), col("dp")).distinct()
+      .withColumn("r", lit(1.0) / np)
+    for (_ <- 1 to iters) {
+      // edgesF on both hops: the only scan either join performs is over
+      // the checkpointed edge list
+      val walkToO = edgesF.join(rank.select(col("p"), col("r")), Seq("p"))
+        .groupBy(col("o")).agg(sum(col("r") / col("dp")).as("qo"))
+      rank = edgesF.join(walkToO, Seq("o"))
+        .groupBy(col("p"))
+        .agg((lit(damping) * sum(col("qo") / col("dn"))).as("rd"),
+          first(col("dp")).as("dp"))
+        .select(col("p"), col("dp"),
+          (lit(teleport) / np + col("rd")).as("r"))
+    }
+    rank
+  }
+}

@@ -430,45 +430,17 @@ object CorpusOpsQueries extends QueryPack {
     * bipartite graph, where a part is central when many orders that
     * also touch other central parts include it.
     *
-    * Scale shape: NO pair materialization ever — each iteration is two
-    * grouped equi-joins over the EDGE list (walk mass to the order
-    * side, then back), so cost is O(E) per iteration with fixed
-    * iteration count. The loop INPUTS — the edge list (with order
-    * degrees pre-attached) and part degrees — are localCheckpoint'ed
-    * once before iterating (the KMeans/BpeTrainer pattern): without
-    * that, every round's lazy plan re-scans and re-shuffles lineitem
-    * from scratch (this was the suite's slowest query at 4.9 s;
-    * exchange reuse recovered only part of the recompute), and plan
-    * size grows per round. Materialized, each round is exactly two
-    * joins over in-memory inputs. Only the rank frame stays lazy. The
-    * node count arrives as a broadcast 1-row crossJoin (an eager
-    * `.count()` would cost an extra action, and the checkpointed degP
-    * makes it cheap). Ranks are ordered on a 9-digit rounding so
-    * cross-engine float-sum ulp noise (≈1e-19 abs here) can't flip the
-    * order. */
+    * The walk itself is the parameterized operator
+    * [[graft.operators.WalkRank.bipartite]] (see its scaladoc for the
+    * checkpoint-once, two-joins-per-round scale shape; the
+    * `walk_rank_e` ScaleProbe row measures per-iteration cost linear
+    * in E). Ranks are ordered on a 9-digit rounding so cross-engine
+    * float-sum ulp noise (≈1e-19 abs here) can't flip the order. */
   private val q139: Q = (s, d) => {
     import s.implicits._
-    val edges = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-    val degP = edges.groupBy($"p").agg(count(lit(1)).as("dp")).localCheckpoint()
-    val edgesO = edges.join(
-      edges.groupBy($"o").agg(count(lit(1)).as("dn")), Seq("o"))
-      .localCheckpoint()
-    val np = degP.agg(count(lit(1)).as("np"))
-    var rank = degP.crossJoin(broadcast(np))
-      .select($"p", $"dp", $"np", (lit(1.0) / $"np").as("r"))
-    for (_ <- 1 to 3) {
-      // edgesO (not raw edges) on both hops: the only scan either join
-      // performs is over the checkpointed edge list
-      val walkToOrders = edgesO.join(rank, Seq("p"))
-        .groupBy($"o").agg(sum($"r" / $"dp").as("qo"))
-      rank = edgesO.join(walkToOrders, Seq("o"))
-        .groupBy($"p").agg((lit(0.85) * sum($"qo" / $"dn")).as("r85"))
-        .join(degP, Seq("p"))
-        .crossJoin(broadcast(np))
-        .select($"p", $"dp", $"np", (lit(0.15) / $"np" + $"r85").as("r"))
-    }
-    rank
+    graft.operators.WalkRank
+      .bipartite(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        iters = 3, damping = 0.85, teleport = 0.15)
       .select($"p".as("p_partkey"), $"dp".as("n_orders"),
         round($"r" * 1000, 6).as("walk_rank_k"))
       .orderBy(round($"r" * 1000, 9).desc, $"p_partkey")
