@@ -461,7 +461,27 @@ object TextQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Exact per-language heavy-hitter tokens (count > N_lang/30) via the
+    * two-pass Misra–Gries prune — [[graft.operators.HeavyHitters]] holds
+    * the scale story (O(groups·k) exchange instead of a full-vocabulary
+    * shuffle; candidates are a guaranteed superset, the recount and the
+    * integer threshold are exact, so the output is deterministic and
+    * oracle-able even though MG weights are not). The oracle computes the
+    * same set the naive way: GROUP BY token HAVING cnt·(k+1) > N. The
+    * fixture's 31-token vocabulary makes the prune nominal here; the
+    * operator spec (MisraGriesSpec) exercises the summary on adversarial
+    * streams where it actually discards. */
+  private val q164: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+    graft.operators.HeavyHitters.exact(toks, "lang", "tok", k = 29)
+      .orderBy($"lang", $"tok")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q164_heavy_hitters" -> q164,
     "q146_zipf_slope" -> q146,
     "q140_dsir_weights" -> q140,
     "q137_pmi_collocations" -> q137,
@@ -483,6 +503,15 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q164_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |           FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT lang, count(*) AS n_grp FROM t GROUP BY lang),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY lang, tok)
+        |SELECT c.lang, tok, cnt, n_grp
+        |FROM c JOIN n USING (lang)
+        |WHERE cnt * 30 > n_grp
+        |ORDER BY lang, tok""".stripMargin,
     "q146_zipf_slope" ->
       """WITH freq AS (
         |  SELECT lang, tok, count(*) AS f
