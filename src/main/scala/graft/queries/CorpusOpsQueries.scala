@@ -961,7 +961,46 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Corpus snapshot diff — the incremental-ingestion audit every
+    * versioned dataset needs: given two snapshots keyed by doc_id,
+    * classify each key as added / removed / changed (content hash
+    * differs) / unchanged, and report the census per source. The two
+    * snapshots are deterministic views of the fixture (old = doc_id %
+    * 7 ≠ 0; new = doc_id % 11 ≠ 3 with every doc_id % 5 = 0 rewritten)
+    * so the oracle can rebuild both exactly.
+    *
+    * Scale shape: ONE full-outer equi join on the snapshot key with an
+    * md5 content fingerprint on each side — both sides shuffle once on
+    * doc_id (or not at all when snapshots are stored bucketed by key,
+    * the layout a 100 TB versioned corpus would use); the census is a
+    * hash agg to O(sources) rows. No window, no driver state. */
+  private val q165: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).where($"text".isNotNull)
+    val old = base.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"source", md5($"text".cast("binary")).as("h_old"))
+    val neu = base.filter($"doc_id" % 11 =!= 3)
+      .select($"doc_id", $"source".as("src_new"),
+        md5(concat($"text",
+          when($"doc_id" % 5 === 0, lit(" v2")).otherwise(lit("")))
+          .cast("binary")).as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(coalesce($"source", $"src_new").as("source"),
+        when($"h_old".isNull, lit("added"))
+          .when($"h_new".isNull, lit("removed"))
+          .when($"h_old" =!= $"h_new", lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy($"source")
+      .agg(
+        sum(when($"status" === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"status" === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"status" === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when($"status" === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q165_snapshot_diff" -> q165,
     "q159_source_novelty" -> q159,
     "q158_boundary_deciles" -> q158,
     "q157_pit_join" -> q157,
@@ -994,6 +1033,25 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q165_snapshot_diff" ->
+      """WITH b AS (SELECT * FROM documents WHERE text IS NOT NULL),
+        |o AS (SELECT doc_id, source, md5(text) AS h_old
+        |      FROM b WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, source AS src_new,
+        |        md5(text || CASE WHEN doc_id % 5 = 0 THEN ' v2' ELSE '' END) AS h_new
+        |      FROM b WHERE doc_id % 11 <> 3),
+        |j AS (SELECT coalesce(source, src_new) AS source,
+        |        CASE WHEN h_old IS NULL THEN 'added'
+        |             WHEN h_new IS NULL THEN 'removed'
+        |             WHEN h_old <> h_new THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT source,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q159_source_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
