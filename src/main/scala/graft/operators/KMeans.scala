@@ -89,6 +89,30 @@ object KMeans {
     assign.select(col("__id").as(idCol), col("__cid").cast("long").as("cluster"))
   }
 
+  /** Like [[lloyd]] but returns the trained CENTROIDS (cid, centroid
+    * float-array) instead of the assignment — the form sub-quantizer
+    * training ([[ProductQuantizer]]) needs, where the model is the
+    * output and assignments are recomputed at encode time. Same
+    * seeding, same rounds, same determinism; one extra final mean pass
+    * over the last assignment (so the returned centroids reflect the
+    * final assignment, exactly as a further Lloyd round would see
+    * them). */
+  def lloydCentroids(embs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(embs.sparkSession)
+    val e = embs.select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
+      .where(col("__v").isNotNull)
+    val assign = lloyd(e, "__id", "__v", k, iters)
+    e.join(assign, Seq("__id"))
+      .select(col("cluster").as("cid"), posexplode(col("__v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+  }
+
   /** Seed-1 selection (exposed for plan assertions): the smallest
     * salted-hash row via orderBy+limit(1), which plans as
     * TakeOrderedAndProject — a parallel partial top-1 per partition.
