@@ -26,9 +26,14 @@ import graft.core.Tables
 object SqlSurfaceQueries extends QueryPack {
 
   /** Register every graft table as a session temp view. Idempotent per
-    * session; cheap (plans, no scans). */
+    * session; cheap (plans, no scans). `events` goes through its typed
+    * accessor so SQL text sees one normalized UTC TimestampType `ts`
+    * regardless of which parquet flavor the generator wrote. */
   private def views(s: SparkSession, d: String): Unit =
-    Tables.all.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+    Tables.all.foreach { t =>
+      val df = if (t == "events") Tables.events(s, d) else Tables.load(s, d, t)
+      df.createOrReplaceTempView(t)
+    }
 
   private def sql(text: String): Q = (s, d) => { views(s, d); s.sql(text) }
 
@@ -138,7 +143,46 @@ object SqlSurfaceQueries extends QueryPack {
     GROUP BY c_nationkey
     ORDER BY c_nationkey""")
 
+  /** Hive-dialect LATERAL VIEW, nested — the reference's delimited-
+    * string fan-out (`repots/DemandPackage.scala:273-283` splits a
+    * packed id string and LATERAL VIEW explodes it twice): here tokens
+    * then characters, censused per language. Catalyst plans both
+    * explodes as Generate nodes in one pipeline — no join, no shuffle
+    * until the final aggregation. */
+  private val q166 = sql("""
+    SELECT lang,
+           COUNT(*) AS n_chars_total,
+           COUNT(DISTINCT ch) AS n_chars_distinct,
+           COUNT(DISTINCT tok) AS n_toks_distinct
+    FROM documents
+    LATERAL VIEW explode(split(trim(text), ' ')) t AS tok
+    LATERAL VIEW explode(split(tok, '')) c AS ch
+    WHERE text IS NOT NULL AND tok != ''
+    GROUP BY lang
+    ORDER BY lang""")
+
+  /** Hive-dialect window spec — `lead() OVER (DISTRIBUTE BY … SORT BY
+    * …)`, the exact syntax of the reference's sessionizers
+    * (`etl/LogParser.scala:332-335`): per-user session count at a
+    * 30-minute gap threshold. Spark parses DISTRIBUTE/SORT BY in a
+    * window spec as PARTITION/ORDER BY — same exchange, same plan; the
+    * oracle writes the ANSI spelling. */
+  private val q167 = sql("""
+    SELECT user_id,
+           CAST(1 + SUM(CASE WHEN gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           COUNT(*) + 1 AS n_events
+    FROM (SELECT user_id,
+                 lead(unix_micros(ts)) OVER (DISTRIBUTE BY user_id SORT BY event_id)
+                   - unix_micros(ts) AS gap_us
+          FROM events) g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id""")
+
   val queries: Map[String, Q] = Map(
+    "q166_sql_lateral_view" -> q166,
+    "q167_sql_hive_window" -> q167,
     "q109_sql_star_topn" -> q109,
     "q110_sql_regional_revenue" -> q110,
     "q111_sql_decorrelated" -> q111,
@@ -148,6 +192,29 @@ object SqlSurfaceQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q166_sql_lateral_view" ->
+      """SELECT lang,
+        |       COUNT(*) AS n_chars_total,
+        |       COUNT(DISTINCT ch) AS n_chars_distinct,
+        |       COUNT(DISTINCT tok) AS n_toks_distinct
+        |FROM (SELECT lang, tok, unnest(string_split(tok, '')) AS ch
+        |      FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+        |            FROM documents WHERE text IS NOT NULL)
+        |      WHERE tok != '')
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q167_sql_hive_window" ->
+      """SELECT user_id,
+        |       CAST(1 + SUM(CASE WHEN gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_sessions,
+        |       COUNT(*) + 1 AS n_events
+        |FROM (SELECT user_id,
+        |             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |               - epoch_us(ts) AS gap_us
+        |      FROM events) g
+        |WHERE gap_us IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q109_sql_star_topn" ->
       """SELECT l_orderkey,
         |       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
