@@ -61,4 +61,56 @@ object WalkRank {
     }
     rank
   }
+
+  /** Personalized (seeded) variant — TrustRank-style: teleport mass is
+    * distributed over a SEED set proportionally to `seedWeights(pCol,
+    * wCol)` instead of uniformly over all nodes, so rank measures
+    * centrality AS SEEN FROM the trusted seeds (the whitelist-
+    * propagation recipe web-corpus curation uses for source quality:
+    * seed a few audited-good domains, walk the link structure, harvest
+    * the high-rank tail). Non-seed nodes get zero teleport mass and
+    * earn rank only through walk mass; integer seed weights keep the
+    * normalized teleport fractions w/Σw bit-identical across engines
+    * (one double divide per seed, same operands both sides).
+    *
+    * Same scale shape as [[bipartite]]: the seed frame joins the
+    * checkpointed edge list once (left join, O(seeds) extra rows kept
+    * on the rank frame), every round is still two equi joins + two
+    * grouped aggs. */
+  def bipartiteSeeded(edges: DataFrame, oCol: String, pCol: String,
+      seedWeights: DataFrame, wCol: String,
+      iters: Int = 3, damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val e0 = edges.select(col(oCol).as("o"), col(pCol).as("p")).distinct()
+    val edgesF = e0
+      .join(e0.groupBy(col("o")).agg(count(lit(1)).as("dn")), Seq("o"))
+      .join(e0.groupBy(col("p")).agg(count(lit(1)).as("dp")), Seq("p"))
+      .localCheckpoint()
+    val seeds = seedWeights
+      .select(col(pCol).as("p"), col(wCol).cast("double").as("w"))
+      .groupBy(col("p")).agg(sum(col("w")).as("w"))
+    val wTot = seeds.agg(sum(col("w"))).head.getDouble(0)
+    require(wTot > 0.0, "seed weights must have positive total mass")
+    // t_p = w/Σw on seeds; the whitelist is broadcast-small by premise
+    val seedsN = seeds.select(col("p"), (col("w") / wTot).as("t")).localCheckpoint()
+    // intermediate rank frames hold only REACHED parts: a part with zero
+    // rank contributes exactly zero to every walk sum, so dropping it is
+    // exact — the full part set is restored once, on the final output.
+    // Each round: two equi joins over checkpointed edges + one broadcast
+    // left join to re-attach the (tiny) teleport column.
+    var rank = seedsN.select(col("p"), col("t").as("r"))
+    for (_ <- 1 to iters) {
+      val walkToO = edgesF.join(rank.select(col("p"), col("r")), Seq("p"))
+        .groupBy(col("o")).agg(sum(col("r") / col("dp")).as("qo"))
+      rank = edgesF.join(walkToO, Seq("o"))
+        .groupBy(col("p"))
+        .agg((lit(damping) * sum(col("qo") / col("dn"))).as("rd"))
+        .join(broadcast(seedsN), Seq("p"), "left")
+        .select(col("p"),
+          (lit(teleport) * coalesce(col("t"), lit(0.0)) + col("rd")).as("r"))
+    }
+    edgesF.select(col("p"), col("dp")).distinct()
+      .join(rank, Seq("p"), "left")
+      .select(col("p"), col("dp"), coalesce(col("r"), lit(0.0)).as("r"))
+  }
 }

@@ -999,7 +999,35 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Seeded trust propagation (TrustRank shape) — q139's walk with the
+    * teleport mass concentrated on a TRUSTED SEED set: parts of urgent
+    * orders, weighted by how many urgent orders carry them. The
+    * whitelist-propagation recipe corpus curation uses for source
+    * quality: audit a few domains by hand, walk the structure, harvest
+    * the high-rank tail. Operator:
+    * [[graft.operators.WalkRank.bipartiteSeeded]] (checkpoint-once
+    * edges, integer seed weights so the normalized teleport fractions
+    * are bit-identical across engines); oracle = the unrolled 3-round
+    * CTE with the same seeded teleport. */
+  private val q168: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val seeds = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"))
+      .select($"o_orderkey", $"l_partkey").distinct()
+      .groupBy($"l_partkey").agg(count(lit(1)).as("w"))
+    graft.operators.WalkRank
+      .bipartiteSeeded(li, "l_orderkey", "l_partkey", seeds, "w",
+        iters = 3, damping = 0.85, teleport = 0.15)
+      .select($"p".as("p_partkey"), $"dp".as("n_orders"),
+        round($"r" * 1000, 6).as("trust_k"))
+      .orderBy(round($"r" * 1000, 9).desc, $"p_partkey")
+      .limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q168_trust_rank" -> q168,
     "q165_snapshot_diff" -> q165,
     "q159_source_novelty" -> q159,
     "q158_boundary_deciles" -> q158,
@@ -1033,6 +1061,41 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q168_trust_rank" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |dp AS (SELECT p, count(*) AS dp FROM e GROUP BY p),
+        |dn AS (SELECT o, count(*) AS dn FROM e GROUP BY o),
+        |sw AS (SELECT p, CAST(count(*) AS DOUBLE) AS w
+        |       FROM (SELECT DISTINCT l.l_orderkey, l.l_partkey AS p
+        |             FROM lineitem l JOIN orders ON l.l_orderkey = o_orderkey
+        |             WHERE o_orderpriority = '1-URGENT')
+        |       GROUP BY p),
+        |wt AS (SELECT sum(w) AS wt FROM sw),
+        |t AS (SELECT dp.p, coalesce(sw.w / wt.wt, 0.0) AS t
+        |      FROM dp LEFT JOIN sw USING (p), wt),
+        |r0 AS (SELECT p, t AS r FROM t),
+        |q1 AS (SELECT o, sum(r / dp) AS qo
+        |       FROM e JOIN r0 USING (p) JOIN dp USING (p) GROUP BY o),
+        |r1 AS (SELECT t.p, 0.15 * t.t + coalesce(x.rd, 0.0) AS r
+        |       FROM t LEFT JOIN (SELECT p, 0.85 * sum(qo / dn) AS rd
+        |                         FROM e JOIN q1 USING (o) JOIN dn USING (o)
+        |                         GROUP BY p) x USING (p)),
+        |q2 AS (SELECT o, sum(r / dp) AS qo
+        |       FROM e JOIN r1 USING (p) JOIN dp USING (p) GROUP BY o),
+        |r2 AS (SELECT t.p, 0.15 * t.t + coalesce(x.rd, 0.0) AS r
+        |       FROM t LEFT JOIN (SELECT p, 0.85 * sum(qo / dn) AS rd
+        |                         FROM e JOIN q2 USING (o) JOIN dn USING (o)
+        |                         GROUP BY p) x USING (p)),
+        |q3 AS (SELECT o, sum(r / dp) AS qo
+        |       FROM e JOIN r2 USING (p) JOIN dp USING (p) GROUP BY o),
+        |r3 AS (SELECT t.p, 0.15 * t.t + coalesce(x.rd, 0.0) AS r
+        |       FROM t LEFT JOIN (SELECT p, 0.85 * sum(qo / dn) AS rd
+        |                         FROM e JOIN q3 USING (o) JOIN dn USING (o)
+        |                         GROUP BY p) x USING (p))
+        |SELECT r3.p AS p_partkey, dp.dp AS n_orders,
+        |       round(r3.r * 1000, 6) AS trust_k
+        |FROM r3 JOIN dp USING (p)
+        |ORDER BY round(r3.r * 1000, 9) DESC, p_partkey LIMIT 15""".stripMargin,
     "q165_snapshot_diff" ->
       """WITH b AS (SELECT * FROM documents WHERE text IS NOT NULL),
         |o AS (SELECT doc_id, source, md5(text) AS h_old
