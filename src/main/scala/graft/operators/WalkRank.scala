@@ -45,6 +45,9 @@ object WalkRank {
       .join(e0.groupBy(col("p")).agg(count(lit(1)).as("dp")), Seq("p"))
       .localCheckpoint()
     val np = edgesF.select(col("p")).distinct().count().toDouble
+    // empty graph → empty rank frame (the 1/np init would ANSI-throw)
+    if (np == 0.0)
+      return edgesF.select(col("p"), col("dp"), lit(0.0).as("r"))
     var rank = edgesF.select(col("p"), col("dp")).distinct()
       .withColumn("r", lit(1.0) / np)
     for (_ <- 1 to iters) {
@@ -89,7 +92,12 @@ object WalkRank {
     val seeds = seedWeights
       .select(col(pCol).as("p"), col(wCol).cast("double").as("w"))
       .groupBy(col("p")).agg(sum(col("w")).as("w"))
-    val wTot = seeds.agg(sum(col("w"))).head.getDouble(0)
+    val wTotRow = seeds.agg(sum(col("w"))).head
+    // no seeds at all (e.g. an empty corpus) → empty rank frame; seeds
+    // PRESENT but with non-positive mass is a caller bug and throws
+    if (wTotRow.isNullAt(0))
+      return edgesF.select(col("p"), col("dp"), lit(0.0).as("r")).limit(0)
+    val wTot = wTotRow.getDouble(0)
     require(wTot > 0.0, "seed weights must have positive total mass")
     // t_p = w/Σw on seeds; the whitelist is broadcast-small by premise
     val seedsN = seeds.select(col("p"), (col("w") / wTot).as("t")).localCheckpoint()

@@ -187,9 +187,12 @@ object ComposedReportQueries extends QueryPack {
     // fixture at the same path would leak into the read-back aggregate
     val storePath = new org.apache.hadoop.fs.Path(store)
     storePath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(storePath, true)
-    Backfill.publish(Backfill.toPartials(onTime, Seq("event_type"), "v"), store)
+    val partials = Backfill.toPartials(onTime, Seq("event_type"), "v")
+    Backfill.publish(partials, store)
     Backfill.patchLate(s, store, onTime, late, Seq("event_type"), "v")
-    s.read.parquet(store)
+    // explicit schema: an empty feed publishes no files, and a bare read
+    // would fail schema inference instead of returning an empty frame
+    s.read.schema(partials.schema).parquet(store)
       .groupBy($"day".cast("string").as("day"), $"event_type")
       .agg(
         sum($"n").as("n"),
