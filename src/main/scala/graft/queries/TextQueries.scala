@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -480,7 +481,59 @@ object TextQueries extends QueryPack {
       .orderBy($"lang", $"tok")
   }
 
+  /** Exact ranking-eval AUC (Mann–Whitney U with tie-corrected average
+    * ranks): does the q43 lexical quality score separate REPETITIVE
+    * documents (q76's 2·dup-tokens ≥ total flag)? The classifier-health
+    * check run before trusting any score-based gate (q142/q156's
+    * calibration complement). AUC here reads as "probability a random
+    * repetitive doc scores below a random clean one" — positives are the
+    * BAD docs a gate would drop.
+    *
+    * Exactness: scores quantize to integer decis, ranks live as DOUBLED
+    * integers (average rank of a tie bucket = (2·below + n + 1)/2, so
+    * 2·rank is always integral), and AUC ships as integer ppm via
+    * BIGINT floor division — no float ever crosses the hash (the q149
+    * rule). Scale shape: one grouped agg to per-doc rows, one to
+    * (lang, deci-score) buckets; the rank window runs over BUCKETS
+    * (O(distinct scores) rows per language, not O(docs)) — the same
+    * aggregate-first trick as q158's boundary gate. */
+  private val q169: Q = (s, d) => {
+    import s.implicits._
+    val perDoc = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        countDistinct($"tok").as("n_uniq"),
+        sum(isStopword($"tok").cast("long")).as("n_stop"),
+        sum(length($"tok").cast("long")).as("sum_len"))
+      .select($"lang",
+        round(qualityScoreOf($"n_tok",
+          stopwordRatioOf($"n_stop", $"n_tok"),
+          round($"sum_len".cast("double") / $"n_tok", 4)) * 10)
+          .cast("long").as("s10"),
+        ((($"n_tok" - $"n_uniq") * 2) >= $"n_tok").cast("long").as("pos"))
+    val wr = Window.partitionBy($"lang").orderBy($"s10")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDoc
+      .groupBy($"lang", $"s10")
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n1"))
+      .withColumn("cum_less", coalesce(sum($"n").over(wr), lit(0L)))
+      .groupBy($"lang")
+      .agg(
+        sum($"n1" * (lit(2L) * $"cum_less" + $"n" + 1L)).as("r1_2"),
+        sum($"n1").as("n_pos"),
+        (sum($"n") - sum($"n1")).as("n_neg"))
+      .where($"n_pos" > 0 && $"n_neg" > 0)
+      .select($"lang", $"n_pos", $"n_neg",
+        expr("CAST((r1_2 - n_pos * (n_pos + 1)) * 1000000 DIV (2 * n_pos * n_neg) AS BIGINT)")
+          .as("auc_ppm"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q169_rank_auc" -> q169,
     "q164_heavy_hitters" -> q164,
     "q146_zipf_slope" -> q146,
     "q140_dsir_weights" -> q140,
@@ -503,6 +556,38 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q169_rank_auc" ->
+      (s"""WITH p AS (
+        |  SELECT lang,
+        |    CAST(round(round(
+        |      (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 1000
+        |            THEN 0.4 ELSE 0.1 END)
+        |    + (CASE WHEN round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |                 t -> t IN ($stopList)))::DOUBLE
+        |               / len(regexp_split_to_array(trim(text), '\\s+')), 4) > 0.05
+        |            THEN 0.3 ELSE 0.0 END)
+        |    + (CASE WHEN round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+        |               / len(regexp_split_to_array(trim(text), '\\s+')), 4) BETWEEN 3.0 AND 10.0
+        |            THEN 0.3 ELSE 0.1 END), 1) * 10) AS BIGINT) AS s10,
+        |    CASE WHEN (len(regexp_split_to_array(trim(text), '\\s+'))
+        |               - len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))) * 2
+        |              >= len(regexp_split_to_array(trim(text), '\\s+'))
+        |         THEN 1 ELSE 0 END AS pos
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT lang, s10, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n1
+        |      FROM p GROUP BY lang, s10),
+        |r AS (SELECT lang, s10, n, n1,
+        |        coalesce(sum(n) OVER (PARTITION BY lang ORDER BY s10
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+        |      FROM b),
+        |a AS (SELECT lang,
+        |        CAST(sum(n1 * (2 * cum_less + n + 1)) AS BIGINT) AS r1_2,
+        |        CAST(sum(n1) AS BIGINT) AS n_pos,
+        |        CAST(sum(n) - sum(n1) AS BIGINT) AS n_neg
+        |      FROM r GROUP BY lang)
+        |SELECT lang, n_pos, n_neg,
+        |       CAST((r1_2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY lang""".stripMargin),
     "q164_heavy_hitters" ->
       """WITH t AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         |           FROM documents WHERE text IS NOT NULL),
