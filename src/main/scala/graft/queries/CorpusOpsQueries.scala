@@ -1026,7 +1026,56 @@ object CorpusOpsQueries extends QueryPack {
       .limit(15)
   }
 
+  /** Stratified eval-split with EXACT largest-remainder allocation
+    * (Hamilton's method): carve a 10% eval set whose per-(lang, source)
+    * counts sum to exactly N DIV 10 — naive per-stratum rounding drifts
+    * by up to strata/2 docs, which a paper's "10.0% held out" claim
+    * can't absorb. Quotas: floor_i = n_i·T DIV N with remainder
+    * numerator n_i·T MOD N; the T − Σfloor leftover goes to the largest
+    * remainders (stratum-key tie-break). Selection within a stratum is
+    * a salted-hash rank — reproducible, order-independent, and
+    * documented joinable back to q122's shards.
+    *
+    * Scale shape: the allocation windows run over the STRATUM census —
+    * O(langs×sources) aggregate rows, metadata not data; the only
+    * per-doc work is the salted-hash row_number PARTITIONED by stratum
+    * and the final census agg. The per-stratum sort is the honest cost
+    * at 100 TB; with huge strata swap rank-≤-alloc for a hash-space
+    * threshold (alloc/n of [0, 2³²)) plus an exact residual fix-up,
+    * exactly as IoOps.writeShards documents. `sel_sum` (sum of selected
+    * doc_ids) pins the SELECTED SET, not just its size, across engines. */
+  private val q170: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"lang", $"source", $"doc_id",
+        md5(concat($"doc_id".cast("string"), lit("sp")).cast("binary")).as("h"))
+    val strata = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("n_i"))
+    val tot = strata.agg(sum($"n_i").as("n"),
+      expr("CAST(sum(n_i) DIV 10 AS BIGINT)").as("t"))
+    // quota arithmetic on the census frame: O(strata) rows — metadata
+    val quota = strata.crossJoin(broadcast(tot))
+      .select($"lang", $"source", $"n_i", $"n", $"t",
+        expr("CAST(n_i * t DIV n AS BIGINT)").as("fl"),
+        expr("CAST(n_i * t % n AS BIGINT)").as("rem"))
+    val wRem = Window.orderBy($"rem".desc, $"lang", $"source")
+    val alloc = quota
+      .withColumn("left_over", $"t" - sum($"fl").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rrk", row_number().over(wRem))
+      .select($"lang", $"source", $"n_i",
+        ($"fl" + when($"rrk" <= $"left_over", 1L).otherwise(0L)).as("alloc"))
+    val wSel = Window.partitionBy($"lang", $"source").orderBy($"h", $"doc_id")
+    docs.withColumn("rk", row_number().over(wSel))
+      .join(broadcast(alloc), Seq("lang", "source"))
+      .groupBy($"lang", $"source")
+      .agg(first($"n_i").as("n_docs"), first($"alloc").as("alloc"),
+        sum(when($"rk" <= $"alloc", 1L).otherwise(0L)).as("n_eval"),
+        sum(when($"rk" <= $"alloc", $"doc_id").otherwise(0L)).as("sel_sum"))
+      .orderBy($"lang", $"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_eval_split" -> q170,
     "q168_trust_rank" -> q168,
     "q165_snapshot_diff" -> q165,
     "q159_source_novelty" -> q159,
@@ -1061,6 +1110,31 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q170_eval_split" ->
+      """WITH d AS (SELECT lang, source, doc_id,
+        |             md5(doc_id::VARCHAR || 'sp') AS h FROM documents),
+        |s AS (SELECT lang, source, count(*) AS n_i FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |             CAST(sum(n_i) // 10 AS BIGINT) AS t FROM s),
+        |q AS (SELECT lang, source, n_i, n, t,
+        |        CAST(n_i * t // n AS BIGINT) AS fl,
+        |        CAST(n_i * t % n AS BIGINT) AS rem
+        |      FROM s, t),
+        |a AS (SELECT lang, source, n_i,
+        |        fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang, source)
+        |                       <= t - sum(fl) OVER () THEN 1 ELSE 0 END AS alloc
+        |      FROM q),
+        |r AS (SELECT lang, source, doc_id,
+        |        row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS rk
+        |      FROM d)
+        |SELECT r.lang, r.source,
+        |       CAST(any_value(a.n_i) AS BIGINT) AS n_docs,
+        |       CAST(any_value(a.alloc) AS BIGINT) AS alloc,
+        |       CAST(sum(CASE WHEN r.rk <= a.alloc THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+        |       CAST(sum(CASE WHEN r.rk <= a.alloc THEN r.doc_id ELSE 0 END) AS BIGINT) AS sel_sum
+        |FROM r JOIN a USING (lang, source)
+        |GROUP BY r.lang, r.source
+        |ORDER BY r.lang, r.source""".stripMargin,
     "q168_trust_rank" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |dp AS (SELECT p, count(*) AS dp FROM e GROUP BY p),

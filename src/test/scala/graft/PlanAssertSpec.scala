@@ -52,6 +52,14 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("q164: the Misra-Gries summary aggregates partially before the exchange") {
+    val p = plan("q164_heavy_hitters")
+    assert(p.contains("partial_misragriesaggregator"),
+      "pass 1 must emit O(k) map-side summaries, not shuffle raw tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      "pass 2's candidate prune must be a broadcast join")
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
