@@ -532,7 +532,49 @@ object TextQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Bigram-interpolated cross-entropy (the stronger CCNet-style LM
+    * proxy over q136's unigram): per-doc mean bits under
+    * p(w₂|w₁) = ¾·c(w₁w₂)/c(w₁) + ¼·c(w₂)/N — Jelinek-Mercer with a
+    * DYADIC λ=0.75, so the interpolated probability is the exact
+    * rational (3·c₁₂·N + c₁·c₂) / (4·c₁·N) and each token costs ONE
+    * log2 over integer products — identical doubles on both engines
+    * (the q137 discipline). Integer products stay < 2⁵³ while corpus
+    * tokens N < ~5·10⁷; past that (any real corpus) shift the counts
+    * to log-space doubles — the plan shape is unchanged.
+    *
+    * Scale shape: bigrams from a per-doc lead window (partitioned by
+    * doc, never global); unigram and bigram histograms are O(vocab)/
+    * O(bigram vocab) and BROADCAST back onto the bigram stream; one
+    * hash agg per doc ends the plan. */
+  private val q171: Q = (s, d) => {
+    import s.implicits._
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", posexplode(split(trim($"text"), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val uni = toks.groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val bigrams = toks
+      .withColumn("nxt", lead($"tok", 1).over(wd))
+      .where($"nxt".isNotNull)
+    val bi = bigrams.groupBy($"tok", $"nxt").agg(count(lit(1)).as("c12"))
+    bigrams
+      .join(broadcast(bi), Seq("tok", "nxt"))
+      .join(broadcast(uni), Seq("tok"))
+      .join(broadcast(uni.select($"tok".as("nxt"), $"c1".as("c2"))), Seq("nxt"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id",
+        (log2(lit(4L) * $"c1" * $"n") -
+          log2(lit(3L) * $"c12" * $"n" + $"c1" * $"c2")).as("bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg($"bits"), 4).as("bits_per_bigram"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q171_bigram_bits" -> q171,
     "q169_rank_auc" -> q169,
     "q164_heavy_hitters" -> q164,
     "q146_zipf_slope" -> q146,
@@ -556,6 +598,27 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q171_bigram_bits" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |bg AS (SELECT doc_id, w[r.i] AS tok, w[r.i + 1] AS nxt
+        |       FROM t, unnest(range(1, len(w))) r(i)),
+        |bi AS (SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c12
+        |       FROM bg GROUP BY tok, nxt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(log2((4 * ua.c1 * n)::DOUBLE)
+        |                 - log2((3 * bi.c12 * n + ua.c1 * ub.c1)::DOUBLE)), 4)
+        |         AS bits_per_bigram
+        |FROM bg
+        |JOIN bi USING (tok, nxt)
+        |JOIN uni ua ON ua.tok = bg.tok
+        |JOIN uni ub ON ub.tok = bg.nxt, tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q169_rank_auc" ->
       (s"""WITH p AS (
         |  SELECT lang,
