@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions.{fingerprint, isStopword, qualityScoreOf, stopwordRatioOf, tokens}
@@ -519,7 +520,37 @@ object DedupQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Cluster-representative selection: production dedup keeps the BEST
+    * document of each near-dup clique, not the arbitrary smallest-id
+    * one (q77's min-neighbor suppression is the cheap form; this is the
+    * quality-aware form a curated corpus ships). Components come from
+    * the same bipartite doc↔band-bucket propagation as q95 (no pair
+    * materialization); the representative is argmax(n_chars, id-asc
+    * tie-break) via a window PARTITIONED by component — bounded by
+    * clique size, never global. Output one row per real cluster
+    * (csize ≥ 2): representative + how many docs it replaces. */
+  private val q172: Q = (s, d) => {
+    import s.implicits._
+    val bands = graft.operators.NearDup
+      .lshBands(Tables.documents(s, d), "doc_id", "text", K, NH, B, R)
+      .select($"doc_id", concat_ws("|", $"band_idx", $"band_hash").as("bucket"))
+    val comp = graft.operators.ConnectedComponents
+      .minLabelByBucket(bands, "doc_id", "bucket")
+    val sizes = comp.groupBy($"comp").agg(count(lit(1)).as("csize"))
+      .where($"csize" >= 2)
+    val wRep = Window.partitionBy($"comp").orderBy($"n_chars".desc, $"doc_id")
+    comp.join(sizes, Seq("comp"))
+      .join(Tables.documents(s, d).select($"doc_id", $"n_chars"),
+        $"id" === $"doc_id")
+      .withColumn("rn", row_number().over(wRep))
+      .where($"rn" === 1)
+      .select($"comp", $"csize", $"doc_id".as("rep_doc"),
+        $"n_chars".as("rep_chars"), ($"csize" - 1).as("n_dropped"))
+      .orderBy($"comp")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q172_cluster_reps" -> q172,
     "q151_stitch_pairs" -> q151,
     "q135_lsh_scurve" -> q135,
     "q134_span_scrub" -> q134,
@@ -923,6 +954,36 @@ object DedupQueries extends QueryPack {
          |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
          |SELECT csize, count(*) AS n_components, min(comp) AS min_comp
          |FROM (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
-         |GROUP BY csize ORDER BY csize""".stripMargin
+         |GROUP BY csize ORDER BY csize""".stripMargin,
+    "q172_cluster_reps" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j)),
+         |pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+         |          UNION SELECT pb, pa FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT ea, ea FROM edges
+         |  UNION
+         |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.id),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         |sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
+         |          FROM comp GROUP BY comp),
+         |j AS (SELECT c.comp, s.csize, d.doc_id, d.n_chars,
+         |        row_number() OVER (PARTITION BY c.comp
+         |                           ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |      FROM comp c JOIN sizes s USING (comp)
+         |      JOIN documents d ON d.doc_id = c.id
+         |      WHERE s.csize >= 2)
+         |SELECT comp, csize, doc_id AS rep_doc,
+         |       CAST(n_chars AS BIGINT) AS rep_chars,
+         |       CAST(csize - 1 AS BIGINT) AS n_dropped
+         |FROM j WHERE rn = 1 ORDER BY comp""".stripMargin
   )
 }
