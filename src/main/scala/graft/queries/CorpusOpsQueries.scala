@@ -1057,13 +1057,17 @@ object CorpusOpsQueries extends QueryPack {
       .select($"lang", $"source", $"n_i", $"n", $"t",
         expr("CAST(n_i * t DIV n AS BIGINT)").as("fl"),
         expr("CAST(n_i * t % n AS BIGINT)").as("rem"))
-    val wRem = Window.orderBy($"rem".desc, $"lang", $"source")
-    val alloc = quota
-      .withColumn("left_over", $"t" - sum($"fl").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("rrk", row_number().over(wRem))
+    // remainder ranking WITHOUT an unpartitioned window (the repo-wide
+    // invariant): DistributedRank range-buckets the (negated, so
+    // descending) remainder, and the floor total arrives as a 1-row
+    // broadcast — even though this frame is census-sized, the shape
+    // stays the one that survives a billion strata
+    val fls = quota.agg(sum($"fl").as("fl_tot"))
+    val alloc = graft.functions.DistributedRank
+      .withRowNumber(quota, "rrk", (-$"rem").as("nrem"), $"lang", $"source")
+      .crossJoin(broadcast(fls))
       .select($"lang", $"source", $"n_i",
-        ($"fl" + when($"rrk" <= $"left_over", 1L).otherwise(0L)).as("alloc"))
+        ($"fl" + when($"rrk" <= $"t" - $"fl_tot", 1L).otherwise(0L)).as("alloc"))
     val wSel = Window.partitionBy($"lang", $"source").orderBy($"h", $"doc_id")
     docs.withColumn("rk", row_number().over(wSel))
       .join(broadcast(alloc), Seq("lang", "source"))
