@@ -79,7 +79,8 @@ object ScaleProbe {
       "q151_stitch_pairs", "q152_rrf_fusion", "q154_rolling_anomaly",
       "q156_calibration", "q158_boundary_deciles", "q159_source_novelty",
       "q160_attribution", "q164_heavy_hitters", "q165_snapshot_diff",
-      "q169_rank_auc", "q170_eval_split", "q172_cluster_reps")
+      "q169_rank_auc", "q170_eval_split", "q171_bigram_bits",
+      "q172_cluster_reps")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

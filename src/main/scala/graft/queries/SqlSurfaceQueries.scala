@@ -166,17 +166,21 @@ object SqlSurfaceQueries extends QueryPack {
     * (`etl/LogParser.scala:332-335`): per-user session count at a
     * 30-minute gap threshold. Spark parses DISTRIBUTE/SORT BY in a
     * window spec as PARTITION/ORDER BY — same exchange, same plan; the
-    * oracle writes the ANSI spelling. */
+    * oracle writes the ANSI spelling. Every event row is aggregated
+    * (the last event per user carries a NULL gap, which the CASE treats
+    * as not-a-break), so a user with a single event appears with
+    * n_sessions=1, n_events=1 — no row is dropped from the census
+    * (round-5 ADVICE: the earlier WHERE gap IS NOT NULL form silently
+    * erased single-event users). */
   private val q167 = sql("""
     SELECT user_id,
            CAST(1 + SUM(CASE WHEN gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_sessions,
-           COUNT(*) + 1 AS n_events
+           COUNT(*) AS n_events
     FROM (SELECT user_id,
                  lead(unix_micros(ts)) OVER (DISTRIBUTE BY user_id SORT BY event_id)
                    - unix_micros(ts) AS gap_us
           FROM events) g
-    WHERE gap_us IS NOT NULL
     GROUP BY user_id
     ORDER BY user_id""")
 
@@ -207,12 +211,11 @@ object SqlSurfaceQueries extends QueryPack {
       """SELECT user_id,
         |       CAST(1 + SUM(CASE WHEN gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_sessions,
-        |       COUNT(*) + 1 AS n_events
+        |       COUNT(*) AS n_events
         |FROM (SELECT user_id,
         |             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
         |               - epoch_us(ts) AS gap_us
         |      FROM events) g
-        |WHERE gap_us IS NOT NULL
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "q109_sql_star_topn" ->

@@ -543,9 +543,19 @@ object TextQueries extends QueryPack {
     * to log-space doubles — the plan shape is unchanged.
     *
     * Scale shape: bigrams from a per-doc lead window (partitioned by
-    * doc, never global); unigram and bigram histograms are O(vocab)/
-    * O(bigram vocab) and BROADCAST back onto the bigram stream; one
-    * hash agg per doc ends the plan. */
+    * doc, never global). Bigram vocabulary grows near-LINEARLY with
+    * corpus size, so the histogram is NEVER broadcast (at 100 TB it is
+    * billions of rows): instead the per-bigram bits value is computed
+    * once on the O(bigram vocab) histogram — unigram counts attach to
+    * the histogram, not the token stream, so the two `tok`/`nxt` joins
+    * touch vocab-sized frames (AQE may still elect to broadcast `uni`,
+    * which is sub-linear by Heaps' law; that choice is size-based, not
+    * forced) — and the enriched histogram shuffle-equi-joins back onto
+    * the bigram stream on (tok, nxt), the same key the histogram agg
+    * already hashed on. One exchange of the stream, one hash agg per
+    * doc, no unbounded broadcast anywhere. Only the 1-row corpus total
+    * is broadcast. log2 now runs once per DISTINCT bigram rather than
+    * per occurrence. */
   private val q171: Q = (s, d) => {
     import s.implicits._
     val wd = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -559,14 +569,15 @@ object TextQueries extends QueryPack {
       .withColumn("nxt", lead($"tok", 1).over(wd))
       .where($"nxt".isNotNull)
     val bi = bigrams.groupBy($"tok", $"nxt").agg(count(lit(1)).as("c12"))
-    bigrams
-      .join(broadcast(bi), Seq("tok", "nxt"))
-      .join(broadcast(uni), Seq("tok"))
-      .join(broadcast(uni.select($"tok".as("nxt"), $"c1".as("c2"))), Seq("nxt"))
+    val biBits = bi
+      .join(uni, Seq("tok"))
+      .join(uni.select($"tok".as("nxt"), $"c1".as("c2")), Seq("nxt"))
       .crossJoin(broadcast(total))
-      .select($"doc_id",
+      .select($"tok", $"nxt",
         (log2(lit(4L) * $"c1" * $"n") -
           log2(lit(3L) * $"c12" * $"n" + $"c1" * $"c2")).as("bits"))
+    bigrams
+      .join(biBits, Seq("tok", "nxt"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg($"bits"), 4).as("bits_per_bigram"))

@@ -60,6 +60,19 @@ class PlanAssertSpec extends SparkSpec {
       "pass 2's candidate prune must be a broadcast join")
   }
 
+  test("q171: only the 1-row corpus total carries a broadcast hint — never the bigram histogram") {
+    // bigram vocab grows ~linearly with corpus size, so a forced broadcast
+    // of `bi` (or `uni`) would OOM at 100×; size-based planning may still
+    // broadcast them at fixture scale, which is fine — the assertion is on
+    // the HINTS, which force the choice regardless of size
+    val hints = SparkEntry.queries("q171_bigram_bits")(spark, sfDir)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints.size == 1,
+      s"expected exactly one broadcast hint (the 1-row total), got ${hints.size}")
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
