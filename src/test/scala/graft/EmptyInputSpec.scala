@@ -22,13 +22,30 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  test("every query runs on empty tables (rows optional, crashes not)") {
+  /** The ONLY queries allowed to refuse empty input, each with a
+    * deliberate require()/IllegalArgumentException guard (trainer-style
+    * seeds that need data by construction). Any other query throwing
+    * IllegalArgumentException is a regression — it must return an empty
+    * frame instead (round-5 ADVICE: a blanket IAE exemption would let a
+    * spurious require() slip through the gate). */
+  private val mayRefuseEmpty: Set[String] = Set.empty
+
+  test("every query runs on empty tables with the contract schema") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
-      try { q(spark, emptyDir).count(); None }
-      catch {
-        // a deliberate, descriptive guard is acceptable for trainer-style
-        // queries; opaque runtime crashes are not
-        case e: IllegalArgumentException => None
+      try {
+        val df = q(spark, emptyDir)
+        df.count()
+        // rows are optional but the CONTRACT SCHEMA is not: a limit(0)
+        // with the wrong column set would otherwise pass (round-5
+        // verdict #5). Nullability is excluded — it varies with
+        // data-dependent optimizations, not the contract.
+        val got = df.schema.map(f => (f.name, f.dataType))
+        val want = q(spark, sfDir).schema.map(f => (f.name, f.dataType))
+        if (got != want)
+          Some(s"$name: empty-input schema drift: got $got, want $want")
+        else None
+      } catch {
+        case _: IllegalArgumentException if mayRefuseEmpty(name) => None
         case e: Throwable =>
           Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
       }
