@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bipartite random-walk rank (PageRank-style with damping): the
@@ -17,7 +18,12 @@ import org.apache.spark.sql.functions._
   * degrees pre-attached — is localCheckpoint'ed before iterating (the
   * KMeans/BpeTrainer pattern): without it every round's lazy plan
   * re-scans and re-shuffles the source from scratch and plan size grows
-  * per round. The right-side degree rides the per-round aggregate as
+  * per round. Degrees attach via two KEY-PARTITIONED window counts, not
+  * degree-frame joins: each window is one exchange + per-key count over
+  * the edge list itself — no aggregate subtree to build, no join, and no
+  * broadcast-size assumption on the endpoint population (a web-scale
+  * graph has billions of distinct endpoints; a forced degree-frame
+  * broadcast would be the q171 bigram-histogram mistake). The right-side degree rides the per-round aggregate as
   * first(dp) — constant per group — so no per-round dimension join
   * re-attaches it; the node count is ONE driver-side count over the
   * materialized edges (a bounded 1-value action, the k-means loop
@@ -41,8 +47,8 @@ object WalkRank {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val e0 = edges.select(col(oCol).as("o"), col(pCol).as("p")).distinct()
     val edgesF = e0
-      .join(e0.groupBy(col("o")).agg(count(lit(1)).as("dn")), Seq("o"))
-      .join(e0.groupBy(col("p")).agg(count(lit(1)).as("dp")), Seq("p"))
+      .withColumn("dn", count(lit(1)).over(Window.partitionBy(col("o"))))
+      .withColumn("dp", count(lit(1)).over(Window.partitionBy(col("p"))))
       .localCheckpoint()
     val np = edgesF.select(col("p")).distinct().count().toDouble
     // empty graph → empty rank frame (the 1/np init would ANSI-throw)
@@ -86,8 +92,8 @@ object WalkRank {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val e0 = edges.select(col(oCol).as("o"), col(pCol).as("p")).distinct()
     val edgesF = e0
-      .join(e0.groupBy(col("o")).agg(count(lit(1)).as("dn")), Seq("o"))
-      .join(e0.groupBy(col("p")).agg(count(lit(1)).as("dp")), Seq("p"))
+      .withColumn("dn", count(lit(1)).over(Window.partitionBy(col("o"))))
+      .withColumn("dp", count(lit(1)).over(Window.partitionBy(col("p"))))
       .localCheckpoint()
     val seeds = seedWeights
       .select(col(pCol).as("p"), col(wCol).cast("double").as("w"))
