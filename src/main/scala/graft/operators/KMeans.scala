@@ -113,6 +113,95 @@ object KMeans {
         transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
   }
 
+  /** Many independent Lloyd fits in ONE set of passes: group-keyed
+    * k-means, one codebook per distinct `gCol` value — the
+    * [[ProductQuantizer]] training shape (m sub-quantizers = m groups),
+    * also usable for any per-stratum clustering. A sequential
+    * per-group driver loop costs groups × (seeding + iters) full-corpus
+    * scans; here every round operates on ALL groups at once over
+    * (group, id, vec) rows, so the scan count is independent of the
+    * group count (PqTrainFusedSpec measures the drop).
+    *
+    * Numerically step-for-step identical to running [[lloydCentroids]]
+    * per group: the same salted-hash seed (the salt depends only on the
+    * id, so each group's seed-1 is the same row the per-group fit
+    * picks), the same farthest-first argmax (ties on id), the same
+    * argmin assignment (ties on cluster id), the same per-(cluster,
+    * dim) means. Per-group argmax/argmin reductions use `min_by` over a
+    * (key, id) struct — a partial-aggregatable shape — NEVER a window
+    * partitioned by the (low-cardinality) group key, which would funnel
+    * the corpus through |groups| tasks; the only window partitions by
+    * (group, id), which is corpus-cardinality.
+    *
+    * Returns (gCol, cid, centroid float-array), k rows per group. */
+  def lloydCentroidsGrouped(embs: DataFrame, gCol: String, idCol: String,
+      vecCol: String, k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1 (got $k, $iters)")
+    graft.expressions.GraftFunctions.ensureRegistered(embs.sparkSession)
+    val e = embs.select(col(gCol).as("__g"), col(idCol).as("__id"),
+        col(vecCol).cast("array<float>").as("__v"))
+      .where(col("__v").isNotNull)
+      .localCheckpoint()
+
+    // seed 1 per group: smallest (salted-hash, id) — the argmin form of
+    // seedFirst's TakeOrdered, aggregated per group
+    var cent = e
+      .groupBy(col("__g"))
+      .agg(min_by(col("__v"), struct(
+        hash32(concat(lit("km:"), col("__id").cast("string"))), col("__id"))).as("__c"))
+      .select(col("__g"), lit(0L).as("__cid"), col("__c"))
+      .localCheckpoint()
+    // farthest-first: per group, the point maximizing the min distance
+    // to that group's chosen seeds (ties on id — min_by over (-d, id))
+    for (i <- 1 until k) {
+      val next = e
+        .join(broadcast(cent.withColumn("__cn", dot(col("__c"), col("__c")))), Seq("__g"))
+        .groupBy(col("__g"), col("__id"))
+        .agg(first_value(col("__v")).as("__v"),
+          min(col("__cn") - lit(2.0) * dot(col("__v"), col("__c"))).as("__s"))
+        .withColumn("__d", dot(col("__v"), col("__v")) + col("__s"))
+        .groupBy(col("__g"))
+        .agg(min_by(col("__v"), struct(-col("__d"), col("__id"))).as("__c"))
+        .select(col("__g"), lit(i.toLong).as("__cid"), col("__c"))
+      cent = cent.unionByName(next).localCheckpoint()
+    }
+
+    var assign: DataFrame = null
+    for (_ <- 0 until iters) {
+      val scored = e
+        .join(broadcast(cent.withColumn("__cn", dot(col("__c"), col("__c")))), Seq("__g"))
+        .withColumn("__score", col("__cn") - lit(2.0) * dot(col("__v"), col("__c")))
+      val w = Window.partitionBy(col("__g"), col("__id"))
+        .orderBy(col("__score"), col("__cid"))
+      assign = scored
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .select(col("__g"), col("__id"), col("__cid"), col("__v"))
+        .localCheckpoint()
+      val means = groupedMeans(assign)
+      cent = cent.join(means, Seq("__g", "__cid"), "left")
+        .select(col("__g"), col("__cid"),
+          coalesce(col("__cNew"), col("__c")).as("__c"))
+        .localCheckpoint()
+    }
+    // final mean pass over the last assignment — lloydCentroids semantics
+    groupedMeans(assign)
+      .select(col("__g").as(gCol), col("__cid").as("cid"),
+        col("__cNew").as("centroid"))
+  }
+
+  /** Per-(group, cluster, dimension) means of an assignment frame →
+    * (__g, __cid, __cNew float-array). */
+  private def groupedMeans(assign: DataFrame): DataFrame =
+    assign
+      .select(col("__g"), col("__cid"), posexplode(col("__v")))
+      .groupBy(col("__g"), col("__cid"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("__g"), col("__cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("__g"), col("__cid"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("__cNew"))
+
   /** Seed-1 selection (exposed for plan assertions): the smallest
     * salted-hash row via orderBy+limit(1), which plans as
     * TakeOrderedAndProject — a parallel partial top-1 per partition.

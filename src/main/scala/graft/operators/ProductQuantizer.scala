@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * query-to-centroid sub-distances, and each candidate costs m table
   * lookups instead of d multiplies.
   *
-  * Scale shape: training runs m independent [[KMeans.lloydCentroids]]
-  * fits over subvector SLICES (each a narrow projection of the corpus —
-  * never materialized wide); the model is m×ks×(d/m) floats — a few KB
-  * — broadcast, never a driver data collect. Encoding is one narrow
+  * Scale shape: training slices the corpus ONCE into (id, subspace,
+  * subvector) rows and fits all m codebooks simultaneously with the
+  * group-keyed [[KMeans.lloydCentroidsGrouped]] — one set of
+  * seeding/Lloyd passes total, instead of m sequential
+  * [[KMeans.lloydCentroids]] fits re-scanning the corpus m×(seeds +
+  * iters) times (PqTrainFusedSpec proves codebook equality and
+  * measures the action-count drop); the model is m×ks×(d/m) floats — a
+  * few KB — broadcast, never a driver data collect. Encoding is one narrow
   * typed map (embarrassingly parallel, no shuffle). ADC search explodes
   * codes to (id, subspace, code) rows and equi-joins the BROADCAST
   * lookup table, then one grouped sum + TakeOrdered — codegen'd
@@ -34,9 +38,33 @@ object ProductQuantizer {
 
   /** Fit one codebook per subspace over `embs(idCol, vecCol)`. `dim`
     * must be divisible by `m`. Deterministic: inherits KMeans'
-    * farthest-first seeding and fixed iteration count. */
+    * farthest-first seeding and fixed iteration count. All m codebooks
+    * train in ONE fused set of passes (slice once → group-keyed Lloyd);
+    * scan count is independent of m. */
   def train(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, ks: Int, iters: Int = 3): PqModel = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val slices = embs.select(col(idCol),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col(vecCol), j * sub + 1, sub).as("subv"))): _*)).as("s"))
+      .select(col(idCol), col("s.j").as("j"), col("s.subv").as("subv"))
+    val rows = KMeans.lloydCentroidsGrouped(slices, "j", idCol, "subv",
+        k = ks, iters = iters)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector))
+    val cbs = (0 until m).map { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3).toVector
+    }.toVector
+    PqModel(m, ks, cbs)
+  }
+
+  /** The pre-fusion trainer — m sequential per-subspace
+    * [[KMeans.lloydCentroids]] fits, m×(seeding+iters) corpus scans.
+    * Retained as the equivalence reference for [[train]]'s spec; not a
+    * production path. */
+  private[graft] def trainPerSubspace(embs: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, ks: Int, iters: Int = 3): PqModel = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
     val cbs = (0 until m).map { j =>
