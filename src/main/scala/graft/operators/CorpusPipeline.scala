@@ -168,6 +168,32 @@ object CorpusPipeline {
       .withColumnRenamed("__clean", cfg.textCol)
   }
 
+  /** Optional semantic-dedup stage ([[SemDeDup]], Abbas et al. 2023):
+    * drop docs whose embedding has a strictly higher-quality
+    * near-duplicate (cosine ≥ threshold) within its semantic cell.
+    * Run AFTER lexical near-dedup — lexical dedup removes copies,
+    * SemDeDup removes paraphrases the n-gram machinery can't see.
+    * Cells come from [[SemDeDup.kmeansCells]] (the paper's recipe);
+    * join volume is Σ|cell|², bounded by the `cells` granularity.
+    * `corpus` must carry `qualityCol` (documents.n_chars by default);
+    * docs without an embedding row pass through unexamined. */
+  def semanticDedup(corpus: DataFrame, embs: DataFrame,
+      cfg: Config = Config(), vecIdCol: String = "vec_id",
+      vecCol: String = "embedding", cells: Int = 16,
+      threshold: Double = 0.9, qualityCol: String = "n_chars"): DataFrame = {
+    require(cells >= 1 && threshold > 0.0,
+      s"need cells >= 1, threshold > 0 (got $cells, $threshold)")
+    val cellAssign = SemDeDup.kmeansCells(embs, vecIdCol, vecCol, cells)
+    val df = embs.select(col(vecIdCol), col(vecCol))
+      .join(cellAssign, Seq(vecIdCol))
+      .join(corpus.select(col(cfg.idCol).as(vecIdCol), col(qualityCol)),
+        Seq(vecIdCol))
+    corpus.join(
+      SemDeDup.dropIds(df, vecIdCol, vecCol, "cell", qualityCol, threshold)
+        .withColumnRenamed(vecIdCol, cfg.idCol),
+      Seq(cfg.idCol), "left_anti")
+  }
+
   /** Final export stage: [[graft.sources.IoOps.writeShards]] — the
     * deterministic fixed-size shard writer (q122 hash-proves the
     * assignment). Chain as `IoOps.writeShards(chunk(staged.result), ...)`

@@ -549,7 +549,34 @@ object DedupQueries extends QueryPack {
       .orderBy($"comp")
   }
 
+  /** SemDeDup ([[graft.operators.SemDeDup]], Abbas et al. 2023): the
+    * embedding-space complement of q172's lexical cluster reps — within
+    * each semantic CELL, exact pairwise cosine, and every doc with a
+    * strictly higher-priority near-dup (n_chars desc, id asc) in its
+    * cell is dropped, reporting its best suppressor. Cells here are the
+    * 4-bit hyperplane sign key over [[SimilarityQueries.planes]] (16
+    * cells — engine-replicable, so the whole path is oracle-gated);
+    * production swaps in [[graft.operators.SemDeDup.kmeansCells]] — the
+    * paper's k-means cells, same within-cell math (SemDeDupSpec pins
+    * that path against a brute-force reference). The 0.35 threshold is
+    * fixture-scale (these synthetic embeddings top out near cos 0.45);
+    * production SemDeDup runs 0.9+. Join volume is Σ|cell|², bounded by
+    * cell granularity — never corpus². */
+  private val q173: Q = (s, d) => {
+    import s.implicits._
+    val cells = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        SimilarityQueries.bandKey($"embedding", 0, 4).as("cell"))
+      .join(Tables.documents(s, d).select($"doc_id".as("vec_id"), $"n_chars"),
+        Seq("vec_id"))
+    graft.operators.SemDeDup
+      .suppressors(cells, "vec_id", "embedding", "cell", "n_chars", 0.35)
+      .select($"vec_id", $"rep_id", round($"cos", 4).as("cos"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q173_semantic_dedup" -> q173,
     "q172_cluster_reps" -> q172,
     "q151_stitch_pairs" -> q151,
     "q135_lsh_scurve" -> q135,
@@ -955,6 +982,26 @@ object DedupQueries extends QueryPack {
          |SELECT csize, count(*) AS n_components, min(comp) AS min_comp
          |FROM (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
          |GROUP BY csize ORDER BY csize""".stripMargin,
+    "q173_semantic_dedup" ->
+      s"""WITH cells AS (
+         |  SELECT e.vec_id, e.embedding, d.n_chars,
+         |    CAST(${SimilarityQueries.duckBandKey(0, 4, "e.embedding")} AS BIGINT) AS cell
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+         |sup AS (
+         |  SELECT a.vec_id, b.vec_id AS rep_id, b.n_chars AS rep_chars,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cos_raw
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id != b.vec_id
+         |   AND (b.n_chars > a.n_chars
+         |        OR (b.n_chars = a.n_chars AND b.vec_id < a.vec_id))),
+         |r AS (
+         |  SELECT vec_id, rep_id, cos_raw,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY rep_chars DESC, rep_id) AS rn
+         |  FROM sup WHERE cos_raw >= 0.35)
+         |SELECT vec_id, rep_id, round(cos_raw, 4) AS cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q172_cluster_reps" ->
       s"""WITH RECURSIVE $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),

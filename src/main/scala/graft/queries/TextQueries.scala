@@ -584,7 +584,37 @@ object TextQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Heavy-hitter PHRASES per source — the boilerplate-detection
+    * production shape ("which exact n-grams dominate each site":
+    * templates, footers, nav chrome): [[graft.operators.HeavyHitters]]'
+    * two-pass Misra–Gries prune composed with the dedup family's gram
+    * generator ([[graft.functions.DedupFunctions.shingleRows]], the q89
+    * decontamination generator). This is where the O(groups·k) exchange
+    * guarantee MATTERS: unlike q164's unigram vocabulary (Heaps-law
+    * sub-linear), n-gram vocabulary grows ~linearly with the corpus —
+    * the naive groupBy(source, gram) shuffles every distinct n-gram,
+    * billions of rows at 100 TB, where the MG summary exchange stays at
+    * O(sources · k) forever. Gram size is a generator parameter;
+    * production boilerplate hunts run 5-grams — this fixture's
+    * random-31-token text has no repeated 5-gram (max share 0.0014, a
+    * measured property of the synthetic corpus), so the oracle-gated
+    * form runs 2-gram phrases at k=199 (count > N_src/200), where the
+    * fixture has real hitters. The gram stream joins its (doc_id,
+    * source) dimension on the window's own doc_id partitioning —
+    * co-partitioned, no extra gram-stream exchange. */
+  private val q174: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val grams = graft.functions.DedupFunctions
+      .shingleRows(docs.select($"doc_id", $"text"), "doc_id", "text", 2)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"source", $"s".as("gram"))
+    graft.operators.HeavyHitters.exact(grams, "source", "gram", k = 199)
+      .orderBy($"source", $"gram")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_phrase_hitters" -> q174,
     "q171_bigram_bits" -> q171,
     "q169_rank_auc" -> q169,
     "q164_heavy_hitters" -> q164,
@@ -609,6 +639,17 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q174_phrase_hitters" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source, array_to_string(w[r.i:r.i+1], ' ') AS gram
+        |      FROM t, unnest(range(1, len(w))) r(i)),
+        |n AS (SELECT source, count(*) AS n_grp FROM g GROUP BY source),
+        |c AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY source, gram)
+        |SELECT c.source, gram, cnt, n_grp
+        |FROM c JOIN n USING (source)
+        |WHERE cnt * 200 > n_grp
+        |ORDER BY source, gram""".stripMargin,
     "q171_bigram_bits" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -60,6 +60,14 @@ class PlanAssertSpec extends SparkSpec {
       "pass 2's candidate prune must be a broadcast join")
   }
 
+  test("q174: phrase heavy hitters keep the O(groups*k) Misra-Gries exchange") {
+    val p = plan("q174_phrase_hitters")
+    assert(p.contains("partial_misragriesaggregator"),
+      "pass 1 must emit O(k) map-side summaries, not shuffle raw n-grams")
+    assert(p.contains("BroadcastHashJoin"),
+      "pass 2's candidate prune must be a broadcast join")
+  }
+
   test("q171: only the 1-row corpus total carries a broadcast hint — never the bigram histogram") {
     // bigram vocab grows ~linearly with corpus size, so a forced broadcast
     // of `bi` (or `uni`) would OOM at 100×; size-based planning may still
