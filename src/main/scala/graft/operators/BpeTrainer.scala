@@ -193,22 +193,113 @@ object BpeTrainer {
     out.toSeq
   }
 
+  /** Reference encode: fold every merge over the word in learned order,
+    * one [[applyMerge]] pass each — O(nMerges · |word|) per word. This is
+    * the SEMANTIC DEFINITION (what sequential training would leave the
+    * word as); [[encodeWord]] is the production-speed equivalent and
+    * BpeEncoderSpec proves them equal on trained and adversarial lists. */
+  private[operators] def encodeWordFold(word: String,
+      merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (syms, (a, b)) => applyMerge(syms, a, b)
+    }
+
+  /** Merge list → rank lookup. First occurrence wins on a duplicate
+    * pair: after pass r merges every (a,b), a later duplicate pass can
+    * only re-fire if string-aliasing re-creates the pair (x+y == a) —
+    * a pathology training essentially never emits; [[encodeWord]] is
+    * defined over the first-wins map and BpeEncoderSpec pins fold
+    * equality on trained and ScalaCheck-random lists. */
+  def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] = {
+    val m = scala.collection.mutable.HashMap[(String, String), Int]()
+    merges.zipWithIndex.foreach { case (p, i) => if (!m.contains(p)) m(p) = i }
+    m.toMap
+  }
+
+  /** Production-speed encode of one word: a min-heap of the ranks whose
+    * pair is currently adjacent, popped in rank order — the tiktoken
+    * loop shape, but with FOLD semantics pinned exactly: each rank is
+    * applied at most once (one left-to-right [[applyMerge]] pass), and a
+    * pair CREATED by rank r with rank p < r is ignored, because the
+    * fold's pass p already ran. Cost O((|word| + applied) · log |word|)
+    * per word — independent of vocabulary size, where the fold pays
+    * O(nMerges · |word|) (a 50k-merge production vocabulary makes the
+    * fold ~1000× the work of the ~dozen merges that actually fire). */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString)
+    if (syms.length < 2 || ranks.isEmpty) return syms
+    val heap = scala.collection.mutable.PriorityQueue.empty[Int](Ordering.Int.reverse)
+    val seen = scala.collection.mutable.Set[Int]()
+    def push(a: String, b: String, floor: Int): Unit =
+      ranks.get((a, b)).foreach { r =>
+        if (r > floor && !seen(r)) { seen += r; heap.enqueue(r) }
+      }
+    syms.iterator.sliding(2).withPartial(false)
+      .foreach(p => push(p.head, p(1), Int.MinValue))
+    val byRank = ranks.map(_.swap)
+    while (heap.nonEmpty) {
+      val r = heap.dequeue()
+      val (a, b) = byRank(r)
+      // still adjacent? (an earlier merge may have consumed an operand)
+      var i = 0; var present = false
+      while (i + 1 < syms.length && !present) {
+        if (syms(i) == a && syms(i + 1) == b) present = true; i += 1
+      }
+      if (present) {
+        val before = syms
+        syms = applyMerge(syms, a, b)
+        // new adjacencies all touch the merged symbol a+b; future ranks only
+        val ab = a + b
+        var j = 0
+        while (j < syms.length) {
+          if (syms(j) == ab) {
+            if (j > 0) push(syms(j - 1), ab, r)
+            if (j + 1 < syms.length) push(ab, syms(j + 1), r)
+          }
+          j += 1
+        }
+        // guard: applyMerge must have fired (present was true)
+        require(syms.length < before.length, s"merge ($a,$b) did not apply")
+      }
+    }
+    syms
+  }
+
+  /** Tokenize every document with a learned merge list: one row per doc
+    * with the full BPE token array (`bpe_tokens`) and its length. The
+    * rank map broadcasts once (KB–MB scale); encoding is a narrow typed
+    * map — no shuffle, embarrassingly parallel, the plan any 100 TB
+    * tokenization run wants. */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ranksOf(merges))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = Option(text).getOrElse("").trim.split("\\s+").iterator
+          .filter(_.nonEmpty)
+          .flatMap(w => encodeWord(w, bc.value))
+          .toSeq
+        (id, toks, toks.size.toLong)
+      }
+      .toDF(idCol, "bpe_tokens", "n_bpe_tokens")
+  }
+
   /** Encode every document with a learned merge list: (original columns
-    * +) `n_bpe_tokens`. The merges broadcast as a plain list; encoding is
-    * a narrow typed map — no shuffle, embarrassingly parallel. */
+    * +) `n_bpe_tokens`. The merges broadcast as a rank map; encoding is
+    * a narrow typed map over [[encodeWord]] — no shuffle. */
   def countTokens(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(merges)
+    val bc = spark.sparkContext.broadcast(ranksOf(merges))
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.trim.split("\\s+").iterator.filter(_.nonEmpty).map { w =>
-          bc.value.foldLeft(w.map(_.toString): Seq[String]) {
-            case (syms, (a, b)) => applyMerge(syms, a, b)
-          }.size.toLong
-        }.sum
+        val toks = text.trim.split("\\s+").iterator.filter(_.nonEmpty)
+          .map(w => encodeWord(w, bc.value).size.toLong).sum
         (id, toks)
       }
       .toDF(idCol, "n_bpe_tokens")

@@ -258,7 +258,49 @@ object BehaviorQueries extends QueryPack {
       .orderBy($"day")
   }
 
+  /** Item–item co-occurrence similarity ("users who touched A also
+    * touched B") from the event stream — the behavioral complement of
+    * q51's embedding kNN, and the classic skew trap: a power-law user
+    * who touched 10⁵ items would alone emit 10¹⁰ pairs through a naive
+    * per-user self-join. The standard mitigation is applied explicitly:
+    * per-user items are CAPPED at the top-C by interaction count
+    * (cnt desc, item asc — deterministic), so pair generation is
+    * bounded at C(C−1)/2 per user no matter how heavy the user, and
+    * the pair count shuffle is on the uniform (item_a, item_b) key.
+    * Similarity is squared cosine over binary presence vectors, in
+    * exact integer ppm (n_both² · 10⁶ DIV na·nb) so no float crosses
+    * the oracle hash.
+    *
+    * Scale shape: one (user,item) hash agg; one per-user window over
+    * ≤ distinct-items rows; the capped self-join fans out ≤ C²/2 rows
+    * per user then collapses on (item_a, item_b); n_both ≥ 2 prunes the
+    * long co-incidence tail before the dimension-table joins. */
+  private val q176: Q = (s, d) => {
+    import s.implicits._
+    val C = 20
+    val ui = Tables.events(s, d)
+      .select($"user_id", get_json_object($"props", "$.k").cast("long").as("item"))
+      .where($"item".isNotNull)
+      .groupBy($"user_id", $"item").agg(count(lit(1)).as("cnt"))
+    val wCap = Window.partitionBy($"user_id").orderBy($"cnt".desc, $"item")
+    val capped = ui.withColumn("rn", row_number().over(wCap)).where($"rn" <= C)
+      .select($"user_id", $"item")
+    val ni = capped.groupBy($"item").agg(count(lit(1)).as("n_users"))
+    val pairs = capped.as("a").join(capped.as("b"), Seq("user_id"))
+      .where($"a.item" < $"b.item")
+      .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .where($"n_both" >= 2)
+    pairs
+      .join(ni.select($"item".as("item_a"), $"n_users".as("na")), Seq("item_a"))
+      .join(ni.select($"item".as("item_b"), $"n_users".as("nb")), Seq("item_b"))
+      .select($"item_a", $"item_b", $"n_both", $"na", $"nb",
+        expr("(n_both * n_both * 1000000) DIV (na * nb)").as("cos2_ppm"))
+      .orderBy($"item_a", $"item_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_cooccur" -> q176,
     "q160_attribution" -> q160,
     "q154_rolling_anomaly" -> q154,
     "q149_decay_score" -> q149,
@@ -270,6 +312,32 @@ object BehaviorQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q176_cooccur" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(props->>'$.k' AS BIGINT) AS item FROM events),
+        |ui AS (
+        |  SELECT user_id, item, count(*) AS cnt FROM ev
+        |  WHERE item IS NOT NULL GROUP BY 1, 2),
+        |capped AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT user_id, item,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY cnt DESC, item) AS rn
+        |    FROM ui) WHERE rn <= 20),
+        |ni AS (SELECT item, count(*) AS n_users FROM capped GROUP BY item),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+        |       CAST(na.n_users AS BIGINT) AS na,
+        |       CAST(nb.n_users AS BIGINT) AS nb,
+        |       CAST(n_both * n_both * 1000000 // (na.n_users * nb.n_users)
+        |         AS BIGINT) AS cos2_ppm
+        |FROM p JOIN ni na ON p.item_a = na.item
+        |       JOIN ni nb ON p.item_b = nb.item
+        |ORDER BY item_a, item_b""".stripMargin,
     "q160_attribution" ->
       """WITH v AS (
         |  SELECT user_id, ts::TIMESTAMP AS vt FROM events

@@ -575,7 +575,54 @@ object DedupQueries extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS sketch): hash every K-token gram, then in every window of W
+    * consecutive gram hashes keep the minimum; the distinct selected
+    * hashes are the document's fingerprint set. Unlike q129's fixed
+    * stride (which a 1-token insertion de-aligns) winnowing GUARANTEES
+    * any shared run of ≥ W+K−1 tokens yields a shared fingerprint,
+    * while storing only ~2/(W+1) of the grams. Census output mirrors
+    * q129: per doc, how many of its fingerprints already occur in an
+    * earlier document (share_ppm in exact integer parts-per-million).
+    *
+    * Scale shape: gram extraction is narrow (split + posexplode); the
+    * window min is partitioned BY DOC (never global — bounded by doc
+    * length); ownership is one hash-partitioned groupBy on the selected
+    * hash and the join back reuses the same key. Cost O(total tokens),
+    * fingerprint volume ~2/(W+1) of q129's candidate stream — the
+    * winnow selection is exactly what makes gram-level dedup affordable
+    * at 100 TB. */
+  private val q175: Q = (s, d) => {
+    import s.implicits._
+    val K = 4; val W = 4
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"doc_id", tokens($"text").as("w"))
+      .where(size($"w") >= K + W - 1) // docs with at least one full window
+    val grams = toks
+      .select($"doc_id", $"w", posexplode(sequence(lit(0), size($"w") - K)))
+      .toDF("doc_id", "w", "i", "p")
+      .select($"doc_id", $"p", (size($"w") - K).as("pmax"),
+        md5(array_join(slice($"w", $"p" + 1, lit(K)), " ").cast("binary")).as("h"))
+    val winv = Window.partitionBy($"doc_id").orderBy($"p")
+      .rowsBetween(Window.currentRow, W - 1)
+    val fps = grams
+      .withColumn("sel", min($"h").over(winv))
+      .where($"p" <= $"pmax" - (W - 1)) // full windows only
+      .select($"doc_id", $"sel".as("h"))
+      .distinct()
+    val owner = fps.groupBy($"h").agg(min($"doc_id").as("owner"))
+    fps.join(owner, Seq("h"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when($"owner" < $"doc_id", 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_fp", $"n_shared",
+        expr("(n_shared * 1000000) DIV n_fp").as("share_ppm"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_winnow" -> q175,
     "q173_semantic_dedup" -> q173,
     "q172_cluster_reps" -> q172,
     "q151_stitch_pairs" -> q151,
@@ -668,6 +715,32 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q175_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, len(w) - 4 AS pmax,
+        |         unnest(range(0, len(w) - 4 + 1)) AS p, w
+        |  FROM t WHERE len(w) >= 7),
+        |h AS (
+        |  SELECT doc_id, p, pmax,
+        |         md5(array_to_string(list_slice(w, p + 1, p + 4), ' ')) AS h
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, minh AS h FROM (
+        |    SELECT doc_id, p, pmax,
+        |           min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+        |    FROM h) WHERE p <= pmax - 3),
+        |own AS (SELECT h, min(doc_id) AS owner FROM sel GROUP BY h)
+        |SELECT sel.doc_id, count(*) AS n_fp,
+        |       CAST(sum(CASE WHEN own.owner < sel.doc_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_shared,
+        |       CAST(sum(CASE WHEN own.owner < sel.doc_id THEN 1 ELSE 0 END)
+        |         * 1000000 // count(*) AS BIGINT) AS share_ppm
+        |FROM sel JOIN own USING (h)
+        |GROUP BY sel.doc_id ORDER BY sel.doc_id""".stripMargin,
     "q151_stitch_pairs" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w

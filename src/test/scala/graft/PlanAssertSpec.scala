@@ -68,6 +68,45 @@ class PlanAssertSpec extends SparkSpec {
       "pass 2's candidate prune must be a broadcast join")
   }
 
+  // AQE wraps stages in leaf-like nodes; descend explicitly
+  private def allWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    (p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case _ => Nil
+    }) ++ kids.flatMap(allWindows)
+  }
+
+  test("q175: winnow window is partitioned by doc, candidates stay an equi join") {
+    val exec = SparkEntry.queries("q175_winnow")(spark, sfDir)
+      .queryExecution.executedPlan
+    val wins = allWindows(exec)
+    assert(wins.nonEmpty, "the winnow min-window must appear in the plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "the winnow min-window must partition by doc_id — a global window " +
+        "would single-task the whole gram stream")
+    val p = exec.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q176: capped co-occurrence self-join is a hash join, window per user") {
+    val exec = SparkEntry.queries("q176_cooccur")(spark, sfDir)
+      .queryExecution.executedPlan
+    assert(!exec.toString.contains("BroadcastNestedLoop") &&
+      !exec.toString.contains("CartesianProduct"),
+      "pair generation must be the user_id equi join")
+    val wins = allWindows(exec)
+    assert(wins.nonEmpty, "the top-C cap window must appear in the plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "the top-C cap window must partition by user_id")
+  }
+
   test("q171: only the 1-row corpus total carries a broadcast hint — never the bigram histogram") {
     // bigram vocab grows ~linearly with corpus size, so a forced broadcast
     // of `bi` (or `uni`) would OOM at 100×; size-based planning may still
