@@ -606,6 +606,18 @@ object DedupQueries extends QueryPack {
         md5(array_join(slice($"w", $"p" + 1, lit(K)), " ").cast("binary")).as("h"))
     val winv = Window.partitionBy($"doc_id").orderBy($"p")
       .rowsBetween(Window.currentRow, W - 1)
+    // DELIBERATE double-compute: owner-agg and join-back both consume fps
+    // and the diverging aggregates defeat ReuseExchange, so the
+    // scan→window→distinct chain runs twice — measured FASTER than
+    // materializing it at every probed scale (10×/30×: 3.5/5.8 s here vs
+    // 6.1/8.2 s with persist(), 6.2/15.6 s with localCheckpoint(), which
+    // also hides stats from AQE and demotes the owner join to sort-merge).
+    // Two fully-pipelined codegen'd passes beat one materialization
+    // barrier; if a true 100 TB run is scan-dominated, persist the
+    // fingerprint stream to storage instead (one-line change). Ownership
+    // stays a groupBy (map-side partial min), NOT an h-partitioned
+    // window: a viral boilerplate fingerprint would put every sharing
+    // doc in one window task, while the partial agg collapses map-side.
     val fps = grams
       .withColumn("sel", min($"h").over(winv))
       .where($"p" <= $"pmax" - (W - 1)) // full windows only

@@ -84,15 +84,36 @@ class PlanAssertSpec extends SparkSpec {
   }
 
   test("q175: winnow window is partitioned by doc, candidates stay an equi join") {
-    val exec = SparkEntry.queries("q175_winnow")(spark, sfDir)
-      .queryExecution.executedPlan
-    val wins = allWindows(exec)
-    assert(wins.nonEmpty, "the winnow min-window must appear in the plan")
-    assert(wins.forall(_.partitionSpec.nonEmpty),
-      "the winnow min-window must partition by doc_id — a global window " +
-        "would single-task the whole gram stream")
-    val p = exec.toString
-    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+    // q175 localCheckpoints the fingerprint stream (materialized once for
+    // its two consumers), which truncates the final plan — capture every
+    // executed plan with a listener instead, incl. the checkpoint job's
+    import org.apache.spark.sql.execution.QueryExecution
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        seen.add(qe.executedPlan)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val df = SparkEntry.queries("q175_winnow")(spark, sfDir)
+      df.collect()
+      var last = -1; var tries = 0
+      while (seen.size() != last && tries < 100) {
+        last = seen.size(); tries += 1; Thread.sleep(100)
+      }
+      import scala.jdk.CollectionConverters._
+      val plans = seen.asScala.toSeq :+ df.queryExecution.executedPlan
+      val wins = plans.flatMap(allWindows)
+      assert(wins.nonEmpty, "the winnow min-window must appear in some plan")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "the winnow min-window must partition by doc_id — a global window " +
+          "would single-task the whole gram stream")
+      val strs = plans.map(_.toString)
+      assert(strs.forall(p => !p.contains("BroadcastNestedLoop") &&
+        !p.contains("CartesianProduct")))
+    } finally spark.listenerManager.unregister(l)
   }
 
   test("q176: capped co-occurrence self-join is a hash join, window per user") {
