@@ -633,7 +633,79 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Semantic decontamination — the embedding-space complement of q89's
+    * n-gram benchmark decontamination: flag every training vector whose
+    * embedding sits within cosine ≥ t of ANY eval vector (label 0 plays
+    * the held-out benchmark here), reporting the closest eval neighbor
+    * (cos desc, eval_id tie-break). Lexical decontam misses paraphrased
+    * benchmark leakage; this is the fuzzy pass production runs next to
+    * it.
+    *
+    * Scale shape: the EVAL side is small by construction (benchmarks are
+    * KB–MB at any corpus scale — unlike q171's corpus-growing histogram,
+    * the broadcast hint is justified for good), so the candidate join is
+    * broadcast on the 4-bit hyperplane cell key and the corpus never
+    * shuffles; per-train-row work is (eval-in-cell) codegen'd dot
+    * products, the same bound as q52's LSH probe. The row_number window
+    * partitions by vec_id (bounded by in-cell eval matches). */
+  private val q177: Q = (s, d) => {
+    import s.implicits._
+    val cells = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull)
+      .withColumn("nrm", l2norm($"embedding"))
+      .where($"nrm" > 0)
+      .select($"vec_id", $"label", $"embedding", $"nrm",
+        SimilarityQueries.bandKey($"embedding", 0, 4).as("cell"))
+    val eval = cells.where($"label" === 0)
+      .select($"cell", $"vec_id".as("eval_id"), $"embedding".as("ev"), $"nrm".as("enrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_raw".desc, $"eval_id")
+    cells.where($"label" =!= 0)
+      .join(broadcast(eval), Seq("cell"))
+      .select($"vec_id", $"label", $"eval_id",
+        (dot($"embedding", $"ev") / ($"nrm" * $"enrm")).as("cos_raw"))
+      .where($"cos_raw" >= 0.30)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"vec_id", $"label", $"eval_id", round($"cos_raw", 4).as("cos"))
+      .orderBy($"vec_id")
+  }
+
+  /** Dedup audit census — the report a production dedup run ships to
+    * justify itself: cluster-size histogram over ALL documents
+    * (singletons included via a left join onto the q95/q172 bucket-CC
+    * components) with the byte accounting: `chars_saved` = per cluster,
+    * everything except the quality-representative (max n_chars). One
+    * glance answers "how duplicated is this corpus and what does
+    * keep-best save" — the number that decides whether the 100 TB dedup
+    * pass is worth its cluster time.
+    *
+    * Scale shape: the same pair-free bucket-CC as q95/q172 (diameter-
+    * bound min-label over band buckets); the audit adds one doc-keyed
+    * left join and two grouped aggs, output O(distinct cluster sizes). */
+  private val q178: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"n_chars")
+    val bands = graft.operators.NearDup
+      .lshBands(Tables.documents(s, d), "doc_id", "text", K, NH, B, R)
+      .select($"doc_id", concat_ws("|", $"band_idx", $"band_hash").as("bucket"))
+    val comp = graft.operators.ConnectedComponents
+      .minLabelByBucket(bands, "doc_id", "bucket")
+    val withComp = docs.join(comp, $"doc_id" === $"id", "left")
+      .select($"doc_id", $"n_chars", coalesce($"comp", $"doc_id").as("comp"))
+    val perComp = withComp.groupBy($"comp")
+      .agg(count(lit(1)).as("csize"), sum($"n_chars").as("tot_chars"),
+        max($"n_chars").as("rep_chars"))
+    perComp.groupBy($"csize")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"tot_chars" - $"rep_chars").as("chars_saved"))
+      .select($"csize", $"n_clusters",
+        ($"csize" * $"n_clusters").as("n_docs"), $"chars_saved")
+      .orderBy($"csize")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_dedup_audit" -> q178,
+    "q177_semantic_decontam" -> q177,
     "q175_winnow" -> q175,
     "q173_semantic_dedup" -> q173,
     "q172_cluster_reps" -> q172,
@@ -727,6 +799,52 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q178_dedup_audit" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j)),
+         |pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+         |          UNION SELECT pb, pa FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT ea, ea FROM edges
+         |  UNION
+         |  SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.id),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         |wc AS (SELECT d.doc_id, d.n_chars, coalesce(c.comp, d.doc_id) AS comp
+         |       FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |pc AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize,
+         |              sum(n_chars) AS tot_chars, max(n_chars) AS rep_chars
+         |       FROM wc GROUP BY comp)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(csize * count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tot_chars - rep_chars) AS BIGINT) AS chars_saved
+         |FROM pc GROUP BY csize ORDER BY csize""".stripMargin,
+    "q177_semantic_decontam" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, label, embedding,
+         |    CAST(${SimilarityQueries.duckBandKey(0, 4)} AS BIGINT) AS cell
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL
+         |    AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+         |hits AS (
+         |  SELECT t.vec_id, t.label, e.vec_id AS eval_id,
+         |    ${duckCos("t.embedding", "e.embedding")} AS cos_raw
+         |  FROM cells t JOIN cells e
+         |    ON t.cell = e.cell AND e.label = 0 AND t.label != 0),
+         |r AS (
+         |  SELECT vec_id, label, eval_id, cos_raw,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos_raw DESC, eval_id) AS rn
+         |  FROM hits WHERE cos_raw >= 0.30)
+         |SELECT vec_id, label, eval_id, round(cos_raw, 4) AS cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q175_winnow" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

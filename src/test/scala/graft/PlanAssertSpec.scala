@@ -128,6 +128,13 @@ class PlanAssertSpec extends SparkSpec {
       "the top-C cap window must partition by user_id")
   }
 
+  test("q177: the eval side broadcasts (bounded by construction), no nested loop") {
+    val p = plan("q177_semantic_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval benchmarks are KB-MB at any corpus scale — the cell join must broadcast them")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("q171: only the 1-row corpus total carries a broadcast hint — never the bigram histogram") {
     // bigram vocab grows ~linearly with corpus size, so a forced broadcast
     // of `bi` (or `uni`) would OOM at 100×; size-based planning may still

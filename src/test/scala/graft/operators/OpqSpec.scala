@@ -96,6 +96,35 @@ class OpqSpec extends SparkSpec {
     }
   }
 
+  test("OPQ never degrades PQ quantization error on the fixture embeddings") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, sfDir)
+      .select($"vec_id", $"embedding").localCheckpoint()
+
+    def mse(embs: org.apache.spark.sql.DataFrame): Double = {
+      val model = ProductQuantizer.train(embs, "vec_id", "embedding", 64, 8, 16, iters = 3)
+      val enc = ProductQuantizer.encode(embs, "vec_id", "embedding", model)
+        .as[(Long, Array[Int])].collect().toMap
+      val raw = embs.as[(Long, Array[Float])].collect()
+      raw.map { case (id, v) =>
+        val codes = enc(id)
+        (0 until 64).map { t =>
+          val j = t / 8
+          val rec = model.codebooks(j)(codes(j))(t % 8)
+          (v(t) - rec).toDouble * (v(t) - rec)
+        }.sum
+      }.sum / raw.length
+    }
+
+    val rawMse = mse(e)
+    val model = Opq.fit(e, "embedding", 64, m = 8)
+    val opqMse = mse(Opq.transform(e, "vec_id", "embedding", model).localCheckpoint())
+    info(s"fixture PQ MSE raw=$rawMse opq=$opqMse (ratio ${opqMse / rawMse})")
+    assert(opqMse <= rawMse * 1.05,
+      s"OPQ must not degrade fixture quantization: raw=$rawMse opq=$opqMse")
+  }
+
   test("OPQ transform cuts PQ quantization error on cross-subspace-correlated data") {
     val s = spark
     import s.implicits._
