@@ -194,6 +194,45 @@ object CorpusPipeline {
       Seq(cfg.idCol), "left_anti")
   }
 
+  /** Optional semantic-DECONTAMINATION stage (q177's shape): drop docs
+    * whose embedding sits within cosine ≥ `threshold` of ANY eval
+    * embedding. Run next to the k-gram decontam stage: lexical decontam
+    * catches verbatim benchmark leakage, this catches paraphrased
+    * rewrites. Cells come from [[SemDeDup.kmeansCells]] fit on the
+    * UNION of corpus and eval vectors (both sides must key into the
+    * same cells). The eval side is bounded by construction — benchmarks
+    * stay KB–MB at any corpus scale — so the cell join broadcasts it
+    * and the corpus never shuffles; per-row work is in-cell codegen'd
+    * dot products. Docs without an embedding row pass unexamined.
+    * Eval vec ids must be DISJOINT from corpus vec ids (both key into
+    * the shared cell assignment). */
+  def semanticDecontam(corpus: DataFrame, embs: DataFrame,
+      evalEmbs: DataFrame, cfg: Config = Config(),
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      cells: Int = 16, threshold: Double = 0.9): DataFrame = {
+    require(cells >= 1 && threshold > 0.0,
+      s"need cells >= 1, threshold > 0 (got $cells, $threshold)")
+    import graft.functions.VectorFunctions.{dot, l2norm}
+    graft.expressions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val all = embs.select(col(vecIdCol), col(vecCol))
+      .unionByName(evalEmbs.select(col(vecIdCol), col(vecCol)))
+    val cellAssign = SemDeDup.kmeansCells(all, vecIdCol, vecCol, cells)
+    def keyed(df: DataFrame) = df
+      .select(col(vecIdCol), col(vecCol).cast("array<float>").as("__v"))
+      .join(cellAssign, Seq(vecIdCol))
+      .withColumn("__nrm", l2norm(col("__v")))
+      .where(col("__nrm") > 0)
+    val ev = keyed(evalEmbs)
+      .select(col("cell"), col("__v").as("__ev"), col("__nrm").as("__enrm"))
+    val contaminated = keyed(embs)
+      .join(broadcast(ev), Seq("cell"))
+      .where(dot(col("__v"), col("__ev")) /
+        (col("__nrm") * col("__enrm")) >= threshold)
+      .select(col(vecIdCol).as(cfg.idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(cfg.idCol), "left_anti")
+  }
+
   /** Final export stage: [[graft.sources.IoOps.writeShards]] — the
     * deterministic fixed-size shard writer (q122 hash-proves the
     * assignment). Chain as `IoOps.writeShards(chunk(staged.result), ...)`

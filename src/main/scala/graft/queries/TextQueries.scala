@@ -556,7 +556,10 @@ object TextQueries extends QueryPack {
     * doc, no unbounded broadcast anywhere. Only the 1-row corpus total
     * is broadcast. log2 now runs once per DISTINCT bigram rather than
     * per occurrence. */
-  private val q171: Q = (s, d) => {
+  /** q171's per-doc frame (doc_id, n_bigrams, bits_per_bigram rounded 4)
+    * without the final ORDER BY — shared by q171 and q179's bucketing. */
+  private def bigramBitsPerDoc(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val wd = Window.partitionBy($"doc_id").orderBy($"pos")
     val toks = Tables.documents(s, d)
@@ -581,7 +584,41 @@ object TextQueries extends QueryPack {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg($"bits"), 4).as("bits_per_bigram"))
-      .orderBy($"doc_id")
+  }
+
+  private val q171: Q = (s, d) => {
+    import s.implicits._
+    bigramBitsPerDoc(s, d).orderBy($"doc_id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, split documents into head/middle/tail TERCILES of the
+    * q171 LM score (lowest bits = head = cleanest), the split CCNet
+    * uses to keep head+middle and drop (or down-weight) the tail. The
+    * census reports each bucket's size and rounded bits range — the
+    * boundaries a sampling stage would apply.
+    *
+    * Determinism: the ntile orders by the ROUNDED per-doc bits (the
+    * value the q171 oracle already hash-matches) with a doc_id
+    * tie-break, so bucket assignment is identical in both engines; the
+    * census emits only count/min/max of those rounded values — no
+    * further float arithmetic crosses the hash.
+    *
+    * Scale shape: everything of q171's, plus one window over O(docs)
+    * per-doc rows partitioned by lang. At 100 TB replace the exact
+    * ntile with q158's broadcast percentile-boundary gate — same
+    * output contract, no per-lang sort (measured head-to-head there). */
+  private val q179: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"bits_per_bigram", $"doc_id")
+    bigramBitsPerDoc(s, d)
+      .join(Tables.documents(s, d).select($"doc_id", $"lang"), Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"bits_per_bigram").as("min_bits"),
+        max($"bits_per_bigram").as("max_bits"))
+      .orderBy($"lang", $"bucket")
   }
 
   /** Heavy-hitter PHRASES per source — the boilerplate-detection
@@ -614,6 +651,7 @@ object TextQueries extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "q179_ccnet_buckets" -> q179,
     "q174_phrase_hitters" -> q174,
     "q171_bigram_bits" -> q171,
     "q169_rank_auc" -> q169,
@@ -650,6 +688,35 @@ object TextQueries extends QueryPack {
         |FROM c JOIN n USING (source)
         |WHERE cnt * 200 > n_grp
         |ORDER BY source, gram""".stripMargin,
+    "q179_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |bg AS (SELECT doc_id, w[r.i] AS tok, w[r.i + 1] AS nxt
+        |       FROM t, unnest(range(1, len(w))) r(i)),
+        |bi AS (SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c12
+        |       FROM bg GROUP BY tok, nxt),
+        |pd AS (
+        |  SELECT doc_id, round(avg(log2((4 * ua.c1 * n)::DOUBLE)
+        |                 - log2((3 * bi.c12 * n + ua.c1 * ub.c1)::DOUBLE)), 4)
+        |           AS bits_per_bigram
+        |  FROM bg
+        |  JOIN bi USING (tok, nxt)
+        |  JOIN uni ua ON ua.tok = bg.tok
+        |  JOIN uni ub ON ub.tok = bg.nxt, tot
+        |  GROUP BY doc_id),
+        |pl AS (
+        |  SELECT d.lang, bits_per_bigram,
+        |         ntile(3) OVER (PARTITION BY d.lang
+        |                        ORDER BY bits_per_bigram, pd.doc_id) AS bucket
+        |  FROM pd JOIN documents d ON d.doc_id = pd.doc_id)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |       min(bits_per_bigram) AS min_bits,
+        |       max(bits_per_bigram) AS max_bits
+        |FROM pl GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q171_bigram_bits" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -92,4 +92,33 @@ class SemDeDupSpec extends SparkSpec {
     assert((allIds -- outIds).forall(_ % 5 != 0),
       "docs with no embedding row must never be dropped")
   }
+
+  test("semanticDecontam drops exactly the docs near an eval vector") {
+    val s = spark
+    import s.implicits._
+    // corpus: 1 clone of eval A, 1 near-clone, the rest orthogonal-ish
+    val evA = Array(1f, 0f, 0f, 0f)
+    val evB = Array(0f, 1f, 0f, 0f)
+    val corpusEmb = Seq(
+      (1L, evA),                                 // exact eval clone -> drop
+      (2L, Array(0.98f, 0.2f, 0f, 0f)),          // near clone -> drop
+      (3L, Array(0f, 0f, 1f, 0f)),               // orthogonal -> keep
+      (4L, Array(0f, 0f, 0f, 1f)),               // orthogonal -> keep
+      (5L, Array(0.5f, -0.5f, 0.5f, -0.5f)))     // cos 0 to A and B -> keep
+      .toDF("vec_id", "embedding")
+    val evalEmb = Seq((100L, evA), (101L, evB)).toDF("vec_id", "embedding")
+    val corpus = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // cells = 1: everything shares a cell, so the drop set is exactly
+    // the cosine-threshold set regardless of the k-means fit
+    val out = CorpusPipeline.semanticDecontam(corpus, corpusEmb, evalEmb,
+      cells = 1, threshold = 0.9)
+    val kept = out.select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L, 6L),
+      s"drop the eval clones (1,2), keep orthogonal + embedding-less (6): $kept")
+    // a stricter threshold keeps the near-clone
+    val strict = CorpusPipeline.semanticDecontam(corpus, corpusEmb, evalEmb,
+      cells = 1, threshold = 0.9999)
+    assert(strict.select($"doc_id").as[Long].collect().toSet ==
+      Set(2L, 3L, 4L, 5L, 6L))
+  }
 }
