@@ -82,7 +82,8 @@ object ScaleProbe {
       "q169_rank_auc", "q170_eval_split", "q171_bigram_bits",
       "q172_cluster_reps", "q173_semantic_dedup", "q174_phrase_hitters",
       "q175_winnow", "q176_cooccur", "q177_semantic_decontam",
-      "q178_dedup_audit", "q179_ccnet_buckets")
+      "q178_dedup_audit", "q179_ccnet_buckets", "q180_datacard",
+      "q181_centroid_diag", "q182_quantile_sketch")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -200,6 +200,37 @@ object AggQueries extends QueryPack {
       .orderBy($"event_type")
   }
 
+  /** Mergeable quantile SKETCH — the percentile path that actually runs
+    * at 100 TB, where q69's exact `percentile` would buffer every value
+    * per group. `approx_percentile` is Spark's Greenwald–Khanna summary:
+    * O(1/ε·log(εn)) state per group, map-side partial summaries merged
+    * across executors — the same mergeable-sketch contract as the HLL
+    * (q08) and Misra–Gries (q164) family members.
+    *
+    * Oracle strategy: at fixture scale, accuracy=10⁶ puts the sketch in
+    * its EXACT regime (rank error ε·n = n/10⁶ < 1 ⇒ no sample is ever
+    * compressed away, any merge order), where Spark's rank convention
+    * ceil(q·n) is precisely DuckDB's `quantile_disc` — so the whole
+    * distributed sketch plumbing hash-matches an exact oracle. The
+    * sketch regime (accuracy=10⁴ at sf0.1) is pinned by
+    * SketchAccuracySpec's rank-error gate instead — the only claim that
+    * survives at scale. */
+  private val q182: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count($"value").as("n"),
+        expr("approx_percentile(value, array(0.25, 0.5, 0.75, 0.95), 1000000)")
+          .as("qs"))
+      .select($"event_type", $"n",
+        round($"qs".getItem(0), 4).as("p25"),
+        round($"qs".getItem(1), 4).as("p50"),
+        round($"qs".getItem(2), 4).as("p75"),
+        round($"qs".getItem(3), 4).as("p95"))
+      .orderBy($"event_type")
+  }
+
   /** A16 (cube variant): full cube over (returnflag, linestatus) with
     * grouping ids — the multi-grain generalization the reference ran as
     * separate jobs; NULL group cells are tagged so both engines agree. */
@@ -305,7 +336,11 @@ object AggQueries extends QueryPack {
   private val q132: Q = (s, d) => {
     import s.implicits._
     import graft.functions.{ScoredId, TopKAggregator}
+    // a null user is not a rankable id and a null value is not spend —
+    // mirrored in the oracle (NullInputSpec: unguarded, a null id breaks
+    // the non-nullable ScoredId encoder)
     val per = Tables.events(s, d)
+      .where($"user_id".isNotNull && $"value".isNotNull)
       .groupBy($"event_type", $"user_id")
       .agg(sum(round($"value" * 100).cast("long")).as("cents"))
     val topk = per
@@ -325,6 +360,7 @@ object AggQueries extends QueryPack {
     "q88_salted_agg" -> q88,
     "q61_set_union_agg" -> q61,
     "q69_percentiles" -> q69,
+    "q182_quantile_sketch" -> q182,
     "q72_cube" -> q72,
     "q97_grouping_sets" -> q97,
     "q74_pivot" -> q74,
@@ -346,7 +382,9 @@ object AggQueries extends QueryPack {
       """WITH per AS (
         |  SELECT event_type, user_id,
         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events GROUP BY event_type, user_id),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY event_type, user_id),
         |r AS (
         |  SELECT event_type, user_id, cents,
         |         row_number() OVER (PARTITION BY event_type
@@ -388,6 +426,13 @@ object AggQueries extends QueryPack {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         |ORDER BY gid, rf, ls""".stripMargin,
+    "q182_quantile_sketch" ->
+      """SELECT event_type, count(value) AS n,
+        |  round(quantile_disc(value, 0.25), 4) AS p25,
+        |  round(quantile_disc(value, 0.5), 4) AS p50,
+        |  round(quantile_disc(value, 0.75), 4) AS p75,
+        |  round(quantile_disc(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q69_percentiles" ->
       """SELECT event_type, count(*) AS n,
         |  round(quantile_cont(value, 0.25), 4) AS p25,

@@ -117,7 +117,11 @@ object EtlQueries extends QueryPack {
   private val q60: Q = (s, d) => {
     import s.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = s
+    // a beat without a user or a time is not a beat — mirrored in the
+    // oracle (NullInputSpec: unguarded, a null user_id breaks the
+    // non-nullable Tuple2 encoder)
     val beats = Tables.events(s, d)
+      .where($"user_id".isNotNull && $"ts".isNotNull)
       .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)]
     LogParsers.heartbeatSessions(beats, maxGapSec = 3600L, intervalSec = 60L)
       .toDF()
@@ -242,7 +246,8 @@ object EtlQueries extends QueryPack {
     "q60_heartbeat_sessions" ->
       """WITH l AS (SELECT user_id, ts, epoch_ms(ts) AS ems,
         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |  FROM events),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |m AS (SELECT user_id, ts,
         |    CASE WHEN prev IS NULL OR ems - prev > 3600 * 1000
         |      THEN 1 ELSE 0 END AS brk

@@ -21,10 +21,14 @@ object MultimodalQueries extends QueryPack {
   private val MAXSIDE = 256 // resize box
 
   /** documents → Dataset[MediaBlob]: kind from doc_id % 3, payload = the
-    * trimmed text's UTF-8 bytes (stands in for real media bytes). */
+    * trimmed text's UTF-8 bytes (stands in for real media bytes). A row
+    * without an id or payload is not a decodable blob — real ingest
+    * quarantines it; the filter is mirrored in every oracle of this pack
+    * (NullInputSpec: unguarded, a null payload NPEs the typed decode). */
   private def blobs(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
       .select($"doc_id".as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           ($"doc_id" % 3 + 1).cast("int")).as("kind"),
@@ -95,7 +99,8 @@ object MultimodalQueries extends QueryPack {
       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       |    md5(trim(text)) AS hex,
       |    octet_length(encode(trim(text))) AS bl
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
       |d AS (SELECT media_id, kind, hex, bl,
       |    64 + ('0x' || substr(hex, 1, 4))::BIGINT % 1857 AS width,
       |    64 + ('0x' || substr(hex, 5, 4))::BIGINT % 1017 AS height,

@@ -201,7 +201,67 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Embedding-space health report per label — the diagnostic an
+    * embedding pipeline publishes before anyone trains on the vectors:
+    * per-class centroid norm, mean cosine of members to their own
+    * centroid (cohesion), and the nearest other centroid with its cosine
+    * (separation — the confusable class).
+    *
+    * Scale shape: the only pass over the big table is one narrow
+    * posexplode + a (label, dim)-keyed partial agg — O(labels·dim)
+    * output — plus one broadcast join of the O(labels) centroid frame
+    * for the per-row cosine; the centroid×centroid separation matrix is
+    * O(labels²) rows of pure arithmetic. Nothing collects to the driver.
+    *
+    * Cross-engine float contract: centroids are EXACT — each component
+    * is widened float→double (exact), scaled by 2²⁰, rounded to an
+    * integer, and integer-summed (order-independent), so both engines
+    * derive bit-identical centroid arrays; every cosine after that is
+    * the q51 sequential-double contract, and the per-label mean follows
+    * the q43/q76 integer-micro-unit pattern. */
+  private val q181: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).where($"label".isNotNull)
+    val comp = e
+      .select($"label", posexplode($"embedding"))
+      .toDF("label", "i", "v")
+      .groupBy($"label", $"i")
+      .agg(sum(round($"v".cast("double") * 1048576).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+    val cent = comp
+      .select($"label", $"i",
+        ($"sv".cast("double") / ($"n" * 1048576.0)).as("c"), $"n")
+      .groupBy($"label")
+      .agg(sort_array(collect_list(struct($"i", $"c"))).getField("c")
+          .as("centroid"),
+        max($"n").as("n_vecs"))
+    val own = e.join(broadcast(cent.select($"label", $"centroid")), Seq("label"))
+      .select($"label",
+        round(dot($"embedding", $"centroid") /
+          (l2norm($"embedding") * l2norm($"centroid")), 6).as("cos"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(round($"cos" * 1000000).cast("long")) /
+          (count(lit(1)) * 1000000.0), 4).as("avg_cos"))
+    val sep = cent.as("a").join(cent.as("b"), $"a.label" =!= $"b.label")
+      .select($"a.label".as("label"), $"b.label".as("other"),
+        round(dot($"a.centroid", $"b.centroid") /
+          (l2norm($"a.centroid") * l2norm($"b.centroid")), 6).as("ccos"))
+    val wNn = Window.partitionBy($"label").orderBy($"ccos".desc, $"other")
+    val nn = sep.withColumn("rk", row_number().over(wNn)).filter($"rk" === 1)
+      .select($"label", $"other".cast("long").as("nn_label"),
+        $"ccos".as("nn_cos"))
+    own
+      .join(cent.select($"label",
+        round(l2norm($"centroid"), 6).as("centroid_norm")), Seq("label"))
+      .join(nn, Seq("label"))
+      .select($"label".cast("long").as("label"), $"n_vecs", $"centroid_norm",
+        $"avg_cos", $"nn_label", $"nn_cos")
+      .orderBy($"label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q181_centroid_diag" -> q181,
     "q131_hard_negatives" -> q131,
     "q51_knn_brute" -> q51,
     "q52_ann_lsh" -> q52,
@@ -221,6 +281,45 @@ object SimilarityQueries extends QueryPack {
   private val duckBucket: String = duckBandKey(0, NPLANES)
 
   val oracle: Map[String, String] = Map(
+    "q181_centroid_diag" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE label IS NOT NULL),
+         |comp AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(round(embedding[i]::DOUBLE * 1048576) AS BIGINT))
+         |      AS BIGINT) AS sv,
+         |    count(*) AS n
+         |  FROM e, range(1, ${DIM + 1}) r(i) GROUP BY label, i),
+         |cent AS (
+         |  SELECT label,
+         |    list(sv::DOUBLE / (n * 1048576.0) ORDER BY i) AS centroid
+         |  FROM comp GROUP BY label),
+         |own AS (
+         |  SELECT e.label, round(${duckCos("e.embedding", "c.centroid")}, 6) AS cos
+         |  FROM e JOIN cent c USING (label)),
+         |owna AS (
+         |  SELECT label, count(*) AS n_vecs,
+         |    round(CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+         |      / (count(*) * 1000000.0), 4) AS avg_cos
+         |  FROM own GROUP BY label),
+         |sep AS (
+         |  SELECT a.label, b.label AS other,
+         |    round(${duckCos("a.centroid", "b.centroid")}, 6) AS ccos
+         |  FROM cent a JOIN cent b ON a.label <> b.label),
+         |nn AS (
+         |  SELECT label, other AS nn_label, ccos AS nn_cos FROM (
+         |    SELECT label, other, ccos,
+         |      row_number() OVER (PARTITION BY label
+         |                         ORDER BY ccos DESC, other) AS rk
+         |    FROM sep) WHERE rk = 1),
+         |nrm AS (
+         |  SELECT label,
+         |    round(sqrt(${duckDot("centroid", "centroid")}), 6) AS centroid_norm
+         |  FROM cent)
+         |SELECT CAST(label AS BIGINT) AS label, n_vecs, centroid_norm, avg_cos,
+         |  CAST(nn_label AS BIGINT) AS nn_label, nn_cos
+         |FROM owna JOIN nrm USING (label) JOIN nn USING (label)
+         |ORDER BY label""".stripMargin,
     "q131_hard_negatives" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,

@@ -650,7 +650,53 @@ object TextQueries extends QueryPack {
       .orderBy($"source", $"gram")
   }
 
+  /** Per-source corpus datacard — the datasheet report (Gebru et al.,
+    * "Datasheets for Datasets") a 100 TB ingest publishes per source:
+    * doc/char/token mass, language spread, null-text count, Gopher-style
+    * repetition census, stopword ratio, and mean word length — ALL from
+    * ONE tokenizing scan of `documents`. Fusion is the point: at 100 TB
+    * the wall-clock cost of corpus statistics is reading the text, so K
+    * separate signal jobs cost K scans while this plan feeds every
+    * signal from the same explode + two-level agg (plan-asserted single
+    * parquet scan, DatacardPlanSpec). Ratio determinism follows the
+    * q43/q76 contract: per-doc ratios rounded to fixed decimals, summed
+    * as exact integers, one closing division. */
+  private val q180: Q = (s, d) => {
+    import s.implicits._
+    val perDoc = Tables.documents(s, d)
+      .select($"source", $"lang", $"doc_id", $"n_chars",
+        explode_outer(when($"text".isNotNull, tokens($"text"))).as("tok"))
+      .groupBy($"source", $"doc_id")
+      .agg(
+        max($"lang").as("lang"),
+        max($"n_chars").as("n_chars"),
+        count($"tok").as("n_tok"),
+        countDistinct($"tok").as("n_uniq"),
+        sum(isStopword($"tok").cast("long")).as("n_stop"),
+        sum(length($"tok").cast("long")).as("sum_len"))
+    perDoc
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(($"n_tok" === 0L).cast("long")).as("n_null_text"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"n_tok").as("total_tokens"),
+        sum(($"n_tok" > 0L && ($"n_tok" - $"n_uniq") * 2 >= $"n_tok")
+          .cast("long")).as("n_repetitive"),
+        round(sum(when($"n_tok" > 0,
+            round($"n_stop".cast("double") / $"n_tok" * 10000).cast("long"))
+          .otherwise(0L)) /
+          (sum(($"n_tok" > 0L).cast("long")) * 10000.0), 4).as("avg_stop_ratio"),
+        round(sum(when($"n_tok" > 0,
+            round($"sum_len".cast("double") / $"n_tok" * 10000).cast("long"))
+          .otherwise(0L)) /
+          (sum(($"n_tok" > 0L).cast("long")) * 10000.0), 4).as("avg_word_len"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_datacard" -> q180,
     "q179_ccnet_buckets" -> q179,
     "q174_phrase_hitters" -> q174,
     "q171_bigram_bits" -> q171,
@@ -677,6 +723,36 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q180_datacard" ->
+      s"""WITH t AS (SELECT source, lang, doc_id, n_chars,
+         |    CASE WHEN text IS NULL THEN NULL
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents),
+         |d AS (SELECT source, lang, doc_id, n_chars,
+         |    coalesce(len(w), 0) AS n_tok,
+         |    coalesce(len(list_distinct(w)), 0) AS n_uniq,
+         |    coalesce(len(list_filter(w, x -> x IN ($stopList))), 0) AS n_stop,
+         |    coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sum_len
+         |  FROM t)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN n_tok > 0 AND (n_tok - n_uniq) * 2 >= n_tok
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  round(CAST(sum(CASE WHEN n_tok > 0
+         |      THEN CAST(round(n_stop::DOUBLE / n_tok * 10000) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT)
+         |    / (sum(CASE WHEN n_tok > 0 THEN 1 ELSE 0 END) * 10000.0), 4)
+         |    AS avg_stop_ratio,
+         |  round(CAST(sum(CASE WHEN n_tok > 0
+         |      THEN CAST(round(sum_len::DOUBLE / n_tok * 10000) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT)
+         |    / (sum(CASE WHEN n_tok > 0 THEN 1 ELSE 0 END) * 10000.0), 4)
+         |    AS avg_word_len
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q174_phrase_hitters" ->
       """WITH t AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
         |           FROM documents WHERE text IS NOT NULL),

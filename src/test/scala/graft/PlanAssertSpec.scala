@@ -148,6 +148,25 @@ class PlanAssertSpec extends SparkSpec {
       s"expected exactly one broadcast hint (the 1-row total), got ${hints.size}")
   }
 
+  test("q180: the fused datacard feeds every signal from ONE corpus scan") {
+    // at 100 TB the cost of corpus statistics IS the text scan; K separate
+    // signal jobs cost K scans, the datacard must cost exactly one
+    val df = SparkEntry.queries("q180_datacard")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      "expected a single documents scan feeding all fused signals")
+  }
+
+  test("q181: centroid frame broadcasts; the exploded partial agg is map-side") {
+    val df = SparkEntry.queries("q181_centroid_diag")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(labels) centroid frame must broadcast for the per-row cosine pass")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "the (label, dim) component sums must partial-aggregate before the exchange")
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
