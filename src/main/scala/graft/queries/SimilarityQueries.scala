@@ -260,7 +260,54 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"label")
   }
 
+  /** Hybrid retrieval — the production RAG pattern: a lexical ranker
+    * (Okapi BM25, [[TextQueries.bm25PerDoc]]) and a dense ranker
+    * (embedding cosine, query-by-example on vec 7) fused with
+    * reciprocal-rank fusion (Cormack et al. SIGIR'09). The vector store
+    * is keyed by document id (doc_id == vec_id), so this is also the one
+    * query exercising the documents↔embeddings join surface.
+    *
+    * Scale shape: each ranker's global rank runs through
+    * [[graft.functions.DistributedRank]] (two-pass range-bucket rank —
+    * NO single-task window over the corpus); the dense score pass is the
+    * q51 broadcast-probe scan; fusion is a doc_id equi join of two
+    * rank frames and the final top-10 is a TakeOrdered, not a window.
+    * RRF contributions are exact integers (round(10⁹/(60+r))), so the
+    * fused key crossing the hash is a BIGINT — no float tie ambiguity.
+    * Docs missing from one ranker (no text ⇒ no lexical rank) keep the
+    * other side's contribution via the full outer join — and rank
+    * columns then carry NULL, matching the oracle. */
+  private val q184: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.DistributedRank
+    val qvId = 7L
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", l2norm($"embedding").as("nrm"))
+    val qv = e.filter($"vec_id" === qvId)
+      .select($"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val denseScores = e.filter($"vec_id" =!= qvId).crossJoin(broadcast(qv))
+      .select($"vec_id".as("doc_id"),
+        round(dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm"), 6).as("cos"))
+    val dense = DistributedRank
+      .withRowNumber(denseScores, "r_dense", -$"cos", $"doc_id")
+      .select($"doc_id", $"r_dense")
+    val lexScores = TextQueries.bm25PerDoc(s, d)
+      .where($"doc_id" =!= qvId)
+      .select($"doc_id", $"bm25_u")
+    val lex = DistributedRank
+      .withRowNumber(lexScores, "r_lex", -$"bm25_u", $"doc_id")
+      .select($"doc_id", $"r_lex")
+    def contrib(r: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1000000000) / (lit(60) + r)).cast("long"), lit(0L))
+    dense.join(lex, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"r_lex", $"r_dense",
+        (contrib($"r_dense") + contrib($"r_lex")).as("rrf_u"))
+      .orderBy($"rrf_u".desc, $"doc_id")
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q184_hybrid_retrieval" -> q184,
     "q181_centroid_diag" -> q181,
     "q131_hard_negatives" -> q131,
     "q51_knn_brute" -> q51,
@@ -281,6 +328,28 @@ object SimilarityQueries extends QueryPack {
   private val duckBucket: String = duckBandKey(0, NPLANES)
 
   val oracle: Map[String, String] = Map(
+    "q184_hybrid_retrieval" ->
+      s"""WITH ${TextQueries.bm25Cte},
+         |sc2 AS (SELECT doc_id, bm25_u FROM sc WHERE doc_id <> 7),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+         |dense AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(${duckCos("e.embedding", "q.q_emb")}, 6) AS cos
+         |  FROM embeddings e, q WHERE e.vec_id <> 7),
+         |dr AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+         |  FROM dense),
+         |lx AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25_u DESC, doc_id) AS r_lex
+         |  FROM sc2),
+         |f AS (
+         |  SELECT coalesce(dr.doc_id, lx.doc_id) AS doc_id, r_lex, r_dense,
+         |    coalesce(CAST(round(1000000000 / (60 + r_dense)) AS BIGINT), 0)
+         |      + coalesce(CAST(round(1000000000 / (60 + r_lex)) AS BIGINT), 0)
+         |      AS rrf_u
+         |  FROM dr FULL OUTER JOIN lx ON dr.doc_id = lx.doc_id)
+         |SELECT doc_id, r_lex, r_dense, rrf_u FROM f
+         |ORDER BY rrf_u DESC, doc_id LIMIT 10""".stripMargin,
     "q181_centroid_diag" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
          |  WHERE label IS NOT NULL),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -695,7 +696,101 @@ object TextQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** The fixed retrieval query for the BM25 family: one rare term
+    * ("dup", df≈5% — the discriminative signal) and two common ones.
+    * Inlined identically into the DuckDB mirror. */
+  private[queries] val Bm25Terms = Seq("dup", "spark", "window")
+
+  /** Per-doc Okapi BM25 scores (k1=1.2, b=0.75) for [[Bm25Terms]], in
+    * exact integer micro-units: (lang, doc_id, bm25_u).
+    *
+    * Scale shape: ONE tokenizing scan computes doc length and each
+    * term's tf as conditional sums of the same explode (no per-term
+    * scan); the corpus stats (N, avgdl, per-term df) are a 1-ROW frame
+    * cross-joined broadcast back, so scoring is a narrow codegen'd
+    * projection — at 100 TB, ad-hoc query scoring costs one scan plus
+    * O(1) stats, the inverted-index-free shape that works when queries
+    * are rare and the corpus is the product.
+    *
+    * Determinism: idf uses log2 (the engine-portable log of this repo —
+    * q136/q137/q171 precedent; BM25 rank order is log-base invariant),
+    * every term score is the same left-to-right double expression both
+    * engines parse, and the 3-term sum is written out in fixed order
+    * before the single micro-unit rounding — an integer crosses the
+    * hash. */
+  private[queries] def bm25PerDoc(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    val aggs = count(lit(1)).as("n_tok") +:
+      Bm25Terms.zipWithIndex.map { case (t, i) =>
+        sum(when($"tok" === t, 1L).otherwise(0L)).as(s"tf$i")
+      }
+    val per = Tables.documents(s, d)
+      .where($"text".isNotNull)
+      .select($"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"lang", $"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok")) ++
+      Bm25Terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = per.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = $"sum_tok".cast("double") / $"n_docs"
+    def termScore(i: Int) =
+      log2(($"n_docs" - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0) *
+        (col(s"tf$i") * 2.2) /
+        (col(s"tf$i") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * ($"n_tok".cast("double") / avgdl)))
+    per.crossJoin(broadcast(stats))
+      .select($"lang", $"doc_id",
+        round(Bm25Terms.indices.map(termScore).reduce(_ + _) * 1000000)
+          .cast("long").as("bm25_u"))
+  }
+
+  /** DuckDB mirror of [[bm25PerDoc]] as a WITH-clause body; `sc` is the
+    * (lang, doc_id, bm25_u) relation. */
+  private[queries] val bm25Cte: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter($toks, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n    ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n    ")
+    val terms = Bm25Terms.indices.map(i =>
+      s"""log2((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) * (tf$i * 2.2)
+         |      / (tf$i + 1.2 * (0.25 + 0.75 * (CAST(n_tok AS DOUBLE)
+         |          / (CAST(sum_tok AS DOUBLE) / n_docs))))""".stripMargin)
+      .mkString("\n    + ")
+    s"""p AS (
+       |  SELECT lang, doc_id, len($toks) AS n_tok,
+       |    $tfs
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       |    $dfs
+       |  FROM p),
+       |sc AS (
+       |  SELECT lang, doc_id,
+       |    CAST(round(($terms) * 1000000) AS BIGINT) AS bm25_u
+       |  FROM p, g)""".stripMargin
+  }
+
+  /** Okapi BM25 ranking (Robertson/Spärck Jones) — the lexical ranker
+    * every retrieval/RAG stack starts from: top-10 docs per language for
+    * the fixed [[Bm25Terms]] query. See [[bm25PerDoc]] for the one-scan
+    * + 1-row-stats-broadcast scale shape and the determinism contract. */
+  private val q183: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"bm25_u".desc, $"doc_id")
+    bm25PerDoc(s, d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where($"rnk" <= 10)
+      .select($"lang", $"rnk", $"doc_id", $"bm25_u")
+      .orderBy($"lang", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_bm25" -> q183,
     "q180_datacard" -> q180,
     "q179_ccnet_buckets" -> q179,
     "q174_phrase_hitters" -> q174,
@@ -723,6 +818,15 @@ object TextQueries extends QueryPack {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q183_bm25" ->
+      s"""WITH $bm25Cte,
+         |r AS (
+         |  SELECT lang, doc_id, bm25_u,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY bm25_u DESC, doc_id) AS rnk
+         |  FROM sc)
+         |SELECT lang, rnk, doc_id, bm25_u FROM r
+         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
     "q180_datacard" ->
       s"""WITH t AS (SELECT source, lang, doc_id, n_chars,
          |    CASE WHEN text IS NULL THEN NULL

@@ -167,6 +167,25 @@ class PlanAssertSpec extends SparkSpec {
       "the (label, dim) component sums must partial-aggregate before the exchange")
   }
 
+  test("q183: BM25 corpus stats broadcast as ONE row; scan reused across branches") {
+    val df = SparkEntry.queries("q183_bm25")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      "the stats branch must reuse the per-doc agg exchange, not rescan documents")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastExchange"),
+      "the 1-row stats frame must reach the scorer via broadcast")
+  }
+
+  test("q184: hybrid fusion ranks window-free (DistributedRank), top-10 via TakeOrdered") {
+    val df = SparkEntry.queries("q184_hybrid_retrieval")(spark, sfDir)
+    val exec = df.queryExecution.executedPlan
+    assert(allWindows(exec).forall(_.partitionSpec.nonEmpty),
+      "global ranks must come from the two-pass DistributedRank, not a single-task window")
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      "the final top-10 must be a TakeOrdered, not a sort + window")
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
