@@ -42,6 +42,24 @@ object SketchRollup {
       .agg(hll_sketch_agg(col(idCol), lit(lgK)).as("uv_sketch"))
   }
 
+  /** Merge two sketch tables on `keys`: full outer join, one-sided cells
+    * pass through, shared cells union register-wise (same lgK). This is
+    * the micro-batch UPSERT of the realtime UV architecture — each batch
+    * sketches its own rows and unions into the persisted table, so users
+    * seen in many batches count ONCE (the correctness a naive counter
+    * upsert cannot provide). StreamingSketchTableSpec drives it under
+    * foreachBatch with heavy cross-batch user overlap. */
+  def mergeSketchTables(cur: DataFrame, prev: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val p = prev.withColumnRenamed("uv_sketch", "_prev_sketch")
+    cur.join(p, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("uv_sketch").isNull, col("_prev_sketch"))
+          .when(col("_prev_sketch").isNull, col("uv_sketch"))
+          .otherwise(hll_union(col("uv_sketch"), col("_prev_sketch")))
+          .as("uv_sketch"): _*)
+  }
+
   /** Roll a sketch table up to coarser `keys` by sketch union, and emit
     * the UV estimate. Reads O(cells) rows — never the raw table. */
   def rollupEstimate(sketches: DataFrame, keys: Seq[String]): DataFrame = {
