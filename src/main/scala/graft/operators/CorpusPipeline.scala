@@ -233,6 +233,14 @@ object CorpusPipeline {
     corpus.join(contaminated, Seq(cfg.idCol), "left_anti")
   }
 
+  /** Publish stage: the per-source [[Datacard]] of a (curated) corpus —
+    * the datasheet a corpus release ships with. One tokenizing scan of
+    * whatever frame it is given; run it on `Staged.result` after
+    * [[build]] (or on any intermediate stage for before/after cards). */
+  def datacard(corpus: DataFrame, cfg: Config = Config(),
+      sourceCol: String = "source", charsCol: String = "n_chars"): DataFrame =
+    Datacard.of(corpus, sourceCol, cfg.langCol, cfg.idCol, charsCol, cfg.textCol)
+
   /** Final export stage: [[graft.sources.IoOps.writeShards]] — the
     * deterministic fixed-size shard writer (q122 hash-proves the
     * assignment). Chain as `IoOps.writeShards(chunk(staged.result), ...)`

@@ -659,42 +659,14 @@ object TextQueries extends QueryPack {
     * the wall-clock cost of corpus statistics is reading the text, so K
     * separate signal jobs cost K scans while this plan feeds every
     * signal from the same explode + two-level agg (plan-asserted single
-    * parquet scan, DatacardPlanSpec). Ratio determinism follows the
-    * q43/q76 contract: per-doc ratios rounded to fixed decimals, summed
-    * as exact integers, one closing division. */
-  private val q180: Q = (s, d) => {
-    import s.implicits._
-    val perDoc = Tables.documents(s, d)
-      .select($"source", $"lang", $"doc_id", $"n_chars",
-        explode_outer(when($"text".isNotNull, tokens($"text"))).as("tok"))
-      .groupBy($"source", $"doc_id")
-      .agg(
-        max($"lang").as("lang"),
-        max($"n_chars").as("n_chars"),
-        count($"tok").as("n_tok"),
-        countDistinct($"tok").as("n_uniq"),
-        sum(isStopword($"tok").cast("long")).as("n_stop"),
-        sum(length($"tok").cast("long")).as("sum_len"))
-    perDoc
-      .groupBy($"source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(($"n_tok" === 0L).cast("long")).as("n_null_text"),
-        countDistinct($"lang").as("n_langs"),
-        sum($"n_chars").as("total_chars"),
-        sum($"n_tok").as("total_tokens"),
-        sum(($"n_tok" > 0L && ($"n_tok" - $"n_uniq") * 2 >= $"n_tok")
-          .cast("long")).as("n_repetitive"),
-        round(sum(when($"n_tok" > 0,
-            round($"n_stop".cast("double") / $"n_tok" * 10000).cast("long"))
-          .otherwise(0L)) /
-          (sum(($"n_tok" > 0L).cast("long")) * 10000.0), 4).as("avg_stop_ratio"),
-        round(sum(when($"n_tok" > 0,
-            round($"sum_len".cast("double") / $"n_tok" * 10000).cast("long"))
-          .otherwise(0L)) /
-          (sum(($"n_tok" > 0L).cast("long")) * 10000.0), 4).as("avg_word_len"))
-      .orderBy($"source")
-  }
+    * parquet scan, PlanAssertSpec). Implementation lives in
+    * [[graft.operators.Datacard]]; [[graft.operators.CorpusPipeline
+    * .datacard]] publishes the same card over a curated corpus. Ratio
+    * determinism follows the q43/q76 contract: per-doc ratios rounded
+    * to fixed decimals, summed as exact integers, one closing
+    * division. */
+  private val q180: Q = (s, d) =>
+    graft.operators.Datacard.of(Tables.documents(s, d))
 
   /** The fixed retrieval query for the BM25 family: one rare term
     * ("dup", df≈5% — the discriminative signal) and two common ones.

@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 
 class CorpusPipelineSpec extends SparkSpec {
 
+  test("datacard stage: identical to q180 on raw docs; consistent on a curated corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // the operator IS the q180 implementation — same frame, same card
+    val viaStage = CorpusPipeline.datacard(docs).collect().toSeq
+    val viaQuery = graft.SparkEntry.queries("q180_datacard")(spark, sfDir)
+      .collect().toSeq
+    assert(viaStage == viaQuery)
+    // on a curated corpus the card must reflect the survivors only
+    val staged = CorpusPipeline.build(docs)
+    val card = CorpusPipeline.datacard(staged.result)
+    val nDocs = card.agg(sum($"n_docs")).as[Long].head()
+    assert(nDocs == staged.result.count(),
+      "card doc mass must equal the curated corpus size")
+    assert(card.where($"n_null_text" =!= 0L).isEmpty,
+      "the gate stage dropped null texts, so the curated card has none")
+  }
+
   test("stages shrink monotonically and the census adds up") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
