@@ -86,7 +86,7 @@ object ScaleProbe {
       "q181_centroid_diag", "q182_quantile_sketch",
       "q183_bm25", "q184_hybrid_retrieval")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
-      "bpe_train", "bloom_semi", "walk_rank_e")
+      "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)
       .foreach(u => println(s"[scale] WARNING: unknown probe '$u' ignored")))
     val probes = allProbes.filter(p => only.forall(_.contains(p)))
@@ -167,6 +167,23 @@ object ScaleProbe {
       timed("bpe_train(30 merges)") {
         graft.operators.BpeTrainer.train(docs, "text", nMerges = 30).size.toLong
       }
+    }
+
+    // BPE ENCODING at N×: train once on the 1× corpus (vocabulary is a
+    // histogram property — flat under replication, row above), then
+    // tokenize the N× corpus with the rank-heap encoder. The claim:
+    // encoding is a narrow typed map under a KB-sized broadcast rank
+    // table, so throughput is linear in corpus bytes with no shuffle —
+    // the production tokenizer-application shape
+    if (want("bpe_encode")) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val merges = graft.operators.BpeTrainer.trainBatched(base, "text", 50)
+      val big = spark.read.parquet(s"$out/documents.parquet")
+      for (df <- Seq(base, big); label = if (df eq base) "1x" else s"${n}x")
+        timed(s"bpe_encode $label") {
+          graft.operators.BpeTrainer.tokenize(df, "doc_id", "text", merges)
+            .agg(sum($"n_bpe_tokens")).head.getLong(0)
+        }
     }
 
     // containment on a REAL-TEXT-regime corpus (perturbed vocabulary):
