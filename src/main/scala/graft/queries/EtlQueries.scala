@@ -140,7 +140,13 @@ object EtlQueries extends QueryPack {
     * through the device_account mapping; rows already DA-keyed pass
     * through; unresolvable CAs keep a sentinel. The reference's
     * order-dependent `max(DA)` pick (`etl/CaGetDa.scala:33-38`) becomes
-    * min(DA) so the result is reproducible (H-3). */
+    * min(DA) so the result is reproducible (H-3).
+    *
+    * No broadcast HINT on the mapping: device_account is the full
+    * subscriber base — it grows with the deployment, not with a query
+    * (the q171 lesson: never force-broadcast a frame whose size tracks
+    * corpus/population growth). The equi join shuffles co-partitioned on
+    * the card id; size-based planning still broadcasts it while it fits. */
   private val q70: Q = (s, d) => {
     import s.implicits._
     // synthesize the two id spaces from events: even event_id rows report
@@ -161,7 +167,7 @@ object EtlQueries extends QueryPack {
           (lit(50000001L) + $"uid").as("da")))
     val mapping = deviceAccount.groupBy($"ca_id").agg(min($"da").as("da"))
     val resolved = reported
-      .join(broadcast(mapping), $"reported_id" === $"ca_id", "left")
+      .join(mapping, $"reported_id" === $"ca_id", "left")
       .select($"event_id",
         when($"reported_id" >= 50000000L && $"reported_id" < 70000000L,
           $"reported_id")
