@@ -27,6 +27,10 @@ def load(path):
     """-> (times: {shortkey: sec}, suspects: {shortkey}) from any artifact shape."""
     with open(path) as f:
         txt = f.read()
+    # the driver's BENCH_r{N}.json embeds the stdout tail as a JSON string,
+    # so the query keys arrive quote-ESCAPED (\"q112\") — unescape before
+    # matching or every prev column reads "-"
+    txt = txt.replace('\\"', '"')
     times, suspects = {}, set()
     # suspect list: last "suspect":[...] wins (full line overrides tail echo)
     for m in re.finditer(r'"suspect"\s*:\s*\[([^\]]*)\]', txt):
