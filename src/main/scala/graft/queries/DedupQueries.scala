@@ -92,6 +92,50 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95) — the
+    * SORT-based candidate generator complementing this pack's hash-based
+    * blockers (LSH bands, SimHash bytes): order the corpus by a blocking
+    * key (lang hash, doc length, id), and each record meets only its
+    * w−1 rank successors; the exact Jaccard then runs on those O(n·w)
+    * candidates. SNM's classic advantage over strict blocking is that
+    * neighborhoods straddle block boundaries — the last doc of one lang
+    * meets the first of the next, so borderline records are never
+    * silently unpaired.
+    *
+    * Scale shape: the global sort order comes from
+    * [[graft.functions.DistributedRank]] (two-pass range-bucket rank,
+    * NO single-task window); "next w−1 neighbors" is then a PURE INTEGER
+    * predicate, implemented as an explode of offsets 1..w−1 + one equi
+    * join on the rank — fully shuffle-parallel at any corpus size. The
+    * Jaccard verify attaches each side's shingle SET once (grouped
+    * arrays, codegen'd array_intersect/array_union — set sizes are
+    * order-independent, no lambda HOFs). */
+  private val q185: Q = (s, d) => {
+    import s.implicits._
+    val W = 3
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val ranked = graft.functions.DistributedRank.withRowNumber(
+      docs.select($"doc_id", hash32($"lang").as("lang_h"), $"n_chars"),
+      "rn", $"lang_h", $"n_chars", $"doc_id")
+    val cand = ranked
+      .select($"doc_id".as("doc_a"),
+        explode(array((1 until W).map(lit): _*)).as("off"), $"rn")
+      .select($"doc_a", ($"rn" + $"off").as("rn_b"))
+      .join(ranked.select($"doc_id".as("doc_b"), $"rn".as("rn_b")), Seq("rn_b"))
+    val shArr = shingleRows(docs, "doc_id", "text", K)
+      .dropDuplicates("doc_id", "s")
+      .groupBy($"doc_id").agg(collect_list($"s").as("sh"))
+    cand
+      .join(shArr.select($"doc_id".as("doc_a"), $"sh".as("sh_a")),
+        Seq("doc_a"), "left")
+      .join(shArr.select($"doc_id".as("doc_b"), $"sh".as("sh_b")),
+        Seq("doc_b"), "left")
+      .select($"doc_a", $"doc_b",
+        round(size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")).cast("double"), 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** SimHash near-dup: 32-bit simhash per doc over its 3-token shingle
     * set (raw tokens are degenerate on a small shared vocabulary — every
     * doc holds nearly the same token SET — while shingle sets are
@@ -722,6 +766,7 @@ object DedupQueries extends QueryPack {
     "q47_minhash_lsh" -> q47,
     "q48_ngram_jaccard" -> q48,
     "q49_simhash" -> q49,
+    "q185_sorted_neighborhood" -> q185,
     "q50_embedding_neardup" -> q50,
     "q95_dedup_components" -> q95,
     "q117_leakage_split" -> q117,
@@ -1064,6 +1109,24 @@ object DedupQueries extends QueryPack {
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |  AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q185_sorted_neighborhood" ->
+      s"""WITH $shingleCte,
+         |d AS (SELECT doc_id, n_chars,
+         |    ('0x' || substr(md5(lang), 1, 8))::BIGINT AS lang_h
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY lang_h, n_chars, doc_id) AS rn
+         |  FROM d),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM r a JOIN r b ON b.rn - a.rn IN (1, 2))
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(x.s, y.s))::DOUBLE
+         |    / len(list_distinct(list_concat(x.s, y.s)))::DOUBLE, 4) AS jaccard
+         |FROM cand
+         |LEFT JOIN sh x ON doc_a = x.doc_id
+         |LEFT JOIN sh y ON doc_b = y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q48_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |mh AS (SELECT doc_id, s,

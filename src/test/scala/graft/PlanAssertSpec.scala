@@ -186,6 +186,23 @@ class PlanAssertSpec extends SparkSpec {
       "the final top-10 must be a TakeOrdered, not a sort + window")
   }
 
+  test("q185: sorted-neighborhood rank is window-free; neighbor pairing is an equi join") {
+    val df = SparkEntry.queries("q185_sorted_neighborhood")(spark, sfDir)
+    val exec = df.queryExecution.executedPlan
+    assert(allWindows(exec).forall(_.partitionSpec.nonEmpty),
+      "the global sort rank must come from two-pass DistributedRank, not a single-task window")
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"))
+    // DistributedRank's internals carry two nested-loop joins BY DESIGN
+    // (triangular prefix offsets + 1-row total cross), both over
+    // O(numBuckets) metadata rows — so instead of a blanket BNLJ ban,
+    // assert the O(n·w) candidate pairing itself is an equi HASH join on
+    // the integer rank key
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[rn_b".r
+      .findFirstIn(p).isDefined,
+      "the w-neighborhood must pair via a hash join on the rank key")
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
