@@ -260,6 +260,69 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"label")
   }
 
+  /** SSL-prototypes data pruning (Sorscher et al. NeurIPS'22, "Beyond
+    * neural scaling laws"): in the abundant-data regime, the examples
+    * worth DROPPING are the most prototypical — closest to their
+    * cluster's centroid — because they carry the least marginal signal.
+    * Cells here are the 4-bit hyperplane sign key (engine-replicable, so
+    * the whole path is oracle-gated; production swaps in
+    * [[graft.operators.SemDeDup.kmeansCells]] exactly as q173 does);
+    * per cell the top ⌈n/4⌉ by centroid-cosine is the prune set:
+    * (cell, prank, vec_id, proto_cos).
+    *
+    * Scale shape: centroids come from q181's exact integer pattern (one
+    * narrow posexplode + (cell, dim)-keyed partial agg — components
+    * quantized ×2²⁰ and integer-summed, so both engines derive
+    * bit-identical centroid arrays regardless of row order); the scoring
+    * pass is one broadcast join of the O(cells·dim) centroid frame. The
+    * per-cell rank is WINDOW-FREE: cells are corpus-scale partitions (16
+    * cells over 100 TB), so a cell-partitioned window would funnel ~6 TB
+    * through single tasks — instead one global two-pass
+    * [[graft.functions.DistributedRank]] over the combined numeric key
+    * `cell·4 + (1 − cos)` (monotone in (cell, cos desc); the +[0,2]
+    * cosine range never crosses the ·4 cell stride) minus each cell's
+    * exclusive prefix count (an O(cells) triangular broadcast join, the
+    * DistributedRank offset trick). The quartile cut is the pure integer
+    * predicate `4·prank ≤ n+3` ⇔ prank ≤ ⌈n/4⌉ — no float crosses the
+    * keep decision. */
+  private val q186: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.DistributedRank
+    val e = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull)
+      .select($"vec_id", $"embedding", bandKey($"embedding", 0, 4).as("cell"))
+    val comp = e
+      .select($"cell", posexplode($"embedding"))
+      .toDF("cell", "i", "v")
+      .groupBy($"cell", $"i")
+      .agg(sum(round($"v".cast("double") * 1048576).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+    val cent = comp
+      .select($"cell", $"i", ($"sv".cast("double") / ($"n" * 1048576.0)).as("c"))
+      .groupBy($"cell")
+      .agg(sort_array(collect_list(struct($"i", $"c"))).getField("c")
+        .as("centroid"))
+    val scored = e.join(broadcast(cent), Seq("cell"))
+      .select($"cell", $"vec_id",
+        round(dot($"embedding", $"centroid") /
+          (l2norm($"embedding") * l2norm($"centroid")), 6).as("proto_cos"))
+    val ranked = DistributedRank.withRowNumber(
+      scored.withColumn("skey",
+        $"cell".cast("double") * 4.0 + (lit(1.0) - $"proto_cos")),
+      "rn", $"skey", $"vec_id").drop("skey")
+    val cnts = e.groupBy($"cell").agg(count(lit(1)).as("cn"))
+    val off = cnts.as("a")
+      .join(broadcast(cnts.select($"cell".as("bcell"), $"cn".as("bcn"))),
+        $"bcell" < $"cell", "left")
+      .groupBy($"cell")
+      .agg(first($"cn").as("cn"), coalesce(sum($"bcn"), lit(0L)).as("off"))
+    ranked.join(broadcast(off), Seq("cell"))
+      .withColumn("prank", $"rn" - $"off")
+      .where($"prank" * 4 <= $"cn" + 3)
+      .select($"cell", $"prank", $"vec_id", $"proto_cos")
+      .orderBy($"cell", $"prank")
+  }
+
   /** Hybrid retrieval — the production RAG pattern: a lexical ranker
     * (Okapi BM25, [[TextQueries.bm25PerDoc]]) and a dense ranker
     * (embedding cosine, query-by-example on vec 7) fused with
@@ -308,6 +371,7 @@ object SimilarityQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q184_hybrid_retrieval" -> q184,
+    "q186_prototype_prune" -> q186,
     "q181_centroid_diag" -> q181,
     "q131_hard_negatives" -> q131,
     "q51_knn_brute" -> q51,
@@ -350,6 +414,32 @@ object SimilarityQueries extends QueryPack {
          |  FROM dr FULL OUTER JOIN lx ON dr.doc_id = lx.doc_id)
          |SELECT doc_id, r_lex, r_dense, rrf_u FROM f
          |ORDER BY rrf_u DESC, doc_id LIMIT 10""".stripMargin,
+    "q186_prototype_prune" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    CAST(${duckBandKey(0, 4)} AS BIGINT) AS cell
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |comp AS (
+         |  SELECT cell, i,
+         |    CAST(sum(CAST(round(embedding[i]::DOUBLE * 1048576) AS BIGINT))
+         |      AS BIGINT) AS sv,
+         |    count(*) AS n
+         |  FROM e, range(1, ${DIM + 1}) r(i) GROUP BY cell, i),
+         |cent AS (
+         |  SELECT cell,
+         |    list(sv::DOUBLE / (n * 1048576.0) ORDER BY i) AS centroid
+         |  FROM comp GROUP BY cell),
+         |scored AS (
+         |  SELECT e.cell, e.vec_id,
+         |    round(${duckCos("e.embedding", "c.centroid")}, 6) AS proto_cos
+         |  FROM e JOIN cent c USING (cell)),
+         |r AS (
+         |  SELECT cell, vec_id, proto_cos,
+         |    row_number() OVER (PARTITION BY cell
+         |                       ORDER BY proto_cos DESC, vec_id) AS prank,
+         |    count(*) OVER (PARTITION BY cell) AS cn
+         |  FROM scored)
+         |SELECT cell, prank, vec_id, proto_cos FROM r
+         |WHERE prank * 4 <= cn + 3 ORDER BY cell, prank""".stripMargin,
     "q181_centroid_diag" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
          |  WHERE label IS NOT NULL),

@@ -203,6 +203,21 @@ class PlanAssertSpec extends SparkSpec {
       "the w-neighborhood must pair via a hash join on the rank key")
   }
 
+  test("q186: prototype prune ranks window-free; centroid frame broadcasts") {
+    // cells are corpus-scale partitions (16 over 100 TB) — a
+    // cell-partitioned window would funnel ~1/16 of the corpus through
+    // one task, so the per-cell rank must be the global two-pass
+    // DistributedRank minus O(cells) offsets
+    val df = SparkEntry.queries("q186_prototype_prune")(spark, sfDir)
+    val exec = df.queryExecution.executedPlan
+    val wins = allWindows(exec)
+    assert(wins.forall(_.partitionSpec.nonEmpty), "no global window")
+    assert(!wins.exists(_.partitionSpec.exists(_.toString.contains("cell"))),
+      "no window may partition by the 16-value cell key — that is a corpus-scale funnel")
+    assert(exec.toString.contains("BroadcastHashJoin"),
+      "the O(cells·dim) centroid frame must broadcast for the scoring pass")
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
