@@ -323,6 +323,62 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"cell", $"prank")
   }
 
+  /** Matryoshka truncated-dimension recall eval (Kusupati et al.
+    * NeurIPS'22, "Matryoshka Representation Learning"): before serving a
+    * cheaper prefix of the embedding, measure what retrieval loses —
+    * for each query, top-5 by full 64-dim cosine vs top-5 by the first
+    * 8/16/32 dims; output per (q_id, d) the overlap count (recall@5
+    * numerator, an exact integer).
+    *
+    * Scale shape: ONE corpus scan scores every dim tier in the same
+    * codegen stage (prefix dots via slice — no per-tier rescan); per
+    * (query, tier) top-5 runs through the bounded-state
+    * [[graft.functions.TopKAggregator]] (each task reduces its slice to
+    * ≤ 5 rows BEFORE the exchange — a (q_id, d)-partitioned window would
+    * funnel the whole corpus through NQ·|dims| tasks). Scores cross the
+    * aggregator as integer cosine micro-units, so ordering is
+    * deterministic across engines and partition orders; the final grid
+    * left-join keeps zero-overlap tiers visible. */
+  private val q187: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val dims = Seq(8, 16, 32, 64)
+    val e = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull && $"vec_id".isNotNull)
+      .select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val scored = broadcast(q).join(e, $"vec_id" =!= $"q_id")
+      .select($"q_id" +: $"vec_id".as("n_id") +: dims.map { dd =>
+        val a = slice($"q_emb", 1, dd)
+        val b = slice($"embedding", 1, dd)
+        round(round(dot(a, b) / (l2norm(a) * l2norm(b)), 6) * 1000000)
+          .cast("long").as(s"c_$dd")
+      }: _*)
+    val topk = scored
+      .select($"q_id", $"n_id", explode(array(dims.map(dd =>
+        struct(lit(dd).as("d"), col(s"c_$dd").as("cu"))): _*)).as("x"))
+      .select(concat_ws("|", $"q_id", $"x.d").as("k"),
+        struct($"n_id".as("id"), $"x.cu".as("score")).as("s"))
+      .as[(String, ScoredId)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator(TOPK).toColumn.name("top"))
+      .flatMap { case (k, hits) =>
+        val Array(qid, dd) = k.split('|')
+        hits.iterator.map(h => (qid.toLong, dd.toLong, h.id))
+      }.toDF("q_id", "d", "n_id")
+    val full = topk.where($"d" === 64).select($"q_id", $"n_id")
+    val hits = topk.where($"d" =!= 64)
+      .join(full, Seq("q_id", "n_id"))
+      .groupBy($"q_id", $"d")
+      .agg(count(lit(1)).as("hits"))
+    val grid = q.select($"q_id")
+      .crossJoin(dims.filter(_ != 64).map(_.toLong).toDF("d"))
+    grid.join(hits, Seq("q_id", "d"), "left")
+      .select($"q_id", $"d", coalesce($"hits", lit(0L)).as("hits"))
+      .orderBy($"q_id", $"d")
+  }
+
   /** Hybrid retrieval — the production RAG pattern: a lexical ranker
     * (Okapi BM25, [[TextQueries.bm25PerDoc]]) and a dense ranker
     * (embedding cosine, query-by-example on vec 7) fused with
@@ -372,6 +428,7 @@ object SimilarityQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q184_hybrid_retrieval" -> q184,
     "q186_prototype_prune" -> q186,
+    "q187_matryoshka_recall" -> q187,
     "q181_centroid_diag" -> q181,
     "q131_hard_negatives" -> q131,
     "q51_knn_brute" -> q51,
@@ -384,6 +441,11 @@ object SimilarityQueries extends QueryPack {
 
   private def duckDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  /** Prefix dot over the first dd dims — the [[duckDot]] of a Matryoshka
+    * truncation. */
+  private def duckDotD(a: String, b: String, dd: Int) =
+    s"list_sum(list_transform(range(1, ${dd + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
   private def duckCos(a: String, b: String) =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
@@ -414,6 +476,35 @@ object SimilarityQueries extends QueryPack {
          |  FROM dr FULL OUTER JOIN lx ON dr.doc_id = lx.doc_id)
          |SELECT doc_id, r_lex, r_dense, rrf_u FROM f
          |ORDER BY rrf_u DESC, doc_id LIMIT 10""".stripMargin,
+    "q187_matryoshka_recall" -> {
+      def blk(dd: Int) =
+        s"""SELECT q.q_id, e.vec_id AS n_id, $dd AS d,
+           |    CAST(round(round(${duckDotD("q.q_emb", "e.embedding", dd)} /
+           |      (sqrt(${duckDotD("q.q_emb", "q.q_emb", dd)})
+           |       * sqrt(${duckDotD("e.embedding", "e.embedding", dd)})), 6)
+           |      * 1000000) AS BIGINT) AS cu
+           |  FROM q JOIN e ON e.vec_id <> q.q_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |  WHERE vec_id < $NQ),
+         |scored AS (
+         |  ${Seq(8, 16, 32, 64).map(blk).mkString("\n  UNION ALL\n  ")}),
+         |r AS (SELECT q_id, d, n_id,
+         |    row_number() OVER (PARTITION BY q_id, d
+         |                       ORDER BY cu DESC, n_id) AS rk
+         |  FROM scored),
+         |tk AS (SELECT q_id, d, n_id FROM r WHERE rk <= $TOPK),
+         |grid AS (SELECT q_id, CAST(dd.d AS BIGINT) AS d
+         |  FROM (SELECT DISTINCT q_id FROM q), (VALUES (8), (16), (32)) dd(d)),
+         |h AS (SELECT a.q_id, CAST(a.d AS BIGINT) AS d, count(*) AS hits
+         |  FROM tk a JOIN tk f
+         |    ON f.q_id = a.q_id AND f.d = 64 AND f.n_id = a.n_id
+         |  WHERE a.d <> 64 GROUP BY 1, 2)
+         |SELECT q_id, d, CAST(coalesce(hits, 0) AS BIGINT) AS hits
+         |FROM grid LEFT JOIN h USING (q_id, d)
+         |ORDER BY q_id, d""".stripMargin
+    },
     "q186_prototype_prune" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |    CAST(${duckBandKey(0, 4)} AS BIGINT) AS cell

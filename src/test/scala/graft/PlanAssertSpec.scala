@@ -218,6 +218,15 @@ class PlanAssertSpec extends SparkSpec {
       "the O(cells·dim) centroid frame must broadcast for the scoring pass")
   }
 
+  test("q187: per-tier top-5 is the bounded-state aggregator, one corpus scan scores all tiers") {
+    val df = SparkEntry.queries("q187_matryoshka_recall")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("partial_topkaggregator"),
+      "top-5 per (query, tier) must reduce to <=5 rows map-side, not shuffle-sort the corpus")
+    assert(allWindows(df.queryExecution.executedPlan).isEmpty,
+      "no window anywhere — a (q_id, d)-partitioned window funnels the corpus through NQ*|dims| tasks")
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
