@@ -379,6 +379,63 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"q_id", $"d")
   }
 
+  /** Greedy k-center coreset selection (Gonzalez '85 farthest-first —
+    * the 2-approximation; the diversity-based data-selection primitive:
+    * each pick is the example FARTHEST from everything already kept, so
+    * k points cover the embedding space with provably ≤2× the optimal
+    * radius). Seed = min vec_id (deterministic); each step emits
+    * (step, vec_id, radius) where radius is the selected point's
+    * min-distance to the prior centers — the classic decreasing coverage
+    * curve a curation run plots to choose k.
+    *
+    * Scale shape: the bounded driver loop of KMeans/BpeTrainer — k−1
+    * iterations, each ONE narrow corpus scan (cosine distances to ≤k
+    * driver-collected centers as inlined literal arrays — KB-sized, no
+    * join) closed by a TakeOrdered(1); nothing but single rows ever
+    * collects. At production k (thousands) the same selection sequence
+    * runs with a localCheckpointed running-min column (one narrow pass
+    * per pick instead of re-evaluating k literal dots); the fixture form
+    * keeps the plan stateless. Distances are round-6 so the argmax order
+    * is the q51 cross-engine double contract. */
+  private val q188: Q = (s, d) => {
+    import s.implicits._
+    val kSel = 6
+    val e = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull && $"vec_id".isNotNull)
+      .select($"vec_id", $"embedding")
+    val seed = e.orderBy($"vec_id").limit(1).collect()
+    if (seed.isEmpty) {
+      e.select(lit(0L).as("step"), $"vec_id", lit(0.0).as("radius"))
+        .where(lit(false))
+    } else {
+      def centerCol(c: Array[Float]) = array(c.map(f => lit(f)): _*)
+      def distTo(c: Array[Float]) = {
+        val cc = centerCol(c)
+        round(lit(1.0) - dot($"embedding", cc) /
+          (l2norm($"embedding") * l2norm(cc)), 6)
+      }
+      var centers =
+        Vector((seed(0).getLong(0), seed(0).getSeq[Float](1).toArray))
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+        (0L, centers.head._1, None))
+      var i = 1
+      var exhausted = false
+      while (i < kSel && !exhausted) {
+        val mind = centers.map(c => distTo(c._2)).reduce(least(_, _))
+        val top = e.where(!$"vec_id".isInCollection(centers.map(_._1)))
+          .select($"vec_id", $"embedding", mind.as("mind"))
+          .orderBy($"mind".desc, $"vec_id").limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          centers :+= ((top(0).getLong(0), top(0).getSeq[Float](1).toArray))
+          picks += ((i.toLong, top(0).getLong(0), Some(top(0).getDouble(2))))
+        }
+        i += 1
+      }
+      picks.toSeq.toDF("step", "vec_id", "radius").orderBy($"step")
+    }
+  }
+
   /** Hybrid retrieval — the production RAG pattern: a lexical ranker
     * (Okapi BM25, [[TextQueries.bm25PerDoc]]) and a dense ranker
     * (embedding cosine, query-by-example on vec 7) fused with
@@ -429,6 +486,7 @@ object SimilarityQueries extends QueryPack {
     "q184_hybrid_retrieval" -> q184,
     "q186_prototype_prune" -> q186,
     "q187_matryoshka_recall" -> q187,
+    "q188_kcenter_coreset" -> q188,
     "q181_centroid_diag" -> q181,
     "q131_hard_negatives" -> q131,
     "q51_knn_brute" -> q51,
@@ -504,6 +562,38 @@ object SimilarityQueries extends QueryPack {
          |SELECT q_id, d, CAST(coalesce(hits, 0) AS BIGINT) AS hits
          |FROM grid LEFT JOIN h USING (q_id, d)
          |ORDER BY q_id, d""".stripMargin
+    },
+    "q188_kcenter_coreset" -> {
+      // unrolled greedy farthest-first: c_i = argmax over min-dist to
+      // c_0..c_{i-1} (mind folded via least, selected ids excluded)
+      val k = 6
+      def dcos(a: String, b: String) = s"round(1 - ${duckCos(a, b)}, 6)"
+      val sb = new StringBuilder
+      sb ++= "e AS (SELECT vec_id, embedding FROM embeddings\n" +
+        "  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),\n" +
+        "c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),\n" +
+        s"d0 AS (SELECT e.vec_id, e.embedding,\n" +
+        s"    ${dcos("e.embedding", "c.embedding")} AS mind\n" +
+        s"  FROM e, c0 c)"
+      for (i <- 1 until k) {
+        val excl = (0 until i).map(j => s"SELECT vec_id FROM c$j")
+          .mkString(" UNION ALL ")
+        sb ++= s",\np$i AS (SELECT vec_id, mind FROM d${i - 1}\n" +
+          s"  WHERE vec_id NOT IN ($excl)\n" +
+          s"  ORDER BY mind DESC, vec_id LIMIT 1),\n" +
+          s"c$i AS (SELECT e.vec_id, e.embedding, p.mind\n" +
+          s"  FROM e JOIN p$i p USING (vec_id))"
+        if (i < k - 1)
+          sb ++= s",\nd$i AS (SELECT d.vec_id, d.embedding,\n" +
+            s"    least(d.mind, ${dcos("d.embedding", "c.embedding")}) AS mind\n" +
+            s"  FROM d${i - 1} d, c$i c)"
+      }
+      val sel = (Seq(
+        "SELECT CAST(0 AS BIGINT) AS step, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c0") ++
+        (1 until k).map(i =>
+          s"SELECT CAST($i AS BIGINT), vec_id, mind FROM c$i"))
+        .mkString("\nUNION ALL ")
+      s"WITH ${sb.toString}\n$sel\nORDER BY step"
     },
     "q186_prototype_prune" ->
       s"""WITH e AS (SELECT vec_id, embedding,
