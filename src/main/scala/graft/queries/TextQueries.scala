@@ -463,6 +463,82 @@ object TextQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Heaps' law vocabulary-growth curve per source — the dual of q146's
+    * Zipf slope: natural text grows vocabulary V(n) ≈ K·nᵝ with β ≈
+    * 0.4–0.6 in cumulative token count n; a source whose β collapses is
+    * template/boilerplate-dominated (vocabulary saturates), one whose β
+    * nears 1 is id-noise (every token fresh). Curve sampled at 10
+    * doc_id-decile checkpoints per source, then closed-form OLS of
+    * ln(cum vocab) on ln(cum tokens) — output (source, n_pts,
+    * heaps_beta, heaps_intercept).
+    *
+    * Determinism: checkpoint boundaries are `approx_percentile` in its
+    * EXACT regime (q182 — rank error < 1 below 1M-row groups, the
+    * ceil(q·n) convention IS DuckDB quantile_disc), so both engines cut
+    * at identical integer doc_ids; cumulative masses are exact integer
+    * conditional sums; the OLS runs over ≤10 lns of exact integers
+    * (q136/q150 ln-parity precedent + q146's ≤100-point OLS rationale).
+    *
+    * Scale shape: one tokenizing scan feeds both the per-doc token
+    * census and the (source, token)-keyed first-occurrence min — both
+    * map-side-combinable hash aggs; the O(sources) boundary frame
+    * broadcasts back, cumulative masses are 10 conditional sums inside
+    * ONE agg (no fan-out), and everything after is O(sources·10) rows.
+    * At 100 TB the only caveat is the quantile sketch leaving its exact
+    * regime — boundary drift only moves checkpoint positions, and the
+    * diagnostic reads the slope, not the cuts. */
+  private val q189: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"source".isNotNull && $"doc_id".isNotNull)
+      .select($"source", $"doc_id", explode(tokens($"text")).as("tok"))
+    val perDoc = toks.groupBy($"source", $"doc_id")
+      .agg(count(lit(1)).as("ntok"))
+    val qs = (1 to 10).map(_ / 10.0)
+    val bounds = perDoc.groupBy($"source")
+      .agg(expr(s"approx_percentile(doc_id, array(${qs.mkString(",")}), 1000000)")
+        .as("bs"))
+      .select($"source" +: (1 to 10).map(c =>
+        $"bs".getItem(c - 1).as(s"b$c")): _*)
+    val ftok = toks.groupBy($"source", $"tok").agg(min($"doc_id").as("fdoc"))
+    val ct = perDoc.join(broadcast(bounds), Seq("source"))
+      .groupBy($"source")
+      .agg((1 to 10).map(c =>
+        sum(when($"doc_id" <= col(s"b$c"), $"ntok").otherwise(0L))
+          .as(s"ct$c")).head,
+        (1 to 10).map(c =>
+          sum(when($"doc_id" <= col(s"b$c"), $"ntok").otherwise(0L))
+            .as(s"ct$c")).tail: _*)
+    val cv = ftok.join(broadcast(bounds), Seq("source"))
+      .groupBy($"source")
+      .agg((1 to 10).map(c =>
+        sum(when($"fdoc" <= col(s"b$c"), 1L).otherwise(0L)).as(s"cv$c")).head,
+        (1 to 10).map(c =>
+          sum(when($"fdoc" <= col(s"b$c"), 1L).otherwise(0L)).as(s"cv$c"))
+          .tail: _*)
+    val pts = ct.join(cv, Seq("source"))
+      .select($"source", explode(array((1 to 10).map(c =>
+        struct(col(s"ct$c").as("ctok"), col(s"cv$c").as("cvoc"))): _*)).as("p"))
+      .where($"p.ctok" > 0 && $"p.cvoc" > 0)
+      .select($"source",
+        log($"p.ctok".cast("double")).as("x"),
+        log($"p.cvoc".cast("double")).as("y"))
+    pts.groupBy($"source")
+      .agg(count(lit(1)).as("n_pts"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .where($"n_pts" >= 2 &&
+        ($"n_pts" * $"sxx" - $"sx" * $"sx") =!= 0.0)
+      .withColumn("beta_raw",
+        ($"n_pts" * $"sxy" - $"sx" * $"sy") /
+          ($"n_pts" * $"sxx" - $"sx" * $"sx"))
+      .select($"source", $"n_pts",
+        round($"beta_raw", 4).as("heaps_beta"),
+        round(($"sy" - $"beta_raw" * $"sx") / $"n_pts", 4)
+          .as("heaps_intercept"))
+      .orderBy($"source")
+  }
+
   /** Exact per-language heavy-hitter tokens (count > N_lang/30) via the
     * two-pass Misra–Gries prune — [[graft.operators.HeavyHitters]] holds
     * the scale story (O(groups·k) exchange instead of a full-vocabulary
@@ -762,6 +838,7 @@ object TextQueries extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "q189_heaps_growth" -> q189,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
     "q179_ccnet_buckets" -> q179,
@@ -931,6 +1008,53 @@ object TextQueries extends QueryPack {
         |FROM c JOIN n USING (lang)
         |WHERE cnt * 30 > n_grp
         |ORDER BY lang, tok""".stripMargin,
+    "q189_heaps_growth" -> {
+      val cts = (1 to 10).map(c =>
+        s"CAST(sum(CASE WHEN doc_id <= b$c THEN ntok ELSE 0 END) AS BIGINT) AS ct$c")
+        .mkString(",\n    ")
+      val cvs = (1 to 10).map(c =>
+        s"CAST(sum(CASE WHEN fdoc <= b$c THEN 1 ELSE 0 END) AS BIGINT) AS cv$c")
+        .mkString(",\n    ")
+      val bs = (1 to 10).map(c =>
+        s"quantile_disc(doc_id, ${c / 10.0}) AS b$c").mkString(",\n    ")
+      val melt = (1 to 10).map(c =>
+        s"SELECT source, ct$c AS ctok, cv$c AS cvoc FROM j")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+         |perdoc AS (SELECT source, doc_id, count(*) AS ntok
+         |  FROM toks GROUP BY 1, 2),
+         |bounds AS (SELECT source,
+         |    $bs
+         |  FROM perdoc GROUP BY source),
+         |ftok AS (SELECT source, tok, min(doc_id) AS fdoc
+         |  FROM toks GROUP BY 1, 2),
+         |ct AS (SELECT p.source,
+         |    $cts
+         |  FROM perdoc p JOIN bounds USING (source) GROUP BY 1),
+         |cv AS (SELECT f.source,
+         |    $cvs
+         |  FROM ftok f JOIN bounds USING (source) GROUP BY 1),
+         |j AS (SELECT * FROM ct JOIN cv USING (source)),
+         |pts AS (
+         |  SELECT source, ln(ctok) AS x, ln(cvoc) AS y FROM (
+         |  $melt)
+         |  WHERE ctok > 0 AND cvoc > 0),
+         |ols AS (
+         |  SELECT source, count(*) AS n_pts, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x * y) AS sxy, sum(x * x) AS sxx
+         |  FROM pts GROUP BY source
+         |  HAVING count(*) >= 2 AND (count(*) * sxx - sx * sx) <> 0)
+         |SELECT source, n_pts,
+         |  round((n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx), 4)
+         |    AS heaps_beta,
+         |  round((sy - (n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx)
+         |    * sx) / n_pts, 4) AS heaps_intercept
+         |FROM ols ORDER BY source""".stripMargin
+    },
     "q146_zipf_slope" ->
       """WITH freq AS (
         |  SELECT lang, tok, count(*) AS f

@@ -227,6 +227,15 @@ class PlanAssertSpec extends SparkSpec {
       "no window anywhere — a (q_id, d)-partitioned window funnels the corpus through NQ*|dims| tasks")
   }
 
+  test("q189: heaps curve is window-free; the O(sources) boundary frame broadcasts") {
+    val df = SparkEntry.queries("q189_heaps_growth")(spark, sfDir)
+    val exec = df.queryExecution.executedPlan
+    assert(allWindows(exec).isEmpty,
+      "cumulative masses must be conditional sums against broadcast boundaries, not running windows")
+    assert(exec.toString.contains("BroadcastHashJoin"),
+      "the decile-boundary frame is O(sources) — it must broadcast")
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
