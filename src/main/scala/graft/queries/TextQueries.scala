@@ -539,6 +539,53 @@ object TextQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Keyword weak-supervision domain tagger + mixture census — the
+    * labeling-function shape (Ratner et al., Snorkel VLDB'18) pipelines
+    * use to report corpus composition before training (The Pile-style
+    * domain shares): each topic owns a keyword list, a document's topic
+    * is the argmax keyword-hit count (ties break on topic name, no hits
+    * → 'none'), and the census reports per-(lang, topic) doc counts and
+    * integer-ppm shares.
+    *
+    * Scale shape: ONE tokenizing scan; the keyword→topic map is a
+    * literal CASE chain (codegen'd — no join against a keyword table
+    * needed below thousands of keywords); per-doc argmax is a window
+    * bounded by |topics| rows per doc; the census is a hash agg with the
+    * O(langs) totals frame broadcast back. Shares are exact integer ppm
+    * (DIV), the q169 rule — no float crosses the hash. */
+  private val q190: Q = (s, d) => {
+    import s.implicits._
+    val topics: Seq[(String, Seq[String])] = Seq(
+      "compute" -> Seq("join", "merge", "hash", "agg"),
+      "ordering" -> Seq("sort", "order", "group"),
+      "storage" -> Seq("scan", "filter", "table", "row"),
+      "streaming" -> Seq("stream", "batch", "window"))
+    val docs = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+      .select($"doc_id", $"lang")
+    val topicOf = topics.tail.foldLeft(
+      when($"tok".isin(topics.head._2: _*), topics.head._1)) {
+      case (acc, (t, kws)) => acc.when($"tok".isin(kws: _*), t)
+    }
+    val hits = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", topicOf.as("topic"))
+      .where($"topic".isNotNull)
+      .groupBy($"doc_id", $"topic").agg(count(lit(1)).as("cnt"))
+    val wArg = Window.partitionBy($"doc_id").orderBy($"cnt".desc, $"topic")
+    val assigned = hits.withColumn("rn", row_number().over(wArg))
+      .where($"rn" === 1).select($"doc_id", $"topic")
+    val census = docs.join(assigned, Seq("doc_id"), "left")
+      .select($"lang", coalesce($"topic", lit("none")).as("topic"))
+      .groupBy($"lang", $"topic").agg(count(lit(1)).as("n_docs"))
+    val tot = census.groupBy($"lang").agg(sum($"n_docs").as("tot"))
+    census.join(broadcast(tot), Seq("lang"))
+      .select($"lang", $"topic", $"n_docs",
+        expr("(n_docs * 1000000) DIV tot").as("share_ppm"))
+      .orderBy($"lang", $"topic")
+  }
+
   /** Exact per-language heavy-hitter tokens (count > N_lang/30) via the
     * two-pass Misra–Gries prune — [[graft.operators.HeavyHitters]] holds
     * the scale story (O(groups·k) exchange instead of a full-vocabulary
@@ -839,6 +886,7 @@ object TextQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q189_heaps_growth" -> q189,
+    "q190_domain_tagger" -> q190,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
     "q179_ccnet_buckets" -> q179,
@@ -1008,6 +1056,42 @@ object TextQueries extends QueryPack {
         |FROM c JOIN n USING (lang)
         |WHERE cnt * 30 > n_grp
         |ORDER BY lang, tok""".stripMargin,
+    "q190_domain_tagger" -> {
+      val cases = Seq(
+        "compute" -> Seq("join", "merge", "hash", "agg"),
+        "ordering" -> Seq("sort", "order", "group"),
+        "storage" -> Seq("scan", "filter", "table", "row"),
+        "streaming" -> Seq("stream", "batch", "window"))
+        .map { case (t, kws) =>
+          s"WHEN tok IN (${kws.map(k => s"'$k'").mkString(", ")}) THEN '$t'"
+        }.mkString("\n    ")
+      s"""WITH docs AS (SELECT doc_id, lang FROM documents
+         |  WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         |hits AS (
+         |  SELECT doc_id, topic, count(*) AS cnt FROM (
+         |    SELECT doc_id, CASE
+         |    $cases
+         |    END AS topic
+         |    FROM (SELECT doc_id,
+         |        unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL))
+         |  WHERE topic IS NOT NULL GROUP BY 1, 2),
+         |assigned AS (
+         |  SELECT doc_id, topic FROM (
+         |    SELECT doc_id, topic, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY cnt DESC, topic) AS rn
+         |    FROM hits) WHERE rn = 1),
+         |census AS (
+         |  SELECT lang, coalesce(topic, 'none') AS topic,
+         |    count(*) AS n_docs
+         |  FROM docs LEFT JOIN assigned USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tot
+         |  FROM census GROUP BY lang)
+         |SELECT lang, topic, n_docs,
+         |  CAST((n_docs * 1000000) // tot AS BIGINT) AS share_ppm
+         |FROM census JOIN tot USING (lang)
+         |ORDER BY lang, topic""".stripMargin
+    },
     "q189_heaps_growth" -> {
       val cts = (1 to 10).map(c =>
         s"CAST(sum(CASE WHEN doc_id <= b$c THEN ntok ELSE 0 END) AS BIGINT) AS ct$c")
