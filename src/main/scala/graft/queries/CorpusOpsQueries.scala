@@ -1078,7 +1078,39 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang", $"source")
   }
 
+  /** Language-mix diversity index per source — the datacard line that
+    * tells a mixture designer whether a source is monolingual or a true
+    * multilingual blend: per-source Shannon entropy of the language
+    * distribution (in nats) plus the Simpson concentration index as
+    * EXACT integer ppm (Σnᵢ²·10⁶ DIV N² — the probability two random
+    * docs share a language; 1e6/simpson ≈ effective language count).
+    *
+    * Determinism: Simpson is pure integer arithmetic; Shannon is
+    * H = ln N − (Σ nᵢ·ln nᵢ)/N — each term one ln of an exact integer
+    * (q136/q150 ln-parity precedent), summed over ≤|langs| rows per
+    * source (the q146 ≤100-point rationale), rounded to 4.
+    *
+    * Scale shape: one (source, lang) hash-agg census — everything
+    * downstream is O(sources·langs) arithmetic. */
+  private val q191: Q = (s, d) => {
+    import s.implicits._
+    val census = Tables.documents(s, d)
+      .where($"source".isNotNull && $"lang".isNotNull)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n_i"))
+    census.groupBy($"source")
+      .agg(sum($"n_i").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum($"n_i" * $"n_i").as("sq"),
+        sum($"n_i".cast("double") * log($"n_i".cast("double"))).as("snln"))
+      .select($"source", $"n_docs", $"n_langs",
+        expr("(sq * 1000000) DIV (n_docs * n_docs)").as("simpson_ppm"),
+        round(log($"n_docs".cast("double")) - $"snln" / $"n_docs", 4)
+          .as("shannon_h"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q191_lang_diversity" -> q191,
     "q170_eval_split" -> q170,
     "q168_trust_rank" -> q168,
     "q165_snapshot_diff" -> q165,
@@ -1114,6 +1146,22 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q191_lang_diversity" ->
+      """WITH census AS (
+        |  SELECT source, lang, count(*) AS n_i FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(sum(n_i) AS BIGINT) AS n_docs,
+        |    count(*) AS n_langs,
+        |    CAST(sum(n_i * n_i) AS BIGINT) AS sq,
+        |    sum(n_i::DOUBLE * ln(n_i::DOUBLE)) AS snln
+        |  FROM census GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  CAST((sq * 1000000) // (n_docs * n_docs) AS BIGINT) AS simpson_ppm,
+        |  round(ln(n_docs::DOUBLE) - snln / n_docs, 4) AS shannon_h
+        |FROM agg ORDER BY source""".stripMargin,
     "q170_eval_split" ->
       """WITH d AS (SELECT lang, source, doc_id,
         |             md5(doc_id::VARCHAR || 'sp') AS h FROM documents),
