@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ vector index — the artifact LIFECYCLE around the
+  * ANN family (FAISS `IVFx,PQy` as tables, not a serving process):
+  * [[build]] trains the coarse quantizer and the residual product
+  * quantizer and encodes the corpus; [[save]]/[[load]] round-trip the
+  * whole index as parquet (codes distributed and PARTITIONED BY CELL so
+  * a probe reads only its cells' files; centroids/codebooks/meta are
+  * KB-scale model tables); [[appendTo]] encodes NEW vectors with the
+  * frozen model — one narrow pass, no retrain: the production ingest
+  * path between periodic rebuilds; [[search]] probes the query's
+  * nearest cells and ADC-scores ONLY their members in one distributed
+  * pass (per-cell residual lookup tables built driver-side — probes·m·ks
+  * rows — and broadcast into a codegen'd equi join); [[searchRerank]]
+  * re-ranks the merged shortlist exactly against raw vectors.
+  *
+  * Scale shape at 100 TB: the hot artifact is the codes table (m bytes
+  * per vector at ks=256 — 32× smaller than raw floats); a query touches
+  * probes/cells of it via partition pruning, the model never exceeds
+  * cells·dim + m·ks·(dim/m) floats (driver/broadcast-safe by
+  * construction), and ingest is embarrassingly parallel. Raw embeddings
+  * stay in cold storage, touched only for the shortlist rerank.
+  * Composes [[KMeans.lloydCentroids]] + [[ProductQuantizer]] (Jégou et
+  * al. TPAMI'11); residuals concentrate near zero so the same code
+  * budget quantizes them tighter than raw vectors.
+  */
+object VectorIndex {
+
+  /** A built or loaded index: KB-scale model state driver-held (exactly
+    * what [[save]] persists to the model tables) plus the distributed
+    * codes frame (id, cluster, codes). */
+  final case class Index(dim: Int, m: Int, ks: Int,
+      centroids: Vector[(Long, Array[Float])],
+      pq: ProductQuantizer.PqModel,
+      codes: DataFrame)
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest-cell id under (distance, cell id) — deterministic ties. */
+  private def nearestCell(v: Array[Float],
+      cents: Vector[(Long, Array[Float])]): Long = {
+    var best = cents.head._1; var bestD = Double.MaxValue
+    cents.foreach { case (c, ct) =>
+      val d = sqDist(v, ct)
+      if (d < bestD || (d == bestD && c < best)) { best = c; bestD = d }
+    }
+    best
+  }
+
+  /** ONE fused narrow pass: assign the nearest cell, residualize, and
+    * PQ-encode — (id, cluster, codes). No shuffle, no join; this is both
+    * the build encoder and the [[appendTo]] ingest path. */
+  private def encodeAll(embs: DataFrame, idCol: String, vecCol: String,
+      cents: Vector[(Long, Array[Float])],
+      pq: ProductQuantizer.PqModel): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcP = spark.sparkContext.broadcast(pq)
+    embs.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcC.value
+        val mdl = bcP.value
+        val cell = nearestCell(v, cs)
+        val ct = cs.find(_._1 == cell).get._2
+        val r = Array.tabulate(v.length)(i => v(i) - ct(i))
+        val sub = mdl.subDim
+        val codes = Array.tabulate(mdl.m) { j =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < mdl.codebooks(j).length) {
+            val cb = mdl.codebooks(j)(c)
+            var dist = 0.0; var t = 0
+            while (t < sub) {
+              val d = r(j * sub + t) - cb(t); dist += d * d; t += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, cell, codes)
+      }
+      .toDF(idCol, "cluster", "codes")
+  }
+
+  /** Train coarse centroids + residual codebooks and encode the corpus.
+    * Deterministic end to end (farthest-first seeding, fixed iters,
+    * id-tie-broken assignments). */
+  def build(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      cells: Int, m: Int, ks: Int, iters: Int = 3): Index = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val e = embs.select(col(idCol), col(vecCol))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .localCheckpoint()
+    val cents = KMeans.lloydCentroids(e, idCol, vecCol, k = cells, iters = iters)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toVector
+    // residualize once (narrow) to train the PQ on residuals
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(cents)
+    val resid = e.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val ct = bcC.value.find(_._1 == nearestCell(v, bcC.value)).get._2
+        (id, Array.tabulate(v.length)(i => v(i) - ct(i)))
+      }
+      .toDF(idCol, "residual")
+    val pq = ProductQuantizer.train(resid, idCol, "residual", dim, m, ks, iters)
+    Index(dim, m, ks, cents, pq, encodeAll(e, idCol, vecCol, cents, pq))
+  }
+
+  /** Persist the index: `path/codes` (partitioned by cluster — probes
+    * prune to their cells' files), `path/centroids`, `path/codebooks`,
+    * `path/meta`. Overwrites an existing index at `path`. */
+  def save(idx: Index, idCol: String, path: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.codes.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+    idx.centroids.map { case (c, ct) => (c, ct.toSeq) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for {
+      j <- 0 until idx.pq.m
+      c <- idx.pq.codebooks(j).indices
+    } yield (j, c, idx.pq.codebooks(j)(c).toSeq))
+      .toDF("j", "c", "subv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((idx.dim, idx.m, idx.ks, idCol))
+      .toDF("dim", "m", "ks", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a saved index; model tables collect (KB by construction), the
+    * codes frame stays a lazy partitioned scan. Returns (index, idCol). */
+  def load(spark: SparkSession, path: String): (Index, String) = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (dim, m, ks, idCol) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getString(3))
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toVector
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toVector))
+    val cbs = (0 until m).map { j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toVector
+    }.toVector
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col(idCol), col("cluster").cast("long").as("cluster"), col("codes"))
+    (Index(dim, m, ks, cents, ProductQuantizer.PqModel(m, ks, cbs), codes),
+      idCol)
+  }
+
+  /** Ingest new vectors into a saved index with the FROZEN model: one
+    * narrow encode pass appended to the cluster-partitioned codes table.
+    * No retrain — centroid drift is handled by periodic [[build]]s, the
+    * standard IVF serving trade. Caller owns id uniqueness. */
+  def appendTo(path: String, idx: Index, idCol: String,
+      embs: DataFrame, vecCol: String): Unit =
+    encodeAll(embs, idCol, vecCol, idx.centroids, idx.pq)
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+
+  /** ADC top-k over the `probes` cells nearest to `query`, in ONE
+    * distributed pass: the per-cell residual lookup tables (probes·m·ks
+    * rows, exact doubles) broadcast into an equi join on
+    * (cluster, subspace, code); cells not probed are pruned at the scan.
+    * Returns (idCol, cluster, adc_dist2). */
+  def search(idx: Index, idCol: String, query: Array[Float],
+      probes: Int, k: Int): DataFrame = {
+    require(query.length == idx.dim, s"query dim ${query.length} != ${idx.dim}")
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    val probed = idx.centroids
+      .map { case (c, ct) => (c, sqDist(query, ct)) }
+      .sortBy { case (c, d) => (d, c) }.take(probes).map(_._1)
+    val sub = idx.pq.subDim
+    val table = for {
+      cell <- probed
+      ct = idx.centroids.find(_._1 == cell).get._2
+      j <- 0 until idx.pq.m
+      c <- idx.pq.codebooks(j).indices
+    } yield {
+      var dist = 0.0; var t = 0
+      while (t < sub) {
+        val d = (query(j * sub + t) - ct(j * sub + t)) - idx.pq.codebooks(j)(c)(t)
+        dist += d * d; t += 1
+      }
+      (cell, j, c, dist)
+    }
+    idx.codes.where(col("cluster").isin(probed: _*))
+      .select(col(idCol), col("cluster"), posexplode(col("codes")).as(Seq("j", "c")))
+      .join(broadcast(table.toDF("cluster", "j", "c", "sub_d2")),
+        Seq("cluster", "j", "c"))
+      .groupBy(col(idCol), col("cluster"))
+      .agg(sum(col("sub_d2")).as("adc_dist2"))
+      .orderBy(col("adc_dist2"), col(idCol))
+      .limit(k)
+  }
+
+  /** ADC shortlist → exact L2 rerank against raw vectors (the only
+    * point raw floats are touched — a broadcast semi join of a few
+    * dozen ids). Returns (idCol, d2). */
+  def searchRerank(idx: Index, raw: DataFrame, idCol: String,
+      vecCol: String, query: Array[Float], probes: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    import graft.functions.VectorFunctions.dot
+    graft.expressions.GraftFunctions.ensureRegistered(raw.sparkSession)
+    val cands = search(idx, idCol, query, probes, shortlist).select(col(idCol))
+    val qlit = typedlit(query.toSeq)
+    raw.join(broadcast(cands), Seq(idCol))
+      .select(col(idCol),
+        (dot(col(vecCol), col(vecCol)) - lit(2.0) * dot(col(vecCol), qlit)
+          + lit(query.map(x => x.toDouble * x).sum)).as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index lifecycle: build → save → load must be a
+  * lossless round trip (identical search results), the frozen-model
+  * append path must make new vectors findable without a retrain, the
+  * build must be deterministic, and the end-to-end rerank recall must
+  * hold the IvfPqSpec-level gate through the index API. */
+class VectorIndexSpec extends SparkSpec {
+
+  private val Dim = 64
+  private val Cells = 8
+  private val M = 8
+  private val Ks = 16
+  private val Probes = 3
+  private val TopK = 10
+
+  private def embs = {
+    val s = spark
+    import s.implicits._
+    Tables.embeddings(s, sfDir).select($"vec_id", $"embedding")
+  }
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("save → load round-trips the index: identical search results") {
+    val s = spark
+    import s.implicits._
+    val idx = VectorIndex.build(embs, "vec_id", "embedding", Dim, Cells, M, Ks)
+    val path = tmp("vidx_rt")
+    VectorIndex.save(idx, "vec_id", path)
+    val (loaded, idCol) = VectorIndex.load(s, path)
+    assert(idCol == "vec_id")
+    assert(loaded.dim == Dim && loaded.m == M && loaded.ks == Ks)
+    assert(loaded.centroids.map(_._1) == idx.centroids.map(_._1))
+    assert(loaded.centroids.zip(idx.centroids)
+      .forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(loaded.pq == idx.pq)
+    val q = embs.where($"vec_id" === 3L).select($"embedding")
+      .as[Array[Float]].head()
+    val a = VectorIndex.search(idx, "vec_id", q, Probes, TopK)
+      .select($"vec_id", $"adc_dist2").as[(Long, Double)].collect().toSeq
+    val b = VectorIndex.search(loaded, "vec_id", q, Probes, TopK)
+      .select($"vec_id", $"adc_dist2").as[(Long, Double)].collect().toSeq
+    assert(a == b, "loaded index must search identically to the built one")
+  }
+
+  test("build is deterministic: two builds produce identical codes") {
+    val s = spark
+    import s.implicits._
+    val a = VectorIndex.build(embs, "vec_id", "embedding", Dim, Cells, M, Ks)
+      .codes.as[(Long, Long, Array[Int])].collect()
+      .map(t => (t._1, t._2, t._3.toSeq)).toSet
+    val b = VectorIndex.build(embs, "vec_id", "embedding", Dim, Cells, M, Ks)
+      .codes.as[(Long, Long, Array[Int])].collect()
+      .map(t => (t._1, t._2, t._3.toSeq)).toSet
+    assert(a == b)
+  }
+
+  test("frozen-model append makes new vectors findable without retrain") {
+    val s = spark
+    import s.implicits._
+    val cut = embs.agg(expr("approx_percentile(vec_id, 0.8, 1000000)"))
+      .head().getLong(0)
+    val base = embs.where($"vec_id" <= cut)
+    val extra = embs.where($"vec_id" > cut)
+    val nExtra = extra.count()
+    assert(nExtra > 0, "fixture must leave an append slice")
+    val idx = VectorIndex.build(base, "vec_id", "embedding", Dim, Cells, M, Ks)
+    val path = tmp("vidx_app")
+    VectorIndex.save(idx, "vec_id", path)
+    VectorIndex.appendTo(path, idx, "vec_id", extra, "embedding")
+    val (loaded, _) = VectorIndex.load(s, path)
+    assert(loaded.codes.count() == embs.count(),
+      "codes table must hold base + appended vectors")
+    // an appended vector must find ITSELF first under exact rerank
+    val probe = extra.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].head()
+    val top = VectorIndex
+      .searchRerank(loaded, embs, "vec_id", "embedding", probe._2,
+        probes = Probes, k = 1, shortlist = 10)
+      .select($"vec_id").as[Long].head()
+    assert(top == probe._1,
+      s"appended vector ${probe._1} must be its own nearest neighbor, got $top")
+  }
+
+  test("probe-3 rerank recall@10 holds the IvfPq gate through the index API") {
+    val s = spark
+    import s.implicits._
+    val idx = VectorIndex.build(embs, "vec_id", "embedding", Dim, Cells, M, Ks)
+    idx.codes.localCheckpoint()
+    val corpus = embs.as[(Long, Array[Float])].collect()
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var x = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); x += d * d; i += 1 }
+      x
+    }
+    val queries = corpus.filter(_._1 < 8).sortBy(_._1)
+    var hit = 0; var tot = 0
+    queries.foreach { case (_, qv) =>
+      val got = VectorIndex
+        .searchRerank(idx, embs, "vec_id", "embedding", qv,
+          probes = Probes, k = TopK, shortlist = 90)
+        .select($"vec_id").as[Long].collect().toSet
+      val truth = corpus.map { case (id, v) => (id, d2(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(TopK).map(_._1).toSet
+      hit += got.intersect(truth).size; tot += TopK
+    }
+    val recall = hit.toDouble / tot
+    info(f"VectorIndex probe-$Probes rerank recall@$TopK = $recall%.3f")
+    assert(recall >= 0.60, f"index recall regressed: $recall%.3f")
+  }
+}
