@@ -127,7 +127,11 @@ object VectorIndex {
   def save(idx: Index, idCol: String, path: String): Unit = {
     val spark = idx.codes.sparkSession
     import spark.implicits._
-    idx.codes.write.mode("overwrite").partitionBy("cluster")
+    // batch_id = -1 marks the build; appends land in their own batch_id
+    // partitions so an at-least-once retry overwrites itself (dynamic
+    // partition overwrite — the StreamingDedup idempotence contract)
+    idx.codes.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "cluster")
       .parquet(s"$path/codes")
     idx.centroids.map { case (c, ct) => (c, ct.toSeq) }
       .toDF("cluster", "centroid")
@@ -164,13 +168,29 @@ object VectorIndex {
   }
 
   /** Ingest new vectors into a saved index with the FROZEN model: one
-    * narrow encode pass appended to the cluster-partitioned codes table.
-    * No retrain — centroid drift is handled by periodic [[build]]s, the
-    * standard IVF serving trade. Caller owns id uniqueness. */
+    * narrow encode pass into the codes table's `batch_id` partition via
+    * DYNAMIC overwrite — deterministic content, so an at-least-once
+    * retry of the same batch rewrites itself instead of duplicating
+    * (the StreamingDedup idempotence contract). No retrain — centroid
+    * drift is handled by periodic [[build]]s, the standard IVF serving
+    * trade. Caller owns id uniqueness across batches. */
   def appendTo(path: String, idx: Index, idCol: String,
-      embs: DataFrame, vecCol: String): Unit =
+      embs: DataFrame, vecCol: String, batchId: Long): Unit =
     encodeAll(embs, idCol, vecCol, idx.centroids, idx.pq)
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/codes")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cluster")
+      .parquet(s"$path/codes")
+
+  /** foreachBatch sink for streaming ingest: wire as
+    * `vecStream.writeStream.foreachBatch(VectorIndex.ingestSink(path,
+    * idx, idCol, vecCol))`. Each micro-batch is one narrow frozen-model
+    * encode into its own batch_id partition — retry-stable per
+    * [[appendTo]]. */
+  def ingestSink(path: String, idx: Index, idCol: String,
+      vecCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => appendTo(path, idx, idCol, batch, vecCol, batchId)
 
   /** ADC top-k over the `probes` cells nearest to `query`, in ONE
     * distributed pass: the per-cell residual lookup tables (probes·m·ks

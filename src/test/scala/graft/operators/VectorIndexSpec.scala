@@ -73,10 +73,12 @@ class VectorIndexSpec extends SparkSpec {
     val idx = VectorIndex.build(base, "vec_id", "embedding", Dim, Cells, M, Ks)
     val path = tmp("vidx_app")
     VectorIndex.save(idx, "vec_id", path)
-    VectorIndex.appendTo(path, idx, "vec_id", extra, "embedding")
+    VectorIndex.appendTo(path, idx, "vec_id", extra, "embedding", batchId = 0L)
+    // at-least-once RETRY of the same batch must not duplicate rows
+    VectorIndex.appendTo(path, idx, "vec_id", extra, "embedding", batchId = 0L)
     val (loaded, _) = VectorIndex.load(s, path)
     assert(loaded.codes.count() == embs.count(),
-      "codes table must hold base + appended vectors")
+      "codes table must hold base + appended vectors exactly once (retry-stable)")
     // an appended vector must find ITSELF first under exact rerank
     val probe = extra.orderBy($"vec_id").limit(1)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].head()
@@ -86,6 +88,41 @@ class VectorIndexSpec extends SparkSpec {
       .select($"vec_id").as[Long].head()
     assert(top == probe._1,
       s"appended vector ${probe._1} must be its own nearest neighbor, got $top")
+  }
+
+  test("streaming ingest: micro-batches land via foreachBatch, searchable after") {
+    val s = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = embs.agg(expr("approx_percentile(vec_id, 0.8, 1000000)"))
+      .head().getLong(0)
+    val base = embs.where($"vec_id" <= cut)
+    val extra = embs.where($"vec_id" > cut)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val idx = VectorIndex.build(base, "vec_id", "embedding", Dim, Cells, M, Ks)
+    val path = tmp("vidx_stream")
+    VectorIndex.save(idx, "vec_id", path)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(VectorIndex.ingestSink(path, idx, "vec_id", "embedding"))
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = extra.splitAt(extra.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val (loaded, _) = VectorIndex.load(s, path)
+    assert(loaded.codes.count() == embs.count(),
+      "both micro-batches must land exactly once")
+    val probe = extra.last
+    val top = VectorIndex
+      .searchRerank(loaded, embs, "vec_id", "embedding", probe._2,
+        probes = Probes, k = 1, shortlist = 10)
+      .select($"vec_id").as[Long].head()
+    assert(top == probe._1,
+      s"streamed vector ${probe._1} must be its own nearest neighbor, got $top")
   }
 
   test("probe-3 rerank recall@10 holds the IvfPq gate through the index API") {
