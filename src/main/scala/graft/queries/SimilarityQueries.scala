@@ -436,6 +436,57 @@ object SimilarityQueries extends QueryPack {
     }
   }
 
+  /** Label-noise screen (confident-learning-lite, Northcutt et al.
+    * JAIR'21's intuition on embedding geometry): a vector whose cosine
+    * to its OWN label's centroid sits far below the label's typical
+    * cohesion is a mislabel candidate. Flag members more than 2σ below
+    * the label mean — entirely in INTEGER arithmetic: cosines quantize
+    * to milli-units x, and the 2σ test (x−μ)² > 4σ² becomes the pure
+    * integer predicate (x·n − S)² > 4·(n·Q − S²) with S=Σx, Q=Σx²
+    * (exact under any partitioning / engine; magnitudes bounded ≲1e9·n
+    * — documented safe to n≈10⁶ members per label, beyond which the
+    * milli grid coarsens one notch). Output: flagged (label, vec_id,
+    * cos_milli, dev_ppm) where dev_ppm = (S−x·n)·10⁶ DIV n·1000 — how
+    * many milli-cosines below the mean, as ppm of the cosine scale.
+    *
+    * Scale shape: q181's integer-exact centroids (one narrow posexplode
+    * + (label, dim) partial agg), one broadcast join for the member
+    * cosine pass, one O(labels) moment frame broadcast back for the
+    * test — the corpus is scanned twice and never shuffled on a
+    * corpus-scale key. */
+  private val q192: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .where($"label".isNotNull && $"embedding".isNotNull && $"vec_id".isNotNull)
+    val comp = e
+      .select($"label", posexplode($"embedding"))
+      .toDF("label", "i", "v")
+      .groupBy($"label", $"i")
+      .agg(sum(round($"v".cast("double") * 1048576).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+    val cent = comp
+      .select($"label", $"i", ($"sv".cast("double") / ($"n" * 1048576.0)).as("c"))
+      .groupBy($"label")
+      .agg(sort_array(collect_list(struct($"i", $"c"))).getField("c")
+        .as("centroid"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select($"label", $"vec_id",
+        round(round(dot($"embedding", $"centroid") /
+          (l2norm($"embedding") * l2norm($"centroid")), 6) * 1000)
+          .cast("long").as("x"))
+    val mom = scored.groupBy($"label")
+      .agg(count(lit(1)).as("n"), sum($"x").as("ss"),
+        sum($"x" * $"x").as("qq"))
+    scored.join(broadcast(mom), Seq("label"))
+      .where(($"x" * $"n" - $"ss") < 0 &&
+        ($"x" * $"n" - $"ss") * ($"x" * $"n" - $"ss") >
+          lit(4L) * ($"n" * $"qq" - $"ss" * $"ss"))
+      .select($"label".cast("long").as("label"), $"vec_id",
+        $"x".as("cos_milli"),
+        expr("((ss - x * n) * 1000000) DIV (n * 1000)").as("dev_ppm"))
+      .orderBy($"label", $"vec_id")
+  }
+
   /** Hybrid retrieval — the production RAG pattern: a lexical ranker
     * (Okapi BM25, [[TextQueries.bm25PerDoc]]) and a dense ranker
     * (embedding cosine, query-by-example on vec 7) fused with
@@ -487,6 +538,7 @@ object SimilarityQueries extends QueryPack {
     "q186_prototype_prune" -> q186,
     "q187_matryoshka_recall" -> q187,
     "q188_kcenter_coreset" -> q188,
+    "q192_mislabel_screen" -> q192,
     "q181_centroid_diag" -> q181,
     "q131_hard_negatives" -> q131,
     "q51_knn_brute" -> q51,
@@ -595,6 +647,35 @@ object SimilarityQueries extends QueryPack {
         .mkString("\nUNION ALL ")
       s"WITH ${sb.toString}\n$sel\nORDER BY step"
     },
+    "q192_mislabel_screen" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+         |    AND vec_id IS NOT NULL),
+         |comp AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(round(embedding[i]::DOUBLE * 1048576) AS BIGINT))
+         |      AS BIGINT) AS sv,
+         |    count(*) AS n
+         |  FROM e, range(1, ${DIM + 1}) r(i) GROUP BY label, i),
+         |cent AS (
+         |  SELECT label,
+         |    list(sv::DOUBLE / (n * 1048576.0) ORDER BY i) AS centroid
+         |  FROM comp GROUP BY label),
+         |scored AS (
+         |  SELECT e.label, e.vec_id,
+         |    CAST(round(round(${duckCos("e.embedding", "c.centroid")}, 6)
+         |      * 1000) AS BIGINT) AS x
+         |  FROM e JOIN cent c USING (label)),
+         |mom AS (
+         |  SELECT label, count(*) AS n, CAST(sum(x) AS BIGINT) AS ss,
+         |    CAST(sum(x * x) AS BIGINT) AS qq
+         |  FROM scored GROUP BY label)
+         |SELECT CAST(label AS BIGINT) AS label, vec_id, x AS cos_milli,
+         |  CAST(((ss - x * n) * 1000000) // (n * 1000) AS BIGINT) AS dev_ppm
+         |FROM scored JOIN mom USING (label)
+         |WHERE (x * n - ss) < 0
+         |  AND (x * n - ss) * (x * n - ss) > 4 * (n * qq - ss * ss)
+         |ORDER BY label, vec_id""".stripMargin,
     "q186_prototype_prune" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |    CAST(${duckBandKey(0, 4)} AS BIGINT) AS cell
