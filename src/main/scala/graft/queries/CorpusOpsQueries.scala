@@ -1109,7 +1109,68 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Ring points for q193: shard s's v-th VIRTUAL node sits at
+    * md5-derived position `hash32("node_<s>_<v>")` — 5 vnodes per shard
+    * (the variance fix real rings ship with; one point per shard makes
+    * both arc sizes and the move set lumpy). Computed driver-side once,
+    * inlined as the SAME integer literals into the Spark plan and the
+    * DuckDB oracle, so no cross-engine hashing is involved at query
+    * time (the SimilarityQueries.planes pattern). */
+  private val ringNodes: Vector[(Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for { s <- 0 until 20; v <- 0 until 5 } yield {
+      val hex = md.digest(s"node_${s}_$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      s -> java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }).toVector
+  }
+
+  /** Reshard move census — the 100 TB question behind shard-count
+    * changes: growing 16 → 20 shards, how much data physically moves
+    * under MODULO placement (pos % K — nearly everything reshuffles)
+    * vs a CONSISTENT HASH ring (Karger et al. STOC'97 — only the new
+    * nodes' arcs move, ≈ 4/20). The ring keeps the original 16 nodes'
+    * positions untouched and adds 4, so the move set is EXACTLY the
+    * docs landing on new arcs; both placements also report their worst
+    * shard fill as the balance check.
+    *
+    * Scale shape: placement is a literal CASE chain over the ring
+    * positions (codegen'd, zero joins — the doc never leaves its
+    * partition to learn its shard); the census is one hash agg per
+    * scheme over O(shards) groups. Output 2 rows. */
+  private val q193: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.DedupFunctions.hash32
+    val sorted20 = ringNodes.sortBy(_._2)
+    val sorted16 = ringNodes.filter(_._1 < 16).sortBy(_._2)
+    def ringAssign(pos: org.apache.spark.sql.Column,
+        ring: Vector[(Int, Long)]) =
+      ring.foldLeft(when(lit(false), lit(-1))) { case (acc, (n, p)) =>
+        acc.when(pos <= p, lit(n))
+      }.otherwise(lit(ring.head._1))
+    val base = Tables.documents(s, d)
+      .where($"doc_id".isNotNull)
+      .select(hash32($"doc_id".cast("string")).as("pos"))
+      .select(
+        ($"pos" % 16).as("mb"), ($"pos" % 20).as("ma"),
+        ringAssign($"pos", sorted16).as("rb"),
+        ringAssign($"pos", sorted20).as("ra"))
+    def census(scheme: String, before: String, after: String) =
+      base.groupBy(col(after))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col(before) =!= col(after), 1L).otherwise(0L)).as("mv"))
+        .agg(sum($"c").as("n_docs"), sum($"mv").as("n_moved"),
+          max($"c").as("max_shard_docs"))
+        .select(lit(scheme).as("scheme"), $"n_docs", $"n_moved",
+          expr("(n_moved * 1000000) DIV n_docs").as("moved_ppm"),
+          $"max_shard_docs")
+    census("consistent", "rb", "ra")
+      .unionAll(census("modulo", "mb", "ma"))
+      .orderBy($"scheme")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q193_reshard_census" -> q193,
     "q191_lang_diversity" -> q191,
     "q170_eval_split" -> q170,
     "q168_trust_rank" -> q168,
@@ -1146,6 +1207,34 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q193_reshard_census" -> {
+      val sorted20 = ringNodes.sortBy(_._2)
+      val sorted16 = ringNodes.filter(_._1 < 16).sortBy(_._2)
+      def ringCase(ring: Vector[(Int, Long)]) =
+        "CASE " +
+          ring.map { case (n, p) => s"WHEN pos <= $p THEN $n" }.mkString(" ") +
+          s" ELSE ${ring.head._1} END"
+      s"""WITH base AS (
+         |  SELECT pos % 16 AS mb, pos % 20 AS ma,
+         |    ${ringCase(sorted16)} AS rb,
+         |    ${ringCase(sorted20)} AS ra
+         |  FROM (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         |          AS pos
+         |        FROM documents WHERE doc_id IS NOT NULL)),
+         |cens AS (
+         |  SELECT 'consistent' AS scheme, ra AS sh, count(*) AS c,
+         |    CAST(sum(CASE WHEN rb <> ra THEN 1 ELSE 0 END) AS BIGINT) AS mv
+         |  FROM base GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'modulo', ma, count(*),
+         |    CAST(sum(CASE WHEN mb <> ma THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM base GROUP BY 1, 2)
+         |SELECT scheme, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(sum(mv) AS BIGINT) AS n_moved,
+         |  CAST((sum(mv) * 1000000) // sum(c) AS BIGINT) AS moved_ppm,
+         |  CAST(max(c) AS BIGINT) AS max_shard_docs
+         |FROM cens GROUP BY scheme ORDER BY scheme""".stripMargin
+    },
     "q191_lang_diversity" ->
       """WITH census AS (
         |  SELECT source, lang, count(*) AS n_i FROM documents
