@@ -87,7 +87,8 @@ object ScaleProbe {
       "q183_bm25", "q184_hybrid_retrieval", "q185_sorted_neighborhood",
       "q186_prototype_prune", "q187_matryoshka_recall",
       "q188_kcenter_coreset", "q189_heaps_growth", "q190_domain_tagger",
-      "q191_lang_diversity", "q192_mislabel_screen", "q193_reshard_census")
+      "q191_lang_diversity", "q192_mislabel_screen", "q193_reshard_census",
+      "q194_media_dedup")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

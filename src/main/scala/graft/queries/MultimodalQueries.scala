@@ -86,10 +86,39 @@ object MultimodalQueries extends QueryPack {
       .orderBy($"kind")
   }
 
+  /** Media payload dedup census — the storage-reclamation report an
+    * image/audio lake runs before training: per kind, how many blobs
+    * are byte-identical copies (same content hash), what fraction that
+    * is (exact integer ppm), and how many bytes deleting the non-first
+    * copies reclaims. The acting form is the same group-by with a
+    * min-media_id keep rule (q46's shape on binary payloads); identical
+    * payloads have identical byte_len, so reclaimable = Σ(copies−1)·len.
+    *
+    * Scale shape: one narrow typed decode (hash computed where the
+    * bytes already are — payload bytes never shuffle), then a
+    * (kind, hash)-keyed partial agg carrying only [hash, len, count]
+    * and an O(kinds) census. */
+  private val q194: Q = (s, d) => {
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val per = MediaCodec.decode(blobs(s, d)).toDF()
+      .groupBy($"kind", $"content_hash")
+      .agg(count(lit(1)).as("cnt"), min($"byte_len").as("bl"))
+    per.groupBy($"kind")
+      .agg(sum($"cnt").as("n_blobs"),
+        count(lit(1)).as("n_unique"),
+        sum(($"cnt" - 1) * $"bl").as("reclaimable_bytes"))
+      .select($"kind", $"n_blobs", $"n_unique",
+        expr("((n_blobs - n_unique) * 1000000) DIV n_blobs").as("dup_ppm"),
+        $"reclaimable_bytes")
+      .orderBy($"kind")
+  }
+
   val queries: Map[String, Q] = Map(
     "q54_media_decode" -> q54,
     "q55_frame_sample" -> q55,
-    "q56_media_resize" -> q56
+    "q56_media_resize" -> q56,
+    "q194_media_dedup" -> q194
   )
 
   // ---- oracle SQL: mirrors MediaCodec.decodeOne exactly --------------
@@ -133,6 +162,20 @@ object MultimodalQueries extends QueryPack {
          |  CAST(sum(len(lens)) AS BIGINT) AS n_frames_sampled,
          |  CAST(sum(list_sum(lens)) AS BIGINT) AS total_frame_bytes
          |FROM fl GROUP BY kind ORDER BY kind""".stripMargin,
+    "q194_media_dedup" ->
+      s"""WITH $decodeCte,
+         |per AS (SELECT kind, hex, count(*) AS cnt, min(bl) AS bl
+         |  FROM d GROUP BY 1, 2),
+         |cen AS (SELECT kind,
+         |    CAST(sum(cnt) AS BIGINT) AS n_blobs,
+         |    count(*) AS n_unique,
+         |    CAST(sum((cnt - 1) * bl) AS BIGINT) AS reclaimable_bytes
+         |  FROM per GROUP BY kind)
+         |SELECT kind, n_blobs, n_unique,
+         |  CAST(((n_blobs - n_unique) * 1000000) // n_blobs AS BIGINT)
+         |    AS dup_ppm,
+         |  reclaimable_bytes
+         |FROM cen ORDER BY kind""".stripMargin,
     "q56_media_resize" ->
       s"""WITH $decodeCte,
          |r AS (SELECT kind,
