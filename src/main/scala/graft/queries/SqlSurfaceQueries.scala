@@ -107,6 +107,44 @@ object SqlSurfaceQueries extends QueryPack {
     FROM r WHERE rnk <= 2
     ORDER BY o_orderpriority, rnk""")
 
+  /** RECURSIVE CTE in SQL text — the dialect surface Spark gained in
+    * 4.x (until then this repo could only mirror DuckDB's recursive
+    * oracles with operator code, e.g. q95's ConnectedComponents): a
+    * linear successor walk down each BUILDING-segment customer's date-ordered order
+    * chain, accumulating lifetime spend step by step. The recursion is
+    * provably finite (rn strictly increases, bounded by the customer's
+    * order count) and every accumulated value is integer cents, so the
+    * IDENTICAL SQL text runs on both engines and hash-matches.
+    *
+    * Scale note: each recursive step is one equi join on (c, rn) —
+    * shuffle-partitioned, rows only for chains still alive — and the
+    * walk is CAPPED at rn ≤ 8 (both engines): iterative plans pay per
+    * ROUND (Spark re-plans the recursive member each step — uncapped,
+    * depth = max orders/customer ≈ 40 cost 10.7 s at sf0.1 vs 3.5 s
+    * capped+segment-filtered), exactly the q139/q168 lesson that
+    * unrolled iteration depth, not data volume, dominates loop
+    * operators. The same census
+    * is of course ONE grouped agg (q01) — the point here is exercising
+    * the recursion surface with an exact oracle, the shape users port
+    * hierarchy/BOM walks with. */
+  private val q195 = sql("""
+    WITH RECURSIVE nxt AS (
+      SELECT * FROM (
+        SELECT o_custkey AS c, o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS BIGINT) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING') WHERE rn <= 8),
+    walk AS (
+      SELECT c, rn AS step, p AS run_cents FROM nxt WHERE rn = 1
+      UNION ALL
+      SELECT n.c, n.rn, w.run_cents + n.p
+      FROM walk w JOIN nxt n ON n.c = w.c AND n.rn = w.step + 1)
+    SELECT c AS custkey, COUNT(*) AS chain_len,
+           MAX(run_cents) AS lifetime_cents
+    FROM walk GROUP BY c ORDER BY custkey""")
+
   /** Correlated EXISTS + NOT EXISTS (TPC-H Q21 family): suppliers with a
     * returned lineitem but no open one. Catalyst rewrites the two
     * predicates to a LeftSemi and a LeftAnti hash join (RewritePredicate-
@@ -191,11 +229,29 @@ object SqlSurfaceQueries extends QueryPack {
     "q110_sql_regional_revenue" -> q110,
     "q111_sql_decorrelated" -> q111,
     "q138_sql_window_share" -> q138,
+    "q195_sql_recursive" -> q195,
     "q162_sql_exists" -> q162,
     "q163_sql_not_exists" -> q163
   )
 
   val oracle: Map[String, String] = Map(
+    "q195_sql_recursive" ->
+      """WITH RECURSIVE nxt AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS c, o_orderkey AS k,
+        |           CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+        |           CAST(row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS BIGINT) AS rn
+        |    FROM orders JOIN customer ON o_custkey = c_custkey
+        |    WHERE c_mktsegment = 'BUILDING') WHERE rn <= 8),
+        |walk AS (
+        |  SELECT c, rn AS step, p AS run_cents FROM nxt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.c, n.rn, w.run_cents + n.p
+        |  FROM walk w JOIN nxt n ON n.c = w.c AND n.rn = w.step + 1)
+        |SELECT c AS custkey, COUNT(*) AS chain_len,
+        |       MAX(run_cents) AS lifetime_cents
+        |FROM walk GROUP BY c ORDER BY custkey""".stripMargin,
     "q166_sql_lateral_view" ->
       """SELECT lang,
         |       COUNT(*) AS n_chars_total,
