@@ -145,6 +145,23 @@ object SqlSurfaceQueries extends QueryPack {
            MAX(run_cents) AS lifetime_cents
     FROM walk GROUP BY c ORDER BY custkey""")
 
+  /** SQL-text PIVOT — the wide-report spelling (the reference renders
+    * its per-priority columns by hand-written CASE pyramids in HiveQL;
+    * Spark's PIVOT clause is the declarative form, and Catalyst plans
+    * it as exactly ONE hash aggregate with five conditional sums — no
+    * per-column scan). Revenue pivoted to one column per order priority
+    * per customer nation, integer cents; the oracle runs the CASE form
+    * (DuckDB's PIVOT is a different dialect), proving the clause is
+    * sugar over the same aggregation. Empty cells stay NULL in both. */
+  private val q196 = sql("""
+    SELECT * FROM (
+      SELECT c_nationkey AS nat, o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    PIVOT (SUM(cents) FOR pri IN ('1-URGENT' AS p1, '2-HIGH' AS p2,
+      '3-MEDIUM' AS p3, '4-NOT SPECIFIED' AS p4, '5-LOW' AS p5))
+    ORDER BY nat""")
+
   /** Correlated EXISTS + NOT EXISTS (TPC-H Q21 family): suppliers with a
     * returned lineitem but no open one. Catalyst rewrites the two
     * predicates to a LeftSemi and a LeftAnti hash join (RewritePredicate-
@@ -230,6 +247,7 @@ object SqlSurfaceQueries extends QueryPack {
     "q111_sql_decorrelated" -> q111,
     "q138_sql_window_share" -> q138,
     "q195_sql_recursive" -> q195,
+    "q196_sql_pivot" -> q196,
     "q162_sql_exists" -> q162,
     "q163_sql_not_exists" -> q163
   )
@@ -252,6 +270,17 @@ object SqlSurfaceQueries extends QueryPack {
         |SELECT c AS custkey, COUNT(*) AS chain_len,
         |       MAX(run_cents) AS lifetime_cents
         |FROM walk GROUP BY c ORDER BY custkey""".stripMargin,
+    "q196_sql_pivot" ->
+      """SELECT c_nationkey AS nat,
+        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END) AS p1,
+        |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END) AS p2,
+        |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END) AS p3,
+        |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END) AS p4,
+        |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN cents END) AS p5
+        |FROM (SELECT c_nationkey, o_orderpriority,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY nat""".stripMargin,
     "q166_sql_lateral_view" ->
       """SELECT lang,
         |       COUNT(*) AS n_chars_total,

@@ -236,6 +236,15 @@ class PlanAssertSpec extends SparkSpec {
       "the decile-boundary frame is O(sources) — it must broadcast")
   }
 
+  test("q196: SQL PIVOT plans as ONE aggregate over one fact scan") {
+    val df = SparkEntry.queries("q196_sql_pivot")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).length == 2,
+      "pivot must not rescan per output column — one orders scan + one customer scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q01: aggregation is partial (map-side) then final") {
     val p = plan("q01_agg")
     assert("HashAggregate".r.findAllIn(p).length >= 2)
