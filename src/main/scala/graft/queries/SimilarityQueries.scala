@@ -487,6 +487,69 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"label", $"vec_id")
   }
 
+  /** Retrieval-eval metrics — MRR and nDCG@10 per query (the numbers a
+    * retrieval stack reports before swapping rankers; complements q187's
+    * overlap-recall): ground truth is label agreement, the ranking is
+    * the q51 cosine order. MRR ships EXACT (10⁶ DIV first-relevant
+    * rank); nDCG@10 is Σ relᵢ/log2(i+1) over the top 10 normalized by
+    * the ideal prefix — ≤10 log2 terms of exact integers per query
+    * (q136/q150 ln-parity + q146's bounded-sum rationale), rounded 4.
+    * IDCG uses the corpus-true relevant count (same-label size − 1)
+    * capped at 10, so a query with fewer than 10 relevant docs is not
+    * penalized for the impossible.
+    *
+    * Scale shape: scoring is the q51 broadcast-probe scan; top-10 per
+    * query via the bounded-state TopKAggregator (map-side ≤10 rows per
+    * task — no corpus window); labels join back onto the O(queries·10)
+    * result; label sizes are an O(labels) broadcast census. */
+  private val q197: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val e = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull && $"vec_id".isNotNull && $"label".isNotNull)
+      .select($"vec_id", $"label", $"embedding", l2norm($"embedding").as("nrm"))
+    val q = e.filter($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val topk = broadcast(q).join(e, $"vec_id" =!= $"q_id")
+      .select($"q_id".cast("string").as("k"),
+        struct($"vec_id".as("id"),
+          round(round(dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm"), 6)
+            * 1000000).cast("long").as("score")).as("s"))
+      .as[(String, ScoredId)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator(10).toColumn.name("top"))
+      .flatMap { case (k, hits) =>
+        hits.iterator.zipWithIndex.map { case (h, i) =>
+          (k.toLong, (i + 1).toLong, h.id)
+        }
+      }.toDF("q_id", "rnk", "n_id")
+    val labeled = topk
+      .join(e.select($"vec_id".as("n_id"), $"label".as("n_label")), Seq("n_id"))
+      .join(broadcast(q.select($"q_id", $"q_label")), Seq("q_id"))
+      .select($"q_id", $"rnk", ($"n_label" === $"q_label").cast("long").as("rel"))
+    val sizes = e.groupBy($"label").agg(count(lit(1)).as("lsz"))
+    // ideal-prefix discount sum computed IN-QUERY from exploded ranks
+    // (O(queries·10) rows) — no driver-side float constant crosses the
+    // engine boundary; both engines sum the same ≤10 log2 terms
+    val idcg = q.join(broadcast(sizes), $"q_label" === $"label")
+      .select($"q_id", explode(sequence(lit(1L), least($"lsz" - 1, lit(10L))))
+        .as("i"))
+      .groupBy($"q_id")
+      .agg(sum(lit(1.0) / log2($"i".cast("double") + 1.0)).as("idcg"))
+    val dcg = labeled.groupBy($"q_id")
+      .agg(sum($"rel").as("n_rel"),
+        min(when($"rel" === 1, $"rnk")).as("first_rel"),
+        sum($"rel".cast("double") / log2($"rnk".cast("double") + 1.0))
+          .as("dcg"))
+    dcg.join(broadcast(idcg), Seq("q_id"))
+      .select($"q_id", $"n_rel",
+        $"first_rel".as("first_rel_rank"),
+        coalesce(expr("1000000 DIV first_rel"), lit(0L)).as("rr_ppm"),
+        round($"dcg" / $"idcg", 4).as("ndcg"))
+      .orderBy($"q_id")
+  }
+
   /** Hybrid retrieval — the production RAG pattern: a lexical ranker
     * (Okapi BM25, [[TextQueries.bm25PerDoc]]) and a dense ranker
     * (embedding cosine, query-by-example on vec 7) fused with
@@ -539,6 +602,7 @@ object SimilarityQueries extends QueryPack {
     "q187_matryoshka_recall" -> q187,
     "q188_kcenter_coreset" -> q188,
     "q192_mislabel_screen" -> q192,
+    "q197_retrieval_eval" -> q197,
     "q181_centroid_diag" -> q181,
     "q131_hard_negatives" -> q131,
     "q51_knn_brute" -> q51,
@@ -647,6 +711,38 @@ object SimilarityQueries extends QueryPack {
         .mkString("\nUNION ALL ")
       s"WITH ${sb.toString}\n$sel\nORDER BY step"
     },
+    "q197_retrieval_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+         |    AND label IS NOT NULL),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+         |  FROM e WHERE vec_id < $NQ),
+         |scored AS (
+         |  SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+         |    CAST(round(round(${duckCos("q.q_emb", "e.embedding")}, 6)
+         |      * 1000000) AS BIGINT) AS cu
+         |  FROM q JOIN e ON e.vec_id <> q.q_id),
+         |topk AS (
+         |  SELECT q_id, rnk, CAST(n_label = q_label AS BIGINT) AS rel FROM (
+         |    SELECT q_id, q_label, n_label, n_id, cu,
+         |      row_number() OVER (PARTITION BY q_id
+         |                         ORDER BY cu DESC, n_id) AS rnk
+         |    FROM scored) WHERE rnk <= 10),
+         |sizes AS (SELECT label, count(*) AS lsz FROM e GROUP BY label),
+         |idcg AS (
+         |  SELECT q_id, sum(1.0 / log2(i + 1.0)) AS idcg FROM (
+         |    SELECT q.q_id, unnest(range(1, least(s.lsz - 1, 10) + 1)) AS i
+         |    FROM q JOIN sizes s ON q.q_label = s.label)
+         |  GROUP BY q_id),
+         |d AS (
+         |  SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+         |    sum(rel::DOUBLE / log2(rnk + 1.0)) AS dcg
+         |  FROM topk GROUP BY q_id)
+         |SELECT q_id, n_rel, first_rel AS first_rel_rank,
+         |  coalesce(CAST(1000000 // first_rel AS BIGINT), 0) AS rr_ppm,
+         |  round(dcg / idcg, 4) AS ndcg
+         |FROM d JOIN idcg USING (q_id) ORDER BY q_id""".stripMargin,
     "q192_mislabel_screen" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
          |  WHERE label IS NOT NULL AND embedding IS NOT NULL
