@@ -194,6 +194,28 @@ object CorpusPipeline {
       Seq(cfg.idCol), "left_anti")
   }
 
+  /** Optional prototype-prune stage ([[PrototypePrune]], Sorscher et al.
+    * NeurIPS'22): thin each semantic cell by dropping its most
+    * prototypical `pruneNum/pruneDen` fraction — the abundant-data
+    * complement of [[semanticDedup]] (that stage removes near-duplicate
+    * PAIRS; this one thins dense regions even when no pair crosses the
+    * threshold). Run AFTER semanticDedup so duplicates don't crowd the
+    * centroid. Docs without an embedding row pass through unexamined. */
+  def prototypePrune(corpus: DataFrame, embs: DataFrame,
+      cfg: Config = Config(), vecIdCol: String = "vec_id",
+      vecCol: String = "embedding", cells: Int = 16,
+      pruneNum: Int = 1, pruneDen: Int = 4): DataFrame = {
+    require(cells >= 1, s"need cells >= 1 (got $cells)")
+    val cellAssign = SemDeDup.kmeansCells(embs, vecIdCol, vecCol, cells)
+    val df = embs.select(col(vecIdCol), col(vecCol))
+      .join(cellAssign, Seq(vecIdCol))
+    corpus.join(
+      PrototypePrune
+        .dropIds(df, vecIdCol, vecCol, "cell", pruneNum, pruneDen)
+        .withColumnRenamed(vecIdCol, cfg.idCol),
+      Seq(cfg.idCol), "left_anti")
+  }
+
   /** Optional semantic-DECONTAMINATION stage (q177's shape): drop docs
     * whose embedding sits within cosine ≥ `threshold` of ANY eval
     * embedding. Run next to the k-gram decontam stage: lexical decontam

@@ -287,37 +287,10 @@ object SimilarityQueries extends QueryPack {
     * keep decision. */
   private val q186: Q = (s, d) => {
     import s.implicits._
-    import graft.functions.DistributedRank
     val e = Tables.embeddings(s, d)
       .where($"embedding".isNotNull)
       .select($"vec_id", $"embedding", bandKey($"embedding", 0, 4).as("cell"))
-    val comp = e
-      .select($"cell", posexplode($"embedding"))
-      .toDF("cell", "i", "v")
-      .groupBy($"cell", $"i")
-      .agg(sum(round($"v".cast("double") * 1048576).cast("long")).as("sv"),
-        count(lit(1)).as("n"))
-    val cent = comp
-      .select($"cell", $"i", ($"sv".cast("double") / ($"n" * 1048576.0)).as("c"))
-      .groupBy($"cell")
-      .agg(sort_array(collect_list(struct($"i", $"c"))).getField("c")
-        .as("centroid"))
-    val scored = e.join(broadcast(cent), Seq("cell"))
-      .select($"cell", $"vec_id",
-        round(dot($"embedding", $"centroid") /
-          (l2norm($"embedding") * l2norm($"centroid")), 6).as("proto_cos"))
-    val ranked = DistributedRank.withRowNumber(
-      scored.withColumn("skey",
-        $"cell".cast("double") * 4.0 + (lit(1.0) - $"proto_cos")),
-      "rn", $"skey", $"vec_id").drop("skey")
-    val cnts = e.groupBy($"cell").agg(count(lit(1)).as("cn"))
-    val off = cnts.as("a")
-      .join(broadcast(cnts.select($"cell".as("bcell"), $"cn".as("bcn"))),
-        $"bcell" < $"cell", "left")
-      .groupBy($"cell")
-      .agg(first($"cn").as("cn"), coalesce(sum($"bcn"), lit(0L)).as("off"))
-    ranked.join(broadcast(off), Seq("cell"))
-      .withColumn("prank", $"rn" - $"off")
+    graft.operators.PrototypePrune.ranked(e, "vec_id", "embedding", "cell")
       .where($"prank" * 4 <= $"cn" + 3)
       .select($"cell", $"prank", $"vec_id", $"proto_cos")
       .orderBy($"cell", $"prank")
