@@ -162,6 +162,26 @@ object SqlSurfaceQueries extends QueryPack {
       '3-MEDIUM' AS p3, '4-NOT SPECIFIED' AS p4, '5-LOW' AS p5))
     ORDER BY nat""")
 
+  /** SQL-text UNPIVOT — q196's dual (wide report back to long form, the
+    * melt every BI export pipeline runs): the pivoted per-priority
+    * revenue columns unpivot to (nat, pri, cents) rows and re-aggregate
+    * to a per-priority corpus total. Catalyst plans UNPIVOT as a
+    * Generate (Expand) — narrow, no join, no extra scan; NULL cells
+    * (empty pivot cells) are dropped by UNPIVOT's default exactly like
+    * the oracle's explicit IS NOT NULL. Round-trip totals equal the
+    * direct group-by — the property the oracle pins. */
+  private val q198 = sql("""
+    WITH wide AS (
+      SELECT * FROM (
+        SELECT c_nationkey AS nat, o_orderpriority AS pri,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      PIVOT (SUM(cents) FOR pri IN ('1-URGENT' AS p1, '2-HIGH' AS p2,
+        '3-MEDIUM' AS p3, '4-NOT SPECIFIED' AS p4, '5-LOW' AS p5)))
+    SELECT pri, COUNT(*) AS n_nations, SUM(cents) AS cents
+    FROM wide UNPIVOT (cents FOR pri IN (p1, p2, p3, p4, p5))
+    GROUP BY pri ORDER BY pri""")
+
   /** Correlated EXISTS + NOT EXISTS (TPC-H Q21 family): suppliers with a
     * returned lineitem but no open one. Catalyst rewrites the two
     * predicates to a LeftSemi and a LeftAnti hash join (RewritePredicate-
@@ -248,6 +268,7 @@ object SqlSurfaceQueries extends QueryPack {
     "q138_sql_window_share" -> q138,
     "q195_sql_recursive" -> q195,
     "q196_sql_pivot" -> q196,
+    "q198_sql_unpivot" -> q198,
     "q162_sql_exists" -> q162,
     "q163_sql_not_exists" -> q163
   )
@@ -270,6 +291,21 @@ object SqlSurfaceQueries extends QueryPack {
         |SELECT c AS custkey, COUNT(*) AS chain_len,
         |       MAX(run_cents) AS lifetime_cents
         |FROM walk GROUP BY c ORDER BY custkey""".stripMargin,
+    "q198_sql_unpivot" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS nat,
+        |    CASE o_orderpriority
+        |      WHEN '1-URGENT' THEN 'p1' WHEN '2-HIGH' THEN 'p2'
+        |      WHEN '3-MEDIUM' THEN 'p3' WHEN '4-NOT SPECIFIED' THEN 'p4'
+        |      ELSE 'p5' END AS pri,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT pri, count(*) AS n_nations,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM cells WHERE cents IS NOT NULL
+        |GROUP BY pri ORDER BY pri""".stripMargin,
     "q196_sql_pivot" ->
       """SELECT c_nationkey AS nat,
         |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END) AS p1,
