@@ -17,7 +17,16 @@ import graft.functions.TextFunctions.{isStopword, tokens}
   * publishes the same card over a curated corpus.
   *
   * Ratio determinism (oracle contract): per-doc ratios are rounded to
-  * fixed decimals, summed as exact integers, divided once. */
+  * fixed decimals, summed as exact integers, divided once.
+  *
+  * Input contract: `idCol` is assumed NON-NULL and UNIQUE within a
+  * source (the corpus primary key — every upstream `Tables.documents`
+  * consumer shares it). Rows sharing a doc_id would collapse into one
+  * per-doc row here while a strictly per-row consumer counts them
+  * separately; run dedup/id-repair first if the corpus can't promise
+  * it. `n_null_text` counts docs with NO TOKENS — NULL, empty, or
+  * whitespace-only text all land in it (it is an "empty text" census,
+  * not a SQL-NULL census). */
 object Datacard {
 
   def of(docs: DataFrame, sourceCol: String = "source",

@@ -212,7 +212,12 @@ object AggQueries extends QueryPack {
     * compressed away, any merge order), where Spark's rank convention
     * ceil(q·n) is precisely DuckDB's `quantile_disc` — so the whole
     * distributed sketch plumbing hash-matches an exact oracle. The
-    * sketch regime (accuracy=10⁴ at sf0.1) is pinned by
+    * fractions carry a +1e-7 epsilon (0.2500001, …) on BOTH sides:
+    * discrete-quantile index conventions can only disagree where q·n is
+    * an exact integer (the q189 r6 lesson — version-sensitive in the
+    * driver's DuckDB), and the shifted fractions keep q·n off-integer
+    * for every n < 10⁷ while picking the identical element everywhere
+    * else. The sketch regime (accuracy=10⁴ at sf0.1) is pinned by
     * SketchAccuracySpec's rank-error gate instead — the only claim that
     * survives at scale. */
   private val q182: Q = (s, d) => {
@@ -221,7 +226,8 @@ object AggQueries extends QueryPack {
       .groupBy($"event_type")
       .agg(
         count($"value").as("n"),
-        expr("approx_percentile(value, array(0.25, 0.5, 0.75, 0.95), 1000000)")
+        expr("approx_percentile(value, " +
+          "array(0.2500001, 0.5000001, 0.7500001, 0.9500001), 1000000)")
           .as("qs"))
       .select($"event_type", $"n",
         round($"qs".getItem(0), 4).as("p25"),
@@ -428,10 +434,10 @@ object AggQueries extends QueryPack {
         |ORDER BY gid, rf, ls""".stripMargin,
     "q182_quantile_sketch" ->
       """SELECT event_type, count(value) AS n,
-        |  round(quantile_disc(value, 0.25), 4) AS p25,
-        |  round(quantile_disc(value, 0.5), 4) AS p50,
-        |  round(quantile_disc(value, 0.75), 4) AS p75,
-        |  round(quantile_disc(value, 0.95), 4) AS p95
+        |  round(quantile_disc(value, 0.2500001), 4) AS p25,
+        |  round(quantile_disc(value, 0.5000001), 4) AS p50,
+        |  round(quantile_disc(value, 0.7500001), 4) AS p75,
+        |  round(quantile_disc(value, 0.9500001), 4) AS p95
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q69_percentiles" ->
       """SELECT event_type, count(*) AS n,

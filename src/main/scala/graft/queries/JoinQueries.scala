@@ -81,7 +81,8 @@ object JoinQueries extends QueryPack {
     import s.implicits._
     val e = Tables.events(s, d)
       .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"),
-        hour($"ts").as("hr"), $"event_type", $"value")
+        // long to match DuckDB hour()'s BIGINT — the r7 width-skew audit
+        hour($"ts").cast("long").as("hr"), $"event_type", $"value")
     val views = e.filter($"event_type" === "view")
       .groupBy($"user_id", $"day", $"hr").agg(count(lit(1)).as("views"))
     val clicks = e.filter($"event_type" === "click")

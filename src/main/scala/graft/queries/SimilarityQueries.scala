@@ -221,7 +221,8 @@ object SimilarityQueries extends QueryPack {
     * the q43/q76 integer-micro-unit pattern. */
   private val q181: Q = (s, d) => {
     import s.implicits._
-    val e = Tables.embeddings(s, d).where($"label".isNotNull)
+    val e = Tables.embeddings(s, d)
+      .where($"label".isNotNull && $"embedding".isNotNull)
     val comp = e
       .select($"label", posexplode($"embedding"))
       .toDF("label", "i", "v")
@@ -505,7 +506,11 @@ object SimilarityQueries extends QueryPack {
     // ideal-prefix discount sum computed IN-QUERY from exploded ranks
     // (O(queries·10) rows) — no driver-side float constant crosses the
     // engine boundary; both engines sum the same ≤10 log2 terms
-    val idcg = q.join(broadcast(sizes), $"q_label" === $"label")
+    // lsz > 1 guard: a 1-member label has zero relevant neighbors —
+    // Spark's sequence(1, 0) would default to step -1 and emit [1, 0]
+    // (idcg = 1/log2(1) = Inf) while DuckDB's range(1, 1) is empty; the
+    // identical filter on both sides drops such queries from the report
+    val idcg = q.join(broadcast(sizes), $"q_label" === $"label" && $"lsz" > 1)
       .select($"q_id", explode(sequence(lit(1L), least($"lsz" - 1, lit(10L))))
         .as("i"))
       .groupBy($"q_id")
@@ -705,7 +710,7 @@ object SimilarityQueries extends QueryPack {
          |idcg AS (
          |  SELECT q_id, sum(1.0 / log2(i + 1.0)) AS idcg FROM (
          |    SELECT q.q_id, unnest(range(1, least(s.lsz - 1, 10) + 1)) AS i
-         |    FROM q JOIN sizes s ON q.q_label = s.label)
+         |    FROM q JOIN sizes s ON q.q_label = s.label AND s.lsz > 1)
          |  GROUP BY q_id),
          |d AS (
          |  SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
@@ -773,7 +778,7 @@ object SimilarityQueries extends QueryPack {
          |WHERE prank * 4 <= cn + 3 ORDER BY cell, prank""".stripMargin,
     "q181_centroid_diag" ->
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings
-         |  WHERE label IS NOT NULL),
+         |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
          |comp AS (
          |  SELECT label, i,
          |    CAST(sum(CAST(round(embedding[i]::DOUBLE * 1048576) AS BIGINT))

@@ -308,11 +308,11 @@ object SqlSurfaceQueries extends QueryPack {
         |GROUP BY pri ORDER BY pri""".stripMargin,
     "q196_sql_pivot" ->
       """SELECT c_nationkey AS nat,
-        |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END) AS p1,
-        |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END) AS p2,
-        |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END) AS p3,
-        |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END) AS p4,
-        |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN cents END) AS p5
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END) AS BIGINT) AS p1,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END) AS BIGINT) AS p2,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END) AS BIGINT) AS p3,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END) AS BIGINT) AS p4,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN cents END) AS BIGINT) AS p5
         |FROM (SELECT c_nationkey, o_orderpriority,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |      FROM orders JOIN customer ON o_custkey = c_custkey)

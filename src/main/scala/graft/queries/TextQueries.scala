@@ -348,8 +348,11 @@ object TextQueries extends QueryPack {
     *
     * Scale shape: bigrams from a per-doc window lead (partitioned by
     * doc — never global), two histogram aggs (O(vocab), O(bigram
-    * vocab)), unigram histogram broadcast onto the bigram counts, final
-    * TakeOrdered top-20 (no global sort). */
+    * vocab)), unigram histogram joined onto the bigram counts WITHOUT a
+    * forced broadcast hint (the vocab frame grows ~n^0.5 with the
+    * corpus — Heaps — so AQE decides at runtime, the q171 rule; only
+    * the 1-row totals frame keeps its hint), final TakeOrdered top-20
+    * (no global sort). */
   private val q137: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -365,8 +368,8 @@ object TextQueries extends QueryPack {
     val totals = toks.agg(count(lit(1)).as("n_tok")).crossJoin(
       bi.agg(sum($"cnt_ab").as("n_bi")))
     bi.filter($"cnt_ab" >= 5)
-      .join(broadcast(uni.select($"tok".as("tok_a"), $"cnt".as("cnt_a"))), Seq("tok_a"))
-      .join(broadcast(uni.select($"tok".as("tok_b"), $"cnt".as("cnt_b"))), Seq("tok_b"))
+      .join(uni.select($"tok".as("tok_a"), $"cnt".as("cnt_a")), Seq("tok_a"))
+      .join(uni.select($"tok".as("tok_b"), $"cnt".as("cnt_b")), Seq("tok_b"))
       .crossJoin(broadcast(totals))
       .select($"tok_a", $"tok_b", $"cnt_ab",
         round(log2(($"cnt_ab" * $"n_tok" * $"n_tok").cast("double") /
@@ -472,12 +475,18 @@ object TextQueries extends QueryPack {
     * ln(cum vocab) on ln(cum tokens) — output (source, n_pts,
     * heaps_beta, heaps_intercept).
     *
-    * Determinism: checkpoint boundaries are `approx_percentile` in its
-    * EXACT regime (q182 — rank error < 1 below 1M-row groups, the
-    * ceil(q·n) convention IS DuckDB quantile_disc), so both engines cut
-    * at identical integer doc_ids; cumulative masses are exact integer
-    * conditional sums; the OLS runs over ≤10 lns of exact integers
-    * (q136/q150 ln-parity precedent + q146's ≤100-point OLS rationale).
+    * Determinism (round-7 hardening — the r6 red row): checkpoint
+    * boundaries are VALUE-based integer cuts `bmin + (bmax-bmin)·c DIV
+    * 10` — pure integer arithmetic, no quantile convention of either
+    * engine involved (the r6 spelling hung on `approx_percentile ==
+    * quantile_disc` index conventions, which proved driver-DuckDB
+    * version-sensitive exactly at dense-integer decile boundaries);
+    * cumulative masses are exact integer conditional sums; each ln of
+    * an exact integer is identical cross-engine (q136/q150 precedent)
+    * and is immediately quantized to integer milli-ln units, so the
+    * OLS sums, the closing beta (integer ppm via DIV — truncation
+    * toward zero in BOTH engines, verified incl. negatives) and the
+    * intercept (integer micro-ln) never sum a float across rows.
     *
     * Scale shape: one tokenizing scan feeds both the per-doc token
     * census and the (source, token)-keyed first-occurrence min — both
@@ -494,12 +503,10 @@ object TextQueries extends QueryPack {
       .select($"source", $"doc_id", explode(tokens($"text")).as("tok"))
     val perDoc = toks.groupBy($"source", $"doc_id")
       .agg(count(lit(1)).as("ntok"))
-    val qs = (1 to 10).map(_ / 10.0)
     val bounds = perDoc.groupBy($"source")
-      .agg(expr(s"approx_percentile(doc_id, array(${qs.mkString(",")}), 1000000)")
-        .as("bs"))
+      .agg(min($"doc_id").as("bmin"), max($"doc_id").as("bmax"))
       .select($"source" +: (1 to 10).map(c =>
-        $"bs".getItem(c - 1).as(s"b$c")): _*)
+        expr(s"bmin + (bmax - bmin) * $c DIV 10").as(s"b$c")): _*)
     val ftok = toks.groupBy($"source", $"tok").agg(min($"doc_id").as("fdoc"))
     val ct = perDoc.join(broadcast(bounds), Seq("source"))
       .groupBy($"source")
@@ -521,21 +528,19 @@ object TextQueries extends QueryPack {
         struct(col(s"ct$c").as("ctok"), col(s"cv$c").as("cvoc"))): _*)).as("p"))
       .where($"p.ctok" > 0 && $"p.cvoc" > 0)
       .select($"source",
-        log($"p.ctok".cast("double")).as("x"),
-        log($"p.cvoc".cast("double")).as("y"))
+        round(log($"p.ctok".cast("double")) * 1000).cast("long").as("x"),
+        round(log($"p.cvoc".cast("double")) * 1000).cast("long").as("y"))
     pts.groupBy($"source")
       .agg(count(lit(1)).as("n_pts"),
         sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
       .where($"n_pts" >= 2 &&
-        ($"n_pts" * $"sxx" - $"sx" * $"sx") =!= 0.0)
-      .withColumn("beta_raw",
-        ($"n_pts" * $"sxy" - $"sx" * $"sy") /
-          ($"n_pts" * $"sxx" - $"sx" * $"sx"))
-      .select($"source", $"n_pts",
-        round($"beta_raw", 4).as("heaps_beta"),
-        round(($"sy" - $"beta_raw" * $"sx") / $"n_pts", 4)
-          .as("heaps_intercept"))
+        ($"n_pts" * $"sxx" - $"sx" * $"sx") =!= 0L)
+      .withColumn("beta_ppm",
+        expr("(n_pts * sxy - sx * sy) * 1000000 DIV (n_pts * sxx - sx * sx)"))
+      .select($"source", $"n_pts", $"beta_ppm",
+        expr("(sy * 1000000 - beta_ppm * sx) DIV (n_pts * 1000)")
+          .as("intercept_u"))
       .orderBy($"source")
   }
 
@@ -1100,7 +1105,8 @@ object TextQueries extends QueryPack {
         s"CAST(sum(CASE WHEN fdoc <= b$c THEN 1 ELSE 0 END) AS BIGINT) AS cv$c")
         .mkString(",\n    ")
       val bs = (1 to 10).map(c =>
-        s"quantile_disc(doc_id, ${c / 10.0}) AS b$c").mkString(",\n    ")
+        s"min(doc_id) + (max(doc_id) - min(doc_id)) * $c // 10 AS b$c")
+        .mkString(",\n    ")
       val melt = (1 to 10).map(c =>
         s"SELECT source, ct$c AS ctok, cv$c AS cvoc FROM j")
         .mkString("\n  UNION ALL ")
@@ -1124,20 +1130,29 @@ object TextQueries extends QueryPack {
          |  FROM ftok f JOIN bounds USING (source) GROUP BY 1),
          |j AS (SELECT * FROM ct JOIN cv USING (source)),
          |pts AS (
-         |  SELECT source, ln(ctok) AS x, ln(cvoc) AS y FROM (
-         |  $melt)
+         |  SELECT source,
+         |    CAST(round(ln(ctok) * 1000) AS BIGINT) AS x,
+         |    CAST(round(ln(cvoc) * 1000) AS BIGINT) AS y
+         |  FROM ($melt)
          |  WHERE ctok > 0 AND cvoc > 0),
          |ols AS (
-         |  SELECT source, count(*) AS n_pts, sum(x) AS sx, sum(y) AS sy,
-         |         sum(x * y) AS sxy, sum(x * x) AS sxx
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_pts,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
          |  FROM pts GROUP BY source
-         |  HAVING count(*) >= 2 AND (count(*) * sxx - sx * sx) <> 0)
-         |SELECT source, n_pts,
-         |  round((n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx), 4)
-         |    AS heaps_beta,
-         |  round((sy - (n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx)
-         |    * sx) / n_pts, 4) AS heaps_intercept
-         |FROM ols ORDER BY source""".stripMargin
+         |  HAVING count(*) >= 2 AND (count(*) * sum(x * x) - sum(x) * sum(x)) <> 0),
+         |closed AS (
+         |  SELECT source, n_pts,
+         |    CAST((n_pts * sxy - sx * sy) * 1000000
+         |      // (n_pts * sxx - sx * sx) AS BIGINT) AS beta_ppm,
+         |    sx, sy
+         |  FROM ols)
+         |SELECT source, n_pts, beta_ppm,
+         |  CAST((sy * 1000000 - beta_ppm * sx) // (n_pts * 1000) AS BIGINT)
+         |    AS intercept_u
+         |FROM closed ORDER BY source""".stripMargin
     },
     "q146_zipf_slope" ->
       """WITH freq AS (
@@ -1275,7 +1290,7 @@ object TextQueries extends QueryPack {
         |                THEN 0.3 ELSE 0.0 END)
         |        + (CASE WHEN round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
         |                   / len(regexp_split_to_array(trim(text), '\\s+')), 4) BETWEEN 3.0 AND 10.0
-        |                THEN 0.3 ELSE 0.1 END), 1) AS score,
+        |                THEN 0.3 ELSE 0.1 END), 1)::DOUBLE AS score,
         |        round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
         |                t -> t IN ($stopList)))::DOUBLE
         |          / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stop_ratio

@@ -151,7 +151,9 @@ object WindowQueries extends QueryPack {
       "rn", "n_total", $"c_acctbal", $"c_custkey")
     ranked
       .select($"c_acctbal",
-        graft.functions.DistributedRank.ntileOf($"rn", $"n_total", 10).as("decile"),
+        // long to match DuckDB ntile()'s BIGINT — the r7 width-skew audit
+        graft.functions.DistributedRank.ntileOf($"rn", $"n_total", 10)
+          .cast("long").as("decile"),
         round(graft.functions.DistributedRank.percentRankOf($"rn", $"n_total"), 6).as("pr"),
         round(graft.functions.DistributedRank.cumeDistOf($"rn", $"n_total"), 6).as("cd"))
       .groupBy($"decile")

@@ -43,29 +43,55 @@ object StreamingCentroidMonitor {
       .groupBy(col("label"), col("i"))
       .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
 
-  /** foreachBatch sink: reduce the batch to moments and union-upsert
-    * into the parquet moment table at `storePath`. Wire as
-    * `embStream.writeStream.foreachBatch(sink(path, labelCol, vecCol))`. */
+  /** foreachBatch sink: reduce the batch to its per-(label, i) moments
+    * and land them in the batch's OWN `batch_id=` partition via dynamic
+    * partition overwrite — the [[StreamingDedup]]/[[graft.operators
+    * .VectorIndex]] idempotence contract. foreachBatch is
+    * at-least-once: a retried batch recomputes the same deterministic
+    * moments and overwrites only its own partition, so nothing
+    * double-adds; no pre-existing file is deleted before the new data
+    * lands, so a mid-write crash loses only the partition being
+    * retried. Serving reads sum across partitions ([[centroids]]) —
+    * same O(labels·dim) rows, since per-batch partials stay tiny.
+    * Wire as `embStream.writeStream.foreachBatch(sink(path, labelCol,
+    * vecCol))`. */
   def sink(storePath: String, labelCol: String,
-      vecCol: String): (DataFrame, Long) => Unit = (batch, _) => {
-    val cur = momentTable(batch, labelCol, vecCol)
-    val p = java.nio.file.Paths.get(storePath)
-    val merged =
-      if (java.nio.file.Files.exists(p))
-        merge(cur, batch.sparkSession.read.parquet(storePath))
-      else cur
-    // materialize BEFORE overwriting the table being read
-    merged.cache(); merged.count()
-    merged.write.mode("overwrite").parquet(storePath)
-    merged.unpersist()
+      vecCol: String): (DataFrame, Long) => Unit = (batch, batchId) => {
+    momentTable(batch, labelCol, vecCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storePath)
     ()
   }
 
+  /** Compact per-batch moment partitions into a single `batch_id=-1`
+    * baseline partition (then drop the compacted batch partitions) if
+    * trigger count ever makes the partition listing itself a cost —
+    * the merge is the same associative integer sum that serving does. */
+  def compact(spark: SparkSession, storePath: String): Unit = {
+    val all = spark.read.parquet(storePath)
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
+    val tmp = storePath + ".compact_tmp"
+    all.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
+    spark.read.parquet(tmp).withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(storePath)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Running centroids served from the moment table: (label, n_vecs,
-    * centroid array<double>) — O(labels·dim) rows read, raw history
-    * never touched. */
+    * centroid array<double>) — the grouped integer sum over per-batch
+    * partitions, O(labels·dim·batches) rows read, raw history never
+    * touched. */
   def centroids(spark: SparkSession, storePath: String): DataFrame =
     spark.read.parquet(storePath)
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
       .select(col("label"), col("i"),
         (col("sv").cast("double") / (col("n") * 1048576.0)).as("c"), col("n"))
       .groupBy(col("label"))

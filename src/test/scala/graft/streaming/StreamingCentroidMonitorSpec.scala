@@ -22,9 +22,6 @@ class StreamingCentroidMonitorSpec extends SparkSpec {
       .select($"vec_id", $"label".cast("long").as("label"), $"embedding")
       .as[(Long, Long, Array[Float])].collect().sortBy(_._1)
     // three uneven batches with shared labels across all of them
-    val batches = Seq(
-      all.filter(_._1 % 5 == 0), all.filter(_._1 % 5 < 3 && _ != null),
-      all).map(_.toIndexedSeq)
     val b0 = all.filter(_._1 % 5 == 0)
     val b1 = all.filter(r => r._1 % 5 == 1 || r._1 % 5 == 2)
     val b2 = all.filter(r => r._1 % 5 >= 3)
@@ -43,16 +40,33 @@ class StreamingCentroidMonitorSpec extends SparkSpec {
       in.addData(b2.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
 
-    // exactness: served moments == one-shot moments over the full history
-    val served = spark.read.parquet(store)
-      .as[(Long, Int, Long, Long)].collect().toSet
+    // exactness: served moments (summed across batch_id partitions)
+    // == one-shot moments over the full history
+    def servedMoments(): Set[(Long, Int, Long, Long)] =
+      spark.read.parquet(store)
+        .groupBy($"label", $"i")
+        .agg(sum($"sv").as("sv"), sum($"n").as("n"))
+        .as[(Long, Int, Long, Long)].collect().toSet
     val direct = StreamingCentroidMonitor
       .momentTable(Tables.embeddings(s, sfDir)
         .select($"label".cast("long").as("label"), $"embedding"),
         "label", "embedding")
       .as[(Long, Int, Long, Long)].collect().toSet
-    assert(served == direct,
-      "union-upserted integer moments must equal the from-scratch computation")
+    assert(servedMoments() == direct,
+      "per-batch integer moments must sum to the from-scratch computation")
+
+    // retry-safety: re-running an already-landed batch (same batchId,
+    // same data — the at-least-once foreachBatch case) overwrites its
+    // own partition instead of double-adding
+    StreamingCentroidMonitor.sink(store, "label", "embedding")(
+      b1.toIndexedSeq.toDF("vec_id", "label", "embedding"), 1L)
+    assert(servedMoments() == direct,
+      "a retried batch must leave the served moments unchanged")
+
+    // compaction preserves the moments exactly
+    StreamingCentroidMonitor.compact(s, store)
+    assert(servedMoments() == direct,
+      "compaction must preserve the moment table exactly")
 
     // drift against the full-history reference is exactly 1.0 per label
     val cur = StreamingCentroidMonitor.centroids(s, store)
