@@ -98,7 +98,6 @@ object VectorIndex {
     * id-tie-broken assignments). */
   def build(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
       cells: Int, m: Int, ks: Int, iters: Int = 3): Index = {
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val e = embs.select(col(idCol), col(vecCol))
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .localCheckpoint()
@@ -106,6 +105,23 @@ object VectorIndex {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toVector
+    buildWith(e, idCol, vecCol, dim, cents, m, ks, iters)
+  }
+
+  /** [[build]] with EXTERNALLY-SUPPLIED coarse centroids — the pluggable
+    * coarse quantizer: production passes [[KMeans.lloydCentroids]] output
+    * (what [[build]] does), a re-shard passes last epoch's frozen
+    * centroids, and the oracle-gated lifecycle query (q199/q200) passes
+    * driver-inlined literal centroids so an external SQL engine can
+    * replicate the assignment exactly (the SemDeDup parametric-cells
+    * pattern, q173/q186). Still trains the REAL residual product
+    * quantizer and runs the real fused encode pass. */
+  def buildWith(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      cents: Vector[(Long, Array[Float])], m: Int, ks: Int,
+      iters: Int = 3): Index = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val e = embs.select(col(idCol), col(vecCol))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
     // residualize once (narrow) to train the PQ on residuals
     val spark = e.sparkSession
     import spark.implicits._
@@ -147,6 +163,17 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Schema of the persisted codes table (incl. the two partition
+    * columns) — passed explicitly on read so an index saved from an
+    * EMPTY corpus (a partitioned write of zero rows leaves no data
+    * files to infer from) still loads as an empty frame. */
+  def codesSchema(idCol: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(idCol, LongType), StructField("codes", ArrayType(IntegerType)),
+      StructField("batch_id", LongType), StructField("cluster", LongType)))
+  }
+
   /** Load a saved index; model tables collect (KB by construction), the
     * codes frame stays a lazy partitioned scan. Returns (index, idCol). */
   def load(spark: SparkSession, path: String): (Index, String) = {
@@ -161,7 +188,7 @@ object VectorIndex {
     val cbs = (0 until m).map { j =>
       cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toVector
     }.toVector
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.schema(codesSchema(idCol)).parquet(s"$path/codes")
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("codes"))
     (Index(dim, m, ks, cents, ProductQuantizer.PqModel(m, ks, cbs), codes),
       idCol)
@@ -226,6 +253,36 @@ object VectorIndex {
       .groupBy(col(idCol), col("cluster"))
       .agg(sum(col("sub_d2")).as("adc_dist2"))
       .orderBy(col("adc_dist2"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-Flat query path (FAISS `IVFx,Flat`): probe the nearest cells,
+    * then rank EVERY member of those cells by exact L2 against the raw
+    * vectors — no PQ approximation in the answer, the codes table used
+    * purely as the partition-pruned inverted file. The exact-recall
+    * complement of [[search]]/[[searchRerank]]: costs a raw-vector read
+    * of the probed cells (≈ probes/cells of the corpus) instead of an
+    * m-byte ADC scan, the right trade when the corpus fits hot storage
+    * or recall must be exact within the probed region. The member-id
+    * frame tracks corpus size, so the id join carries NO broadcast hint
+    * (AQE decides; at 100 TB it's a shuffle join pruned to the probed
+    * partitions). Returns (idCol, cluster, d2) — the top-k. */
+  def searchFlat(idx: Index, raw: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], probes: Int, k: Int): DataFrame = {
+    require(query.length == idx.dim, s"query dim ${query.length} != ${idx.dim}")
+    import graft.functions.VectorFunctions.dot
+    graft.expressions.GraftFunctions.ensureRegistered(raw.sparkSession)
+    val probed = idx.centroids
+      .map { case (c, ct) => (c, sqDist(query, ct)) }
+      .sortBy { case (c, d) => (d, c) }.take(probes).map(_._1)
+    val members = idx.codes.where(col("cluster").isin(probed: _*))
+      .select(col(idCol), col("cluster"))
+    val qlit = typedlit(query.toSeq)
+    raw.join(members, Seq(idCol))
+      .select(col(idCol), col("cluster"),
+        (dot(col(vecCol), col(vecCol)) - lit(2.0) * dot(col(vecCol), qlit)
+          + lit(query.map(x => x.toDouble * x).sum)).as("d2"))
+      .orderBy(col("d2"), col(idCol))
       .limit(k)
   }
 

@@ -561,4 +561,18 @@ class PlanAssertSpec extends SparkSpec {
     assert(!p.contains("ScalarSubquery"), "subquery must be decorrelated")
     assert("HashAggregate".r.findAllIn(p).nonEmpty)
   }
+
+  test("q199: probe prunes the codes table at the PARTITION level") {
+    val p = plan("q199_ivf_lifecycle")
+    // the codes scan must carry the probed-cells predicate as a
+    // PartitionFilter (cluster is a partition column of the saved
+    // index) — at 100 TB this is the difference between reading
+    // probes/cells of the codes table and reading all of it
+    val parts = "PartitionFilters: [^\n]*".r.findAllIn(p).toSeq
+    assert(parts.exists(f => f.contains("cluster") && f.contains("IN")),
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    // and the raw-embedding side joins the pruned member list via an
+    // equi join — never a product
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
