@@ -9,6 +9,43 @@ package graft
   * Usage: `sbt "runMain graft.Monitor [sfDir] [outFile]"`.
   */
 object Monitor {
+
+  /** Ops health view over the persisted STREAMING STATE tables — the
+    * consumer seam between the foreachBatch sinks and whoever pages the
+    * on-call: one row per monitored family.
+    *
+    *  - `centroids`: the [[graft.streaming.StreamingCentroidMonitor]]
+    *    moment table served as running centroids and scored for cosine
+    *    drift against the frozen training-time `reference` — `n` is the
+    *    monitored label count, `metric` the WORST (minimum) drift_cos.
+    *  - `uv_sketch`: a persisted [[graft.operators.SketchRollup]] table
+    *    — `n` is the stored cell count, `metric` the global UV estimate
+    *    from unioning every cell's sketch (O(cells) rows read; the raw
+    *    stream is never rescanned).
+    *
+    * Both reads are O(state), not O(history) — this report stays cheap
+    * at any corpus size, which is what makes it safe to run on a
+    * schedule next to ingest. */
+  def stateReport(spark: org.apache.spark.sql.SparkSession,
+      momentsPath: String, reference: org.apache.spark.sql.DataFrame,
+      sketchPath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingCentroidMonitor
+    import graft.operators.SketchRollup
+    val cur = StreamingCentroidMonitor.centroids(spark, momentsPath)
+    val drift = StreamingCentroidMonitor.drift(cur, reference)
+    val centRow = drift
+      .agg(count(lit(1)).as("n"), min(col("drift_cos")).as("worst"))
+      .select(lit("centroids").as("family"), col("n"),
+        round(col("worst"), 6).cast("double").as("metric"))
+    val sk = spark.read.parquet(sketchPath)
+    val uvRow = sk.agg(count(lit(1)).as("n"))
+      .crossJoin(SketchRollup.rollupEstimate(sk, Nil))
+      .select(lit("uv_sketch").as("family"), col("n"),
+        col("uv").cast("double").as("metric"))
+    centRow.unionByName(uvRow)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outFile = args.lift(1).getOrElse("/tmp/graft_monitor.tsv")

@@ -619,6 +619,49 @@ object DedupQueries extends QueryPack {
       .orderBy($"vec_id")
   }
 
+  /** Per-source semantic-dup rate census — [[graft.operators.SemDeDup]]
+    * drop decisions rolled up against the [[graft.operators.Datacard]]
+    * per-source inventory: the curation report a corpus owner reads to
+    * decide WHICH source needs semantic dedup before spending the
+    * compute (q173 reports the drops; this prices them per source).
+    * Pure composition — no new operator code — and the second query
+    * shape exercising the documents↔embeddings doc_id==vec_id join
+    * seam (q184 being the first). Cells/threshold/quality identical to
+    * q173 (engine-replicable hyperplane cells; production swaps in
+    * kmeansCells). dup_ppm is exact integer DIV against the datacard's
+    * doc count; chars_dropped prices the redundancy in bytes.
+    *
+    * Scale shape: the SemDeDup side is Σ|cell|² as ever; the datacard
+    * side is ONE tokenizing scan (q180's fusion economy); the final
+    * join is O(sources) rows. */
+  private val q201: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars")
+    val cells = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        SimilarityQueries.bandKey($"embedding", 0, 4).as("cell"))
+      .join(docs.select($"doc_id".as("vec_id"), $"n_chars"), Seq("vec_id"))
+    val drops = graft.operators.SemDeDup
+      .suppressors(cells, "vec_id", "embedding", "cell", "n_chars", 0.35)
+      .select($"vec_id")
+    val card = graft.operators.Datacard.of(Tables.documents(s, d))
+      .select($"source", $"n_docs", $"total_chars")
+    val dropCost = drops
+      .join(docs.select($"doc_id".as("vec_id"), $"source", $"n_chars"),
+        Seq("vec_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sem_dups"), sum($"n_chars").as("chars_dropped"))
+    card.join(dropCost, Seq("source"), "left")
+      .select($"source", $"n_docs", $"total_chars",
+        coalesce($"n_sem_dups", lit(0L)).as("n_sem_dups"),
+        coalesce($"chars_dropped", lit(0L)).as("chars_dropped"))
+      .withColumn("dup_ppm", expr("n_sem_dups * 1000000 DIV n_docs"))
+      .select($"source", $"n_docs", $"total_chars", $"n_sem_dups",
+        $"dup_ppm", $"chars_dropped")
+      .orderBy($"source")
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS sketch): hash every K-token gram, then in every window of W
     * consecutive gram hashes keep the minimum; the distinct selected
@@ -752,6 +795,7 @@ object DedupQueries extends QueryPack {
     "q177_semantic_decontam" -> q177,
     "q175_winnow" -> q175,
     "q173_semantic_dedup" -> q173,
+    "q201_semdup_by_source" -> q201,
     "q172_cluster_reps" -> q172,
     "q151_stitch_pairs" -> q151,
     "q135_lsh_scurve" -> q135,
@@ -1248,6 +1292,36 @@ object DedupQueries extends QueryPack {
          |SELECT csize, count(*) AS n_components, min(comp) AS min_comp
          |FROM (SELECT comp, count(*) AS csize FROM comp GROUP BY comp)
          |GROUP BY csize ORDER BY csize""".stripMargin,
+    "q201_semdup_by_source" ->
+      s"""WITH cells AS (
+         |  SELECT e.vec_id, e.embedding, d.n_chars,
+         |    CAST(${SimilarityQueries.duckBandKey(0, 4, "e.embedding")} AS BIGINT) AS cell
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+         |sup AS (
+         |  SELECT a.vec_id,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cos_raw
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id != b.vec_id
+         |   AND (b.n_chars > a.n_chars
+         |        OR (b.n_chars = a.n_chars AND b.vec_id < a.vec_id))),
+         |drops AS (SELECT DISTINCT vec_id FROM sup WHERE cos_raw >= 0.35),
+         |card AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents GROUP BY source),
+         |cost AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sem_dups,
+         |    CAST(sum(d.n_chars) AS BIGINT) AS chars_dropped
+         |  FROM drops j JOIN documents d ON d.doc_id = j.vec_id
+         |  GROUP BY d.source)
+         |SELECT c.source, c.n_docs, c.total_chars,
+         |  CAST(COALESCE(t.n_sem_dups, 0) AS BIGINT) AS n_sem_dups,
+         |  CAST(COALESCE(t.n_sem_dups, 0) * 1000000 // c.n_docs AS BIGINT)
+         |    AS dup_ppm,
+         |  CAST(COALESCE(t.chars_dropped, 0) AS BIGINT) AS chars_dropped
+         |FROM card c LEFT JOIN cost t USING (source)
+         |ORDER BY c.source""".stripMargin,
     "q173_semantic_dedup" ->
       s"""WITH cells AS (
          |  SELECT e.vec_id, e.embedding, d.n_chars,

@@ -544,6 +544,76 @@ object TextQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Count–Min frequency-sketch serving (q202 —
+    * [[graft.operators.CountMin]]): build the per-source d×w token
+    * counter table ONCE, then answer point-frequency probes from the
+    * O(sources·d·w) state — the frequency complement of the HLL (q08),
+    * GK (q182) and Misra–Gries (q164) sketch families. Probes here are
+    * the 8 leading stopwords; the report shows est vs exact vs the
+    * overcount (CMS error is one-sided — collisions only ADD), and the
+    * oracle replicates the ENTIRE counter matrix via the shared md5
+    * bucket idiom, so the row hash-matches in the collision regime —
+    * stronger than q182's exact-regime trick. d=4, w=256 keeps the
+    * fixture visibly in the collision regime; the ε-bound claim at
+    * production widths is CountMinSpec's.
+    *
+    * Scale shape: one tokenizing scan → d narrow bucket rows per token
+    * → a map-side-combinable count (the exchange carries sparse
+    * counters, never tokens); probing is O(probes·d) against the
+    * counter table. At 100 TB the counter table is KBs per source and
+    * merges across ingest batches by integer addition. */
+  private val q202: Q = (s, d) => {
+    import s.implicits._
+    val D = 4; val W = 256
+    val probeToks = graft.functions.TextFunctions.stopwords.take(8)
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"source".isNotNull)
+      .select($"source", explode(tokens($"text")).as("tok"))
+    val sketch = graft.operators.CountMin
+      .sketchTable(toks, Seq("source"), "tok", D, W)
+    val probes = toks.select($"source").distinct()
+      .crossJoin(probeToks.toDF("tok"))
+    val est = graft.operators.CountMin
+      .estimate(sketch, probes, Seq("source"), "tok", D, W)
+    val exact = toks.where($"tok".isin(probeToks: _*))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("source", "tok"), "left")
+      .select($"source", $"tok", $"est",
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        ($"est" - coalesce($"n_exact", lit(0L))).as("overcount"))
+      .orderBy($"source", $"tok")
+  }
+
+  /** Model-based quality-filter inference census (q203 —
+    * [[graft.operators.HashedLinearModel]]): run a hashed linear text
+    * classifier over every document (the FineWeb-Edu / DCLM filtering
+    * stage) and report the per-source pass census. The logit is an
+    * EXACT integer in sixteenths (md5-derived dyadic weights — the
+    * stand-in for learned weights; production broadcasts a real weight
+    * table, same plan), keep/drop thresholds the logit directly
+    * (sigmoid is monotone — never evaluated, so no cross-engine `exp`),
+    * and every reported number is an integer sum or DIV.
+    *
+    * Scale shape: one tokenizing scan → two md5s + an integer add per
+    * token → doc-keyed hash agg → O(sources) census. The cheapest
+    * possible shape for model-scoring 100 TB of text. */
+  private val q203: Q = (s, d) => {
+    import s.implicits._
+    val DIMS = 1024
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"source".isNotNull && $"doc_id".isNotNull)
+      .select($"source", $"doc_id", explode(tokens($"text")).as("tok"))
+    graft.operators.HashedLinearModel
+      .logits(toks, Seq("source", "doc_id"), "tok", DIMS)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"logit16" >= 0L).cast("long")).as("n_pass"),
+        sum($"logit16").as("sum_logit16"))
+      .withColumn("pass_ppm", expr("n_pass * 1000000 DIV n_docs"))
+      .select($"source", $"n_docs", $"n_pass", $"pass_ppm", $"sum_logit16")
+      .orderBy($"source")
+  }
+
   /** Keyword weak-supervision domain tagger + mixture census — the
     * labeling-function shape (Ratner et al., Snorkel VLDB'18) pipelines
     * use to report corpus composition before training (The Pile-style
@@ -892,6 +962,8 @@ object TextQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q189_heaps_growth" -> q189,
     "q190_domain_tagger" -> q190,
+    "q202_cms_freq" -> q202,
+    "q203_quality_classifier" -> q203,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
     "q179_ccnet_buckets" -> q179,
@@ -1096,6 +1168,60 @@ object TextQueries extends QueryPack {
          |  CAST((n_docs * 1000000) // tot AS BIGINT) AS share_ppm
          |FROM census JOIN tot USING (lang)
          |ORDER BY lang, topic""".stripMargin
+    },
+    "q203_quality_classifier" -> {
+      import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+         |lg AS (
+         |  SELECT source, doc_id,
+         |    CAST(sum(${duckWeight16(duckBucket("tok", 1024))}) AS BIGINT)
+         |      AS logit16
+         |  FROM toks GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN logit16 >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass,
+         |  CAST(sum(CASE WHEN logit16 >= 0 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS pass_ppm,
+         |  CAST(sum(logit16) AS BIGINT) AS sum_logit16
+         |FROM lg GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q202_cms_freq" -> {
+      val pts = graft.functions.TextFunctions.stopwords.take(8)
+      val inList = pts.map(t => s"'$t'").mkString(", ")
+      val vals = pts.map(t => s"('$t')").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |counters AS (
+         |  SELECT source, r, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT source, r,
+         |      ('0x' || substr(md5('cm' || r || ':' || tok), 1, 8))::BIGINT % 256 AS b
+         |    FROM toks CROSS JOIN range(0, 4) t(r))
+         |  GROUP BY 1, 2, 3),
+         |probes AS (
+         |  SELECT s.source, p.tok
+         |  FROM (SELECT DISTINCT source FROM toks) s
+         |  CROSS JOIN (VALUES $vals) p(tok)),
+         |pb AS (
+         |  SELECT source, tok, r,
+         |    ('0x' || substr(md5('cm' || r || ':' || tok), 1, 8))::BIGINT % 256 AS b
+         |  FROM probes CROSS JOIN range(0, 4) t(r)),
+         |est AS (
+         |  SELECT source, tok, CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+         |  FROM pb LEFT JOIN counters c USING (source, r, b)
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM toks WHERE tok IN ($inList) GROUP BY 1, 2)
+         |SELECT e.source, e.tok, e.est,
+         |  CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact,
+         |  CAST(e.est - COALESCE(x.n_exact, 0) AS BIGINT) AS overcount
+         |FROM est e LEFT JOIN ex x USING (source, tok)
+         |ORDER BY source, tok""".stripMargin
     },
     "q189_heaps_growth" -> {
       val cts = (1 to 10).map(c =>

@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.SketchRollup
+import graft.streaming.StreamingCentroidMonitor
+import org.apache.spark.sql.functions._
+
+/** The ops-report consumer seam (r6 verdict #8): [[Monitor.stateReport]]
+  * must actually read BOTH persisted streaming-state table families —
+  * the centroid moment table (served + drift-scored) and the HLL sketch
+  * table (cell census + global UV by union) — and report the numbers
+  * the underlying operators' own specs prove. */
+class MonitorSpec extends SparkSpec {
+
+  test("stateReport reads both persisted state families") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_monitor").toString
+
+    // centroid moment table: two batches through the foreachBatch sink
+    val moments = s"$dir/moments.parquet"
+    val emb = Tables.embeddings(s, sfDir)
+      .where($"label".isNotNull && $"embedding".isNotNull)
+      .select($"vec_id", $"label".cast("long").as("label"), $"embedding")
+    val sink = StreamingCentroidMonitor.sink(moments, "label", "embedding")
+    sink(emb.where($"vec_id" % 2 === 0), 0L)
+    sink(emb.where($"vec_id" % 2 === 1), 1L)
+
+    // sketch table: per-event-type UV sketches persisted once
+    val sketches = s"$dir/uv.parquet"
+    SketchRollup.sketchTable(Tables.events(s, sfDir),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(sketches)
+
+    // reference = the served centroids themselves => drift exactly 1.0
+    val ref = StreamingCentroidMonitor.centroids(s, moments)
+      .select($"label", $"centroid")
+    val report = Monitor.stateReport(s, moments, ref, sketches)
+      .orderBy($"family").collect()
+
+    assert(report.map(_.getString(0)).toSeq == Seq("centroids", "uv_sketch"))
+    val cent = report(0)
+    val nLabels = emb.select($"label").distinct().count()
+    assert(cent.getLong(1) == nLabels, "one monitored row per label")
+    assert(cent.getDouble(2) == 1.0, "self-reference drift must be exactly 1.0")
+
+    val uv = report(1)
+    val nCells = spark.read.parquet(sketches).count()
+    assert(uv.getLong(1) == nCells, "cell census must match the stored table")
+    // union-served estimate == direct whole-table sketch estimate (the
+    // SketchRollupSpec exactness claim, consumed through the report)
+    val direct = Tables.events(s, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14)))
+        .cast("double").as("uv"))
+      .collect().head.getDouble(0)
+    assert(uv.getDouble(2) == direct,
+      s"report UV ${uv.getDouble(2)} != direct sketch estimate $direct")
+  }
+}
