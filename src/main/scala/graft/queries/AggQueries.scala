@@ -361,7 +361,19 @@ object AggQueries extends QueryPack {
       .orderBy($"event_type", $"rnk")
   }
 
+  /** One-scan table profile of `orders` (q205 —
+    * [[graft.operators.TableProfiler]]): per-column null counts, exact
+    * cardinalities and typed ranges from a single aggregate (Catalyst
+    * Expand fuses the multi-countDistinct into one pass — the K-scans-
+    * for-one economy of q180 applied to warehouse stats; at 100 TB the
+    * exact distincts swap for approx_count_distinct, same plan). */
+  private val q205: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.TableProfiler.profile(Tables.orders(s, d))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_table_profile" -> q205,
     "q132_topk_agg" -> q132,
     "q88_salted_agg" -> q88,
     "q61_set_union_agg" -> q61,
@@ -384,6 +396,34 @@ object AggQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q205_table_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+           |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count(*),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  min($c), max($c)
+           |FROM orders""".stripMargin
+      def ts(c: String) =
+        s"""SELECT '$c', count(*),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
+           |  strftime(max($c), '%Y-%m-%d %H:%M:%S')
+           |FROM orders""".stripMargin
+      Seq(num("o_custkey"), ts("o_orderdate"), num("o_orderkey"),
+        str("o_orderpriority"), str("o_orderstatus"), num("o_totalprice"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q132_topk_agg" ->
       """WITH per AS (
         |  SELECT event_type, user_id,

@@ -684,7 +684,64 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"cell")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk ACL'19 — the
+    * CCMatrix/WikiMatrix recipe for mining parallel training pairs from
+    * comparable corpora): a candidate pair (x, y) across the language
+    * boundary scores margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y))/2),
+    * where avgK is the mean cosine of the vector's K nearest
+    * cross-side neighbors — the normalization that kills "hub" vectors
+    * which sit close to everything and would dominate a raw-cosine
+    * ranking. Run here in the INCREMENTAL batch shape production mining
+    * uses daily: a bounded new batch of side-A (en, vec_id < NQ·20)
+    * against the full side-B corpus, so the pair frame is
+    * O(batch · corpus) — the q51 broadcast-probe scan, linear in the
+    * corpus — never corpus². At full-corpus×corpus mining scale the
+    * candidate set comes from the ANN family (q52/q53/[[graft.operators
+    * .VectorIndex]]) and margin scoring is unchanged on the candidates.
+    *
+    * Cross-engine closure: cosines round to 6 then become exact
+    * integer micro-units; avgK is an integer DIV K; margin ships as
+    * integer ppm = cos_u·2·10⁶ DIV (avgA_u + avgB_u) — no float
+    * crosses the hash. Pairs with a non-positive normalizer are
+    * excluded identically on both sides. */
+  private val q204: Q = (s, d) => {
+    import s.implicits._
+    val K = 4
+    val lang = Tables.documents(s, d).select($"doc_id".as("vec_id"), $"lang")
+    val e = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull && $"vec_id".isNotNull)
+      .join(lang, Seq("vec_id"))
+      .select($"vec_id", $"embedding", l2norm($"embedding").as("nrm"), $"lang")
+      .where($"nrm" > 0)
+    val a = e.where($"lang" === "en" && $"vec_id" < NQ * 20)
+      .select($"vec_id".as("a_id"), $"embedding".as("a_emb"),
+        $"nrm".as("a_nrm"))
+    val b = e.where($"lang" =!= "en")
+      .select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
+        $"nrm".as("b_nrm"))
+    val pairs = broadcast(a).join(b)
+      .select($"a_id", $"b_id",
+        round(round(dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"), 6)
+          * 1000000).cast("long").as("cos_u"))
+    val wa = Window.partitionBy($"a_id").orderBy($"cos_u".desc, $"b_id")
+    val avgA = pairs.withColumn("rk", row_number().over(wa)).where($"rk" <= K)
+      .groupBy($"a_id")
+      .agg(expr(s"sum(cos_u) DIV $K").as("avga_u"))
+    val wb = Window.partitionBy($"b_id").orderBy($"cos_u".desc, $"a_id")
+    val avgB = pairs.withColumn("rk", row_number().over(wb)).where($"rk" <= K)
+      .groupBy($"b_id")
+      .agg(expr(s"sum(cos_u) DIV $K").as("avgb_u"))
+    pairs.join(avgA, Seq("a_id")).join(avgB, Seq("b_id"))
+      .where($"avga_u" + $"avgb_u" > 0)
+      .withColumn("margin_ppm",
+        expr("cos_u * 2000000 DIV (avga_u + avgb_u)"))
+      .select($"a_id", $"b_id", $"cos_u", $"margin_ppm")
+      .orderBy($"margin_ppm".desc, $"a_id", $"b_id")
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q204_bitext_margin" -> q204,
     "q199_ivf_lifecycle" -> q199,
     "q200_index_census" -> q200,
     "q184_hybrid_retrieval" -> q184,
@@ -745,6 +802,41 @@ object SimilarityQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q204_bitext_margin" ->
+      s"""WITH e AS (
+         |  SELECT v.vec_id, v.embedding, d.lang,
+         |    sqrt(${duckDot("v.embedding", "v.embedding")}) AS nrm
+         |  FROM embeddings v JOIN documents d ON d.doc_id = v.vec_id
+         |  WHERE v.embedding IS NOT NULL AND v.vec_id IS NOT NULL),
+         |a AS (SELECT vec_id AS a_id, embedding AS a_emb, nrm AS a_nrm
+         |  FROM e WHERE lang = 'en' AND vec_id < ${NQ * 20} AND nrm > 0),
+         |b AS (SELECT vec_id AS b_id, embedding AS b_emb, nrm AS b_nrm
+         |  FROM e WHERE lang <> 'en' AND nrm > 0),
+         |pairs AS (
+         |  SELECT a_id, b_id,
+         |    CAST(round(round(${duckDot("a_emb", "b_emb")} / (a_nrm * b_nrm), 6)
+         |      * 1000000) AS BIGINT) AS cos_u
+         |  FROM a CROSS JOIN b),
+         |avga AS (
+         |  SELECT a_id, CAST(sum(cos_u) // 4 AS BIGINT) AS avga_u FROM (
+         |    SELECT a_id, cos_u,
+         |      row_number() OVER (PARTITION BY a_id
+         |                         ORDER BY cos_u DESC, b_id) AS rk
+         |    FROM pairs) WHERE rk <= 4 GROUP BY a_id),
+         |avgb AS (
+         |  SELECT b_id, CAST(sum(cos_u) // 4 AS BIGINT) AS avgb_u FROM (
+         |    SELECT b_id, cos_u,
+         |      row_number() OVER (PARTITION BY b_id
+         |                         ORDER BY cos_u DESC, a_id) AS rk
+         |    FROM pairs) WHERE rk <= 4 GROUP BY b_id),
+         |m AS (
+         |  SELECT p.a_id, p.b_id, p.cos_u,
+         |    CAST(p.cos_u * 2000000 // (x.avga_u + y.avgb_u) AS BIGINT)
+         |      AS margin_ppm
+         |  FROM pairs p JOIN avga x USING (a_id) JOIN avgb y USING (b_id)
+         |  WHERE x.avga_u + y.avgb_u > 0)
+         |SELECT a_id, b_id, cos_u, margin_ppm FROM m
+         |ORDER BY margin_ppm DESC, a_id, b_id LIMIT 20""".stripMargin,
     "q199_ivf_lifecycle" -> {
       val qq = ivfQuery.map(x => x.toDouble * x).sum
       s"""WITH $duckIvfAssign,
