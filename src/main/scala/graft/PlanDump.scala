@@ -35,7 +35,12 @@ object PlanDump {
     "q186_prototype_prune" -> "SSL-prototypes prune: integer-exact cell centroids broadcast back; per-cell rank is the global DistributedRank minus O(cells) triangular offsets — NO window partitioned by the 16-value cell key",
     "q187_matryoshka_recall" -> "matryoshka recall: one broadcast-probe scan scores every dim tier, per-(query,tier) top-5 via partial_ (map-side) TopKAggregator — no window anywhere",
     "q189_heaps_growth" -> "heaps growth: one tokenizing scan feeds doc census + first-occurrence mins, O(sources) decile boundaries broadcast back, cumulative masses 10 conditional sums in ONE agg",
-    "q190_domain_tagger" -> "domain tagger: literal CASE keyword map inside the tokenizing scan, per-doc argmax window bounded by |topics|, O(langs) totals broadcast")
+    "q190_domain_tagger" -> "domain tagger: literal CASE keyword map inside the tokenizing scan, per-doc argmax window bounded by |topics|, O(langs) totals broadcast",
+    "q199_ivf_lifecycle" -> "persisted IVF-Flat search: the codes scan carries the probed-cells predicate as PartitionFilters (reads probes/cells of the index, never all of it); the member-id join to raw vectors carries NO forced broadcast (corpus-tracking frame — AQE decides)",
+    "q202_cms_freq" -> "Count-Min serving: d bucket rows per token feed ONE map-side-combinable count (the exchange carries sparse counters, never tokens); probes join the O(groups*d*w) counter table",
+    "q203_quality_classifier" -> "classifier inference: two md5s + an integer add per token inside the tokenizing scan, doc-keyed partial agg, O(sources) census — no join, no broadcast, no window",
+    "q204_bitext_margin" -> "bitext margin: bounded batch broadcast onto one corpus scan (q51 shape); both avgK windows partition on keys with bounded rows per partition",
+    "q205_table_profile" -> "table profiler: ONE scan, every column's stats in one aggregate — the multi-countDistinct plans as a single Expand pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

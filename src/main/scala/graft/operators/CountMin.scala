@@ -68,6 +68,33 @@ object CountMin {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** foreachBatch sink for streaming ingest: reduce the micro-batch to
+    * its sparse counters and land them in the batch's OWN `batch_id=`
+    * partition via dynamic overwrite — the repo's streaming idempotence
+    * contract ([[SketchRollup]]/StreamingDedup/VectorIndex): a retried
+    * batch recomputes identical counters and overwrites only itself,
+    * so at-least-once delivery never double-counts. Serve via
+    * [[served]] — the same addition algebra applied by the reader. */
+  def sink(storePath: String, groupCols: Seq[String], keyCol: String,
+      d: Int, w: Int): (DataFrame, Long) => Unit = (batch, batchId) => {
+    sketchTable(batch, groupCols, keyCol, d, w)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(storePath)
+    ()
+  }
+
+  /** The served counter table: per-batch partitions summed back into
+    * one (group, r, b, cnt) frame — O(groups·d·w·batches) rows read,
+    * the raw stream never rescanned. */
+  def served(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy(groupCols.map(col) :+ col("r") :+ col("b"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-frequency estimates for probe keys: min over the d row
     * counters (missing counter = 0). `probes` carries (groupCols...,
     * keyCol); returns (groupCols..., keyCol, est). The probe side is

@@ -38,6 +38,30 @@ class CountMinSpec extends SparkSpec {
     assert(a == b, "merged partial counters must equal the one-shot counters")
   }
 
+  test("streamed batch partitions serve the one-shot counters; retry is a no-op") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val toks = Tables.documents(s, sfDir)
+      .where($"text".isNotNull && $"source".isNotNull)
+      .select($"source", $"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_cms").toString + "/cms.parquet"
+    val sink = CountMin.sink(store, Seq("source"), "tok", D, 64)
+    sink(toks.where($"doc_id" % 3 === 0), 0L)
+    sink(toks.where($"doc_id" % 3 === 1), 1L)
+    sink(toks.where($"doc_id" % 3 === 2), 2L)
+    def servedSet() = CountMin.served(s, store, Seq("source"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val direct = CountMin.sketchTable(toks, Seq("source"), "tok", D, 64)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(servedSet() == direct,
+      "summed batch partitions must equal the one-shot counter table")
+    // at-least-once retry of batch 1: identical counters overwrite
+    // their own partition — served table unchanged
+    sink(toks.where($"doc_id" % 3 === 1), 1L)
+    assert(servedSet() == direct, "a retried batch must not double-count")
+  }
+
   test("estimates are one-sided and within the epsilon bound") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
