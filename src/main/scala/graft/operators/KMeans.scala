@@ -135,35 +135,74 @@ object KMeans {
     *
     * Returns (gCol, cid, centroid float-array), k rows per group. */
   def lloydCentroidsGrouped(embs: DataFrame, gCol: String, idCol: String,
-      vecCol: String, k: Int, iters: Int = 5): DataFrame = {
+      vecCol: String, k: Int, iters: Int = 5,
+      seedMode: String = "farthest"): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1 (got $k, $iters)")
+    require(seedMode == "farthest" || seedMode == "hash",
+      s"seedMode must be 'farthest' or 'hash' (got $seedMode)")
     graft.expressions.GraftFunctions.ensureRegistered(embs.sparkSession)
+    val spark = embs.sparkSession
+    import spark.implicits._
     val e = embs.select(col(gCol).as("__g"), col(idCol).as("__id"),
         col(vecCol).cast("array<float>").as("__v"))
       .where(col("__v").isNotNull)
       .localCheckpoint()
 
-    // seed 1 per group: smallest (salted-hash, id) — the argmin form of
-    // seedFirst's TakeOrdered, aggregated per group
-    var cent = e
-      .groupBy(col("__g"))
-      .agg(min_by(col("__v"), struct(
-        hash32(concat(lit("km:"), col("__id").cast("string"))), col("__id"))).as("__c"))
-      .select(col("__g"), lit(0L).as("__cid"), col("__c"))
-      .localCheckpoint()
-    // farthest-first: per group, the point maximizing the min distance
-    // to that group's chosen seeds (ties on id — min_by over (-d, id))
-    for (i <- 1 until k) {
-      val next = e
-        .join(broadcast(cent.withColumn("__cn", dot(col("__c"), col("__c")))), Seq("__g"))
-        .groupBy(col("__g"), col("__id"))
-        .agg(first_value(col("__v")).as("__v"),
-          min(col("__cn") - lit(2.0) * dot(col("__v"), col("__c"))).as("__s"))
-        .withColumn("__d", dot(col("__v"), col("__v")) + col("__s"))
-        .groupBy(col("__g"))
-        .agg(min_by(col("__v"), struct(-col("__d"), col("__id"))).as("__c"))
-        .select(col("__g"), lit(i.toLong).as("__cid"), col("__c"))
-      cent = cent.unionByName(next).localCheckpoint()
+    var cent: DataFrame = seedMode match {
+      case "hash" =>
+        // ONE-PASS seeding: the k smallest (salted-hash, id) rows per
+        // group via the bounded-state TopKAggregator (map-side partials
+        // carry ≤ k candidates per task — exchange O(groups·k), ONE
+        // corpus pass). Farthest-first costs k sequential passes —
+        // right for a small-k coarse quantizer trained on a sample,
+        // wrong for a ks≥16 codebook over the full corpus, where Lloyd
+        // iterations repair seed spread anyway (recall gates in
+        // VectorIndexSpec/IvfPqSpec hold under this mode).
+        import graft.functions.{ScoredId, TopKAggregator}
+        val ids = e
+          .select(col("__g").cast("string").as("__gs"),
+            struct(col("__id").cast("long").as("id"),
+              (-hash32(concat(lit("km:"), col("__id").cast("string"))))
+                .cast("long").as("score")).as("s"))
+          .as[(String, ScoredId)]
+          .groupByKey(_._1)
+          .agg(new TopKAggregator(k).toColumn.name("top"))
+          .flatMap { case (g, hits) =>
+            hits.iterator.zipWithIndex.map { case (h, i) =>
+              (g, i.toLong, h.id)
+            }
+          }
+          .toDF("__gs", "__cid", "__sid")
+        val e2 = e.withColumn("__gs", col("__g").cast("string"))
+          .withColumn("__idl", col("__id").cast("long"))
+        e2.join(ids, e2("__gs") === ids("__gs") && e2("__idl") === ids("__sid"))
+          .select(e2("__g"), col("__cid"), col("__v").as("__c"))
+          .localCheckpoint()
+      case _ =>
+        // seed 1 per group: smallest (salted-hash, id) — the argmin form
+        // of seedFirst's TakeOrdered, aggregated per group
+        var c0 = e
+          .groupBy(col("__g"))
+          .agg(min_by(col("__v"), struct(
+            hash32(concat(lit("km:"), col("__id").cast("string"))),
+            col("__id"))).as("__c"))
+          .select(col("__g"), lit(0L).as("__cid"), col("__c"))
+          .localCheckpoint()
+        // farthest-first: per group, the point maximizing the min
+        // distance to that group's chosen seeds (ties on id)
+        for (i <- 1 until k) {
+          val next = e
+            .join(broadcast(c0.withColumn("__cn", dot(col("__c"), col("__c")))), Seq("__g"))
+            .groupBy(col("__g"), col("__id"))
+            .agg(first_value(col("__v")).as("__v"),
+              min(col("__cn") - lit(2.0) * dot(col("__v"), col("__c"))).as("__s"))
+            .withColumn("__d", dot(col("__v"), col("__v")) + col("__s"))
+            .groupBy(col("__g"))
+            .agg(min_by(col("__v"), struct(-col("__d"), col("__id"))).as("__c"))
+            .select(col("__g"), lit(i.toLong).as("__cid"), col("__c"))
+          c0 = c0.unionByName(next).localCheckpoint()
+        }
+        c0
     }
 
     var assign: DataFrame = null

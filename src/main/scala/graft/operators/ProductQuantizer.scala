@@ -42,7 +42,8 @@ object ProductQuantizer {
     * train in ONE fused set of passes (slice once → group-keyed Lloyd);
     * scan count is independent of m. */
   def train(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
-      m: Int, ks: Int, iters: Int = 3): PqModel = {
+      m: Int, ks: Int, iters: Int = 3,
+      seedMode: String = "farthest"): PqModel = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
     val slices = embs.select(col(idCol),
@@ -50,7 +51,7 @@ object ProductQuantizer {
           struct(lit(j).as("j"), slice(col(vecCol), j * sub + 1, sub).as("subv"))): _*)).as("s"))
       .select(col(idCol), col("s.j").as("j"), col("s.subv").as("subv"))
     val rows = KMeans.lloydCentroidsGrouped(slices, "j", idCol, "subv",
-        k = ks, iters = iters)
+        k = ks, iters = iters, seedMode = seedMode)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toVector))
     val cbs = (0 until m).map { j =>

@@ -133,7 +133,12 @@ object VectorIndex {
         (id, Array.tabulate(v.length)(i => v(i) - ct(i)))
       }
       .toDF(idCol, "residual")
-    val pq = ProductQuantizer.train(resid, idCol, "residual", dim, m, ks, iters)
+    // hash seeding: ONE pass instead of ks farthest-first rounds — the
+    // right trainer shape for a ks-entry codebook over the full corpus
+    // (Lloyd iterations repair seed spread; the recall gates in
+    // VectorIndexSpec/IvfPqSpec hold under this mode and pin it)
+    val pq = ProductQuantizer.train(resid, idCol, "residual", dim, m, ks,
+      iters, seedMode = "hash")
     Index(dim, m, ks, cents, pq, encodeAll(e, idCol, vecCol, cents, pq))
   }
 
