@@ -31,11 +31,18 @@ object VectorIndex {
 
   /** A built or loaded index: KB-scale model state driver-held (exactly
     * what [[save]] persists to the model tables) plus the distributed
-    * codes frame (id, cluster, codes). */
+    * codes frame (id, cluster, codes). `rotation` (the OPQ d×d
+    * orthogonal matrix, [[buildRotated]]) applies to corpus vectors
+    * BEFORE cell assignment and PQ encode; queries rotate through the
+    * same map at search time. Exact L2 reranks stay in RAW space — an
+    * orthogonal rotation preserves every pairwise distance, so the
+    * shortlist order is identical and raw vectors never need a rotated
+    * copy on disk. */
   final case class Index(dim: Int, m: Int, ks: Int,
       centroids: Vector[(Long, Array[Float])],
       pq: ProductQuantizer.PqModel,
-      codes: DataFrame)
+      codes: DataFrame,
+      rotation: Option[Opq.OpqModel] = None)
 
   private def sqDist(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
@@ -142,6 +149,24 @@ object VectorIndex {
     Index(dim, m, ks, cents, pq, encodeAll(e, idCol, vecCol, cents, pq))
   }
 
+  /** FAISS `OPQx,IVFy,PQz`: fit the OPQ rotation (Ge et al. CVPR'13 —
+    * [[Opq.fit]], one covariance pass + driver-side eigensolve), rotate
+    * the corpus once (narrow map, no shuffle), and build the IVF-PQ
+    * index in the rotated space, where each PQ subspace carries a
+    * balanced share of the variance. Costs the corpus ONE extra narrow
+    * pass at build and each query one d×d multiply at search — for the
+    * ≥20% PQ-MSE cut OpqSpec pins. */
+  def buildRotated(embs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, cells: Int, m: Int, ks: Int, iters: Int = 3): Index = {
+    val e = embs.select(col(idCol), col(vecCol))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .localCheckpoint()
+    val rot = Opq.fit(e, vecCol, dim, m)
+    val rotated = Opq.transform(e, idCol, vecCol, rot)
+    build(rotated, idCol, vecCol, dim, cells, m, ks, iters)
+      .copy(rotation = Some(rot))
+  }
+
   /** Persist the index: `path/codes` (partitioned by cluster — probes
     * prune to their cells' files), `path/centroids`, `path/codebooks`,
     * `path/meta`. Overwrites an existing index at `path`. */
@@ -166,6 +191,14 @@ object VectorIndex {
     Seq((idx.dim, idx.m, idx.ks, idCol))
       .toDF("dim", "m", "ks", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // OPQ rotation, if any: row t = eigenvector at output position t;
+    // row -1 carries the mean. O(d²) doubles — KBs.
+    idx.rotation.foreach { r =>
+      ((-1, 0.0, r.mean.toSeq) +:
+        r.rows.indices.map(t => (t, r.eigvals(t), r.rows(t).toSeq)))
+        .toDF("t", "eig", "vals")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    }
   }
 
   /** Schema of the persisted codes table (incl. the two partition
@@ -195,8 +228,18 @@ object VectorIndex {
     }.toVector
     val codes = spark.read.schema(codesSchema(idCol)).parquet(s"$path/codes")
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("codes"))
-    (Index(dim, m, ks, cents, ProductQuantizer.PqModel(m, ks, cbs), codes),
-      idCol)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val rotation =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation"))) {
+        val rows = spark.read.parquet(s"$path/rotation").collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+        val mean = rows.find(_._1 == -1).get._3
+        val sorted = rows.filter(_._1 >= 0).sortBy(_._1)
+        Some(Opq.OpqModel(mean, sorted.map(_._3), sorted.map(_._2)))
+      } else None
+    (Index(dim, m, ks, cents, ProductQuantizer.PqModel(m, ks, cbs), codes,
+      rotation), idCol)
   }
 
   /** Ingest new vectors into a saved index with the FROZEN model: one
@@ -207,13 +250,20 @@ object VectorIndex {
     * drift is handled by periodic [[build]]s, the standard IVF serving
     * trade. Caller owns id uniqueness across batches. */
   def appendTo(path: String, idx: Index, idCol: String,
-      embs: DataFrame, vecCol: String, batchId: Long): Unit =
-    encodeAll(embs, idCol, vecCol, idx.centroids, idx.pq)
+      embs: DataFrame, vecCol: String, batchId: Long): Unit = {
+    val in = idx.rotation match {
+      case Some(r) => Opq.transform(
+        embs.where(col(idCol).isNotNull && col(vecCol).isNotNull),
+        idCol, vecCol, r)
+      case None => embs
+    }
+    encodeAll(in, idCol, vecCol, idx.centroids, idx.pq)
       .withColumn("batch_id", lit(batchId))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "cluster")
       .parquet(s"$path/codes")
+  }
 
   /** foreachBatch sink for streaming ingest: wire as
     * `vecStream.writeStream.foreachBatch(VectorIndex.ingestSink(path,
@@ -229,9 +279,12 @@ object VectorIndex {
     * rows, exact doubles) broadcast into an equi join on
     * (cluster, subspace, code); cells not probed are pruned at the scan.
     * Returns (idCol, cluster, adc_dist2). */
-  def search(idx: Index, idCol: String, query: Array[Float],
+  def search(idx: Index, idCol: String, query0: Array[Float],
       probes: Int, k: Int): DataFrame = {
-    require(query.length == idx.dim, s"query dim ${query.length} != ${idx.dim}")
+    require(query0.length == idx.dim, s"query dim ${query0.length} != ${idx.dim}")
+    // queries enter the index's space through the same rotation as the
+    // corpus (identity when the index is unrotated)
+    val query = idx.rotation.map(Opq.transformOne(query0, _)).getOrElse(query0)
     val spark = idx.codes.sparkSession
     import spark.implicits._
     val probed = idx.centroids
@@ -277,8 +330,13 @@ object VectorIndex {
     require(query.length == idx.dim, s"query dim ${query.length} != ${idx.dim}")
     import graft.functions.VectorFunctions.dot
     graft.expressions.GraftFunctions.ensureRegistered(raw.sparkSession)
+    // probe selection happens in the index's (possibly rotated) space;
+    // the exact rerank below stays in RAW space — orthogonal rotations
+    // preserve L2, so the ranking is identical and `raw` needs no
+    // rotated copy
+    val qIdx = idx.rotation.map(Opq.transformOne(query, _)).getOrElse(query)
     val probed = idx.centroids
-      .map { case (c, ct) => (c, sqDist(query, ct)) }
+      .map { case (c, ct) => (c, sqDist(qIdx, ct)) }
       .sortBy { case (c, d) => (d, c) }.take(probes).map(_._1)
     val members = idx.codes.where(col("cluster").isin(probed: _*))
       .select(col(idCol), col("cluster"))

@@ -151,4 +151,47 @@ class VectorIndexSpec extends SparkSpec {
     info(f"VectorIndex probe-$Probes rerank recall@$TopK = $recall%.3f")
     assert(recall >= 0.60, f"index recall regressed: $recall%.3f")
   }
+
+  test("OPQ-rotated lifecycle: round-trip, rotated append, recall holds the gate") {
+    val s = spark
+    import s.implicits._
+    val idx = VectorIndex.buildRotated(
+      embs.where($"vec_id" % 10 =!= 0), "vec_id", "embedding", Dim, Cells, M, Ks)
+    assert(idx.rotation.isDefined)
+    val path = tmp("vidx_opq")
+    VectorIndex.save(idx, "vec_id", path)
+    val (loaded, _) = VectorIndex.load(s, path)
+    // rotation round-trips exactly (doubles persisted, not re-fit)
+    assert(loaded.rotation.isDefined)
+    assert(loaded.rotation.get.mean.sameElements(idx.rotation.get.mean))
+    assert(loaded.rotation.get.rows.zip(idx.rotation.get.rows)
+      .forall { case (a, b) => a.sameElements(b) })
+    // frozen-model append rotates the incoming batch through the SAME
+    // matrix — appended vectors must be findable
+    VectorIndex.appendTo(path, loaded, "vec_id",
+      embs.where($"vec_id" % 10 === 0), "embedding", batchId = 1L)
+    val (full, _) = VectorIndex.load(s, path)
+    full.codes.localCheckpoint()
+    val corpus = embs.as[(Long, Array[Float])].collect()
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var x = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); x += d * d; i += 1 }
+      x
+    }
+    val queries = corpus.filter(_._1 < 8).sortBy(_._1)
+    var hit = 0; var tot = 0
+    queries.foreach { case (_, qv) =>
+      // raw-space query: search rotates it internally; rerank stays raw
+      val got = VectorIndex
+        .searchRerank(full, embs, "vec_id", "embedding", qv,
+          probes = Probes, k = TopK, shortlist = 90)
+        .select($"vec_id").as[Long].collect().toSet
+      val truth = corpus.map { case (id, v) => (id, d2(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(TopK).map(_._1).toSet
+      hit += got.intersect(truth).size; tot += TopK
+    }
+    val recall = hit.toDouble / tot
+    info(f"OPQ-rotated lifecycle recall@$TopK = $recall%.3f")
+    assert(recall >= 0.60, f"rotated-index recall below gate: $recall%.3f")
+  }
 }
