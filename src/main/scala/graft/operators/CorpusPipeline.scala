@@ -255,6 +255,27 @@ object CorpusPipeline {
     corpus.join(contaminated, Seq(cfg.idCol), "left_anti")
   }
 
+  /** Model-based quality-filter stage ([[HashedLinearModel]] — the
+    * FineWeb-Edu/DCLM classifier pass): keep documents whose hashed
+    * linear logit clears `minLogit16` (integer sixteenths; sigmoid is
+    * monotone so this IS a probability threshold). One tokenizing scan
+    * + a doc-keyed partial agg + a semi join back on the id — chain
+    * after the lexical gates and before the semantic stages, which are
+    * the expensive ones worth shielding. Production swaps the
+    * md5-derived weights for a learned table; plan unchanged. */
+  def qualityFilter(corpus: DataFrame, cfg: Config = Config(),
+      dims: Int = 1024, minLogit16: Long = 0L): DataFrame = {
+    val toks = corpus
+      .where(col(cfg.textCol).isNotNull && col(cfg.idCol).isNotNull)
+      .select(col(cfg.idCol),
+        explode(split(trim(col(cfg.textCol)), "\\s+")).as("__tok"))
+    val keep = HashedLinearModel
+      .logits(toks, Seq(cfg.idCol), "__tok", dims)
+      .where(col("logit16") >= minLogit16)
+      .select(col(cfg.idCol))
+    corpus.join(keep, Seq(cfg.idCol), "left_semi")
+  }
+
   /** Publish stage: the per-source [[Datacard]] of a (curated) corpus —
     * the datasheet a corpus release ships with. One tokenizing scan of
     * whatever frame it is given; run it on `Staged.result` after

@@ -265,6 +265,26 @@ object VectorIndex {
       .parquet(s"$path/codes")
   }
 
+  /** Fold per-batch code partitions into the `batch_id=-1` baseline
+    * when the partition listing itself becomes a cost (thousands of
+    * streaming micro-batches): deterministic content, cluster
+    * partitioning preserved, search results unchanged (the
+    * StreamingCentroidMonitor.compact analog for the codes table). */
+  def compactBatches(spark: SparkSession, path: String): Unit = {
+    val idCol = spark.read.parquet(s"$path/meta").collect().head.getString(3)
+    val all = spark.read.schema(codesSchema(idCol)).parquet(s"$path/codes")
+      .select(col(idCol), col("cluster"), col("codes"))
+    val tmp = s"$path/codes_compact_tmp"
+    all.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    spark.read.parquet(tmp).withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "cluster")
+      .parquet(s"$path/codes")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** foreachBatch sink for streaming ingest: wire as
     * `vecStream.writeStream.foreachBatch(VectorIndex.ingestSink(path,
     * idx, idCol, vecCol))`. Each micro-batch is one narrow frozen-model

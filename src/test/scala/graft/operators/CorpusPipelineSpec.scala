@@ -130,4 +130,22 @@ class CorpusPipelineSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(again == kept)
   }
+
+  test("qualityFilter keeps exactly the docs whose logit clears the bar") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+    val kept = CorpusPipeline.qualityFilter(docs, minLogit16 = 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    // reference: the q203 logit computed independently per doc
+    val toks = docs.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("t"))
+    val expected = HashedLinearModel.logits(toks, Seq("doc_id"), "t", 1024)
+      .where($"logit16" >= 0L).select($"doc_id").as[Long].collect().toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < docs.count(),
+      "threshold 0 must actually split the fixture corpus")
+    // filtering is a pure subset — no row rewriting
+    val cols = CorpusPipeline.qualityFilter(docs).columns.toSeq
+    assert(cols == docs.columns.toSeq)
+  }
 }

@@ -123,6 +123,17 @@ class VectorIndexSpec extends SparkSpec {
       .select($"vec_id").as[Long].head()
     assert(top == probe._1,
       s"streamed vector ${probe._1} must be its own nearest neighbor, got $top")
+    // compacting batch partitions changes nothing a reader can observe
+    val before = VectorIndex
+      .search(loaded, "vec_id", probe._2, Probes, TopK)
+      .as[(Long, Long, Double)].collect().toSeq
+    VectorIndex.compactBatches(s, path)
+    val (compacted, _) = VectorIndex.load(s, path)
+    assert(compacted.codes.count() == embs.count())
+    val after = VectorIndex
+      .search(compacted, "vec_id", probe._2, Probes, TopK)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(after == before, "search results must survive compaction exactly")
   }
 
   test("probe-3 rerank recall@10 holds the IvfPq gate through the index API") {
