@@ -1169,7 +1169,43 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"scheme")
   }
 
+  /** Curation funnel census (q206): the stage-by-stage survivor report
+    * a corpus build publishes — raw → lexical token-count gate →
+    * model-based quality filter ([[graft.operators.CorpusPipeline
+    * .qualityFilter]], the q203 classifier as a pipeline stage) → exact
+    * dedup (min-id per fingerprint). One row per stage with doc and
+    * token mass, so the cost of each gate is readable at a glance (the
+    * number FineWeb-style dataset reports lead with).
+    *
+    * Scale shape: each stage is a semi join on doc_id against an
+    * O(survivors) key frame; the census is four aggs over frames that
+    * share one tokenizing scan lineage. All output integers. */
+  private val q206: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokenCount
+    val raw = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+      .select($"doc_id", $"text", tokenCount($"text").as("ntok"))
+    val gated = raw.where($"ntok" >= 10 && $"ntok" <= 1000)
+    val quality = graft.operators.CorpusPipeline.qualityFilter(
+      gated, graft.operators.CorpusPipeline.Config(), 1024, 0L)
+    val reps = quality.withColumn("fp", fingerprint($"text"))
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val deduped = quality.join(reps, Seq("doc_id"), "left_semi")
+    def census(stage: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+        .select(lit(stage.toLong).as("stage_id"), lit(name).as("stage"),
+          $"n_docs", coalesce($"n_tokens", lit(0L)).as("n_tokens"))
+    census(0, "raw", raw)
+      .unionByName(census(1, "lex_gate", gated))
+      .unionByName(census(2, "quality_filter", quality))
+      .unionByName(census(3, "exact_dedup", deduped))
+      .orderBy($"stage_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_curation_funnel" -> q206,
     "q193_reshard_census" -> q193,
     "q191_lang_diversity" -> q191,
     "q170_eval_split" -> q170,
@@ -1207,6 +1243,42 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q206_curation_funnel" -> {
+      import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
+      s"""WITH raw AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS ntok
+         |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         |gated AS (SELECT * FROM raw WHERE ntok >= 10 AND ntok <= 1000),
+         |lg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(${duckWeight16(duckBucket("tok", 1024))}) AS BIGINT)
+         |      AS logit16
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |        FROM gated)
+         |  GROUP BY doc_id),
+         |quality AS (
+         |  SELECT g.* FROM gated g JOIN lg USING (doc_id)
+         |  WHERE lg.logit16 >= 0),
+         |reps AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(trim(text)) AS fp FROM quality)
+         |  GROUP BY fp),
+         |deduped AS (SELECT q.* FROM quality q JOIN reps USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+         |    count(*) AS n_docs,
+         |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) AS n_tokens FROM raw
+         |  UNION ALL SELECT CAST(1 AS BIGINT), 'lex_gate', count(*),
+         |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM gated
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality_filter', count(*),
+         |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM quality
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', count(*),
+         |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM deduped)
+         |ORDER BY stage_id""".stripMargin
+    },
     "q193_reshard_census" -> {
       val sorted20 = ringNodes.sortBy(_._2)
       val sorted16 = ringNodes.filter(_._1 < 16).sortBy(_._2)
