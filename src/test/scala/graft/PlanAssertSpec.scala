@@ -562,6 +562,29 @@ class PlanAssertSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).nonEmpty)
   }
 
+  test("q203: classifier inference is scan + aggs only — no join, no window") {
+    val p = plan("q203_quality_classifier")
+    assert(!p.contains("Join"), "classifier scoring must not join")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindow"),
+      "classifier scoring must not window")
+  }
+
+  test("q202: the CMS counter build partially aggregates map-side") {
+    val p = plan("q202_cms_freq")
+    // partial_count before the exchange — the sparse-counter economy:
+    // tokens never cross the wire, counters do
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      p.linesIterator.filter(_.contains("HashAggregate")).take(4).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q204: margin mining never plans a product; batch side broadcasts") {
+    val p = plan("q204_bitext_margin")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the bounded batch side must broadcast")
+  }
+
   test("q199: probe prunes the codes table at the PARTITION level") {
     val p = plan("q199_ivf_lifecycle")
     // the codes scan must carry the probed-cells predicate as a
