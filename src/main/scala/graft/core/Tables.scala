@@ -46,8 +46,17 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  // o_orderdate gets the same flavor guard as events.ts: the harness
+  // regenerated events as TIMESTAMP(NANOS) in round 5 and nothing says
+  // orders is immune. Today's MICROS/NTZ form is cast NTZ→UTC
+  // TimestampType (pure type change in a UTC session — identical
+  // wall-clock strings/dates downstream); a NANOS regen would otherwise
+  // surface as LongType and break every date query on orders.
+  def orders(s: SparkSession, d: String): DataFrame =
+    restoreNanoTs(load(s, d, "orders"), "o_orderdate")
+  // l_shipdate: same flavor guard as o_orderdate/ts (see orders above)
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    restoreNanoTs(load(s, d, "lineitem"), "l_shipdate")
   def events(s: SparkSession, d: String): DataFrame     = restoreNanoTs(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
