@@ -51,12 +51,16 @@ object HashedLinearModel {
 
   /** Per-document logit in integer sixteenths: (docCols..., n_tok,
     * logit16) where logit16 = bias16 + Σ weight16(bucket(token)).
-    * `toks` carries one row per (doc, token). */
+    * `toks` carries one row per (doc, token). Distinct salts = distinct
+    * models over the same feature space (the two-model learnability
+    * pairing q207 runs). */
   def logits(toks: DataFrame, docCols: Seq[String], tokCol: String,
-      dims: Int, bias16: Long = 0L): DataFrame =
+      dims: Int, bias16: Long = 0L, bucketSalt: String = "hlm",
+      weightSalt: String = "hlmw"): DataFrame =
     toks
       .select(docCols.map(col) :+
-        weight16(bucket(col(tokCol), dims)).as("__w16"): _*)
+        weight16(bucket(col(tokCol), dims, bucketSalt), weightSalt)
+          .as("__w16"): _*)
       .groupBy(docCols.map(col): _*)
       .agg(count(lit(1)).as("n_tok"),
         (sum(col("__w16")) + lit(bias16)).as("logit16"))

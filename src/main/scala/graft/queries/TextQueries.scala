@@ -614,6 +614,43 @@ object TextQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Learnability-ranked selection (q207 — the two-model data-selection
+    * shape: RHO-loss "reducible holdout loss", Mindermann et al.
+    * ICML'22; JEST's learnability = learner score − reference score,
+    * Evans et al. 2024): a document is worth training on when the
+    * LEARNER model scores it low but the REFERENCE model scores it high
+    * — here the difference of two [[graft.operators.HashedLinearModel]]
+    * scorers over the same hashed feature space with disjoint salts
+    * (production: the actual learner checkpoint vs a held-out-trained
+    * reference; identical plan — two weight lookups in one scan).
+    * Output: the global top-10 most-learnable docs, integer sixteenths.
+    *
+    * Scale shape: ONE tokenizing scan carries BOTH models' per-token
+    * weights (two md5 pairs per token); one doc-keyed agg; the top-10
+    * is a TakeOrdered — no window, no join beyond the census. */
+  private val q207: Q = (s, d) => {
+    import s.implicits._
+    val DIMS = 1024
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"source".isNotNull && $"doc_id".isNotNull)
+      .select($"source", $"doc_id", explode(tokens($"text")).as("tok"))
+    import graft.operators.HashedLinearModel.{bucket, weight16}
+    val scored = toks
+      .select($"source", $"doc_id",
+        weight16(bucket($"tok", DIMS, "hlmr"), "hlmwr").as("w_ref"),
+        weight16(bucket($"tok", DIMS), "hlmw").as("w_lrn"))
+      .groupBy($"source", $"doc_id")
+      .agg((sum($"w_ref") - sum($"w_lrn")).as("learn16"))
+    scored
+      .orderBy($"learn16".desc, $"doc_id")
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"learn16".desc, $"doc_id")))
+      .select($"rnk".cast("long").as("rnk"), $"doc_id", $"source", $"learn16")
+      .orderBy($"rnk")
+  }
+
   /** Keyword weak-supervision domain tagger + mixture census — the
     * labeling-function shape (Ratner et al., Snorkel VLDB'18) pipelines
     * use to report corpus composition before training (The Pile-style
@@ -964,6 +1001,7 @@ object TextQueries extends QueryPack {
     "q190_domain_tagger" -> q190,
     "q202_cms_freq" -> q202,
     "q203_quality_classifier" -> q203,
+    "q207_learnability_select" -> q207,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
     "q179_ccnet_buckets" -> q179,
@@ -1168,6 +1206,24 @@ object TextQueries extends QueryPack {
          |  CAST((n_docs * 1000000) // tot AS BIGINT) AS share_ppm
          |FROM census JOIN tot USING (lang)
          |ORDER BY lang, topic""".stripMargin
+    },
+    "q207_learnability_select" -> {
+      import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+         |scored AS (
+         |  SELECT source, doc_id,
+         |    CAST(sum(${duckWeight16(duckBucket("tok", 1024, "hlmr"), "hlmwr")})
+         |      - sum(${duckWeight16(duckBucket("tok", 1024))}) AS BIGINT)
+         |      AS learn16
+         |  FROM toks GROUP BY 1, 2)
+         |SELECT rnk, doc_id, source, learn16 FROM (
+         |  SELECT doc_id, source, learn16,
+         |    row_number() OVER (ORDER BY learn16 DESC, doc_id) AS rnk
+         |  FROM scored) WHERE rnk <= 10 ORDER BY rnk""".stripMargin
     },
     "q203_quality_classifier" -> {
       import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
