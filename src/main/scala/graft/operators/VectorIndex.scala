@@ -61,6 +61,25 @@ object VectorIndex {
     best
   }
 
+  /** Assignment-only narrow pass: (id, cluster) under a FROZEN coarse
+    * quantizer — no PQ, no shuffle. The routing primitive the encode
+    * path embeds, exposed for consumers that need cell ids without an
+    * index build: filtered search over an ad-hoc corpus slice (q208),
+    * re-shard planning, per-cell census. Ties break (distance, cell id)
+    * exactly as [[encodeAll]] does, so an assignment computed here
+    * matches the codes table of any index built on the same centroids. */
+  def assignCells(embs: DataFrame, idCol: String, vecCol: String,
+      cents: Vector[(Long, Array[Float])]): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(cents)
+    embs.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearestCell(v, bcC.value)) }
+      .toDF(idCol, "cluster")
+  }
+
   /** ONE fused narrow pass: assign the nearest cell, residualize, and
     * PQ-encode — (id, cluster, codes). No shuffle, no join; this is both
     * the build encoder and the [[appendTo]] ingest path. */

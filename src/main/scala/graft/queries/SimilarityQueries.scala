@@ -684,6 +684,56 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"cell")
   }
 
+  /** Metadata-FILTERED vector search (the filtered-ANN shape every
+    * production vector store serves — FAISS IDSelector / the
+    * pre-filter-vs-post-filter trade in Qdrant/Milvus docs): retrieve
+    * nearest neighbors among ONLY the vectors whose document passes a
+    * metadata predicate (here `documents.lang = 'en'` via the
+    * doc_id==vec_id seam). Strategy is PRE-filtering: the predicate
+    * becomes a semi join onto the corpus BEFORE cell routing, so the
+    * probed-cell candidate set is already filtered and exact top-k
+    * within the allowed set is guaranteed — the right choice when the
+    * filter is selective; a permissive filter would instead post-filter
+    * an inflated-k unfiltered search and skip the semi join. Cell
+    * routing reuses the frozen literal quantizer of q199
+    * ([[graft.operators.VectorIndex.assignCells]] — assignment-only,
+    * no index build) and the probe set is the same driver-inlined pure
+    * function of literals, so the oracle replicates routing exactly.
+    *
+    * Scale shape: ONE narrow assignment pass over the filtered slice,
+    * the semi join shuffles on vec_id (no broadcast hint — the allowed
+    * set tracks corpus size; AQE decides), candidates are
+    * probes/cells of the FILTERED corpus, top-k is a TakeOrdered. At
+    * 100 TB against a persisted index the same predicate lands on the
+    * codes table (metadata stored alongside codes → pruned at the
+    * scan) — the plan shape is unchanged. */
+  private val q208: Q = (s, d) => {
+    import s.implicits._
+    val ok = Tables.documents(s, d)
+      .where($"lang" === "en" && $"doc_id".isNotNull)
+      .select($"doc_id".as("vec_id"))
+    val e = Tables.embeddings(s, d)
+      .where($"vec_id".isNotNull && $"embedding".isNotNull)
+      .select($"vec_id", $"embedding")
+    val allowed = e.join(ok, Seq("vec_id"), "left_semi")
+    val cells = VectorIndex.assignCells(allowed, "vec_id", "embedding",
+      ivfCents)
+    val members = cells.where($"cluster".isin(ivfProbed: _*))
+    val qlit = typedlit(ivfQuery.toSeq)
+    val qq = ivfQuery.map(x => x.toDouble * x).sum
+    val hits = allowed.join(members, Seq("vec_id"))
+      .select($"vec_id", $"cluster",
+        (dot($"embedding", $"embedding") - lit(2.0) * dot($"embedding", qlit)
+          + lit(qq)).as("d2"))
+      .orderBy($"d2", $"vec_id")
+      .limit(10)
+    val w = Window.orderBy($"d2", $"vec_id")
+    hits.withColumn("rnk", row_number().over(w))
+      .select($"rnk".cast("long").as("rnk"), $"vec_id",
+        $"cluster".cast("long").as("cell"), round($"d2", 6).as("d2"))
+      .orderBy($"rnk")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk ACL'19 — the
     * CCMatrix/WikiMatrix recipe for mining parallel training pairs from
     * comparable corpora): a candidate pair (x, y) across the language
@@ -744,6 +794,7 @@ object SimilarityQueries extends QueryPack {
     "q204_bitext_margin" -> q204,
     "q199_ivf_lifecycle" -> q199,
     "q200_index_census" -> q200,
+    "q208_filtered_ann" -> q208,
     "q184_hybrid_retrieval" -> q184,
     "q186_prototype_prune" -> q186,
     "q187_matryoshka_recall" -> q187,
@@ -779,14 +830,15 @@ object SimilarityQueries extends QueryPack {
   private def duckList(a: Array[Float]): String =
     a.map(_.toString).mkString("[", ", ", "]")
 
-  /** Shared q199/q200 CTE prefix: corpus + literal centroids + the
+  /** Shared q199/q200/q208 CTE prefix: corpus (optionally pre-filtered —
+    * the q208 metadata semi join) + literal centroids + the
     * deterministic nearest-cell assignment (sequential double sum,
     * (d2, cell) tie order — exactly `VectorIndex.nearestCell`). */
-  private val duckIvfAssign: String = {
+  private def duckIvfAssignFrom(extraWhere: String): String = {
     val vals = ivfCents
       .map { case (c, ct) => s"($c, ${duckList(ct)})" }.mkString(",\n    ")
     s"""e AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL$extraWhere),
        |cents AS (SELECT c, cent FROM (VALUES
        |    $vals) t(c, cent)),
        |dists AS (
@@ -800,6 +852,8 @@ object SimilarityQueries extends QueryPack {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2c, c) AS rk
        |    FROM dists) WHERE rk = 1)""".stripMargin
   }
+
+  private val duckIvfAssign: String = duckIvfAssignFrom("")
 
   val oracle: Map[String, String] = Map(
     "q204_bitext_margin" ->
@@ -840,6 +894,25 @@ object SimilarityQueries extends QueryPack {
     "q199_ivf_lifecycle" -> {
       val qq = ivfQuery.map(x => x.toDouble * x).sum
       s"""WITH $duckIvfAssign,
+         |q AS (SELECT ${duckList(ivfQuery)}::DOUBLE[] AS qv),
+         |cand AS (
+         |  SELECT e.vec_id, a.cell,
+         |    ${duckDot("embedding", "embedding")}
+         |      - 2.0 * ${duckDot("embedding", "qv")} + $qq AS d2
+         |  FROM e JOIN assign a USING (vec_id) CROSS JOIN q
+         |  WHERE a.cell IN (${ivfProbed.mkString(", ")}))
+         |SELECT rnk, vec_id, CAST(cell AS BIGINT) AS cell, round(d2, 6) AS d2
+         |FROM (SELECT vec_id, cell, d2,
+         |        row_number() OVER (ORDER BY d2, vec_id) AS rnk FROM cand)
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+    },
+    "q208_filtered_ann" -> {
+      val qq = ivfQuery.map(x => x.toDouble * x).sum
+      val filt = s"""
+         |    AND vec_id IN (SELECT doc_id FROM documents
+         |                   WHERE lang = 'en' AND doc_id IS NOT NULL)"""
+        .stripMargin
+      s"""WITH ${duckIvfAssignFrom(filt)},
          |q AS (SELECT ${duckList(ivfQuery)}::DOUBLE[] AS qv),
          |cand AS (
          |  SELECT e.vec_id, a.cell,

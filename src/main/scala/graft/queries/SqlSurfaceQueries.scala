@@ -259,7 +259,25 @@ object SqlSurfaceQueries extends QueryPack {
     GROUP BY user_id
     ORDER BY user_id""")
 
+  /** `GROUP BY ALL` — the dialect spelling (DuckDB-originated, Spark
+    * ≥3.4) analysts paste between engines: group by every non-aggregate
+    * select item, no column list to keep in sync with the SELECT. ONE
+    * string runs verbatim in both engines (the q195 identical-SQL
+    * pattern); the outer CAST re-narrows DuckDB's HUGEINT SUM and is a
+    * BIGINT no-op under Spark. Plans exactly like the explicit
+    * GROUP BY — resolution happens in the analyzer, the aggregate is
+    * unchanged. */
+  private val q209Text = """
+    SELECT n_name, c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ALL
+    ORDER BY n_name, c_mktsegment"""
+  private val q209 = sql(q209Text)
+
   val queries: Map[String, Q] = Map(
+    "q209_sql_groupby_all" -> q209,
     "q166_sql_lateral_view" -> q166,
     "q167_sql_hive_window" -> q167,
     "q109_sql_star_topn" -> q109,
@@ -274,6 +292,7 @@ object SqlSurfaceQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q209_sql_groupby_all" -> q209Text,
     "q195_sql_recursive" ->
       """WITH RECURSIVE nxt AS (
         |  SELECT * FROM (

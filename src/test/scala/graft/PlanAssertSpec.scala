@@ -598,4 +598,17 @@ class PlanAssertSpec extends SparkSpec {
     // equi join — never a product
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q207: two-model learnability rides ONE tokenizing scan — no join") {
+    val p = plan("q207_learnability_select")
+    assert(!p.contains("Join"), "two-model scoring must not join")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      "both models' weights must ride the same tokenizing scan")
+  }
+
+  test("q208: filtered ANN plans the metadata filter as a semi join — no product") {
+    val p = plan("q208_filtered_ann")
+    assert(p.contains("LeftSemi"), "metadata pre-filter must be a semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }

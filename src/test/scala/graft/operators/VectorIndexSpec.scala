@@ -49,6 +49,19 @@ class VectorIndexSpec extends SparkSpec {
     assert(a == b, "loaded index must search identically to the built one")
   }
 
+  test("assignCells matches the codes table of an index built on the same centroids") {
+    val s = spark
+    import s.implicits._
+    val idx = VectorIndex.build(embs, "vec_id", "embedding", Dim, Cells, M, Ks)
+    val fromIndex = idx.codes.select($"vec_id", $"cluster")
+      .as[(Long, Long)].collect().toMap
+    val standalone = VectorIndex
+      .assignCells(embs, "vec_id", "embedding", idx.centroids)
+      .as[(Long, Long)].collect().toMap
+    assert(standalone == fromIndex,
+      "assignment-only routing must agree with the encode path cell-for-cell")
+  }
+
   test("build is deterministic: two builds produce identical codes") {
     val s = spark
     import s.implicits._
