@@ -614,6 +614,49 @@ object TextQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Preference-PAIR construction (the DPO/RLHF reward-data prep shape —
+    * Rafailov et al. 2023: each training example is a (chosen, rejected)
+    * response pair under a reward score, kept only when the margin is
+    * decisive): within each (source, lang) candidate group, chosen =
+    * the reward-argmax document, rejected = the argmin (ties break on
+    * doc_id — deterministic), pair emitted when margin > 0. The reward
+    * model is the q203 hashed linear scorer, so the margin is an EXACT
+    * integer in sixteenths; production swaps in a learned reward model,
+    * identical plan.
+    *
+    * Scale shape: ONE tokenizing scan → doc-keyed logit agg; both
+    * extremes come from a single (source, lang)-partitioned exchange
+    * (two row_numbers over one window partition — one sort); output is
+    * O(groups). No window is ever unpartitioned, nothing broadcasts. */
+  private val q211: Q = (s, d) => {
+    import s.implicits._
+    val DIMS = 1024
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"source".isNotNull &&
+        $"lang".isNotNull && $"doc_id".isNotNull)
+      .select($"source", $"lang", $"doc_id", explode(tokens($"text")).as("tok"))
+    val scored = graft.operators.HashedLinearModel
+      .logits(toks, Seq("source", "lang", "doc_id"), "tok", DIMS)
+    val wUp = Window.partitionBy($"source", $"lang")
+      .orderBy($"logit16".desc, $"doc_id")
+    val wDn = Window.partitionBy($"source", $"lang")
+      .orderBy($"logit16".asc, $"doc_id")
+    val pairs = scored
+      .withColumn("r_hi", row_number().over(wUp))
+      .withColumn("r_lo", row_number().over(wDn))
+    val hi = pairs.where($"r_hi" === 1)
+      .select($"source", $"lang", $"doc_id".as("chosen_id"),
+        $"logit16".as("chosen16"))
+    val lo = pairs.where($"r_lo" === 1)
+      .select($"source", $"lang", $"doc_id".as("rejected_id"),
+        $"logit16".as("rejected16"))
+    hi.join(lo, Seq("source", "lang"))
+      .where($"chosen16" - $"rejected16" > 0)
+      .select($"source", $"lang", $"chosen_id", $"rejected_id",
+        ($"chosen16" - $"rejected16").as("margin16"))
+      .orderBy($"source", $"lang")
+  }
+
   /** Learnability-ranked selection (q207 — the two-model data-selection
     * shape: RHO-loss "reducible holdout loss", Mindermann et al.
     * ICML'22; JEST's learnability = learner score − reference score,
@@ -649,6 +692,68 @@ object TextQueries extends QueryPack {
           .orderBy($"learn16".desc, $"doc_id")))
       .select($"rnk".cast("long").as("rnk"), $"doc_id", $"source", $"learn16")
       .orderBy($"rnk")
+  }
+
+  /** HELD-OUT perplexity under a train-split bigram LM — the real CCNet
+    * scoring shape (Wenzek et al. 2020: a KenLM trained on a clean
+    * reference corpus scores the crawl; documents the LM finds probable
+    * are kept). q171/q179 self-score on a full-corpus LM, which can
+    * never see an unseen token; this query completes the stage with the
+    * two production ingredients those skip: a TRAIN/HELD-OUT split
+    * (doc_id%10 — the q117 leakage-split convention) and OOV mass. The
+    * model is Jelinek-Mercer with a dyadic 3/4 weight and an add-one
+    * unigram floor:
+    *   p(nxt|tok) = 3/4 · c12/ctx + 1/4 · (c2+1)/(T+V)
+    * so unseen bigrams back off to the unigram, unseen tokens to the
+    * uniform floor 1/(4(T+V)) — every held-out token scores finite.
+    *
+    * Cross-engine closure (stronger than q171's rounded avg): over the
+    * common denominator the per-token bits are
+    *   log2(4·ctx·(T+V)) − log2(3·c12·(T+V) + ctx·(c2+1))
+    * — two log2 calls on EXACT-integer arguments (the q136/q150 class;
+    * integral up to 2⁵³, ~petatoken corpora), rounded to micro-bits and
+    * summed as integers; the census mean is an integer DIV.
+    *
+    * Scale shape: one tokenizing scan feeds train and test splits; the
+    * LM tables (bi/ctx/uni) are vocab-sized — shuffle-joined, never
+    * broadcast (the q171 audit rule); only the 1-row (T,V) stats frame
+    * carries a hint. At 100 TB the trained tables persist once and
+    * daily scoring is three hash joins against them (or a per-executor
+    * LM binary via mapPartitions — same math, no joins). */
+  private val q210: Q = (s, d) => {
+    import s.implicits._
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+      .select($"doc_id", $"lang", posexplode(split(trim($"text"), "\\s+")))
+      .toDF("doc_id", "lang", "pos", "tok")
+    val bigrams = toks
+      .withColumn("nxt", lead($"tok", 1).over(wd))
+      .where($"nxt".isNotNull)
+    val train = bigrams.where($"doc_id" % 10 =!= 0)
+    val bi  = train.groupBy($"tok", $"nxt").agg(count(lit(1)).as("c12"))
+    val ctx = train.groupBy($"tok").agg(count(lit(1)).as("ctx"))
+    val uni = train.groupBy($"nxt").agg(count(lit(1)).as("c2"))
+    val stats = train.agg(count(lit(1)).as("t"),
+      countDistinct($"nxt").as("v"))
+    val scored = bigrams.where($"doc_id" % 10 === 0)
+      .join(bi, Seq("tok", "nxt"), "left")
+      .join(ctx, Seq("tok"), "left")
+      .join(uni, Seq("nxt"), "left")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"lang",
+        round(round(
+          log2(lit(4L) * coalesce($"ctx", lit(1L)) * ($"t" + $"v")) -
+          log2(lit(3L) * coalesce($"c12", lit(0L)) * ($"t" + $"v")
+            + coalesce($"ctx", lit(1L)) * (coalesce($"c2", lit(0L)) + lit(1L))),
+          6) * 1000000).cast("long").as("mb"))
+    scored.groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum($"mb").as("nll_mb"))
+      .select($"lang", $"n_docs", $"n_bigrams", $"nll_mb",
+        expr("nll_mb DIV n_bigrams").as("mb_per_bigram"))
+      .orderBy($"lang")
   }
 
   /** Keyword weak-supervision domain tagger + mixture census — the
@@ -1002,6 +1107,8 @@ object TextQueries extends QueryPack {
     "q202_cms_freq" -> q202,
     "q203_quality_classifier" -> q203,
     "q207_learnability_select" -> q207,
+    "q210_heldout_ppl" -> q210,
+    "q211_preference_pairs" -> q211,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
     "q179_ccnet_buckets" -> q179,
@@ -1207,6 +1314,65 @@ object TextQueries extends QueryPack {
          |FROM census JOIN tot USING (lang)
          |ORDER BY lang, topic""".stripMargin
     },
+    "q211_preference_pairs" -> {
+      import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
+      s"""WITH toks AS (
+         |  SELECT source, lang, doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL
+         |    AND lang IS NOT NULL AND doc_id IS NOT NULL),
+         |scored AS (
+         |  SELECT source, lang, doc_id,
+         |    CAST(sum(${duckWeight16(duckBucket("tok", 1024))}) AS BIGINT)
+         |      AS logit16
+         |  FROM toks GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT source, lang, doc_id, logit16,
+         |    row_number() OVER (PARTITION BY source, lang
+         |                       ORDER BY logit16 DESC, doc_id) AS r_hi,
+         |    row_number() OVER (PARTITION BY source, lang
+         |                       ORDER BY logit16 ASC, doc_id) AS r_lo
+         |  FROM scored)
+         |SELECT source, lang, h.doc_id AS chosen_id, l.doc_id AS rejected_id,
+         |  h.logit16 - l.logit16 AS margin16
+         |FROM (SELECT * FROM r WHERE r_hi = 1) h
+         |JOIN (SELECT * FROM r WHERE r_lo = 1) l USING (source, lang)
+         |WHERE h.logit16 - l.logit16 > 0
+         |ORDER BY source, lang""".stripMargin
+    },
+    "q210_heldout_ppl" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |bg AS (SELECT doc_id, lang, w[r.i] AS tok, w[r.i + 1] AS nxt
+        |       FROM t, unnest(range(1, len(w))) r(i)),
+        |train AS (SELECT * FROM bg WHERE doc_id % 10 <> 0),
+        |bi AS (SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c12
+        |       FROM train GROUP BY tok, nxt),
+        |ctx AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctx
+        |        FROM train GROUP BY tok),
+        |uni AS (SELECT nxt, CAST(count(*) AS BIGINT) AS c2
+        |        FROM train GROUP BY nxt),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS t,
+        |                 CAST(count(DISTINCT nxt) AS BIGINT) AS v FROM train),
+        |sc AS (
+        |  SELECT g.doc_id, g.lang,
+        |    CAST(round(round(
+        |      log2((4 * COALESCE(c.ctx, 1) * (s.t + s.v))::DOUBLE)
+        |      - log2((3 * COALESCE(b.c12, 0) * (s.t + s.v)
+        |              + COALESCE(c.ctx, 1) * (COALESCE(u.c2, 0) + 1))::DOUBLE),
+        |      6) * 1000000) AS BIGINT) AS mb
+        |  FROM bg g
+        |  LEFT JOIN bi b ON b.tok = g.tok AND b.nxt = g.nxt
+        |  LEFT JOIN ctx c ON c.tok = g.tok
+        |  LEFT JOIN uni u ON u.nxt = g.nxt, stats s
+        |  WHERE g.doc_id % 10 = 0)
+        |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(mb) AS BIGINT) AS nll_mb,
+        |  CAST(CAST(sum(mb) AS BIGINT) // count(*) AS BIGINT) AS mb_per_bigram
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
     "q207_learnability_select" -> {
       import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
       s"""WITH toks AS (
