@@ -40,7 +40,12 @@ object PlanDump {
     "q202_cms_freq" -> "Count-Min serving: d bucket rows per token feed ONE map-side-combinable count (the exchange carries sparse counters, never tokens); probes join the O(groups*d*w) counter table",
     "q203_quality_classifier" -> "classifier inference: two md5s + an integer add per token inside the tokenizing scan, doc-keyed partial agg, O(sources) census — no join, no broadcast, no window",
     "q204_bitext_margin" -> "bitext margin: bounded batch broadcast onto one corpus scan (q51 shape); both avgK windows partition on keys with bounded rows per partition",
-    "q205_table_profile" -> "table profiler: ONE scan, every column's stats in one aggregate — the multi-countDistinct plans as a single Expand pass")
+    "q205_table_profile" -> "table profiler: ONE scan, every column's stats in one aggregate — the multi-countDistinct plans as a single Expand pass",
+    "q206_curation_funnel" -> "curation funnel: four survivor stages share scan lineage through semi joins on the id — each stage's census is a hash agg, no stage re-reads text it already filtered",
+    "q207_learnability_select" -> "two-model learnability: BOTH models' per-token weights ride ONE tokenizing scan (two md5 pairs per token), one doc-keyed agg, top-10 TakeOrdered — no join, no second scan",
+    "q208_filtered_ann" -> "filtered ANN: metadata predicate plans as a semi join BEFORE cell routing (pre-filter), assignment a narrow map, probed-cell candidates only — no product, no forced broadcast of the allowed set",
+    "q210_heldout_ppl" -> "held-out LM scoring: vocab-sized bi/ctx/uni tables shuffle-joined (never broadcast), only the 1-row (T,V) stats frame hinted; per-token bits close as log2 of exact integers",
+    "q211_preference_pairs" -> "DPO pair prep: both extremes (argmax+argmin) from ONE (source,lang)-partitioned window exchange — two row_numbers, one sort, O(groups) output")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
