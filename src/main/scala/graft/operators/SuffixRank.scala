@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.DistributedRank
+
+/** Distributed suffix-array construction by PREFIX DOUBLING — the exact
+  * substring-duplication primitive (Manber & Myers SODA'90; the
+  * structure Lee et al. 2022 "Deduplicating Training Data Makes
+  * Language Models Better" builds single-node to find every duplicated
+  * span ≥ L tokens). graft's production span dedup is the hashed
+  * family (q129 span copies, q175 winnowing — cheap, approximate);
+  * this operator is the EXACT complement: it finds all duplicated
+  * substrings of every length at once, with no hash-collision or
+  * sampling miss, as the adjacent-suffix LCP array.
+  *
+  * Shape: suffixes live per document (doc_id, pos) and never cross doc
+  * boundaries. Ranks double in log2(maxDocLen) rounds; each round is a
+  * constant number of hash exchanges over O(positions) rows — a
+  * doc_id-keyed self-shift join pairs rank(p) with rank(p+k), the
+  * DISTINCT pair table gets a dense rank through the window-free
+  * two-pass [[graft.functions.DistributedRank]] (never an
+  * un-partitioned window), and the new rank joins back. After round 0
+  * the sort keys are two longs — token strings are compared exactly
+  * once. Rounds stop early when the class count plateaus (if a
+  * doubling step splits nothing it never will — identical-to-the-end
+  * suffixes keep tied ranks forever, so plateau, not all-distinct, is
+  * the sound stop). Each level is lineage-cut through [[cut]]: iterative
+  * lineage would otherwise grow 2^rounds (the WalkRank/KMeans iteration
+  * rule), and plan-stat BigInts would compound per round (see [[cut]]).
+  *
+  * At 100 TB: positions = tokens, so each round sorts/shuffles the
+  * token count — linear per round, log(maxDocLen) rounds, no step ever
+  * materializes pairs beyond the O(positions) rank tables. That cost
+  * is the honest price of exactness; run it on the slice that needs a
+  * guarantee (contamination audits, legal-grade dedup) and route bulk
+  * dedup through the hashed family.
+  */
+object SuffixRank {
+
+  /** Lineage cut that also RESETS plan statistics. `Dataset
+    * .localCheckpoint` rewrites the checkpointed leaf's stats from the
+    * pre-checkpoint plan — and Catalyst's size-only visitor estimates a
+    * join as the PRODUCT of its children's sizeInBytes, so an iterative
+    * self-join ladder compounds the stored BigInt multiplicatively:
+    * digits roughly ×4 per doubling round, and by round 7 the driver
+    * spends MINUTES inside BigInteger.multiply just to plan the next
+    * level (observed: 20+ min of driver CPU on a 2k-position fixture).
+    * Round-tripping through an RDD localCheckpoint and createDataFrame
+    * yields a fresh leaf with default stats — constant-size arithmetic
+    * every level; AQE still re-plans downstream joins from RUNTIME
+    * sizes, so no broadcast opportunity is lost. Materialization is
+    * lazy (first action fills the checkpoint cache once); a 100 TB run
+    * that must survive executor loss should swap in reliable
+    * `RDD.checkpoint` — same stats-reset property. */
+  private def cut(df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
+  /** Rank-level ladder. `toks` carries one row per (doc_id, pos, tok),
+    * pos 0-based and dense within each doc. Returns (k, frame) pairs,
+    * k ascending in powers of two; each frame is (doc_id, pos, r) where
+    * equal r ⟺ equal min(k, remaining)-token prefixes — with the
+    * end-of-doc pad ranked below every real token, so a short suffix
+    * sorts before everything it prefixes (list order). The last level's
+    * r is the dense suffix rank (ties ⟺ identical full suffixes). */
+  def levels(toks: DataFrame): Seq[(Long, DataFrame)] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val t = toks
+      .select(col("doc_id").cast("long"), col("pos").cast("long"),
+        col("tok").cast("string"))
+      .transform(cut)
+    val maxLen = t.groupBy($"doc_id").agg(count(lit(1)).as("__n"))
+      .agg(max($"__n")).head().getLong(0)
+    // alphabet ranks: the distinct-token table is Heaps-law sub-linear;
+    // sortBy is a distributed range sort, zipWithIndex the per-partition
+    // offset pass — DistributedRank's shape for a non-numeric key
+    val alpha = t.select($"tok").distinct().as[String].rdd
+      .sortBy(identity).zipWithIndex()
+      .toDF("tok", "__r0")
+    var cur = t.join(alpha, Seq("tok"))
+      .select($"doc_id", $"pos", ($"__r0" + 1L).as("r"))
+      .transform(cut)
+    var k = 1L
+    var out = Vector(k -> cur)
+    var nr = cur.select($"r").distinct().count()
+    var plateau = false
+    while (k < maxLen && !plateau) {
+      val shifted = cur.select($"doc_id", ($"pos" - lit(k)).as("pos"),
+        $"r".as("__rk"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .select($"doc_id", $"pos", $"r",
+          coalesce($"__rk", lit(0L)).as("r2")) // pad 0 < every real rank
+      val pairs = paired.select($"r", $"r2").distinct()
+      val ranked = DistributedRank.withRowNumber(pairs, "__nr",
+        col("r"), col("r2"))
+      cur = paired.join(ranked, Seq("r", "r2"))
+        .select($"doc_id", $"pos", $"__nr".as("r"))
+        .transform(cut)
+      k *= 2
+      out :+= (k -> cur)
+      val n2 = cur.select($"r").distinct().count()
+      plateau = n2 == nr
+      nr = n2
+    }
+    out
+  }
+
+  /** Adjacent-suffix LCP array from a [[levels]] ladder: one row per
+    * consecutive pair of the suffix order (rank, doc_id, pos), with the
+    * exact token LCP. Descends the ladder top-down — at level k the
+    * pair advances by k iff the rank-k values at the current matched
+    * offset agree (an equi join per side; offsets past the doc end find
+    * no row and never advance). Identical-to-the-end suffixes advance
+    * past their length once and are clipped by the final
+    * min-remaining-length cap — exact in both regimes. Adjacency itself
+    * comes from the window-free global row number, so the whole array
+    * costs 2·levels + 3 equi joins and never funnels through one task. */
+  def adjacentLcp(lvls: Seq[(Long, DataFrame)]): DataFrame = {
+    val fin = lvls.last._2
+    val spark = fin.sparkSession
+    import spark.implicits._
+    val lens = fin.groupBy($"doc_id").agg((max($"pos") + 1L).as("__len"))
+    val ordered = DistributedRank.withRowNumber(fin, "__rn",
+      col("r"), col("doc_id"), col("pos"))
+    val a = ordered.select($"__rn", $"doc_id".as("a_doc"), $"pos".as("a_pos"))
+    val b = ordered.select(($"__rn" - 1L).as("__rn"),
+      $"doc_id".as("b_doc"), $"pos".as("b_pos"))
+    var adj = a.join(b, Seq("__rn")).drop("__rn")
+      .withColumn("lcp", lit(0L))
+      .transform(cut)
+    lvls.reverse.foreach { case (k, lv) =>
+      val lvA = lv.select($"doc_id".as("__ad"), $"pos".as("__ap"),
+        $"r".as("__ra"))
+      val lvB = lv.select($"doc_id".as("__bd"), $"pos".as("__bp"),
+        $"r".as("__rb"))
+      adj = adj
+        .join(lvA, $"a_doc" === $"__ad" && $"__ap" === $"a_pos" + $"lcp",
+          "left")
+        .join(lvB, $"b_doc" === $"__bd" && $"__bp" === $"b_pos" + $"lcp",
+          "left")
+        .withColumn("lcp", when($"__ra".isNotNull && $"__rb".isNotNull &&
+          $"__ra" === $"__rb", $"lcp" + lit(k)).otherwise($"lcp"))
+        .drop("__ad", "__ap", "__ra", "__bd", "__bp", "__rb")
+        .transform(cut)
+    }
+    adj
+      .join(lens.select($"doc_id".as("a_doc"), $"__len".as("__la")),
+        Seq("a_doc"))
+      .join(lens.select($"doc_id".as("b_doc"), $"__len".as("__lb")),
+        Seq("b_doc"))
+      .select($"a_doc", $"a_pos", $"b_doc", $"b_pos",
+        least($"lcp", $"__la" - $"a_pos", $"__lb" - $"b_pos").as("lcp"))
+  }
+}

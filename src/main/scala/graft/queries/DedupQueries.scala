@@ -790,7 +790,53 @@ object DedupQueries extends QueryPack {
       .orderBy($"csize")
   }
 
+  /** EXACT duplicated-substring census via the distributed suffix array
+    * ([[graft.operators.SuffixRank]] — Manber–Myers prefix doubling; the
+    * structure Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" builds single-node). For every corpus
+    * position, `best` = the length of the longest substring starting
+    * there that also occurs at some OTHER position — by the suffix-array
+    * property, the max of its two adjacent LCPs in suffix order. The
+    * census reports, per threshold L = 1..10, how many positions start a
+    * duplicated run of length ≥ L, plus the global maximum
+    * duplicated-substring length. Both statistics are intrinsic to the
+    * suffix MULTISET — independent of how either engine breaks sort
+    * ties — and all-integer, so the oracle hashes exactly.
+    *
+    * Scale shape: log2(maxDocLen) rounds of O(positions) hash exchanges
+    * (see the operator scaladoc — no step materializes pairs beyond the
+    * rank tables); the census itself is one union + one (doc,pos)
+    * groupBy + an O(distinct-lcp-values) histogram joined to 10 literal
+    * thresholds. Exactness costs ~log(maxDocLen) passes over the token
+    * count where the hashed family (q129 spans, q175 winnowing) costs
+    * one — run it on the audit slice that needs a guarantee and route
+    * bulk dedup through the hashed family. */
+  private val q212: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull &&
+        length(trim($"text")) > 0)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .toDF("doc_id", "pos", "tok")
+    val lvls = graft.operators.SuffixRank.levels(toks)
+    val lcp = graft.operators.SuffixRank.adjacentLcp(lvls)
+    val best = lcp
+      .select($"a_doc".as("doc_id"), $"a_pos".as("pos"), $"lcp")
+      .unionAll(lcp.select($"b_doc".as("doc_id"), $"b_pos".as("pos"), $"lcp"))
+      .groupBy($"doc_id", $"pos").agg(max($"lcp").as("best"))
+    val hist = best.groupBy($"best").agg(count(lit(1)).as("n"))
+    val mx = best.agg(max($"best").as("max_lcp"))
+    s.range(1, 11).toDF("l")
+      .join(hist, hist("best") >= col("l"), "left")
+      .groupBy($"l")
+      .agg(coalesce(sum($"n"), lit(0L)).as("n_dup_pos"))
+      .crossJoin(mx)
+      .select($"l", $"n_dup_pos", $"max_lcp")
+      .orderBy($"l")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q212_suffix_dedup" -> q212,
     "q178_dedup_audit" -> q178,
     "q177_semantic_decontam" -> q177,
     "q175_winnow" -> q175,
@@ -888,6 +934,45 @@ object DedupQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // Suffix explosion is O(total tokens · avg doc len) list cells — fine
+    // at oracle scale. `best` via lag/lead over the suffix sort; the LCP
+    // of two token lists = (first mismatching index − 1), where DuckDB's
+    // list_position returns 0 (not NULL) on no-match → nullif picks the
+    // full min-length instead. Statistics are tie-independent, so the
+    // engines need not agree on suffix tie order.
+    "q212_suffix_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        |    AND len(trim(text)) > 0),
+        |s AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM t),
+        |sfx AS (SELECT doc_id, pos, list_slice(w, pos + 1, len(w)) AS sfx
+        |        FROM s),
+        |ord AS (
+        |  SELECT doc_id, pos, sfx,
+        |    lag(sfx)  OVER (ORDER BY sfx, doc_id, pos) AS prv,
+        |    lead(sfx) OVER (ORDER BY sfx, doc_id, pos) AS nxt
+        |  FROM sfx),
+        |b AS (
+        |  SELECT doc_id, pos, greatest(
+        |    CASE WHEN prv IS NULL THEN 0 ELSE
+        |      coalesce(nullif(list_position(list_transform(
+        |          range(1, least(len(sfx), len(prv)) + 1),
+        |          i -> sfx[i] = prv[i]), false), 0) - 1,
+        |        least(len(sfx), len(prv))) END,
+        |    CASE WHEN nxt IS NULL THEN 0 ELSE
+        |      coalesce(nullif(list_position(list_transform(
+        |          range(1, least(len(sfx), len(nxt)) + 1),
+        |          i -> sfx[i] = nxt[i]), false), 0) - 1,
+        |        least(len(sfx), len(nxt))) END) AS best
+        |  FROM ord),
+        |l AS (SELECT unnest(range(1, 11)) AS l)
+        |SELECT l.l,
+        |  CAST(sum(CASE WHEN b.best >= l.l THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_pos,
+        |  CAST(max(b.best) AS BIGINT) AS max_lcp
+        |FROM l CROSS JOIN b GROUP BY l.l ORDER BY l.l""".stripMargin,
     "q178_dedup_audit" ->
       s"""WITH RECURSIVE $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
