@@ -276,6 +276,16 @@ object CorpusPipeline {
     corpus.join(keep, Seq(cfg.idCol), "left_semi")
   }
 
+  /** Privacy stage: typed PII / identifier redaction
+    * ([[PiiScrub.scrub]]) over the text column — run BEFORE any stage
+    * that fingerprints or tokenizes, so downstream dedup keys and
+    * quality signals see the redacted text a release would ship.
+    * Pure codegen'd row expressions riding whatever scan reads the
+    * column; zero shuffles; idempotent (PiiScrub scaladoc). q213 is
+    * the census form of this rewrite. */
+  def redactPii(corpus: DataFrame, cfg: Config = Config()): DataFrame =
+    corpus.withColumn(cfg.textCol, PiiScrub.scrub(col(cfg.textCol)))
+
   /** Publish stage: the per-source [[Datacard]] of a (curated) corpus —
     * the datasheet a corpus release ships with. One tokenizing scan of
     * whatever frame it is given; run it on `Staged.result` after

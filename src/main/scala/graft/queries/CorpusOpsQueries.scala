@@ -1204,7 +1204,55 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"stage_id")
   }
 
+  /** PII / identifier redaction census ([[graft.operators.PiiScrub]]) —
+    * the privacy pass's shipping report: per (text surface × detector),
+    * how many rows carry a hit, total hits, and the exact char delta a
+    * redaction pass would apply. Surfaces span the free-text corpus
+    * (documents.text — clean on this fixture, honest zeros) and the
+    * structured name columns whose embedded account-number-style digit
+    * runs are the hit substrate (Customer#NNNNNNNNN / Supplier#NNNNNNNNN).
+    * Detection counts every detector independently on the original text;
+    * chars_delta is per-detector single-pattern redaction, so each row of
+    * the census is self-contained.
+    *
+    * Scale shape: detectors are codegen'd row regexes riding the scans
+    * (zero shuffles before the grouped agg); the census exchanges
+    * O(surfaces) rows, then a 4-row stack melt. The full sequential
+    * [[graft.operators.PiiScrub.scrub]] rewrite is the same expressions
+    * applied in one projection — this census IS its cost model. */
+  private val q213: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.PiiScrub
+    def surf(df: org.apache.spark.sql.DataFrame, name: String, c: String) =
+      df.select(lit(name).as("surface"), col(c).cast("string").as("t"))
+    val u = surf(Tables.documents(s, d), "documents.text", "text")
+      .unionByName(surf(Tables.customer(s, d), "customer.c_name", "c_name"))
+      .unionByName(surf(Tables.part(s, d), "part.p_name", "p_name"))
+      .unionByName(surf(Tables.supplier(s, d), "supplier.s_name", "s_name"))
+    val aggs = PiiScrub.detectors.zipWithIndex.flatMap {
+      case ((_, p, ph), i) => Seq(
+        sum(PiiScrub.hitCount($"t", p)).as(s"h$i"),
+        sum(when(PiiScrub.hitCount($"t", p) > 0, 1L).otherwise(0L))
+          .as(s"rh$i"),
+        sum(when($"t".isNull, 0L).otherwise(
+          (length(PiiScrub.scrubOne($"t", p, ph)) - length($"t"))
+            .cast("long"))).as(s"cd$i"))
+    }
+    val one = u.groupBy($"surface")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = PiiScrub.detectors.zipWithIndex.map {
+      case ((n, _, _), i) => s"'$n', h$i, rh$i, cd$i"
+    }.mkString(", ")
+    one.selectExpr("surface", "n_rows",
+        s"stack(${PiiScrub.detectors.size}, $stackArgs)" +
+          " AS (detector, n_hits, n_rows_hit, chars_delta)")
+      .select($"surface", $"detector", $"n_rows", $"n_rows_hit",
+        $"n_hits", $"chars_delta")
+      .orderBy($"surface", $"detector")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_pii_census" -> q213,
     "q206_curation_funnel" -> q206,
     "q193_reshard_census" -> q193,
     "q191_lang_diversity" -> q191,
@@ -1243,6 +1291,36 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // The detector VALUES rows are generated from PiiScrub.detectors —
+    // one source of truth for the pattern text on both engines. DuckDB
+    // standard strings keep backslashes literal, so the Java pattern
+    // text embeds verbatim; regexp_replace needs the 'g' flag (DuckDB
+    // defaults to first-match-only, Spark to global).
+    "q213_pii_census" -> {
+      val vals = graft.operators.PiiScrub.detectors
+        .map { case (n, p, ph) => s"('$n', '$p', '$ph')" }
+        .mkString(",\n        |  ")
+      s"""WITH u AS (
+         |  SELECT 'documents.text' AS surface, text AS t FROM documents
+         |  UNION ALL SELECT 'customer.c_name', c_name FROM customer
+         |  UNION ALL SELECT 'part.p_name', p_name FROM part
+         |  UNION ALL SELECT 'supplier.s_name', s_name FROM supplier),
+         |d AS (SELECT * FROM (VALUES
+         |  $vals) v(detector, pat, ph))
+         |SELECT u.surface, d.detector,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN t IS NOT NULL
+         |    AND len(regexp_extract_all(t, pat)) > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_rows_hit,
+         |  CAST(sum(CASE WHEN t IS NULL THEN 0
+         |    ELSE len(regexp_extract_all(t, pat)) END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN t IS NULL THEN 0
+         |    ELSE length(regexp_replace(t, pat, ph, 'g')) - length(t) END)
+         |    AS BIGINT) AS chars_delta
+         |FROM u CROSS JOIN d
+         |GROUP BY u.surface, d.detector
+         |ORDER BY u.surface, d.detector""".stripMargin
+    },
     "q206_curation_funnel" -> {
       import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
       s"""WITH raw AS (

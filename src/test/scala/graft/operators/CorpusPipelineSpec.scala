@@ -24,6 +24,24 @@ class CorpusPipelineSpec extends SparkSpec {
       "the gate stage dropped null texts, so the curated card has none")
   }
 
+  test("redactPii stage rewrites only PII-bearing rows, schema intact, idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "src", "reach me at dev@example.com or 415-555-1234"),
+      (2L, "src", "plain text with no identifiers"),
+      (3L, "src", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val red = CorpusPipeline.redactPii(docs)
+    assert(red.schema == docs.schema, "stage must not change the contract schema")
+    val m = red.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    assert(m(1L) == "reach me at <EMAIL> or <PHONE>")
+    assert(m(2L) == "plain text with no identifiers")
+    assert(m(3L) == null)
+    assert(CorpusPipeline.redactPii(red).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap == m, "idempotent")
+  }
+
   test("stages shrink monotonically and the census adds up") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
