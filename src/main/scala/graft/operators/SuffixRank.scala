@@ -86,7 +86,11 @@ object SuffixRank {
       .transform(cut)
     var k = 1L
     var out = Vector(k -> cur)
-    var nr = cur.select($"r").distinct().count()
+    // ranks are dense 1..n, so max(r) IS the class count — one narrow
+    // agg over the checkpointed level, no distinct shuffle
+    def classes(df: DataFrame): Long =
+      df.agg(max($"r")).head().getLong(0)
+    var nr = classes(cur)
     var plateau = false
     while (k < maxLen && !plateau) {
       val shifted = cur.select($"doc_id", ($"pos" - lit(k)).as("pos"),
@@ -102,11 +106,27 @@ object SuffixRank {
         .transform(cut)
       k *= 2
       out :+= (k -> cur)
-      val n2 = cur.select($"r").distinct().count()
+      val n2 = classes(cur)
       plateau = n2 == nr
       nr = n2
     }
     out
+  }
+
+  /** Per-position duplication depth: for every (doc_id, pos), `best` =
+    * the length of the longest substring starting there that also occurs
+    * at some OTHER corpus position. By the suffix-array property that
+    * any pair's LCP is the min of the adjacent LCPs between them, each
+    * position's maximizing partner is an immediate neighbour in suffix
+    * order, so `best` = max of the two adjacent LCPs — and the VALUE is
+    * intrinsic to the suffix multiset, independent of tie order. */
+  def bestPerPosition(toks: DataFrame): DataFrame = {
+    val lcp = adjacentLcp(levels(toks))
+    val spark = lcp.sparkSession
+    import spark.implicits._
+    lcp.select($"a_doc".as("doc_id"), $"a_pos".as("pos"), $"lcp")
+      .unionAll(lcp.select($"b_doc".as("doc_id"), $"b_pos".as("pos"), $"lcp"))
+      .groupBy($"doc_id", $"pos").agg(max($"lcp").as("best"))
   }
 
   /** Adjacent-suffix LCP array from a [[levels]] ladder: one row per

@@ -818,12 +818,7 @@ object DedupQueries extends QueryPack {
         length(trim($"text")) > 0)
       .select($"doc_id", posexplode(tokens($"text")))
       .toDF("doc_id", "pos", "tok")
-    val lvls = graft.operators.SuffixRank.levels(toks)
-    val lcp = graft.operators.SuffixRank.adjacentLcp(lvls)
-    val best = lcp
-      .select($"a_doc".as("doc_id"), $"a_pos".as("pos"), $"lcp")
-      .unionAll(lcp.select($"b_doc".as("doc_id"), $"b_pos".as("pos"), $"lcp"))
-      .groupBy($"doc_id", $"pos").agg(max($"lcp").as("best"))
+    val best = graft.operators.SuffixRank.bestPerPosition(toks)
     val hist = best.groupBy($"best").agg(count(lit(1)).as("n"))
     val mx = best.agg(max($"best").as("max_lcp"))
     s.range(1, 11).toDF("l")
@@ -835,7 +830,60 @@ object DedupQueries extends QueryPack {
       .orderBy($"l")
   }
 
+  /** EXACT duplicated-run scrub — the dedup ACTION q212 only measures
+    * (Lee et al. 2022 ExactSubstr, the conservative remove-every-copy
+    * form): every token covered by some duplicated substring of ≥ L
+    * tokens is removed, in every occurrence. Coverage is the interval
+    * union of [p, p+best(p)) over positions with best ≥ L
+    * ([[graft.operators.SuffixRank.bestPerPosition]]), so maximal
+    * duplicated runs at ANY alignment and ANY length ≥ L are caught —
+    * q134's fixed 16-token tiling is the cheap keep-one form; this is
+    * the exact-guarantee form (tie-order-independent, hence oracle-
+    * hashable; a keep-one form would need canonical election per
+    * duplicate class, which ties to suffix order). Output per doc:
+    * token count, removed count, and the md5 of the reassembled
+    * scrubbed text — full-content parity evidence.
+    *
+    * Scale shape: the suffix ladder dominates (operator scaladoc); the
+    * scrub adds one delta-table groupBy, one per-DOC window cumsum
+    * (bounded by doc length, never global), and a per-doc collect of
+    * kept tokens — each doc's row stays O(doc tokens), the q134/q64
+    * reassembly bound. */
+  private val q214: Q = (s, d) => {
+    import s.implicits._
+    val L = 8
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull &&
+        length(trim($"text")) > 0)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .toDF("doc_id", "pos", "tok")
+      .select($"doc_id".cast("long").as("doc_id"),
+        $"pos".cast("long").as("pos"), $"tok")
+    val best = graft.operators.SuffixRank.bestPerPosition(toks)
+    val marks = best.where($"best" >= L)
+    // interval union as a delta cumsum: +1 at run start, -1 past its end
+    // (an end past the last token simply never lands on a token — the
+    // run provably reaches the doc end there, so coverage is right)
+    val deltas = marks.select($"doc_id", $"pos", lit(1L).as("dl"))
+      .unionAll(marks.select($"doc_id", ($"pos" + $"best").as("pos"),
+        lit(-1L).as("dl")))
+      .groupBy($"doc_id", $"pos").agg(sum($"dl").as("dl"))
+    val wcum = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cv = toks.join(deltas, Seq("doc_id", "pos"), "left")
+      .withColumn("covered",
+        coalesce(sum($"dl").over(wcum), lit(0L)) > 0)
+    cv.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when($"covered", 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          sort_array(collect_list(when(!$"covered", struct($"pos", $"tok"))))
+            .getField("tok"), " ").cast("binary")).as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q214_exact_scrub" -> q214,
     "q212_suffix_dedup" -> q212,
     "q178_dedup_audit" -> q178,
     "q177_semantic_decontam" -> q177,
@@ -933,46 +981,70 @@ object DedupQueries extends QueryPack {
        |          / len($t), 4) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.1 END), 1)""".stripMargin
   }
 
+  /** Shared CTE chain for the suffix-array oracles (q212/q214): suffix
+    * explosion is O(total tokens · avg doc len) list cells — fine at
+    * oracle scale. `best` via lag/lead over the suffix sort; the LCP of
+    * two token lists = (first mismatching index − 1), where DuckDB's
+    * list_position returns 0 (not NULL) on no-match → nullif picks the
+    * full min-length instead. `best` is tie-independent, so the engines
+    * need not agree on suffix tie order. Exposes `s` (doc_id, pos, w)
+    * and `b` (doc_id, pos, best). */
+  private val suffixBestCte: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+      |    AND len(trim(text)) > 0),
+      |s AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM t),
+      |sfx AS (SELECT doc_id, pos, list_slice(w, pos + 1, len(w)) AS sfx
+      |        FROM s),
+      |ord AS (
+      |  SELECT doc_id, pos, sfx,
+      |    lag(sfx)  OVER (ORDER BY sfx, doc_id, pos) AS prv,
+      |    lead(sfx) OVER (ORDER BY sfx, doc_id, pos) AS nxt
+      |  FROM sfx),
+      |b AS (
+      |  SELECT doc_id, pos, greatest(
+      |    CASE WHEN prv IS NULL THEN 0 ELSE
+      |      coalesce(nullif(list_position(list_transform(
+      |          range(1, least(len(sfx), len(prv)) + 1),
+      |          i -> sfx[i] = prv[i]), false), 0) - 1,
+      |        least(len(sfx), len(prv))) END,
+      |    CASE WHEN nxt IS NULL THEN 0 ELSE
+      |      coalesce(nullif(list_position(list_transform(
+      |          range(1, least(len(sfx), len(nxt)) + 1),
+      |          i -> sfx[i] = nxt[i]), false), 0) - 1,
+      |        least(len(sfx), len(nxt))) END) AS best
+      |  FROM ord)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // Suffix explosion is O(total tokens · avg doc len) list cells — fine
-    // at oracle scale. `best` via lag/lead over the suffix sort; the LCP
-    // of two token lists = (first mismatching index − 1), where DuckDB's
-    // list_position returns 0 (not NULL) on no-match → nullif picks the
-    // full min-length instead. Statistics are tie-independent, so the
-    // engines need not agree on suffix tie order.
     "q212_suffix_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents
-        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
-        |    AND len(trim(text)) > 0),
-        |s AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM t),
-        |sfx AS (SELECT doc_id, pos, list_slice(w, pos + 1, len(w)) AS sfx
-        |        FROM s),
-        |ord AS (
-        |  SELECT doc_id, pos, sfx,
-        |    lag(sfx)  OVER (ORDER BY sfx, doc_id, pos) AS prv,
-        |    lead(sfx) OVER (ORDER BY sfx, doc_id, pos) AS nxt
-        |  FROM sfx),
-        |b AS (
-        |  SELECT doc_id, pos, greatest(
-        |    CASE WHEN prv IS NULL THEN 0 ELSE
-        |      coalesce(nullif(list_position(list_transform(
-        |          range(1, least(len(sfx), len(prv)) + 1),
-        |          i -> sfx[i] = prv[i]), false), 0) - 1,
-        |        least(len(sfx), len(prv))) END,
-        |    CASE WHEN nxt IS NULL THEN 0 ELSE
-        |      coalesce(nullif(list_position(list_transform(
-        |          range(1, least(len(sfx), len(nxt)) + 1),
-        |          i -> sfx[i] = nxt[i]), false), 0) - 1,
-        |        least(len(sfx), len(nxt))) END) AS best
-        |  FROM ord),
-        |l AS (SELECT unnest(range(1, 11)) AS l)
-        |SELECT l.l,
-        |  CAST(sum(CASE WHEN b.best >= l.l THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_dup_pos,
-        |  CAST(max(b.best) AS BIGINT) AS max_lcp
-        |FROM l CROSS JOIN b GROUP BY l.l ORDER BY l.l""".stripMargin,
+      s"""WITH $suffixBestCte,
+         |l AS (SELECT unnest(range(1, 11)) AS l)
+         |SELECT l.l,
+         |  CAST(sum(CASE WHEN b.best >= l.l THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_pos,
+         |  CAST(max(b.best) AS BIGINT) AS max_lcp
+         |FROM l CROSS JOIN b GROUP BY l.l ORDER BY l.l""".stripMargin,
+    "q214_exact_scrub" ->
+      s"""WITH $suffixBestCte,
+         |marks AS (SELECT doc_id, pos, best AS len FROM b WHERE best >= 8),
+         |del AS (SELECT doc_id, pos, 1 AS dl FROM marks
+         |        UNION ALL SELECT doc_id, pos + len, -1 FROM marks),
+         |dg AS (SELECT doc_id, pos, sum(dl) AS dl FROM del GROUP BY 1, 2),
+         |tok AS (SELECT doc_id, pos, w[pos + 1] AS tok FROM s),
+         |cv AS (SELECT t.doc_id, t.pos, t.tok,
+         |         coalesce(sum(dg.dl) OVER (PARTITION BY t.doc_id
+         |                                   ORDER BY t.pos), 0) > 0 AS covered
+         |       FROM tok t LEFT JOIN dg
+         |         ON t.doc_id = dg.doc_id AND t.pos = dg.pos)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN covered THEN NULL ELSE tok END,
+         |                          ' ' ORDER BY pos), '')) AS clean_md5
+         |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q178_dedup_audit" ->
       s"""WITH RECURSIVE $shingleCte,
          |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),

@@ -89,6 +89,22 @@ class SuffixRankSpec extends SparkSpec {
     assert(gotLcps == expLcps)
   }
 
+  test("q214 scrub invariants: removal bounded, untouched docs keep their exact text") {
+    val s = spark
+    import s.implicits._
+    val res = graft.SparkEntry.queries("q214_exact_scrub")(s, sfDir)
+      .localCheckpoint()
+    assert(res.where($"n_removed" > $"n_tok" || $"n_removed" < 0).isEmpty)
+    val untouched = res.where($"n_removed" === 0)
+      .join(Tables.documents(s, sfDir), Seq("doc_id"))
+      .select($"doc_id", $"clean_md5",
+        md5(concat_ws(" ", split(trim($"text"), "\\s+")).cast("binary"))
+          .as("orig_md5"))
+    assert(untouched.count() > 0, "fixture should have some untouched docs")
+    assert(untouched.where($"clean_md5" =!= $"orig_md5").isEmpty,
+      "a doc with nothing removed must reassemble to its exact token text")
+  }
+
   test("fixture slice: ranks and LCPs match brute force on real corpus text") {
     val s = spark
     import s.implicits._
