@@ -45,7 +45,10 @@ object PlanDump {
     "q207_learnability_select" -> "two-model learnability: BOTH models' per-token weights ride ONE tokenizing scan (two md5 pairs per token), one doc-keyed agg, top-10 TakeOrdered — no join, no second scan",
     "q208_filtered_ann" -> "filtered ANN: metadata predicate plans as a semi join BEFORE cell routing (pre-filter), assignment a narrow map, probed-cell candidates only — no product, no forced broadcast of the allowed set",
     "q210_heldout_ppl" -> "held-out LM scoring: vocab-sized bi/ctx/uni tables shuffle-joined (never broadcast), only the 1-row (T,V) stats frame hinted; per-token bits close as log2 of exact integers",
-    "q211_preference_pairs" -> "DPO pair prep: both extremes (argmax+argmin) from ONE (source,lang)-partitioned window exchange — two row_numbers, one sort, O(groups) output")
+    "q211_preference_pairs" -> "DPO pair prep: both extremes (argmax+argmin) from ONE (source,lang)-partitioned window exchange — two row_numbers, one sort, O(groups) output",
+    "q212_suffix_dedup" -> "suffix-array census: log(maxlen) rank-doubling self-joins, each round cut to a FRESH checkpointed leaf (stats reset — no BigInt plan-stat blowup); per-position best-LCP is two narrow projections + one grouped max, histogram O(maxlen)",
+    "q214_exact_scrub" -> "exact duplicated-run scrub: interval union as a delta-table cumsum — the only window partitions by doc_id (bounded by one doc's tokens, never global); reassembly md5 via per-doc sorted collect, the q134 bound",
+    "q215_probe_recall" -> "IVF probe→recall curve: cells attach via ONE vec_id join (a codes-table column at scale), queries broadcast onto one corpus scan, GT and per-cell rankings both bounded-state TopK partials — the probe-depth grid joins only O(NQ*cells*10) survivors, never the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

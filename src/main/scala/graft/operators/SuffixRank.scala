@@ -74,7 +74,7 @@ object SuffixRank {
         col("tok").cast("string"))
       .transform(cut)
     val maxLen = t.groupBy($"doc_id").agg(count(lit(1)).as("__n"))
-      .agg(max($"__n")).head().getLong(0)
+      .agg(coalesce(max($"__n"), lit(0L))).head().getLong(0)
     // alphabet ranks: the distinct-token table is Heaps-law sub-linear;
     // sortBy is a distributed range sort, zipWithIndex the per-partition
     // offset pass — DistributedRank's shape for a non-numeric key
@@ -87,9 +87,10 @@ object SuffixRank {
     var k = 1L
     var out = Vector(k -> cur)
     // ranks are dense 1..n, so max(r) IS the class count — one narrow
-    // agg over the checkpointed level, no distinct shuffle
+    // agg over the checkpointed level, no distinct shuffle (coalesce:
+    // max is NULL on an empty corpus, where the count is 0)
     def classes(df: DataFrame): Long =
-      df.agg(max($"r")).head().getLong(0)
+      df.agg(coalesce(max($"r"), lit(0L))).head().getLong(0)
     var nr = classes(cur)
     var plateau = false
     while (k < maxLen && !plateau) {

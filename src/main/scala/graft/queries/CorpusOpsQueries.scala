@@ -406,6 +406,56 @@ object CorpusOpsQueries extends QueryPack {
     * Scale shape: one hash agg over documents (partial map-side sums),
     * then arithmetic on |sources| rows; the global normalizer is a
     * 1-row broadcast cross join, never an unpartitioned window. */
+  /** Data-constrained REPEAT-EPOCH allocator (the planning step behind
+    * Muennighoff et al. 2023 "Scaling Data-Constrained Language Models":
+    * when the token budget exceeds the unique corpus, repeat sources —
+    * but each repeat is worth less). Marginal utility of epoch k of
+    * source s is u_s ≫ k (integer halving — the exact power-of-two decay
+    * keeps every engine bit-identical), and epochs are taken globally in
+    * utility order until the cumulative token cost exceeds budget
+    * B = 2 × total corpus tokens. Within a source utilities strictly
+    * decrease while positive, so the greedy prefix never takes epoch k
+    * without epoch k−1. B = 5·total DIV 2 (2.5 epochs' worth) leaves a
+    * fractional tail after everyone's second epoch, so the cutoff lands
+    * mid-tier and only the largest sources win a third pass — the
+    * allocation actually differentiates. Where q130 sets relative
+    * sampling WEIGHTS, this
+    * decides integral repeat COUNTS under an explicit budget — the "how
+    * many epochs of each source" table a data-constrained run trains on.
+    *
+    * Scale shape: one map-side token census per source; everything after
+    * lives on O(sources × 8) rows (the single-partition greedy window is
+    * bounded by that grid, never by data). */
+  private val q216: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .where($"text".isNotNull && $"source".isNotNull)
+      .select($"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("tok"))
+      .groupBy($"source").agg(sum($"tok").as("u_tokens"))
+    val tot = per.agg(expr("(sum(u_tokens) * 5) DIV 2").as("budget"))
+    val ep = (0 until 8).map(k => (k, 1L << k)).toDF("k", "dv")
+    val items = per.crossJoin(broadcast(ep))
+      .select($"source", $"u_tokens", $"k",
+        expr("u_tokens DIV dv").as("util"))
+      .where($"util" > 0)
+    val w = Window.orderBy($"util".desc, $"source", $"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val taken = items.withColumn("cum", sum($"u_tokens").over(w))
+      .crossJoin(broadcast(tot))
+      .where($"cum" <= $"budget")
+    taken.groupBy($"source")
+      .agg(max($"u_tokens").as("u_tokens"),
+        count(lit(1)).as("n_epochs"),
+        sum($"u_tokens").as("alloc_tokens"),
+        sum($"util").as("utility"),
+        max($"budget").as("budget"))
+      .select($"source", $"u_tokens", $"n_epochs", $"alloc_tokens",
+        expr("alloc_tokens * 1000000 DIV budget").as("budget_share_ppm"),
+        $"utility")
+      .orderBy($"source")
+  }
+
   private val q130: Q = (s, d) => {
     import s.implicits._
     val per = Tables.documents(s, d)
@@ -1273,6 +1323,7 @@ object CorpusOpsQueries extends QueryPack {
     "q141_cdc_chunks" -> q141,
     "q142_quality_gate" -> q142,
     "q139_walk_rank" -> q139,
+    "q216_epoch_alloc" -> q216,
     "q130_mixture_weights" -> q130,
     "q103_scd2" -> q103,
     "q114_quality_audit" -> q114,
@@ -1793,6 +1844,34 @@ object CorpusOpsQueries extends QueryPack {
         |       round(r * 1000, 6) AS walk_rank_k
         |FROM r3 JOIN dp USING (p)
         |ORDER BY round(r * 1000, 9) DESC, p_partkey LIMIT 10""".stripMargin,
+    "q216_epoch_alloc" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      AS u_tokens
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY source),
+        |tot AS (SELECT CAST(5 * sum(u_tokens) // 2 AS BIGINT) AS budget
+        |        FROM per),
+        |ep AS (SELECT * FROM (VALUES (0, 1), (1, 2), (2, 4), (3, 8),
+        |  (4, 16), (5, 32), (6, 64), (7, 128)) t(k, dv)),
+        |items AS (
+        |  SELECT p.source, p.u_tokens, e.k, p.u_tokens // e.dv AS util
+        |  FROM per p CROSS JOIN ep e WHERE p.u_tokens // e.dv > 0),
+        |taken AS (
+        |  SELECT *, sum(u_tokens) OVER (ORDER BY util DESC, source, k) AS cum
+        |  FROM items)
+        |SELECT t.source,
+        |  CAST(max(t.u_tokens) AS BIGINT) AS u_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_epochs,
+        |  CAST(sum(t.u_tokens) AS BIGINT) AS alloc_tokens,
+        |  CAST(sum(t.u_tokens) * 1000000 // max(b.budget) AS BIGINT)
+        |    AS budget_share_ppm,
+        |  CAST(sum(t.util) AS BIGINT) AS utility
+        |FROM taken t CROSS JOIN tot b
+        |WHERE t.cum <= b.budget
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
     "q130_mixture_weights" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

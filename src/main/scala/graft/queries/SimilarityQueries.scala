@@ -790,7 +790,87 @@ object SimilarityQueries extends QueryPack {
       .limit(20)
   }
 
+  /** IVF probe→recall OPERATING CURVE — the tuning report every index
+    * owner reads before picking nprobe (FAISS's `nprobe` sweep; the
+    * recall-vs-scan-fraction trade in the IVF literature): for each of
+    * the NQ query vectors and each probe depth p ∈ {1,2,4,8}, how many
+    * of the EXACT top-10 neighbors does searching only the p nearest
+    * cells recover, and how many candidates did that cost. p = 8 probes
+    * every cell, so its rows are the built-in sanity check (hits = 10
+    * whenever ≥10 candidates exist). Cells are the q199 literal dyadic
+    * quantizer, so the oracle replicates routing exactly.
+    *
+    * Scale shape: cell ids attach to the corpus ONCE (one vec_id join —
+    * against a persisted index the cell is already a column of the codes
+    * table, q208 note, and this join vanishes); queries broadcast onto
+    * one corpus scan (q51 shape); BOTH the ground truth and the per-cell
+    * rankings reduce through the bounded-state TopKAggregator (map-side
+    * ≤10 rows per task — no corpus-sized window anywhere); the probe-
+    * depth grid joins only the O(NQ·cells·10) per-cell survivors, never
+    * the corpus (global top-10 at any depth is a subset of the union of
+    * per-cell top-10s); candidate counts come from the O(NQ·cells) cell
+    * census. Distances close as round-6 integer micro-units (q204). */
+  private val q215: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val e = Tables.embeddings(s, d)
+      .where($"vec_id".isNotNull && $"embedding".isNotNull)
+      .select($"vec_id", $"embedding")
+    val assign = VectorIndex.assignCells(e, "vec_id", "embedding", ivfCents)
+      .withColumnRenamed("cluster", "cell")
+    val ea = e.join(assign, Seq("vec_id"))
+    val q = e.where($"vec_id" < NQ)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val pairs = broadcast(q).join(ea, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("n_id"), $"cell",
+        round(round(dot($"embedding", $"embedding")
+          - lit(2.0) * dot($"q_emb", $"embedding")
+          + dot($"q_emb", $"q_emb"), 6) * 1000000).cast("long").as("d2_u"))
+    def topkOf(keyed: org.apache.spark.sql.DataFrame) = keyed
+      .as[(String, ScoredId)].groupByKey(_._1)
+      .agg(new TopKAggregator(10).toColumn.name("top"))
+    val gt = topkOf(pairs.select($"q_id".cast("string").as("k"),
+        struct($"n_id".as("id"), (-$"d2_u").as("score")).as("s")))
+      .flatMap { case (k, hs) => hs.map(h => (k.toLong, h.id)) }
+      .toDF("q_id", "n_id")
+    val cellTop = topkOf(pairs.select(
+        concat_ws("_", $"q_id", $"cell").as("k"),
+        struct($"n_id".as("id"), (-$"d2_u").as("score")).as("s")))
+      .flatMap { case (k, hs) =>
+        val Array(qi, ce) = k.split("_")
+        hs.map(h => (qi.toLong, ce.toLong, h.id, -h.score))
+      }.toDF("q_id", "cell", "n_id", "d2_u")
+    val cellCnt = pairs.groupBy($"q_id", $"cell").agg(count(lit(1)).as("cnt"))
+    val cents = ivfCents.map { case (c, ct) => (c, ct.toSeq) }
+      .toDF("cell", "cent")
+    val wpr = Window.partitionBy($"q_id").orderBy($"cd2", $"cell")
+    val pr = broadcast(q).join(broadcast(cents))
+      .select($"q_id", $"cell",
+        (dot($"q_emb", $"q_emb") - lit(2.0) * dot($"q_emb", $"cent")
+          + dot($"cent", $"cent")).as("cd2"))
+      .withColumn("pr", row_number().over(wpr))
+      .select($"q_id", $"cell", $"pr")
+    val ps = Seq(1, 2, 4, 8).toDF("p")
+    val wip = Window.partitionBy($"q_id", $"p").orderBy($"d2_u", $"n_id")
+    val ivf10 = cellTop.join(pr, Seq("q_id", "cell"))
+      .join(broadcast(ps), $"pr" <= $"p")
+      .withColumn("rnk", row_number().over(wip)).where($"rnk" <= 10)
+    val hits = ivf10.join(gt, Seq("q_id", "n_id"), "left_semi")
+      .groupBy($"q_id", $"p").agg(count(lit(1)).as("hits"))
+    val ncand = cellCnt.join(pr, Seq("q_id", "cell"))
+      .join(broadcast(ps), $"pr" <= $"p")
+      .groupBy($"q_id", $"p").agg(sum($"cnt").as("n_cand"))
+    q.select($"q_id").crossJoin(broadcast(ps))
+      .join(ncand, Seq("q_id", "p"), "left")
+      .join(hits, Seq("q_id", "p"), "left")
+      .select($"p".cast("long").as("p"), $"q_id",
+        coalesce($"n_cand", lit(0L)).as("n_cand"),
+        coalesce($"hits", lit(0L)).as("hits"))
+      .orderBy($"p", $"q_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q215_probe_recall" -> q215,
     "q204_bitext_margin" -> q204,
     "q199_ivf_lifecycle" -> q199,
     "q200_index_census" -> q200,
@@ -856,6 +936,51 @@ object SimilarityQueries extends QueryPack {
   private val duckIvfAssign: String = duckIvfAssignFrom("")
 
   val oracle: Map[String, String] = Map(
+    "q215_probe_recall" ->
+      s"""WITH $duckIvfAssign,
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e
+         |      WHERE vec_id < $NQ),
+         |pairs AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, a.cell,
+         |    CAST(round(round(${duckDot("e.embedding", "e.embedding")}
+         |      - 2.0 * ${duckDot("q.q_emb", "e.embedding")}
+         |      + ${duckDot("q.q_emb", "q.q_emb")}, 6) * 1000000) AS BIGINT)
+         |      AS d2_u
+         |  FROM q JOIN e ON e.vec_id <> q.q_id
+         |  JOIN assign a ON a.vec_id = e.vec_id),
+         |gt AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY d2_u, n_id) AS rk
+         |  FROM pairs) WHERE rk <= 10),
+         |pr AS (
+         |  SELECT q_id, c AS cell, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${duckDot("q_emb", "q_emb")}
+         |      - 2.0 * ${duckDot("q_emb", "cent")}
+         |      + ${duckDot("cent", "cent")}, c) AS pr
+         |  FROM q CROSS JOIN cents),
+         |ps AS (SELECT unnest([1, 2, 4, 8]) AS p),
+         |ivf AS (
+         |  SELECT ps.p, pa.q_id, pa.n_id,
+         |    row_number() OVER (PARTITION BY pa.q_id, ps.p
+         |                       ORDER BY pa.d2_u, pa.n_id) AS rk
+         |  FROM pairs pa
+         |  JOIN pr ON pr.q_id = pa.q_id AND pr.cell = pa.cell
+         |  JOIN ps ON pr.pr <= ps.p),
+         |h AS (SELECT i.q_id, i.p, count(*) AS hits
+         |      FROM ivf i JOIN gt ON gt.q_id = i.q_id AND gt.n_id = i.n_id
+         |      WHERE i.rk <= 10 GROUP BY 1, 2),
+         |nc AS (
+         |  SELECT pa.q_id, ps.p, count(*) AS n_cand
+         |  FROM pairs pa
+         |  JOIN pr ON pr.q_id = pa.q_id AND pr.cell = pa.cell
+         |  JOIN ps ON pr.pr <= ps.p GROUP BY 1, 2)
+         |SELECT CAST(g.p AS BIGINT) AS p, g.q_id,
+         |  CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+         |FROM (SELECT q_id, p FROM q CROSS JOIN ps) g
+         |LEFT JOIN nc ON nc.q_id = g.q_id AND nc.p = g.p
+         |LEFT JOIN h ON h.q_id = g.q_id AND h.p = g.p
+         |ORDER BY 1, 2""".stripMargin,
     "q204_bitext_margin" ->
       s"""WITH e AS (
          |  SELECT v.vec_id, v.embedding, d.lang,
