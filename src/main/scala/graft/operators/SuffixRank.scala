@@ -153,6 +153,11 @@ object SuffixRank {
     var adj = a.join(b, Seq("__rn")).drop("__rn")
       .withColumn("lcp", lit(0L))
       .transform(cut)
+    // unlike the levels ladder (self-join per round — exponential
+    // lineage AND stat growth), this descent adds two joins against
+    // already-checkpointed level frames per step: lineage and plan-stat
+    // digits grow LINEARLY, so the whole descent stays one lazy DAG —
+    // no per-level materialization, one fused execution at the consumer
     lvls.reverse.foreach { case (k, lv) =>
       val lvA = lv.select($"doc_id".as("__ad"), $"pos".as("__ap"),
         $"r".as("__ra"))
@@ -166,7 +171,6 @@ object SuffixRank {
         .withColumn("lcp", when($"__ra".isNotNull && $"__rb".isNotNull &&
           $"__ra" === $"__rb", $"lcp" + lit(k)).otherwise($"lcp"))
         .drop("__ad", "__ap", "__ra", "__bd", "__bp", "__rb")
-        .transform(cut)
     }
     adj
       .join(lens.select($"doc_id".as("a_doc"), $"__len".as("__la")),
