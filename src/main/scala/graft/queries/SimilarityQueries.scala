@@ -869,7 +869,58 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"p", $"q_id")
   }
 
+  /** Semantic TRAINING-ORDER report — the curation decision behind
+    * in-context pretraining (Shi et al. 2023 "In-Context Pretraining:
+    * Language Modeling Beyond Document Boundaries"): packing related
+    * documents adjacently in the training stream beats random/id order.
+    * The orderable proxy here: sort the corpus by (cell, distance to own
+    * centroid, vec_id) under the q199 literal quantizer, and score an
+    * ordering by the cosine mass of ADJACENT pairs — reported for the
+    * semantic order vs the naive id order (same n_pairs, so the sums
+    * compare directly; no cross-engine division, cosines close as
+    * round-6 integer micro-units and sum as integers).
+    *
+    * Scale shape: cell + own-centroid distance ride a narrow pass
+    * (broadcast literal centroids), both global orders come from the
+    * window-free two-pass DistributedRank (never a single-task window),
+    * and adjacency is a pure integer rank self-join — every step linear
+    * in the corpus. At 100 TB the stream writer consumes the same rank
+    * as its shard/offset key. */
+  private val q217: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.DistributedRank
+    val e0 = Tables.embeddings(s, d)
+      .where($"vec_id".isNotNull && $"embedding".isNotNull)
+      .select($"vec_id", $"embedding", l2norm($"embedding").as("nrm"))
+      .where($"nrm" > 0)
+    val assign = VectorIndex.assignCells(e0, "vec_id", "embedding", ivfCents)
+      .withColumnRenamed("cluster", "cell")
+    val cents = ivfCents.map { case (c, ct) => (c, ct.toSeq) }
+      .toDF("cell", "cent")
+    val ea = e0.join(assign, Seq("vec_id")).join(broadcast(cents), Seq("cell"))
+      .select($"vec_id", $"embedding", $"nrm", $"cell",
+        (dot($"embedding", $"embedding") - lit(2.0) * dot($"embedding", $"cent")
+          + dot($"cent", $"cent")).as("d2c"))
+    def adjCos(ranked: org.apache.spark.sql.DataFrame, strategy: String) = {
+      val a = ranked.select($"rn",
+        $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+      val b = ranked.select(($"rn" - 1L).as("rn"),
+        $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+      a.join(b, Seq("rn"))
+        .select(round(round(dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm"),
+          6) * 1000000).cast("long").as("cos_u"))
+        .agg(count(lit(1)).as("n_pairs"), sum($"cos_u").as("sum_cos_u"))
+        .select(lit(strategy).as("strategy"), $"n_pairs", $"sum_cos_u")
+    }
+    val sem = DistributedRank.withRowNumber(ea, "rn",
+      col("cell"), col("d2c"), col("vec_id"))
+    val byId = DistributedRank.withRowNumber(ea, "rn", col("vec_id"))
+    adjCos(byId, "by_id").unionAll(adjCos(sem, "semantic"))
+      .orderBy($"strategy")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q217_semantic_order" -> q217,
     "q215_probe_recall" -> q215,
     "q204_bitext_margin" -> q204,
     "q199_ivf_lifecycle" -> q199,
@@ -936,6 +987,34 @@ object SimilarityQueries extends QueryPack {
   private val duckIvfAssign: String = duckIvfAssignFrom("")
 
   val oracle: Map[String, String] = Map(
+    "q217_semantic_order" ->
+      s"""WITH $duckIvfAssign,
+         |e2 AS (
+         |  SELECT e.vec_id, e.embedding, a.cell,
+         |    sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm,
+         |    ${duckDot("e.embedding", "e.embedding")}
+         |      - 2.0 * ${duckDot("e.embedding", "c.cent")}
+         |      + ${duckDot("c.cent", "c.cent")} AS d2c
+         |  FROM e JOIN assign a USING (vec_id)
+         |  JOIN cents c ON c.c = a.cell
+         |  WHERE sqrt(${duckDot("e.embedding", "e.embedding")}) > 0),
+         |sem AS (SELECT vec_id, embedding, nrm,
+         |  row_number() OVER (ORDER BY cell, d2c, vec_id) AS rn FROM e2),
+         |byid AS (SELECT vec_id, embedding, nrm,
+         |  row_number() OVER (ORDER BY vec_id) AS rn FROM e2),
+         |ps AS (
+         |  SELECT 'semantic' AS strategy,
+         |    CAST(round(round(${duckDot("a.embedding", "b.embedding")}
+         |      / (a.nrm * b.nrm), 6) * 1000000) AS BIGINT) AS cos_u
+         |  FROM sem a JOIN sem b ON b.rn = a.rn + 1
+         |  UNION ALL
+         |  SELECT 'by_id',
+         |    CAST(round(round(${duckDot("a.embedding", "b.embedding")}
+         |      / (a.nrm * b.nrm), 6) * 1000000) AS BIGINT)
+         |  FROM byid a JOIN byid b ON b.rn = a.rn + 1)
+         |SELECT strategy, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(cos_u) AS BIGINT) AS sum_cos_u
+         |FROM ps GROUP BY strategy ORDER BY strategy""".stripMargin,
     "q215_probe_recall" ->
       s"""WITH $duckIvfAssign,
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e
