@@ -49,7 +49,8 @@ object PlanDump {
     "q212_suffix_dedup" -> "suffix-array census: log(maxlen) rank-doubling self-joins, each round cut to a FRESH checkpointed leaf (stats reset — no BigInt plan-stat blowup); per-position best-LCP is two narrow projections + one grouped max, histogram O(maxlen)",
     "q214_exact_scrub" -> "exact duplicated-run scrub: interval union as a delta-table cumsum — the only window partitions by doc_id (bounded by one doc's tokens, never global); reassembly md5 via per-doc sorted collect, the q134 bound",
     "q215_probe_recall" -> "IVF probe→recall curve: cells attach via ONE vec_id join (a codes-table column at scale), queries broadcast onto one corpus scan, GT and per-cell rankings both bounded-state TopK partials — the probe-depth grid joins only O(NQ*cells*10) survivors, never the corpus",
-    "q217_semantic_order" -> "in-context-pretraining order report: cell + own-centroid distance ride a narrow broadcast pass, both global orders via the window-free DistributedRank, adjacency a pure integer rank self-join — linear, no single-task window")
+    "q217_semantic_order" -> "in-context-pretraining order report: cell + own-centroid distance ride a narrow broadcast pass, both global orders via the window-free DistributedRank, adjacency a pure integer rank self-join — linear, no single-task window",
+    "q218_late_interaction" -> "ColBERT MaxSim: slice norms ride the corpus scan as 8 narrow columns, the 64-term grid is INLINE codegen'd expression work per pair (no explode — the pair frame never multiplies), top-10 via bounded-state TopK partials")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

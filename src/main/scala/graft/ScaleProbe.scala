@@ -94,7 +94,8 @@ object ScaleProbe {
       "q206_curation_funnel", "q207_learnability_select",
       "q208_filtered_ann", "q210_heldout_ppl", "q211_preference_pairs",
       "q212_suffix_dedup", "q213_pii_census", "q214_exact_scrub",
-      "q215_probe_recall", "q216_epoch_alloc", "q217_semantic_order")
+      "q215_probe_recall", "q216_epoch_alloc", "q217_semantic_order",
+      "q218_late_interaction")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

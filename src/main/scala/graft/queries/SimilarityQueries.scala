@@ -919,7 +919,63 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"strategy")
   }
 
+  /** Late-interaction (multi-vector) retrieval — the ColBERT MaxSim
+    * operator (Khattab & Zaharia SIGIR'20): score(q, d) =
+    * Σ_i max_j cos(q_i, d_j) over the two sides' vector SETS, the
+    * scoring shape every multi-vector store (ColBERT/PLAID-style)
+    * serves. Production token vectors come from a per-token encoder;
+    * the fixture stands in M=8 deterministic 8-dim slices of the
+    * embedding — the OPERATOR (per-pair cosine grid → per-query-vector
+    * max → sum) is identical. Per-(i,j) cosines close as round-6
+    * integer micro-units BEFORE max/sum, so the whole score is
+    * order-independent exact integer arithmetic; sides with any
+    * zero-norm slice are excluded identically in both engines.
+    *
+    * Scale shape: slice norms ride the corpus scan as 8 narrow columns;
+    * the 64-term MaxSim grid is INLINE expression work per pair (no
+    * explode — the pair frame never multiplies); queries broadcast onto
+    * one corpus scan (q51 shape) and top-10 reduces through the
+    * bounded-state TopKAggregator. At 100 TB candidates come from the
+    * ANN family first (q52/q53/VectorIndex) and MaxSim reranks the
+    * bounded candidate set — the operator is unchanged. */
+  private val q218: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.{ScoredId, TopKAggregator}
+    val M = 8
+    val SD = DIM / M
+    def sl(c: org.apache.spark.sql.Column, i: Int) = slice(c, i * SD + 1, SD)
+    def withNorms(df: org.apache.spark.sql.DataFrame, p: String) = df
+      .select($"vec_id" +: $"embedding" +:
+        (0 until M).map(i => l2norm(sl($"embedding", i)).as(s"$p$i")): _*)
+      .where((0 until M).map(i => col(s"$p$i") > 0.0).reduce(_ && _))
+    val e = withNorms(Tables.embeddings(s, d)
+      .where($"vec_id".isNotNull && $"embedding".isNotNull)
+      .select($"vec_id", $"embedding"), "dn")
+    val q = withNorms(e.where($"vec_id" < NQ)
+      .select($"vec_id", $"embedding"), "qn")
+      .select($"vec_id".as("q_id") +: $"embedding".as("q_emb") +:
+        (0 until M).map(i => col(s"qn$i")): _*)
+    def cosU(i: Int, j: Int) =
+      round(round(dot(sl($"q_emb", i), sl($"embedding", j))
+        / (col(s"qn$i") * col(s"dn$j")), 6) * 1000000).cast("long")
+    val scoreU = (0 until M)
+      .map(i => greatest((0 until M).map(j => cosU(i, j)): _*))
+      .reduce(_ + _)
+    val scored = broadcast(q).join(e, $"vec_id" =!= $"q_id")
+      .select($"q_id".cast("string").as("k"),
+        struct($"vec_id".as("id"), scoreU.as("score")).as("s"))
+    scored.as[(String, ScoredId)].groupByKey(_._1)
+      .agg(new TopKAggregator(10).toColumn.name("top"))
+      .flatMap { case (k, hs) =>
+        hs.iterator.zipWithIndex.map { case (h, r) =>
+          (k.toLong, (r + 1).toLong, h.id, h.score)
+        }
+      }.toDF("q_id", "rnk", "n_id", "score_u")
+      .orderBy($"q_id", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_late_interaction" -> q218,
     "q217_semantic_order" -> q217,
     "q215_probe_recall" -> q215,
     "q204_bitext_margin" -> q204,
@@ -987,6 +1043,47 @@ object SimilarityQueries extends QueryPack {
   private val duckIvfAssign: String = duckIvfAssignFrom("")
 
   val oracle: Map[String, String] = Map(
+    // MaxSim mirror: slice dots spelled with explicit base offsets; the
+    // per-(i,j) grid is unnested (same integer values as Spark's inline
+    // expressions — round-6 micro-units close BEFORE max/sum, both
+    // order-independent)
+    "q218_late_interaction" -> {
+      val M = 8
+      val SD = DIM / M
+      def sliceDot(a: String, ai: String, b: String, bi: String) =
+        s"""list_sum(list_transform(range(1, ${SD + 1}),
+           |      k -> $a[$ai * $SD + k]::DOUBLE * $b[$bi * $SD + k]::DOUBLE))"""
+          .stripMargin
+      val normList = (0 until M).map(i =>
+        s"sqrt(${sliceDot("embedding", i.toString, "embedding", i.toString)})")
+        .mkString("[", ",\n     ", "]")
+      s"""WITH e0 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+         |nrm AS (SELECT vec_id, embedding,
+         |    $normList AS ns
+         |  FROM e0),
+         |ok AS (SELECT * FROM nrm WHERE list_min(ns) > 0),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, ns AS qns
+         |      FROM ok WHERE vec_id < $NQ),
+         |d AS (SELECT vec_id AS n_id, embedding AS d_emb, ns AS dns FROM ok),
+         |ij AS (SELECT i.range AS i, j.range AS j
+         |       FROM range(0, $M) i CROSS JOIN range(0, $M) j),
+         |cg AS (
+         |  SELECT q.q_id, d.n_id, ij.i,
+         |    CAST(round(round(${sliceDot("q_emb", "ij.i", "d_emb", "ij.j")}
+         |      / (qns[ij.i + 1] * dns[ij.j + 1]), 6) * 1000000) AS BIGINT)
+         |      AS cu
+         |  FROM q JOIN d ON d.n_id <> q.q_id CROSS JOIN ij),
+         |mx AS (SELECT q_id, n_id, i, max(cu) AS m FROM cg GROUP BY 1, 2, 3),
+         |sc AS (SELECT q_id, n_id, CAST(sum(m) AS BIGINT) AS score_u
+         |       FROM mx GROUP BY 1, 2)
+         |SELECT q_id, rnk, n_id, score_u FROM (
+         |  SELECT q_id, n_id, score_u,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY score_u DESC, n_id) AS rnk
+         |  FROM sc) WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+    },
     "q217_semantic_order" ->
       s"""WITH $duckIvfAssign,
          |e2 AS (
