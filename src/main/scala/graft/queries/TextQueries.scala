@@ -614,6 +614,51 @@ object TextQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Weak-supervision LABEL-MODEL census (programmatic labeling,
+    * Snorkel — Ratner et al. VLDB'18: many cheap labeling functions
+    * vote; the label model reads their agreement structure before
+    * anyone trains on the votes): K = 3 independent labeling functions
+    * (three [[graft.operators.HashedLinearModel]] scorers under
+    * disjoint salts — production swaps in real heuristics/models, same
+    * plan) vote per document, and the census reports per source the
+    * majority-positive count, unanimity vs split, and the pairwise
+    * agreement mass — the inputs a label model (or a simple
+    * disagreement-based acquisition rule) consumes. Every vote is a
+    * threshold on an exact integer logit, so the whole report is
+    * integer arithmetic.
+    *
+    * Scale shape: ALL THREE models' per-token weights ride ONE
+    * tokenizing scan (the q207 pattern — three md5 pairs per token),
+    * one doc-keyed hash agg, O(sources) census. No join, no broadcast,
+    * no window. */
+  private val q219: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.HashedLinearModel.{bucket, weight16}
+    val DIMS = 1024
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"source".isNotNull && $"doc_id".isNotNull)
+      .select($"source", $"doc_id", explode(tokens($"text")).as("tok"))
+    val per = toks.select($"source" +: $"doc_id" +:
+      (1 to 3).map(k =>
+        weight16(bucket($"tok", DIMS, s"lf$k"), s"lf${k}w").as(s"w$k")): _*)
+    val lg = per.groupBy($"source", $"doc_id")
+      .agg(sum($"w1").as("l1"), sum($"w2").as("l2"), sum($"w3").as("l3"))
+    val v = lg.select($"source",
+      (($"l1" >= 0L).cast("long") + ($"l2" >= 0L).cast("long")
+        + ($"l3" >= 0L).cast("long")).as("n_yes"),
+      ((($"l1" >= 0L) === ($"l2" >= 0L)).cast("long")
+        + (($"l1" >= 0L) === ($"l3" >= 0L)).cast("long")
+        + (($"l2" >= 0L) === ($"l3" >= 0L)).cast("long")).as("pair_agree"))
+    v.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(($"n_yes" >= 2L).cast("long")).as("n_maj_pos"),
+        sum(($"n_yes" === 0L || $"n_yes" === 3L).cast("long"))
+          .as("n_unanimous"),
+        sum(($"n_yes" === 1L || $"n_yes" === 2L).cast("long")).as("n_split"),
+        sum($"pair_agree").as("sum_pair_agree"))
+      .orderBy($"source")
+  }
+
   /** Preference-PAIR construction (the DPO/RLHF reward-data prep shape —
     * Rafailov et al. 2023: each training example is a (chosen, rejected)
     * response pair under a reward score, kept only when the margin is
@@ -1106,6 +1151,7 @@ object TextQueries extends QueryPack {
     "q190_domain_tagger" -> q190,
     "q202_cms_freq" -> q202,
     "q203_quality_classifier" -> q203,
+    "q219_weak_labels" -> q219,
     "q207_learnability_select" -> q207,
     "q210_heldout_ppl" -> q210,
     "q211_preference_pairs" -> q211,
@@ -1410,6 +1456,39 @@ object TextQueries extends QueryPack {
          |    // count(*) AS BIGINT) AS pass_ppm,
          |  CAST(sum(logit16) AS BIGINT) AS sum_logit16
          |FROM lg GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q219_weak_labels" -> {
+      import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
+      def lf(k: Int) =
+        s"CAST(sum(${duckWeight16(duckBucket("tok", 1024, s"lf$k"), s"lf${k}w")}) AS BIGINT)"
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+         |lg AS (
+         |  SELECT source, doc_id, ${lf(1)} AS l1, ${lf(2)} AS l2,
+         |    ${lf(3)} AS l3
+         |  FROM toks GROUP BY 1, 2),
+         |v AS (
+         |  SELECT source,
+         |    (CASE WHEN l1 >= 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN l2 >= 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN l3 >= 0 THEN 1 ELSE 0 END) AS n_yes,
+         |    (CASE WHEN (l1 >= 0) = (l2 >= 0) THEN 1 ELSE 0 END
+         |     + CASE WHEN (l1 >= 0) = (l3 >= 0) THEN 1 ELSE 0 END
+         |     + CASE WHEN (l2 >= 0) = (l3 >= 0) THEN 1 ELSE 0 END)
+         |      AS pair_agree
+         |  FROM lg)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_yes >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_maj_pos,
+         |  CAST(sum(CASE WHEN n_yes = 0 OR n_yes = 3 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unanimous,
+         |  CAST(sum(CASE WHEN n_yes = 1 OR n_yes = 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_split,
+         |  CAST(sum(pair_agree) AS BIGINT) AS sum_pair_agree
+         |FROM v GROUP BY source ORDER BY source""".stripMargin
     },
     "q202_cms_freq" -> {
       val pts = graft.functions.TextFunctions.stopwords.take(8)
