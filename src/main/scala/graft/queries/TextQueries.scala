@@ -702,6 +702,45 @@ object TextQueries extends QueryPack {
       .orderBy($"source", $"lang")
   }
 
+  /** DoReMi-style domain REWEIGHTING census (Xie et al. 2023 "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * domain weights follow the CLIPPED EXCESS of a proxy model over a
+    * reference model, normalized across domains and smoothed 7/8 toward
+    * the data, 1/8 toward uniform — the loss-DRIVEN member of the
+    * mixture-planning family (q130 sets count-based temperature
+    * weights, q216 budget-constrained epochs; this one listens to the
+    * models). Excess here is max(0, learner16 − reference16) per doc
+    * under the q207 salt pairs — production swaps in real per-domain
+    * excess losses, identical plan — so every reported number is exact
+    * integer arithmetic (ppm via DIV on nonnegative integers, where
+    * Spark DIV and DuckDB // agree).
+    *
+    * Scale shape: both models ride ONE tokenizing scan (q207), one
+    * doc-keyed agg, O(sources) census joined to a 1-row total. */
+  private val q220: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.HashedLinearModel.{bucket, weight16}
+    val DIMS = 1024
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"source".isNotNull && $"doc_id".isNotNull)
+      .select($"source", $"doc_id", explode(tokens($"text")).as("tok"))
+    val docs = toks
+      .select($"source", $"doc_id",
+        weight16(bucket($"tok", DIMS), "hlmw").as("w_p"),
+        weight16(bucket($"tok", DIMS, "hlmr"), "hlmwr").as("w_r"))
+      .groupBy($"source", $"doc_id")
+      .agg(greatest(sum($"w_p") - sum($"w_r"), lit(0L)).as("excess16"))
+    val dom = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"excess16").as("excess16"))
+    val tot = dom.agg(sum($"excess16").as("tot16"), count(lit(1)).as("k"))
+    dom.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"excess16",
+        expr("excess16 * 1000000 DIV tot16").as("weight_ppm"),
+        expr("(excess16 * 1000000 DIV tot16) * 7 DIV 8 + 1000000 DIV (8 * k)")
+          .as("smoothed_ppm"))
+      .orderBy($"source")
+  }
+
   /** Learnability-ranked selection (q207 — the two-model data-selection
     * shape: RHO-loss "reducible holdout loss", Mindermann et al.
     * ICML'22; JEST's learnability = learner score − reference score,
@@ -1152,6 +1191,7 @@ object TextQueries extends QueryPack {
     "q202_cms_freq" -> q202,
     "q203_quality_classifier" -> q203,
     "q219_weak_labels" -> q219,
+    "q220_doremi_weights" -> q220,
     "q207_learnability_select" -> q207,
     "q210_heldout_ppl" -> q210,
     "q211_preference_pairs" -> q211,
@@ -1456,6 +1496,32 @@ object TextQueries extends QueryPack {
          |    // count(*) AS BIGINT) AS pass_ppm,
          |  CAST(sum(logit16) AS BIGINT) AS sum_logit16
          |FROM lg GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q220_doremi_weights" -> {
+      import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
+      s"""WITH toks AS (
+         |  SELECT source, doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL),
+         |docs AS (
+         |  SELECT source, doc_id,
+         |    greatest(CAST(sum(${duckWeight16(duckBucket("tok", 1024))})
+         |        AS BIGINT)
+         |      - CAST(sum(${duckWeight16(duckBucket("tok", 1024, "hlmr"), "hlmwr")})
+         |        AS BIGINT), 0) AS excess16
+         |  FROM toks GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(excess16) AS BIGINT) AS excess16
+         |  FROM docs GROUP BY source),
+         |tot AS (SELECT CAST(sum(excess16) AS BIGINT) AS tot16,
+         |        count(*) AS k FROM dom)
+         |SELECT d.source, d.n_docs, d.excess16,
+         |  CAST(d.excess16 * 1000000 // t.tot16 AS BIGINT) AS weight_ppm,
+         |  CAST((d.excess16 * 1000000 // t.tot16) * 7 // 8
+         |    + 1000000 // (8 * t.k) AS BIGINT) AS smoothed_ppm
+         |FROM dom d CROSS JOIN tot t ORDER BY d.source""".stripMargin
     },
     "q219_weak_labels" -> {
       import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
