@@ -52,7 +52,8 @@ object PlanDump {
     "q217_semantic_order" -> "in-context-pretraining order report: cell + own-centroid distance ride a narrow broadcast pass, both global orders via the window-free DistributedRank, adjacency a pure integer rank self-join — linear, no single-task window",
     "q218_late_interaction" -> "ColBERT MaxSim: slice norms ride the corpus scan as 8 narrow columns, the 64-term grid is INLINE codegen'd expression work per pair (no explode — the pair frame never multiplies), top-10 via bounded-state TopK partials",
     "q219_weak_labels" -> "Snorkel label-model census: all THREE labeling functions' weights ride ONE tokenizing scan (three md5 pairs per token), one doc-keyed hash agg, O(sources) census — no join, no broadcast, no window",
-    "q220_doremi_weights" -> "DoReMi domain reweighting: both models ride ONE tokenizing scan, doc-keyed agg, O(sources) census x 1-row broadcast total — integer ppm end to end")
+    "q220_doremi_weights" -> "DoReMi domain reweighting: both models ride ONE tokenizing scan, doc-keyed agg, O(sources) census x 1-row broadcast total — integer ppm end to end",
+    "q221_forget_audit" -> "erasure propagation: the corpus-tracking deletion list joins with NO forced broadcast (AQE decides); one left-join hash agg per artifact, cell assignment a narrow pass (a stored codes column at a persisted index)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -95,7 +95,8 @@ object ScaleProbe {
       "q208_filtered_ann", "q210_heldout_ppl", "q211_preference_pairs",
       "q212_suffix_dedup", "q213_pii_census", "q214_exact_scrub",
       "q215_probe_recall", "q216_epoch_alloc", "q217_semantic_order",
-      "q218_late_interaction", "q219_weak_labels", "q220_doremi_weights")
+      "q218_late_interaction", "q219_weak_labels", "q220_doremi_weights",
+      "q221_forget_audit")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -974,7 +974,52 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Right-to-be-forgotten DELETE-PROPAGATION audit (the GDPR/CCPA
+    * erasure report every production data platform serves): a deletion
+    * list keyed on documents (here doc_id ≡ 0 mod 97 — production
+    * receives an external id table, same plan) must propagate through
+    * every DERIVED artifact: the embeddings table (doc_id==vec_id seam)
+    * and the vector index's codes (per CELL — the per-partition
+    * footprint a targeted dynamic-partition rewrite touches, the
+    * [[graft.operators.VectorIndex.appendTo]] overwrite contract).
+    * Output: per artifact (and per index cell) total / to-delete /
+    * after counts — the erasure evidence an auditor reads.
+    *
+    * Scale shape: the deletion list is corpus-tracking, so joins carry
+    * NO forced broadcast (audit rule — AQE decides); each row of the
+    * report is one hash agg over a left join on the artifact's key;
+    * cell assignment is the narrow [[VectorIndex.assignCells]] pass
+    * (a stored codes column at a persisted index). */
+  private val q221: Q = (s, d) => {
+    import s.implicits._
+    val del = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"doc_id" % 97 === 0)
+      .select($"doc_id")
+    val docs = Tables.documents(s, d).where($"doc_id".isNotNull)
+      .select($"doc_id")
+    val embs = Tables.embeddings(s, d)
+      .where($"vec_id".isNotNull && $"embedding".isNotNull)
+    def row(tbl: org.apache.spark.sql.Column,
+        df: org.apache.spark.sql.DataFrame, key: String,
+        grp: Seq[org.apache.spark.sql.Column] = Nil) = df
+      .join(del.select($"doc_id".as(key), lit(1L).as("__del")), Seq(key),
+        "left")
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce($"__del", lit(0L))).as("n_delete"))
+      .select(tbl.as("tbl"), $"n_total", $"n_delete",
+        ($"n_total" - $"n_delete").as("n_after"))
+    val codes = VectorIndex.assignCells(embs, "vec_id", "embedding",
+      ivfCents)
+    row(lit("documents"), docs, "doc_id")
+      .unionAll(row(lit("embeddings"), embs.select($"vec_id"), "vec_id"))
+      .unionAll(row(concat(lit("index_cell_"), $"cluster"),
+        codes, "vec_id", Seq($"cluster")))
+      .orderBy($"tbl")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q221_forget_audit" -> q221,
     "q218_late_interaction" -> q218,
     "q217_semantic_order" -> q217,
     "q215_probe_recall" -> q215,
@@ -1043,6 +1088,32 @@ object SimilarityQueries extends QueryPack {
   private val duckIvfAssign: String = duckIvfAssignFrom("")
 
   val oracle: Map[String, String] = Map(
+    "q221_forget_audit" ->
+      s"""WITH $duckIvfAssign,
+         |del AS (SELECT doc_id FROM documents
+         |        WHERE doc_id IS NOT NULL AND doc_id % 97 = 0),
+         |docs AS (
+         |  SELECT 'documents' AS tbl, count(*) AS n_total,
+         |    CAST(sum(CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_delete
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) t
+         |  LEFT JOIN del x USING (doc_id)),
+         |em AS (
+         |  SELECT 'embeddings' AS tbl, count(*) AS n_total,
+         |    CAST(sum(CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_delete
+         |  FROM e LEFT JOIN del x ON x.doc_id = e.vec_id),
+         |cells AS (
+         |  SELECT 'index_cell_' || CAST(a.cell AS VARCHAR) AS tbl,
+         |    count(*) AS n_total,
+         |    CAST(sum(CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_delete
+         |  FROM assign a LEFT JOIN del x ON x.doc_id = a.vec_id
+         |  GROUP BY a.cell),
+         |u AS (SELECT * FROM docs UNION ALL SELECT * FROM em
+         |      UNION ALL SELECT * FROM cells)
+         |SELECT tbl, n_total, n_delete, n_total - n_delete AS n_after
+         |FROM u ORDER BY tbl""".stripMargin,
     // MaxSim mirror: slice dots spelled with explicit base offsets; the
     // per-(i,j) grid is unnested (same integer values as Spark's inline
     // expressions — round-6 micro-units close BEFORE max/sum, both
