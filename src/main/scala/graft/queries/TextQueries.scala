@@ -733,7 +733,9 @@ object TextQueries extends QueryPack {
     val dom = docs.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"excess16").as("excess16"))
     val tot = dom.agg(sum($"excess16").as("tot16"), count(lit(1)).as("k"))
-    dom.crossJoin(broadcast(tot))
+    // tot16 = 0 (every excess clipped) would divide by zero — an empty
+    // report is the honest "no signal" answer, identical in both engines
+    dom.crossJoin(broadcast(tot)).where($"tot16" > 0)
       .select($"source", $"n_docs", $"excess16",
         expr("excess16 * 1000000 DIV tot16").as("weight_ppm"),
         expr("(excess16 * 1000000 DIV tot16) * 7 DIV 8 + 1000000 DIV (8 * k)")
@@ -1521,7 +1523,8 @@ object TextQueries extends QueryPack {
          |  CAST(d.excess16 * 1000000 // t.tot16 AS BIGINT) AS weight_ppm,
          |  CAST((d.excess16 * 1000000 // t.tot16) * 7 // 8
          |    + 1000000 // (8 * t.k) AS BIGINT) AS smoothed_ppm
-         |FROM dom d CROSS JOIN tot t ORDER BY d.source""".stripMargin
+         |FROM dom d CROSS JOIN tot t WHERE t.tot16 > 0
+         |ORDER BY d.source""".stripMargin
     },
     "q219_weak_labels" -> {
       import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
