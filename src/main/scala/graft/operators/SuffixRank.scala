@@ -64,8 +64,20 @@ object SuffixRank {
     * k ascending in powers of two; each frame is (doc_id, pos, r) where
     * equal r ⟺ equal min(k, remaining)-token prefixes — with the
     * end-of-doc pad ranked below every real token, so a short suffix
-    * sorts before everything it prefixes (list order). The last level's
-    * r is the dense suffix rank (ties ⟺ identical full suffixes). */
+    * sorts before everything it prefixes (list order). Top-level ties ⟺
+    * identical FULL suffixes: the ladder stops either at k ≥ maxDocLen
+    * (min(k, remaining) = remaining everywhere) or at a class-count
+    * plateau — and a doubling that splits nothing proves, by induction,
+    * that no longer prefix can split a class either, so the plateau
+    * level itself is never materialized (its partition equals its
+    * parent's; [[adjacentLcp]]'s sentinel relies on this guarantee).
+    *
+    * Levels 1 and 2 come out of ONE fused alphabet pass: the same
+    * O(positions) self-shift that a doubling round would pay ranks
+    * unigrams and (token, next-token) bigrams together — both distinct
+    * tables are Heaps-law sub-linear, sortBy+zipWithIndex each — saving
+    * a full positions-scale doubling round (~1/log(maxDocLen) of the
+    * ladder). */
   def levels(toks: DataFrame): Seq[(Long, DataFrame)] = {
     val spark = toks.sparkSession
     import spark.implicits._
@@ -75,17 +87,33 @@ object SuffixRank {
       .transform(cut)
     val maxLen = t.groupBy($"doc_id").agg(count(lit(1)).as("__n"))
       .agg(coalesce(max($"__n"), lit(0L))).head().getLong(0)
-    // alphabet ranks: the distinct-token table is Heaps-law sub-linear;
-    // sortBy is a distributed range sort, zipWithIndex the per-partition
-    // offset pass — DistributedRank's shape for a non-numeric key
-    val alpha = t.select($"tok").distinct().as[String].rdd
-      .sortBy(identity).zipWithIndex()
-      .toDF("tok", "__r0")
-    var cur = t.join(alpha, Seq("tok"))
-      .select($"doc_id", $"pos", ($"__r0" + 1L).as("r"))
+    // fused alphabet pass: end-of-doc pad "" sorts below every real
+    // token; the \u0001 prefix on real next-tokens keeps a (theoretical)
+    // empty-string token distinct from the pad while preserving the
+    // tokens' relative string order
+    val nxt = t.select($"doc_id", ($"pos" - 1L).as("pos"),
+      $"tok".as("__nt0"))
+    val big = t.join(nxt, Seq("doc_id", "pos"), "left")
+      .select($"doc_id", $"pos", $"tok",
+        when($"__nt0".isNull, lit(""))
+          .otherwise(concat(lit("\u0001"), $"__nt0")).as("__nt"))
       .transform(cut)
-    var k = 1L
-    var out = Vector(k -> cur)
+    val alpha1 = big.select($"tok").distinct().as[String].rdd
+      .sortBy(identity).zipWithIndex()
+      .toDF("tok", "__r1")
+    val alpha2 = big.select($"tok", $"__nt").distinct()
+      .as[(String, String)].rdd
+      .sortBy(identity).zipWithIndex()
+      .map { case ((a, b), i) => (a, b, i) }
+      .toDF("tok", "__nt", "__r2")
+    val cur1 = big.join(alpha1, Seq("tok"))
+      .select($"doc_id", $"pos", ($"__r1" + 1L).as("r"))
+      .transform(cut)
+    var cur = big.join(alpha2, Seq("tok", "__nt"))
+      .select($"doc_id", $"pos", ($"__r2" + 1L).as("r"))
+      .transform(cut)
+    var k = 2L
+    var out = Vector(1L -> cur1, k -> cur)
     // ranks are dense 1..n, so max(r) IS the class count — one narrow
     // agg over the checkpointed level, no distinct shuffle (coalesce:
     // max is NULL on an empty corpus, where the count is 0)
@@ -102,14 +130,22 @@ object SuffixRank {
       val pairs = paired.select($"r", $"r2").distinct()
       val ranked = DistributedRank.withRowNumber(pairs, "__nr",
         col("r"), col("r2"))
-      cur = paired.join(ranked, Seq("r", "r2"))
-        .select($"doc_id", $"pos", $"__nr".as("r"))
         .transform(cut)
-      k *= 2
-      out :+= (k -> cur)
-      val n2 = classes(cur)
-      plateau = n2 == nr
-      nr = n2
+      // the distinct (r, r2) pair count IS the next level's class count
+      // — checking it on the (small, checkpointed) pair-rank table
+      // BEFORE the positions-scale join-back skips materializing a
+      // plateau level the descent never needs; a non-plateau round
+      // reuses the same checkpointed ranks in the join-back
+      val n2 = ranked.count()
+      if (n2 == nr) plateau = true
+      else {
+        cur = paired.join(ranked, Seq("r", "r2"))
+          .select($"doc_id", $"pos", $"__nr".as("r"))
+          .transform(cut)
+        k *= 2
+        out :+= (k -> cur)
+        nr = n2
+      }
     }
     out
   }
@@ -135,15 +171,25 @@ object SuffixRank {
     * exact token LCP. Descends the ladder top-down — at level k the
     * pair advances by k iff the rank-k values at the current matched
     * offset agree (an equi join per side; offsets past the doc end find
-    * no row and never advance). Identical-to-the-end suffixes advance
-    * past their length once and are clipped by the final
-    * min-remaining-length cap — exact in both regimes. Adjacency itself
-    * comes from the window-free global row number, so the whole array
-    * costs 2·levels + 3 equi joins and never funnels through one task. */
+    * no row and never advance). A TOP-level match means the suffixes
+    * are identical to the end ([[levels]]'s plateau/k≥maxLen guarantee),
+    * so it advances by a sentinel far past any document length and the
+    * final min-remaining-length clip brings it back to the true value —
+    * advancing by the top k instead would cap computed LCP at 2K−1 and
+    * UNDERCOUNT on duplicate-heavy corpora that plateau early (two
+    * identical 'a b c d' docs plateau at K=2 but have LCP 4). Below the
+    * top, distinct powers {K/2 … 2, 1} reach every value ≤ K−1 exactly.
+    * Adjacency itself comes from the window-free global row number, so
+    * the whole array costs 2·levels + 3 equi joins and never funnels
+    * through one task. */
   def adjacentLcp(lvls: Seq[(Long, DataFrame)]): DataFrame = {
     val fin = lvls.last._2
     val spark = fin.sparkSession
     import spark.implicits._
+    // past any plausible token count per doc; a_pos + SENTINEL stays
+    // far from Long overflow and matches no real offset, so levels
+    // below the top never advance a sentinel pair further
+    val SENTINEL = 1L << 40
     val lens = fin.groupBy($"doc_id").agg((max($"pos") + 1L).as("__len"))
     val ordered = DistributedRank.withRowNumber(fin, "__rn",
       col("r"), col("doc_id"), col("pos"))
@@ -158,7 +204,8 @@ object SuffixRank {
     // already-checkpointed level frames per step: lineage and plan-stat
     // digits grow LINEARLY, so the whole descent stays one lazy DAG —
     // no per-level materialization, one fused execution at the consumer
-    lvls.reverse.foreach { case (k, lv) =>
+    lvls.reverse.zipWithIndex.foreach { case ((k, lv), i) =>
+      val adv = if (i == 0) SENTINEL else k
       val lvA = lv.select($"doc_id".as("__ad"), $"pos".as("__ap"),
         $"r".as("__ra"))
       val lvB = lv.select($"doc_id".as("__bd"), $"pos".as("__bp"),
@@ -169,7 +216,7 @@ object SuffixRank {
         .join(lvB, $"b_doc" === $"__bd" && $"__bp" === $"b_pos" + $"lcp",
           "left")
         .withColumn("lcp", when($"__ra".isNotNull && $"__rb".isNotNull &&
-          $"__ra" === $"__rb", $"lcp" + lit(k)).otherwise($"lcp"))
+          $"__ra" === $"__rb", $"lcp" + lit(adv)).otherwise($"lcp"))
         .drop("__ad", "__ap", "__ra", "__bd", "__bp", "__rb")
     }
     adj

@@ -1025,7 +1025,7 @@ object DedupQueries extends QueryPack {
          |  CAST(sum(CASE WHEN b.best >= l.l THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dup_pos,
          |  CAST(max(b.best) AS BIGINT) AS max_lcp
-         |FROM l CROSS JOIN b GROUP BY l.l ORDER BY l.l""".stripMargin,
+         |FROM l LEFT JOIN b ON true GROUP BY l.l ORDER BY l.l""".stripMargin,
     "q214_exact_scrub" ->
       s"""WITH $suffixBestCte,
          |marks AS (SELECT doc_id, pos, best AS len FROM b WHERE best >= 8),

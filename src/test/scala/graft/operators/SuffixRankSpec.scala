@@ -89,6 +89,33 @@ class SuffixRankSpec extends SparkSpec {
     assert(gotLcps == expLcps)
   }
 
+  test("early plateau on duplicate docs with distinct tokens: LCP reaches the full doc length (round-7 ADVICE)") {
+    // identical docs of 4 DISTINCT tokens plateau the ladder at K=2;
+    // pre-fix the descent capped LCP at 2K-1=3 instead of 4, so q214's
+    // L=8 scrub would miss whole-doc duplicates on dup-heavy corpora
+    val docs = Seq(1L -> "a b c d", 2L -> "a b c d")
+    val (expRanks, expLcps) = brute(docs)
+    val (lvls, gotRanks, gotLcps) = run(docs)
+    assert(lvls.map(_._1) == Seq(1L, 2L),
+      s"distinct-token duplicate docs must plateau at K=2: got ${lvls.map(_._1)}")
+    assert(gotRanks == expRanks)
+    assert(gotLcps == expLcps)
+    assert(gotLcps.values.max == 4L, "whole-doc duplicate LCP must reach doc length")
+  }
+
+  test("early plateau with a run past L=8: the q214 scrub sees the full duplicated run") {
+    // 9 distinct tokens, two identical docs — plateau at K=4 (pre-fix
+    // cap 2K-1=7 < 8 would scrub NOTHING at L=8)
+    val docs = Seq(
+      1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9",
+      2L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9")
+    val (expRanks, expLcps) = brute(docs)
+    val (_, gotRanks, gotLcps) = run(docs)
+    assert(gotRanks == expRanks)
+    assert(gotLcps == expLcps)
+    assert(gotLcps.values.max == 9L)
+  }
+
   test("q214 scrub invariants: removal bounded, untouched docs keep their exact text") {
     val s = spark
     import s.implicits._
