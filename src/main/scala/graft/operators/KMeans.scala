@@ -158,12 +158,21 @@ object KMeans {
         // wrong for a ks≥16 codebook over the full corpus, where Lloyd
         // iterations repair seed spread anyway (recall gates in
         // VectorIndexSpec/IvfPqSpec hold under this mode).
+        // The seed join keys on __id cast to long: a non-integral id
+        // would silently NULL out, match no seeds, and hand groups
+        // EMPTY centroids — fail loudly instead (round-7 ADVICE); the
+        // hash is negated in LONG space so Int.MinValue can't overflow
+        // and invert one key's priority.
+        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+        val idType = e.schema("__id").dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+          s"seedMode='hash' needs an integral id column (got $idType for '$idCol')")
         import graft.functions.{ScoredId, TopKAggregator}
         val ids = e
           .select(col("__g").cast("string").as("__gs"),
             struct(col("__id").cast("long").as("id"),
-              (-hash32(concat(lit("km:"), col("__id").cast("string"))))
-                .cast("long").as("score")).as("s"))
+              (-(hash32(concat(lit("km:"), col("__id").cast("string")))
+                .cast("long"))).as("score")).as("s"))
           .as[(String, ScoredId)]
           .groupByKey(_._1)
           .agg(new TopKAggregator(k).toColumn.name("top"))

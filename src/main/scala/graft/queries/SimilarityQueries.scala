@@ -622,17 +622,24 @@ object SimilarityQueries extends QueryPack {
     .map { case (c, ct) => (c, sqd(ivfQuery, ct)) }
     .sortBy { case (c, dd) => (dd, c) }.take(2).map(_._1)
 
-  /** Build the lifecycle fixture index under a fresh temp dir: build
-    * (literal cells, REAL residual PQ train + fused encode) on the
-    * vec_id%10≠0 slice → save → load → frozen-model append of the
-    * %10=0 slice as batch 1. Returns the index path. */
+  /** Build the lifecycle fixture index under a DETERMINISTIC scratch
+    * dir (one per tag, deleted and rebuilt per invocation — a fresh
+    * createTempDirectory each call leaked two fully built indexes per
+    * Verify/Bench run, round-7 ADVICE): build (literal cells, REAL
+    * residual PQ train + fused encode) on the vec_id%10≠0 slice →
+    * save → load → frozen-model append of the %10=0 slice as batch 1.
+    * Returns the index path. */
   private def buildLifecycleIndex(s: org.apache.spark.sql.SparkSession,
       d: String, tag: String): String = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .where($"vec_id".isNotNull && $"embedding".isNotNull)
       .select($"vec_id", $"embedding")
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_lifecycle_$tag").toString
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
     val built = VectorIndex.buildWith(e.where($"vec_id" % 10 =!= 0),
       "vec_id", "embedding", DIM, ivfCents, m = 8, ks = 16, iters = 2)
     VectorIndex.save(built, "vec_id", tmp)

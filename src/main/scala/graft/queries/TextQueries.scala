@@ -322,15 +322,20 @@ object TextQueries extends QueryPack {
     * shape.
     *
     * Scale shape: one token-histogram shuffle (output O(vocab) — Zipf
-    * guarantees it's small), histogram BROADCAST back onto the token
-    * stream (no second token shuffle), one hash agg per doc. */
+    * guarantees it's small), histogram joined back onto the token
+    * stream WITHOUT a forced broadcast hint: the vocab frame grows
+    * ~n^0.5 with the corpus (Heaps), so the broadcast-audit rule
+    * applies (a frame tracking corpus growth never carries a forced
+    * hint — the q171/q137 precedent) and AQE broadcasts at runtime
+    * while the frame fits; only the 1-row totals frame keeps its
+    * hint. One hash agg per doc closes it. */
   private val q136: Q = (s, d) => {
     import s.implicits._
     val toks = Tables.documents(s, d)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
     val hist = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
     val total = hist.agg(sum($"cnt").as("n"))
-    toks.join(broadcast(hist), Seq("tok"))
+    toks.join(hist, Seq("tok"))
       .crossJoin(broadcast(total))
       .select($"doc_id", (-log2($"cnt" / $"n")).as("bits"))
       .groupBy($"doc_id")

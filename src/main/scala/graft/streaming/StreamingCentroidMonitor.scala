@@ -74,14 +74,20 @@ object StreamingCentroidMonitor {
     val all = spark.read.parquet(storePath)
       .groupBy(col("label"), col("i"))
       .agg(sum(col("sv")).as("sv"), sum(col("n")).as("n"))
-    val tmp = storePath + ".compact_tmp"
-    all.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
-    spark.read.parquet(tmp).withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(storePath)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // write-then-rename (round-7 ADVICE, the VectorIndex.compactBatches
+    // contract): the folded table commits completely beside the live
+    // store, the swap is two renames, and the old store is deleted
+    // LAST — a crash at any step leaves a complete, servable table
+    val live = new org.apache.hadoop.fs.Path(storePath)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + ".compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(storePath + ".compact_old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true); fs.delete(old, true) // stale prior-crash leftovers
+    all.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
   }
 
   /** Running centroids served from the moment table: (label, n_vecs,
