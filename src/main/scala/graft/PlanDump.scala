@@ -1,9 +1,13 @@
 package graft
 
-/** Dev tool: dump `explain("formatted")` physical plans for the
-  * plan-shape-critical queries into PLANS.md, so the scan pruning,
-  * broadcast placement, partial aggregation, exchange reuse, and
-  * codegen spans are reviewable as text without running anything.
+/** Dev tool: dump a physical plan for EVERY `SparkEntry.queries` entry
+  * into PLANS.md — `explain("formatted")` for the plan-shape-critical
+  * picks below (scan pruning, broadcast placement, partial aggregation,
+  * exchange reuse and codegen spans reviewable as text), the compact
+  * simple physical tree for the rest. Totality is enforced (round-7
+  * verdict #4): the tool fails loudly if a pick key no longer exists,
+  * and every queries key gets a section, so a new query can't silently
+  * ship without a reviewable plan.
   * Run: `sbt "runMain graft.PlanDump [sfDir]"`. */
 object PlanDump {
 
@@ -53,30 +57,48 @@ object PlanDump {
     "q218_late_interaction" -> "ColBERT MaxSim: slice norms ride the corpus scan as 8 narrow columns, the 64-term grid is INLINE codegen'd expression work per pair (no explode — the pair frame never multiplies), top-10 via bounded-state TopK partials",
     "q219_weak_labels" -> "Snorkel label-model census: all THREE labeling functions' weights ride ONE tokenizing scan (three md5 pairs per token), one doc-keyed hash agg, O(sources) census — no join, no broadcast, no window",
     "q220_doremi_weights" -> "DoReMi domain reweighting: both models ride ONE tokenizing scan, doc-keyed agg, O(sources) census x 1-row broadcast total — integer ppm end to end",
-    "q221_forget_audit" -> "erasure propagation: the corpus-tracking deletion list joins with NO forced broadcast (AQE decides); one left-join hash agg per artifact, cell assignment a narrow pass (a stored codes column at a persisted index)")
+    "q221_forget_audit" -> "erasure propagation: the corpus-tracking deletion list joins with NO forced broadcast (AQE decides); one left-join hash agg per artifact, cell assignment a narrow pass (a stored codes column at a persisted index)",
+    "q200_index_census" -> "index census read straight off the codes table's (batch_id, cluster) partition layout — partition columns only, vector codes never deserialize",
+    "q201_semdup_by_source" -> "semantic-dup rate per source: SemDeDup keep/drop left-joined to the doc dim across the doc_id==vec_id seam, one grouped census — zero new operator code",
+    "q209_sql_groupby_all" -> "GROUP BY ALL dialect: resolves to the same partial+final hash aggregate as an explicit grouping list",
+    "q213_pii_census" -> "PII census: detector regexes are codegen'd row expressions riding the documents scan — zero shuffles before the O(kinds) census agg",
+    "q216_epoch_alloc" -> "repeat-epoch allocator: corpus stats reduce to O(sources) rows; the greedy allocation window runs over O(sources*epochs) rows, never the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = graft.core.GraftSession.local(4)
     spark.sparkContext.setLogLevel("ERROR")
+    val noteOf = picks.toMap
+    val stale = picks.map(_._1).filterNot(SparkEntry.queries.contains)
+    require(stale.isEmpty, s"PlanDump picks reference missing queries: $stale")
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val out = new StringBuilder
     out ++= "# Physical plans (generated by `runMain graft.PlanDump`)\n\n"
-    out ++= s"Source: `$sfDir`. One section per plan-shape-critical query; the\n"
-    out ++= "annotation names the property PlanAssertSpec pins for it.\n"
-    picks.foreach { case (name, note) =>
+    out ++= s"Source: `$sfDir`. One section per query — TOTAL over\n"
+    out ++= "`SparkEntry.queries`. Plan-shape-critical queries carry an\n"
+    out ++= "annotation naming the property PlanAssertSpec pins and a\n"
+    out ++= "formatted plan; the rest carry the simple physical tree.\n"
+    var dumped = 0
+    names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val mode =
+        if (noteOf.contains(name)) org.apache.spark.sql.execution.FormattedMode
+        else org.apache.spark.sql.execution.SimpleMode
+      val plan = df.queryExecution.explainString(mode)
         .split("\n", -1)
         .map(l => // q128's bloom sketch prints as a ~200 KB hex literal
           if (l.length > 500) l.take(300) + s"… [truncated ${l.length - 300} chars]"
           else l)
         .mkString("\n")
-      out ++= s"\n## $name — $note\n\n```\n$plan```\n"
+      val head = noteOf.get(name).map(n => s"$name — $n").getOrElse(name)
+      out ++= s"\n## $head\n\n```\n$plan```\n"
+      dumped += 1
     }
+    require(dumped == SparkEntry.queries.size,
+      s"PlanDump dumped $dumped of ${SparkEntry.queries.size} queries")
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
       out.toString.getBytes("UTF-8"))
-    println(s"[plandump] wrote PLANS.md (${picks.size} plans)")
+    println(s"[plandump] wrote PLANS.md ($dumped plans, ${picks.size} annotated)")
     spark.stop()
   }
 }
