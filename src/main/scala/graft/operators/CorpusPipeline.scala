@@ -276,6 +276,29 @@ object CorpusPipeline {
     corpus.join(keep, Seq(cfg.idCol), "left_semi")
   }
 
+  /** [[qualityFilter]] with TRAINED weights — the closed loop the
+    * md5-stand-in version's scaladoc promises ("production swaps in
+    * learned weights"): `weights` is a sparse (b, w) frame from
+    * [[LogReg.train]] over the SAME dims/salt feature space, and the
+    * keep threshold is on [[LogReg.score]]'s lattice logit (σ_h and
+    * sigmoid are monotone, so this is a probability threshold). Same
+    * plan as [[qualityFilter]] plus one broadcast of the
+    * O(dims)-bounded model frame. */
+  def qualityFilterTrained(corpus: DataFrame, weights: DataFrame,
+      cfg: Config = Config(), dims: Int = 1024,
+      minLogitW: Long = 0L, binary: Boolean = false): DataFrame = {
+    val toks = corpus
+      .where(col(cfg.textCol).isNotNull && col(cfg.idCol).isNotNull)
+      .select(col(cfg.idCol),
+        explode(split(trim(col(cfg.textCol)), "\\s+")).as("__tok"))
+    val feats = LogReg.features(toks, cfg.idCol, "__tok", dims,
+      binary = binary)
+    val keep = LogReg.score(feats, weights, cfg.idCol)
+      .where(col("logit_w") >= minLogitW)
+      .select(col(cfg.idCol))
+    corpus.join(keep, Seq(cfg.idCol), "left_semi")
+  }
+
   /** Privacy stage: typed PII / identifier redaction
     * ([[PiiScrub.scrub]]) over the text column — run BEFORE any stage
     * that fingerprints or tokenizes, so downstream dedup keys and

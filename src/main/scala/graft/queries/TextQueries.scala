@@ -1192,7 +1192,70 @@ object TextQueries extends QueryPack {
       .orderBy($"lang", $"rnk")
   }
 
+  /** TRAINED quality-classifier census — closes the loop every
+    * model-based query in this suite documents ("production swaps in
+    * learned weights"): [[graft.operators.LogReg]] trains the hashed
+    * linear classifier IN-ENGINE (full-batch gradient descent, hard-
+    * sigmoid link — see the operator scaladoc for why that closes
+    * training over exact integers), scores the corpus with the LEARNED
+    * weights, and reports the per-source keep census with teacher
+    * confusion counts plus the nonzero-weight census. Teacher labels
+    * here are a rare-positive keyword gate (y = doc contains 'dup' —
+    * ~5% of the fixture, the FineWeb-Edu regime of few good docs), so
+    * the fixture is genuinely linearly separable and the learned
+    * accuracy is visible: n_correct = n_docs per source at sf ≥ 0.01.
+    * FineWeb-Edu swaps LLM-graded labels onto the identical plan.
+    * Training config measured on the fixtures (see LogRegSpec):
+    * PRESENCE features (fastText's default — count features put the
+    * corpus's shared-vocabulary length direction in front of the
+    * signal), class-BALANCED integer doc weights (without them the
+    * 95%-negative teacher trains to the majority class), and a halving
+    * dyadic rate from η = 4 (constant rates ring between the two
+    * class-majority predictions).
+    *
+    * Cross-engine closure: every trained weight is an exact lattice
+    * integer, so the oracle replays all ITERS rounds as unrolled CTEs
+    * (the q139 fixed-unroll precedent) and hash-matches — no float
+    * ever crosses engines.
+    *
+    * Scale shape: ONE tokenizing scan into the checkpointed
+    * (doc, bucket, presence) frame; per round one broadcast join
+    * against the O(dims)-bounded model frame, one doc agg, one
+    * residual shuffle join, one bucket agg (LogReg scaladoc); census =
+    * one grouped agg × a 1-row weight-stats crossJoin. */
+  private val q222: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.LogReg
+    val DIMS = 1024
+    val ITERS = 8
+    val docs = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull && $"source".isNotNull)
+      .select($"doc_id", $"source",
+        array_contains(tokens($"text"), "dup").cast("long").as("y"),
+        $"text")
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val feats = LogReg.features(toks, "doc_id", "tok", DIMS, binary = true)
+    val labels = LogReg.balancedLabels(docs.select($"doc_id", $"y"), "doc_id")
+    val w = LogReg.train(feats, labels, "doc_id",
+      iters = ITERS, etaLog2 = 2, decay = true, weightCol = Some("wt"))
+    val scored = LogReg.score(feats, w, "doc_id")
+      .join(docs.select($"doc_id", $"source", $"y"), Seq("doc_id"))
+    val wstats = w.agg(count(lit(1)).as("n_w"),
+      coalesce(sum($"w"), lit(0L)).as("sum_w"))
+    scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"y").as("n_pos"),
+        sum(($"logit_w" >= 0L).cast("long")).as("n_keep"),
+        sum(when(($"logit_w" >= 0L) === ($"y" === 1L), 1L).otherwise(0L))
+          .as("n_correct"))
+      .crossJoin(broadcast(wstats))
+      .select($"source", $"n_docs", $"n_pos", $"n_keep", $"n_correct",
+        $"n_w", $"sum_w")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q222_trained_filter" -> q222,
     "q189_heaps_growth" -> q189,
     "q190_domain_tagger" -> q190,
     "q202_cms_freq" -> q202,
@@ -1483,6 +1546,87 @@ object TextQueries extends QueryPack {
          |  SELECT doc_id, source, learn16,
          |    row_number() OVER (ORDER BY learn16 DESC, doc_id) AS rnk
          |  FROM scored) WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+    },
+    "q222_trained_filter" -> {
+      // exact-integer training replay: the ITERS gradient-descent
+      // rounds unroll as CTEs (w0 empty = all-zero weights; each round
+      // = logit left join, hard-sigmoid residual × balanced doc weight,
+      // gradient agg, weight merge with the same truncating // and
+      // clamp LogReg uses; the divisor doubles per round = the halving
+      // dyadic rate)
+      import graft.operators.HashedLinearModel.duckBucket
+      val dims = 1024
+      val iters = 8
+      val m = 1L << 20
+      val half = 1L << 19
+      val slope = 1L << 10 // 2^(MScale - WScale - 2)
+      val wmax = 1L << 24
+      val rounds = (1 to iters).map { r =>
+        val pw = s"w${r - 1}"
+        // 2^(MScale - WScale - etaLog2 + round), etaLog2 = 2, decay
+        val shift = 1L << (10 + (r - 1))
+        s"""l$r AS (
+           |  SELECT lf.doc_id, max(lf.ym) AS ym, max(lf.wt) AS wt,
+           |    CAST(sum(lf.c * coalesce(pw.w, 0)) AS BIGINT) AS lg
+           |  FROM lf LEFT JOIN $pw pw ON lf.b = pw.b GROUP BY lf.doc_id),
+           |r$r AS (
+           |  SELECT doc_id,
+           |    (ym - least(greatest($half + lg * $slope, 0), $m)) * wt AS rr
+           |  FROM l$r),
+           |g$r AS (
+           |  SELECT lf.b, CAST(sum(lf.c * r.rr) AS BIGINT) AS g
+           |  FROM lf JOIN r$r r USING (doc_id) GROUP BY lf.b),
+           |w$r AS MATERIALIZED (
+           |  SELECT b, w FROM (
+           |    SELECT coalesce(pw.b, g.b) AS b,
+           |      least(greatest(coalesce(pw.w, 0)
+           |        + coalesce(g.g // ((SELECT wtot FROM wtot) * $shift), 0),
+           |        -$wmax), $wmax) AS w
+           |    FROM $pw pw FULL OUTER JOIN g$r g ON pw.b = g.b)
+           |  WHERE w <> 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CASE WHEN list_contains(
+         |      regexp_split_to_array(trim(text), '\\s+'), 'dup')
+         |      THEN 1 ELSE 0 END AS y,
+         |    text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+         |    AND source IS NOT NULL),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM docs),
+         |f AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
+         |  FROM toks
+         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM toks),
+         |cls AS (SELECT y, count(*) AS ny FROM docs GROUP BY y),
+         |nn AS (SELECT count(*) AS n FROM docs),
+         |wts AS (SELECT y, (n * 8) // (2 * ny) AS wt FROM cls, nn),
+         |lf AS MATERIALIZED (
+         |  SELECT f.doc_id, f.b, f.c, d.y * $m AS ym, w.wt
+         |  FROM f JOIN docs d USING (doc_id) JOIN wts w USING (y)),
+         |wtot AS (
+         |  SELECT CAST(sum(w.wt) AS BIGINT) AS wtot
+         |  FROM docs d JOIN wts w USING (y)),
+         |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+         |       WHERE false),
+         |$rounds,
+         |sc AS (
+         |  SELECT f.doc_id, CAST(sum(f.c * coalesce(w.w, 0)) AS BIGINT) AS lw
+         |  FROM f LEFT JOIN w$iters w ON f.b = w.b GROUP BY f.doc_id),
+         |j AS (SELECT d.source, d.y, sc.lw FROM sc JOIN docs d USING (doc_id)),
+         |ws AS (SELECT count(*) AS n_w,
+         |       CAST(coalesce(sum(w), 0) AS BIGINT) AS sum_w FROM w$iters)
+         |SELECT j.source, count(*) AS n_docs,
+         |  CAST(sum(j.y) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN j.lw >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN (j.lw >= 0) = (j.y = 1) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  max(ws.n_w) AS n_w, max(ws.sum_w) AS sum_w
+         |FROM j, ws GROUP BY j.source ORDER BY j.source""".stripMargin
     },
     "q203_quality_classifier" -> {
       import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
