@@ -1301,7 +1301,78 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"surface", $"detector")
   }
 
+  /** Committed BPE merge fixture for the export flagship (q223): a
+    * 12-merge vocabulary model over the fixture corpus' character
+    * space, applied in learned order. Literal model state — like q199's
+    * dyadic centroids — so both engines replicate tokenization exactly;
+    * BpeEncoderSpec pins the heap encoder equal to the merge fold on
+    * the full fixture vocabulary under exactly this list. */
+  private[graft] val packMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e",            // the
+    "d" -> "a", "da" -> "t", "dat" -> "a", // data
+    "a" -> "r", "p" -> "ar",            // part, spark
+    "r" -> "o", "ro" -> "w",            // row, group
+    "s" -> "t",                         // stream, fast, sort tails
+    "o" -> "r",                         // order, sort, vector
+    "q" -> "u")                         // query
+
+  /** Tokenize → pack → shard EXPORT FLAGSHIP — the last mile every
+    * training run ends with, as ONE oracle-checked composition (the
+    * q65-flagship pattern): (1) BPE-encode every document with the
+    * committed [[packMerges]] vocabulary through [[graft.operators
+    * .BpeTrainer.tokenize]] — the real greedy heap encoder, spec-pinned
+    * equal to the in-order merge fold; (2) concatenate the corpus in
+    * the reproducible salted-hash permutation and pack it into
+    * 512-token training sequences — the doc's sequence is its starting
+    * token offset DIV 512, offsets from the window-free global prefix
+    * sum ([[graft.functions.DistributedRank.withRunningTotal]], q94's
+    * primitive); (3) group 16 sequences per shard (q122's assignment
+    * idiom); (4) publish the per-shard census: sequences started, docs,
+    * token mass, capacity fill in exact ppm. The disk twin of step 3/4
+    * is [[graft.sources.IoOps.writeShards]] (IoOpsSpec pins the
+    * re-export-identical membership).
+    *
+    * Cross-engine closure: packing consumes ONLY the per-doc token
+    * count, and the oracle replays the BPE encode as a chained
+    * leftmost-nonoverlapping replace over delimiter-framed character
+    * strings — equal to the merge fold by construction (both take the
+    * leftmost eligible pair and continue past it), with the fold
+    * spec-pinned equal to the heap encoder. All census math is integer
+    * (ppm via DIV).
+    *
+    * Scale shape: tokenization is one narrow typed map (real
+    * tokenizers at 100 TB are the same shape — native code in a
+    * mapPartitions); the prefix sum is one bucket exchange + an
+    * O(buckets) offsets join; the census one hash agg. Nothing
+    * funnels through a single task. */
+  private val q223: Q = (s, d) => {
+    import s.implicits._
+    val perDoc = graft.operators.BpeTrainer
+      .tokenize(Tables.documents(s, d)
+        .where($"doc_id".isNotNull && $"text".isNotNull),
+        "doc_id", "text", packMerges)
+      .select($"doc_id", $"n_bpe_tokens".as("toks"))
+    val h = graft.functions.DedupFunctions.hash32(
+      concat(lit("pack:"), $"doc_id".cast("string")))
+    val seqd = graft.functions.DistributedRank
+      .withRunningTotal(perDoc.withColumn("hk", h), "rt", $"toks",
+        $"hk", $"doc_id")
+      .select($"doc_id", $"toks", expr("(rt - toks) DIV 512").as("seq"))
+    seqd
+      .withColumn("shard", expr("seq DIV 16"))
+      .groupBy($"shard")
+      .agg(countDistinct($"seq").as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum($"toks").as("sum_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .select($"shard", $"n_seqs", $"n_docs", $"sum_tokens",
+        expr("sum_tokens * 1000000 DIV (n_seqs * 512)").as("fill_ppm"),
+        $"min_doc", $"max_doc")
+      .orderBy($"shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q223_pack_shard" -> q223,
     "q213_pii_census" -> q213,
     "q206_curation_funnel" -> q206,
     "q193_reshard_census" -> q193,
@@ -2021,6 +2092,48 @@ object CorpusOpsQueries extends QueryPack {
          |GROUP BY 1, 2
          |HAVING count(*) * 10 >= any_value(a.n) * 8
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q223_pack_shard" -> {
+      // BPE as a chained leftmost replace: each word becomes a
+      // '|'-framed char string ('|s|p|a|r|k|'), each committed merge
+      // (a,b) one replace('|a|b|' -> '|ab|') in learned order —
+      // leftmost-nonoverlapping continuation == BpeTrainer's merge
+      // fold; token count = pieces between frames. Packing then only
+      // needs the counts.
+      val charSplit = "'|' || array_to_string(string_split(w, ''), '|') || '|'"
+      val encoded = packMerges.foldLeft(charSplit) { case (acc, (a, b)) =>
+        s"replace($acc, '|$a|$b|', '|$a$b|')"
+      }
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |words AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM docs),
+         |enc AS (
+         |  SELECT doc_id, $encoded AS s FROM words WHERE w <> ''),
+         |cnt AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sum(len(string_split(e.s, '|')) - 2), 0)
+         |      AS BIGINT) AS toks
+         |  FROM docs d LEFT JOIN enc e USING (doc_id) GROUP BY d.doc_id),
+         |r AS (
+         |  SELECT doc_id, toks,
+         |    sum(toks) OVER (
+         |      ORDER BY ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+         |               doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+         |  FROM cnt),
+         |sq AS (SELECT doc_id, toks, (rt - toks) // 512 AS seq FROM r)
+         |SELECT seq // 16 AS shard,
+         |  count(DISTINCT seq) AS n_seqs,
+         |  count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(toks) * 1000000 // (count(DISTINCT seq) * 512)
+         |    AS BIGINT) AS fill_ppm,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q122_shard_assign" ->
       """WITH r AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Pins [[BpeTrainer.encodeWord]] — the rank-heap production encoder —
   * to the fold definition ([[BpeTrainer.encodeWordFold]]): same token
@@ -80,6 +81,26 @@ class BpeEncoderSpec extends SparkSpec {
     val ms = Seq(("a", "b"), ("b", "c"))
     assert(BpeTrainer.encodeWordFold("abc", ms) == Seq("ab", "c"))
     assert(BpeTrainer.encodeWord("abc", BpeTrainer.ranksOf(ms)) == Seq("ab", "c"))
+  }
+
+  test("q223 merge fixture: heap encoder == in-order merge fold on the full fixture vocabulary") {
+    // the q223 oracle replays BPE as a chained leftmost replace — equal
+    // to encodeWordFold by construction; this pins the remaining link,
+    // encodeWord == encodeWordFold, on every word the fixture contains
+    // under exactly the committed packMerges list
+    val s = spark
+    import s.implicits._
+    val ms = graft.queries.CorpusOpsQueries.packMerges
+    val ranks = BpeTrainer.ranksOf(ms)
+    val vocab = graft.core.Tables.documents(s, sfDir)
+      .where($"text".isNotNull)
+      .select(explode(split(trim($"text"), "\\s+")).as("tok"))
+      .distinct().as[String].collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { w =>
+      assert(BpeTrainer.encodeWord(w, ranks) == BpeTrainer.encodeWordFold(w, ms),
+        s"encoders disagree on fixture word '$w'")
+    }
   }
 
   test("tokenize: round-trip concatenation, count parity, null safety") {

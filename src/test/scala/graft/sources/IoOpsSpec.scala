@@ -201,11 +201,23 @@ class IoOpsSpec extends SparkSpec {
     assert(byShard.keySet == (0L to 6L).toSet)
     assert((0L to 5L).forall(byShard(_) == 16L) && byShard(6L) == 4L)
     assert(back.select($"doc_id").distinct().count() == 100L)
-    // assignment is a pure function of the id: a re-export reproduces it
+    // assignment is a pure function of the id: a re-export reproduces
+    // byte-identical shard membership
     val first = back.select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
     IoOps.writeShards(docs, s"$dir/corpus2", "doc_id", docsPerShard = 16)
     val second = spark.read.parquet(s"$dir/corpus2")
       .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
     assert(first == second)
+    // ... and equals the q122-census formula computed independently:
+    // salted-hash permutation (ties on id), (rank-1) DIV docsPerShard
+    import org.apache.spark.sql.functions.{concat, lit}
+    val expected = docs
+      .withColumn("__hk", graft.functions.DedupFunctions.hash32(
+        concat(lit("shard:"), $"doc_id".cast("string"))))
+      .select($"doc_id", $"__hk").as[(Long, Long)].collect()
+      .sortBy { case (id, hk) => (hk, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong / 16L }.toMap
+    assert(first == expected,
+      "writeShards membership must equal the census assignment formula")
   }
 }
