@@ -114,6 +114,37 @@ object CorpusPipeline {
       afterDecontam, result)
   }
 
+  /** Dolma-style drop-reason ATTRIBUTES table — "why was my doc
+    * dropped", the most-asked question of any curation pipeline: one
+    * row per DROPPED document with the stage that removed it and the
+    * reason tag (Dolma ships the same thing as its attributes files
+    * beside the documents). Each stage already computes its keep set,
+    * so this is six id anti-joins + a union — no new operator math; a
+    * doc dropped at stage k never reaches stage k+1, so the rows are
+    * stage-ordered and, together with `st.result`, partition the input
+    * EXACTLY (one reason per dropped doc — CorpusPipelineSpec pins the
+    * partition; q224 is the oracle-checked census). Null-text docs
+    * fall in 1_gate with the token_length tag (a null text has no
+    * token count to pass the band).
+    *
+    * Scale note: each anti-join re-derives its two stage frames from
+    * lineage; for repeated audits persist `afterNearDedup` first (the
+    * stages above it are the expensive ones — object scaladoc). */
+  def dropReasons(st: Staged, cfg: Config = Config()): DataFrame = {
+    val idc = cfg.idCol
+    def drops(before: DataFrame, after: DataFrame, stage: String,
+        reason: String): DataFrame =
+      before.select(col(idc))
+        .join(after.select(col(idc)), Seq(idc), "left_anti")
+        .select(col(idc), lit(stage).as("stage"), lit(reason).as("reason"))
+    drops(st.input, st.afterGate, "1_gate", "token_length")
+      .unionByName(drops(st.afterGate, st.afterLang, "2_lang", "lang_blocked"))
+      .unionByName(drops(st.afterLang, st.afterExact, "3_exact", "exact_dup"))
+      .unionByName(drops(st.afterExact, st.afterNearDedup, "4_neardup", "near_dup"))
+      .unionByName(drops(st.afterNearDedup, st.afterDecontam, "5_decontam", "eval_contaminated"))
+      .unionByName(drops(st.afterDecontam, st.result, "6_quota", "quota_sampled"))
+  }
+
   /** Stage 7 (optional, after [[build]]): token-budget cap — keep the
     * greedy prefix of the deterministic salted-hash shuffle order whose
     * INCLUSIVE running token total stays ≤ `maxTokens` (a uniform budget

@@ -882,7 +882,47 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Drop-reason attributes CENSUS (Dolma's attributes-files pattern —
+    * the "why was my doc dropped" debugging surface): run the full
+    * [[graft.operators.CorpusPipeline]] over the corpus (token-length
+    * gate → language allowlist → exact dedup → LSH near-dedup →
+    * eval-set decontamination → per-language quota), emit one
+    * (stage, reason) row per dropped doc via [[graft.operators
+    * .CorpusPipeline.dropReasons]] plus a 7_kept row per survivor, and
+    * report the per-(stage, reason) census. The drop rows + kept rows
+    * PARTITION the input exactly — Σ n_docs here = the input count —
+    * because a doc dropped at stage k never reaches k+1
+    * (CorpusPipelineSpec pins the per-doc partition).
+    *
+    * Eval set = the q89 convention (doc_id % 97 slice); every stage's
+    * semantics is an already-oracled query (q43 gate, q46 exact, q77
+    * LSH suppression, q89 decontam, q108 quota), so the oracle is
+    * their CTE composition — MATERIALIZED, the q222 lesson: DuckDB
+    * re-inlines multiply-referenced CTEs otherwise.
+    *
+    * Scale shape: six anti-joins on the id over the staged lineage —
+    * every stage is the narrow filter / hash-agg / bucketed join the
+    * pipeline scaladoc documents; nothing new materializes. */
+  private val q224: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.CorpusPipeline
+    val docs = Tables.documents(s, d).where($"doc_id".isNotNull)
+    val cfg = CorpusPipeline.Config(
+      langs = Seq("de", "en", "es", "fr"),
+      evalDocs = Some(docs.where($"doc_id" % 97 === 0)),
+      quotaPerLang = Some(40))
+    val st = CorpusPipeline.build(docs.where($"doc_id" % 97 =!= 0), cfg)
+    CorpusPipeline.dropReasons(st, cfg)
+      .unionByName(st.result.select($"doc_id",
+        lit("7_kept").as("stage"), lit("kept").as("reason")))
+      .groupBy($"stage", $"reason")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_drop_reasons" -> q224,
     "q214_exact_scrub" -> q214,
     "q212_suffix_dedup" -> q212,
     "q178_dedup_audit" -> q178,
@@ -1018,6 +1058,75 @@ object DedupQueries extends QueryPack {
       |  FROM ord)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q224_drop_reasons" ->
+      s"""WITH inp AS MATERIALIZED (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IS NOT NULL AND doc_id % 97 <> 0),
+         |s1 AS MATERIALIZED (
+         |  SELECT * FROM inp WHERE text IS NOT NULL
+         |    AND len(regexp_split_to_array(trim(text), '\\s+'))
+         |        BETWEEN 10 AND 1000),
+         |s2 AS MATERIALIZED (
+         |  SELECT * FROM s1 WHERE lang IN ('de', 'en', 'es', 'fr')),
+         |s3 AS MATERIALIZED (
+         |  SELECT * EXCLUDE (fpm) FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(trim(text))) AS fpm
+         |    FROM s2)
+         |  WHERE doc_id = fpm),
+         |g3 AS (SELECT doc_id, text FROM s3),
+         |${shingleCteFrom("g3")},
+         |sig AS (SELECT doc_id, ${duckSig(NH)} AS sig FROM sh WHERE len(s) > 0),
+         |bands AS MATERIALIZED (SELECT doc_id, j AS band_idx,
+         |    md5(array_to_string(list_transform(list_slice(sig, j*$R + 1, j*$R + $R), v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+         |  FROM sig, range(0, $B) r(j)),
+         |keeper AS (SELECT band_idx, band_hash, min(doc_id) AS keeper
+         |  FROM bands GROUP BY 1, 2),
+         |lshdrop AS MATERIALIZED (SELECT DISTINCT b.doc_id
+         |  FROM bands b JOIN keeper k
+         |    ON b.band_idx = k.band_idx AND b.band_hash = k.band_hash
+         |  WHERE b.doc_id > k.keeper),
+         |s4 AS MATERIALIZED (
+         |  SELECT * FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM lshdrop)),
+         |dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+         |       FROM s4),
+         |dsh AS (SELECT doc_id, array_to_string(a[i:i+4], ' ') AS g5
+         |        FROM dt, unnest(range(1, len(a) - 3)) AS t(i)),
+         |et AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+         |       FROM documents
+         |       WHERE doc_id IS NOT NULL AND doc_id % 97 = 0
+         |         AND text IS NOT NULL),
+         |esh AS (SELECT DISTINCT array_to_string(a[i:i+4], ' ') AS g5
+         |        FROM et, unnest(range(1, len(a) - 3)) AS t(i)),
+         |cont AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id FROM dsh JOIN esh USING (g5)),
+         |s5 AS MATERIALIZED (
+         |  SELECT * FROM s4
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |s6 AS MATERIALIZED (
+         |  SELECT * EXCLUDE (rk) FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY lang
+         |      ORDER BY md5('smp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |    FROM s5)
+         |  WHERE rk <= 40),
+         |att AS (
+         |  SELECT doc_id, '1_gate' AS stage, 'token_length' AS reason
+         |  FROM inp WHERE doc_id NOT IN (SELECT doc_id FROM s1)
+         |  UNION ALL SELECT doc_id, '2_lang', 'lang_blocked'
+         |  FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+         |  UNION ALL SELECT doc_id, '3_exact', 'exact_dup'
+         |  FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM s3)
+         |  UNION ALL SELECT doc_id, '4_neardup', 'near_dup'
+         |  FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM s4)
+         |  UNION ALL SELECT doc_id, '5_decontam', 'eval_contaminated'
+         |  FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM s5)
+         |  UNION ALL SELECT doc_id, '6_quota', 'quota_sampled'
+         |  FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM s6)
+         |  UNION ALL SELECT doc_id, '7_kept', 'kept' FROM s6)
+         |SELECT stage, reason, count(*) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM att GROUP BY 1, 2 ORDER BY stage""".stripMargin,
     "q212_suffix_dedup" ->
       s"""WITH $suffixBestCte,
          |l AS (SELECT unnest(range(1, 11)) AS l)

@@ -67,6 +67,49 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(staged.result.filter(!$"lang".isin("en", "zh", "es")).count() == 0)
   }
 
+  test("dropReasons: one reason per dropped doc, stage-ordered, partitions the input exactly") {
+    import spark.implicits._
+    // one planted doc per drop stage + two clean survivors
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    val evalText = (1 to 40).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "too short"),                    // 1_gate (3 tokens < 10)
+      (2L, "zh", long),                           // 2_lang
+      (3L, "en", long),                           // survivor (min id of the fp class)
+      (4L, "en", long),                           // 3_exact (dup of 3)
+      (5L, "en", near),                           // 4_neardup (LSH-near 3)
+      (6L, "en", evalText),                       // 5_decontam (shares eval 5-grams)
+      (7L, "en", (1 to 40).map(i => s"q$i").mkString(" ")), // 6_quota or kept
+      (8L, "en", (1 to 40).map(i => s"r$i").mkString(" ")), // 6_quota or kept
+      (9L, "en", null.asInstanceOf[String]))      // 1_gate (null text)
+      .toDF("doc_id", "lang", "text")
+    val cfg = CorpusPipeline.Config(
+      langs = Seq("en"),
+      evalDocs = Some(Seq((100L, evalText)).toDF("doc_id", "text")),
+      quotaPerLang = Some(2))
+    val st = CorpusPipeline.build(docs, cfg)
+    val reasons = CorpusPipeline.dropReasons(st, cfg)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val byDoc = reasons.map(r => r._1 -> (r._2, r._3)).toMap
+    // one row per dropped doc — no duplicates
+    assert(reasons.length == byDoc.size, "exactly one reason per dropped doc")
+    assert(byDoc(1L) == ("1_gate", "token_length"))
+    assert(byDoc(9L) == ("1_gate", "token_length"))
+    assert(byDoc(2L) == ("2_lang", "lang_blocked"))
+    assert(byDoc(4L) == ("3_exact", "exact_dup"))
+    assert(byDoc(5L) == ("4_neardup", "near_dup"))
+    assert(byDoc(6L) == ("5_decontam", "eval_contaminated"))
+    // quota 2 keeps two of {3, 7, 8}; the third carries 6_quota
+    val kept = st.result.select($"doc_id").as[Long].collect().toSet
+    val quotaDropped = Set(3L, 7L, 8L) -- kept
+    assert(kept.size == 2 && quotaDropped.size == 1)
+    assert(byDoc(quotaDropped.head) == ("6_quota", "quota_sampled"))
+    // drops + kept partition the input exactly
+    assert(byDoc.keySet ++ kept == (1L to 9L).toSet)
+    assert((byDoc.keySet & kept).isEmpty)
+  }
+
   test("spanScrub stage keeps first-occurrence spans, drops empty docs, equals q134's rule") {
     import spark.implicits._
     val boiler = (1 to 16).map(i => s"bp$i").mkString(" ")
