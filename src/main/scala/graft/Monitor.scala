@@ -22,16 +22,25 @@ object Monitor {
     *    — `n` is the stored cell count, `metric` the global UV estimate
     *    from unioning every cell's sketch (O(cells) rows read; the raw
     *    stream is never rescanned).
+    *  - `profile:<table>.<column>` (one row per column of each
+    *    `warehouse` table): column-grain completeness from ONE
+    *    [[graft.operators.TableProfiler]] pass per table — `n` is the
+    *    table's row count, `metric` the non-null fraction (round 6).
+    *    The reference's MonitorApp re-counts each report table at table
+    *    grain; the profiler pass costs the same single scan and answers
+    *    the on-call's next question ("which column went null?") too.
     *
-    * Both reads are O(state), not O(history) — this report stays cheap
-    * at any corpus size, which is what makes it safe to run on a
-    * schedule next to ingest. */
+    * State reads are O(state), not O(history); the warehouse pass is
+    * one scan per listed table — list the day's report outputs, not the
+    * raw corpus. */
   def stateReport(spark: org.apache.spark.sql.SparkSession,
       momentsPath: String, reference: org.apache.spark.sql.DataFrame,
-      sketchPath: String): org.apache.spark.sql.DataFrame = {
+      sketchPath: String,
+      warehouse: Seq[(String, org.apache.spark.sql.DataFrame)] = Nil)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingCentroidMonitor
-    import graft.operators.SketchRollup
+    import graft.operators.{SketchRollup, TableProfiler}
     val cur = StreamingCentroidMonitor.centroids(spark, momentsPath)
     val drift = StreamingCentroidMonitor.drift(cur, reference)
     val centRow = drift
@@ -43,7 +52,14 @@ object Monitor {
       .crossJoin(SketchRollup.rollupEstimate(sk, Nil))
       .select(lit("uv_sketch").as("family"), col("n"),
         col("uv").cast("double").as("metric"))
-    centRow.unionByName(uvRow)
+    val profRows = warehouse.map { case (name, df) =>
+      TableProfiler.profile(df)
+        .select(concat(lit(s"profile:$name."), col("column")).as("family"),
+          col("n_rows").as("n"),
+          round((col("n_rows") - col("n_null")).cast("double") /
+            greatest(col("n_rows"), lit(1L)), 6).as("metric"))
+    }
+    profRows.foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
   }
 
   def main(args: Array[String]): Unit = {

@@ -57,4 +57,34 @@ class MonitorSpec extends SparkSpec {
     assert(uv.getDouble(2) == direct,
       s"report UV ${uv.getDouble(2)} != direct sketch estimate $direct")
   }
+
+  test("stateReport warehouse tables report column-grain completeness") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_monitor2").toString
+    val moments = s"$dir/moments.parquet"
+    val emb = Tables.embeddings(s, sfDir)
+      .where($"label".isNotNull && $"embedding".isNotNull)
+      .select($"label".cast("long").as("label"), $"embedding")
+    StreamingCentroidMonitor.sink(moments, "label", "embedding")(emb, 0L)
+    val sketches = s"$dir/uv.parquet"
+    SketchRollup.sketchTable(Tables.events(s, sfDir),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(sketches)
+    val ref = StreamingCentroidMonitor.centroids(s, moments)
+      .select($"label", $"centroid")
+
+    val wh = Seq(
+      "docs" -> Seq((1L, "a"), (2L, null.asInstanceOf[String]),
+        (3L, "c"), (4L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val report = Monitor.stateReport(s, moments, ref, sketches, wh)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // the state families are still there
+    assert(report.contains("centroids") && report.contains("uv_sketch"))
+    // one row per profiled column, completeness = non-null fraction
+    assert(report("profile:docs.doc_id") == ((4L, 1.0)))
+    assert(report("profile:docs.text") == ((4L, 0.5)))
+  }
 }
