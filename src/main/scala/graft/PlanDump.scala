@@ -62,7 +62,11 @@ object PlanDump {
     "q201_semdup_by_source" -> "semantic-dup rate per source: SemDeDup keep/drop left-joined to the doc dim across the doc_id==vec_id seam, one grouped census — zero new operator code",
     "q209_sql_groupby_all" -> "GROUP BY ALL dialect: resolves to the same partial+final hash aggregate as an explicit grouping list",
     "q213_pii_census" -> "PII census: detector regexes are codegen'd row expressions riding the documents scan — zero shuffles before the O(kinds) census agg",
-    "q216_epoch_alloc" -> "repeat-epoch allocator: corpus stats reduce to O(sources) rows; the greedy allocation window runs over O(sources*epochs) rows, never the corpus")
+    "q216_epoch_alloc" -> "repeat-epoch allocator: corpus stats reduce to O(sources) rows; the greedy allocation window runs over O(sources*epochs) rows, never the corpus",
+    "q225_ppl_buckets" -> "CCNet perplexity terciles: q210's shuffle-joined LM tables (never broadcast) score every bigram on one tokenizing scan; per-doc mean one hash agg; only the O(langs) tercile-cuts frame carries a broadcast hint",
+    "q226_semantic_decontam" -> "semantic decontamination: eval slice joins with NO forced hint (corpus-tracking here, bounded benchmark in production — AQE broadcasts it while it fits); per-doc max-cos one hash agg, census over the doc_id==vec_id seam",
+    "q227_cdc_apply" -> "CDC changelog compaction: max_by(payload, seq) is a declarative agg — partial_ map-side reduction to one candidate per key BEFORE the exchange; no window, no sort of the log",
+    "q228_rank_fusion" -> "Borda rank fusion: all three signals from ONE tokenizing scan + one doc-keyed agg; each global rank is the window-free DistributedRank over the doc-level frame; fusion three doc_id equi joins, selection a TakeOrdered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

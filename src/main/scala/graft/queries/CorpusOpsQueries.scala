@@ -1371,7 +1371,104 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"shard")
   }
 
+  /** Borda rank-fusion data selection — the rank-aggregation shape
+    * used when several incomparable quality signals must pick one
+    * training subset (the multi-judge setting of LLM-as-judge ensembles
+    * and Cormack et al.'s rank fusion; Borda rather than RRF because
+    * rank SUMS stay exact integers cross-engine where RRF's 1/(k+r)
+    * fractions cannot). Three signals ride ONE tokenizing scan: token
+    * count (longer is better here), lexical diversity (distinct-token
+    * ppm), and the hashed classifier logit (q203's scorer). Each signal
+    * becomes a full global ranking through the window-free
+    * [[graft.functions.DistributedRank]] (descending = negated key,
+    * doc_id tie-break), the Borda score is the integer sum of the three
+    * ranks, and the selection is the global top-20 (TakeOrdered — no
+    * window over data).
+    *
+    * Scale shape: one explode scan + one per-doc hash agg compute all
+    * three signals; each ranking is DistributedRank's two-pass bucket
+    * exchange over the DOC-level frame (O(docs), never positions); the
+    * fusion is a three-way equi self-join on doc_id of three same-size
+    * doc-keyed frames. */
+  private val q228: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.HashedLinearModel.{bucket, weight16}
+    // each DistributedRank pass is a boundary-sampling action + a main
+    // pass — six recomputes of the tokenizing scan without a cut; the
+    // doc-level signal frame is O(docs) rows, checkpoint it once
+    val sig = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+      .select($"doc_id",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct($"tok").as("n_uniq"),
+        sum(weight16(bucket($"tok", 1024), "hlmw")).as("logit16"))
+      .select($"doc_id", $"n_tok",
+        expr("n_uniq * 1000000 DIV n_tok").as("uniq_ppm"), $"logit16")
+      .localCheckpoint()
+    val r1 = DistributedRank.withRowNumber(
+      sig.select($"doc_id", $"n_tok"), "r1", -$"n_tok", $"doc_id")
+      .select($"doc_id", $"r1")
+    val r2 = DistributedRank.withRowNumber(
+      sig.select($"doc_id", $"uniq_ppm"), "r2", -$"uniq_ppm", $"doc_id")
+      .select($"doc_id", $"r2")
+    val r3 = DistributedRank.withRowNumber(
+      sig.select($"doc_id", $"logit16"), "r3", -$"logit16", $"doc_id")
+      .select($"doc_id", $"r3")
+    r1.join(r2, Seq("doc_id")).join(r3, Seq("doc_id"))
+      .select($"doc_id", $"r1", $"r2", $"r3",
+        ($"r1" + $"r2" + $"r3").as("borda"))
+      .orderBy($"borda", $"doc_id")
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"borda", $"doc_id")))
+      .select($"rnk".cast("long").as("rnk"), $"doc_id",
+        $"r1", $"r2", $"r3", $"borda")
+      .orderBy($"rnk")
+  }
+
+  /** Tokenizer fertility + compression census — the per-language
+    * tokenizer-quality report every multilingual training effort
+    * publishes (fertility = subword tokens per word, Ács 2019; bytes
+    * per token is the compression rate pricing and context budgets are
+    * quoted in): BPE-encode the corpus with the committed [[packMerges]]
+    * vocabulary (the q223 encoder — spec-pinned heap == merge fold) and
+    * report, per language, document/word/BPE-token/char masses plus
+    * fertility in exact ppm and chars-per-token in exact milli units.
+    * A fertility that drifts up on one language is the standard signal
+    * that the vocabulary under-serves it.
+    *
+    * Scale shape: encoding is the same narrow typed map as q223 (no
+    * shuffle); the census is one doc-keyed join of the count frame to
+    * the (lang, n_chars) projection and one hash agg — O(docs) rows
+    * after the scan, integer DIV closures only. */
+  private val q229: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull &&
+        length(trim($"text")) > 0)
+    val counted = graft.operators.BpeTrainer
+      .countTokens(docs, "doc_id", "text", packMerges)
+    docs.select($"doc_id", $"lang", $"n_chars",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long")
+          .as("n_words"))
+      .join(counted, Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("sum_words"),
+        sum($"n_bpe_tokens").as("sum_bpe"),
+        sum($"n_chars").as("sum_chars"))
+      .select($"lang", $"n_docs", $"sum_words", $"sum_bpe", $"sum_chars",
+        expr("sum_bpe * 1000000 DIV sum_words").as("fertility_ppm"),
+        expr("sum_chars * 1000 DIV sum_bpe").as("chars_per_tok_milli"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q228_rank_fusion" -> q228,
+    "q229_tokenizer_fertility" -> q229,
     "q223_pack_shard" -> q223,
     "q213_pii_census" -> q213,
     "q206_curation_funnel" -> q206,
@@ -1413,6 +1510,63 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q228_rank_fusion" -> {
+      import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
+      s"""WITH sig AS (
+         |  SELECT doc_id, count(*) AS n_tok,
+         |    count(DISTINCT tok) * 1000000 // count(*) AS uniq_ppm,
+         |    CAST(sum(${duckWeight16(duckBucket("tok", 1024), "hlmw")})
+         |      AS BIGINT) AS logit16
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |        FROM documents
+         |        WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+         |  GROUP BY doc_id),
+         |r AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r1,
+         |    row_number() OVER (ORDER BY uniq_ppm DESC, doc_id) AS r2,
+         |    row_number() OVER (ORDER BY logit16 DESC, doc_id) AS r3
+         |  FROM sig)
+         |SELECT rnk, doc_id, r1, r2, r3, borda FROM (
+         |  SELECT doc_id, r1, r2, r3, r1 + r2 + r3 AS borda,
+         |    row_number() OVER (ORDER BY r1 + r2 + r3, doc_id) AS rnk
+         |  FROM r) WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+    },
+    "q229_tokenizer_fertility" -> {
+      val charSplit = "'|' || array_to_string(string_split(w, ''), '|') || '|'"
+      val encoded = packMerges.foldLeft(charSplit) { case (acc, (a, b)) =>
+        s"replace($acc, '|$a|$b|', '|$a$b|')"
+      }
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |    text
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |    AND len(trim(text)) > 0),
+         |words AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM docs),
+         |enc AS (
+         |  SELECT doc_id, $encoded AS s FROM words WHERE w <> ''),
+         |cnt AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sum(len(string_split(e.s, '|')) - 2), 0)
+         |      AS BIGINT) AS n_bpe
+         |  FROM docs d LEFT JOIN enc e USING (doc_id) GROUP BY d.doc_id)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(d.n_words) AS BIGINT) AS sum_words,
+         |  CAST(sum(c.n_bpe) AS BIGINT) AS sum_bpe,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(c.n_bpe) AS BIGINT) * 1000000
+         |    // CAST(sum(d.n_words) AS BIGINT) AS fertility_ppm,
+         |  CAST(sum(d.n_chars) AS BIGINT) * 1000
+         |    // CAST(sum(c.n_bpe) AS BIGINT) AS chars_per_tok_milli
+         |FROM docs d JOIN cnt c USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
     // The detector VALUES rows are generated from PiiScrub.detectors —
     // one source of truth for the pattern text on both engines. DuckDB
     // standard strings keep backslashes literal, so the Java pattern

@@ -178,7 +178,45 @@ object EtlQueries extends QueryPack {
       .orderBy($"da_bucket")
   }
 
+  /** CDC changelog → snapshot compaction (the Debezium/`MERGE INTO`
+    * apply step; the reference's keyed upsert K2 is the two-row special
+    * case): the events stream is read as a per-key changelog — every
+    * row an upsert carrying the new value, 'error' rows as DELETE
+    * tombstones, sequence = (event time, event_id) so late/duplicate
+    * delivery can never reorder a key's history. The snapshot keeps,
+    * per key, the LATEST operation; a key whose latest op is a
+    * tombstone is ABSENT from the snapshot (its lineage is visible only
+    * through the per-key op counts). This is the batch twin of
+    * [[graft.sources.UpsertStore]]'s merge-by-key and the compaction a
+    * CDC-fed lakehouse table runs over every changelog partition.
+    *
+    * Scale shape: ONE hash agg — `max_by(payload, seq)` is a
+    * declarative aggregate, so Catalyst runs it partially map-side
+    * (each task reduces its slice to one candidate row per key before
+    * the exchange); no window, no self-join, no sort of the full log.
+    * Values close as integer cents via floor(value*100) (the q57
+    * closure — exact on the fixture's 2-decimal doubles). */
+  private val q227: Q = (s, d) => {
+    import s.implicits._
+    val log = Tables.events(s, d)
+      .where($"user_id".isNotNull && $"ts".isNotNull)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts").as("seq_us"),
+        ($"event_type" === "error").as("is_del"),
+        floor($"value" * 100).cast("long").as("cents"))
+    log.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when($"is_del", 1L).otherwise(0L)).as("n_deletes"),
+        max_by(struct($"is_del", $"cents"),
+          struct($"seq_us", $"event_id")).as("last"))
+      .where(!$"last.is_del")
+      .select($"user_id", $"n_ops", $"n_deletes",
+        $"last.cents".as("last_cents"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q227_cdc_apply" -> q227,
     "q70_identity_resolution" -> q70,
     "q57_runlog_parse" -> q57,
     "q58_arate_parse" -> q58,
@@ -187,6 +225,27 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q227_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS seq_us,
+        |    (event_type = 'error') AS is_del,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |latest AS (
+        |  SELECT user_id, is_del, cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY seq_us DESC, event_id DESC) AS rn
+        |  FROM log),
+        |ops AS (
+        |  SELECT user_id, count(*) AS n_ops,
+        |    CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deletes
+        |  FROM log GROUP BY user_id)
+        |SELECT o.user_id, o.n_ops, o.n_deletes, l.cents AS last_cents
+        |FROM ops o JOIN latest l ON o.user_id = l.user_id AND l.rn = 1
+        |WHERE NOT l.is_del
+        |ORDER BY o.user_id""".stripMargin,
     "q70_identity_resolution" ->
       """WITH reported AS (SELECT event_id, user_id,
         |    CASE WHEN event_id % 2 = 0 THEN 1400000000 + user_id * 3

@@ -1025,7 +1025,57 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"tbl")
   }
 
+  /** SEMANTIC eval-set decontamination census — the embedding-space
+    * complement of q89's 5-gram decontamination (the gap both audits
+    * name: paraphrased benchmark items survive n-gram screens; Yang et
+    * al. 2023 "Rethinking Benchmark and Contamination" flag exactly
+    * this). The held-out benchmark slice is vec_id % 97 = 0 (the q224
+    * eval-split convention on the doc_id==vec_id seam); every candidate
+    * training vector's contamination score is its MAX cosine against
+    * the benchmark, and the census reports, per source, how many
+    * documents a τ=0.35 gate would quarantine.
+    *
+    * Cross-engine closure: per-pair cosine through the codegen'd
+    * [[graft.expressions.FloatDotProduct]] vs DuckDB's identical
+    * left-to-right double sum, rounded to 6 BEFORE the max (the q51
+    * rule) — max/count over identical multisets then hash exactly.
+    *
+    * Scale shape: a benchmark is BOUNDED (thousands of items) while the
+    * candidate corpus grows — so the right 100 TB plan is one corpus
+    * scan against a runtime-broadcast eval side. The join carries NO
+    * forced hint: in this fixture the eval slice is carved from the
+    * corpus itself (1/97 — corpus-tracking, the q171/q137 audit rule),
+    * and AQE's size-based planning broadcasts it while it fits, which
+    * for a real benchmark is always. Pre-routing through the IVF cells
+    * (q208's assignCells) cuts the per-doc candidate set when even one
+    * scan × |benchmark| is too hot. */
+  private val q226: Q = (s, d) => {
+    import s.implicits._
+    val TAU = 0.35
+    val e = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull && $"vec_id".isNotNull)
+      .select($"vec_id", $"embedding", l2norm($"embedding").as("nrm"))
+    val ev = e.where($"vec_id" % 97 === 0)
+      .select($"vec_id".as("e_id"), $"embedding".as("e_emb"),
+        $"nrm".as("e_nrm"))
+    val maxCos = e.where($"vec_id" % 97 =!= 0)
+      .crossJoin(ev)
+      .select($"vec_id",
+        round(dot($"embedding", $"e_emb") / ($"nrm" * $"e_nrm"), 6).as("cos"))
+      .groupBy($"vec_id").agg(max($"cos").as("mc"))
+    val docs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull)
+      .select($"doc_id", $"source")
+    docs.join(maxCos, docs("doc_id") === maxCos("vec_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"mc" >= TAU, 1L).otherwise(0L)).as("n_flagged"),
+        max($"mc").as("max_cos"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q226_semantic_decontam" -> q226,
     "q221_forget_audit" -> q221,
     "q218_late_interaction" -> q218,
     "q217_semantic_order" -> q217,
@@ -1095,6 +1145,25 @@ object SimilarityQueries extends QueryPack {
   private val duckIvfAssign: String = duckIvfAssignFrom("")
 
   val oracle: Map[String, String] = Map(
+    "q226_semantic_decontam" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+         |ev AS (SELECT vec_id AS e_id, embedding AS e_emb FROM e
+         |       WHERE vec_id % 97 = 0),
+         |mc AS (
+         |  SELECT e.vec_id,
+         |    max(round(${duckCos("e.embedding", "ev.e_emb")}, 6)) AS mc
+         |  FROM e CROSS JOIN ev
+         |  WHERE e.vec_id % 97 <> 0
+         |  GROUP BY e.vec_id)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN mc.mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  max(mc.mc) AS max_cos
+         |FROM documents d JOIN mc ON d.doc_id = mc.vec_id
+         |WHERE d.doc_id IS NOT NULL
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q221_forget_audit" ->
       s"""WITH $duckIvfAssign,
          |del AS (SELECT doc_id FROM documents

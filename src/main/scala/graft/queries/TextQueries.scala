@@ -847,6 +847,79 @@ object TextQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 —
+    * the published pipeline's actual routing decision: after the KenLM
+    * scores every crawl document, CCNet splits each language at the
+    * per-language perplexity TERCILES and keeps head+middle for
+    * training). q210 builds the score; this query completes the stage
+    * with the decision: per-document mean bits-per-bigram under the
+    * SAME train-split Jelinek-Mercer LM (identical textual expression —
+    * the q183 row-level-parity rule), integer micro-bit mbpt per doc,
+    * per-language tercile cuts, and the (lang, bucket) census a mixture
+    * planner consumes.
+    *
+    * Cross-engine closure: per-token bits are q210's exact-integer-log2
+    * form; the per-doc mean is an integer DIV; the cuts come from
+    * `approx_percentile` at accuracy=10⁶ — the q182 trick: in the exact
+    * regime (<10⁶ docs per language) its ceil(q·n) convention IS
+    * DuckDB's `quantile_disc`, with epsilon-shifted fractions
+    * (0.3333334/0.6666668) so q·n never lands on an integer where the
+    * two index conventions could split. Bucket labels and the census
+    * are then pure integer comparisons.
+    *
+    * Scale shape: one tokenizing scan feeds LM training and scoring
+    * (q210's shuffle-joined LM tables — never broadcast, the corpus-
+    * growth audit rule); the per-doc agg is one hash agg; the cuts
+    * frame is O(languages) rows (a census — broadcast back is safe and
+    * hinted); at 100 TB the cuts switch to the sketch regime where
+    * SketchAccuracySpec pins the rank-error bound and the bucket edges
+    * are approximate by design (CCNet's own terciles are). */
+  private val q225: Q = (s, d) => {
+    import s.implicits._
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+      .select($"doc_id", $"lang", posexplode(split(trim($"text"), "\\s+")))
+      .toDF("doc_id", "lang", "pos", "tok")
+    val bigrams = toks
+      .withColumn("nxt", lead($"tok", 1).over(wd))
+      .where($"nxt".isNotNull)
+    val train = bigrams.where($"doc_id" % 10 =!= 0)
+    val bi  = train.groupBy($"tok", $"nxt").agg(count(lit(1)).as("c12"))
+    val ctx = train.groupBy($"tok").agg(count(lit(1)).as("ctx"))
+    val uni = train.groupBy($"nxt").agg(count(lit(1)).as("c2"))
+    val stats = train.agg(count(lit(1)).as("t"),
+      countDistinct($"nxt").as("v"))
+    val scored = bigrams
+      .join(bi, Seq("tok", "nxt"), "left")
+      .join(ctx, Seq("tok"), "left")
+      .join(uni, Seq("nxt"), "left")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"lang",
+        round(round(
+          log2(lit(4L) * coalesce($"ctx", lit(1L)) * ($"t" + $"v")) -
+          log2(lit(3L) * coalesce($"c12", lit(0L)) * ($"t" + $"v")
+            + coalesce($"ctx", lit(1L)) * (coalesce($"c2", lit(0L)) + lit(1L))),
+          6) * 1000000).cast("long").as("mb"))
+    val perDoc = scored.groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bg"), sum($"mb").as("nll"))
+      .select($"doc_id", $"lang", $"n_bg", expr("nll DIV n_bg").as("mbpt"))
+    val cuts = perDoc.groupBy($"lang")
+      .agg(expr("approx_percentile(mbpt, array(0.3333334, 0.6666668), 1000000)")
+        .as("cs"))
+      .select($"lang", $"cs".getItem(0).as("c1"), $"cs".getItem(1).as("c2"))
+    perDoc.join(broadcast(cuts), Seq("lang"))
+      .select($"lang",
+        when($"mbpt" <= $"c1", "head")
+          .when($"mbpt" <= $"c2", "middle")
+          .otherwise("tail").as("bucket"),
+        $"n_bg", $"mbpt")
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_bg").as("n_bigrams"),
+        min($"mbpt").as("min_mbpt"), max($"mbpt").as("max_mbpt"))
+      .orderBy($"lang", $"bucket")
+  }
+
   /** Keyword weak-supervision domain tagger + mixture census — the
     * labeling-function shape (Ratner et al., Snorkel VLDB'18) pipelines
     * use to report corpus composition before training (The Pile-style
@@ -1264,6 +1337,7 @@ object TextQueries extends QueryPack {
     "q220_doremi_weights" -> q220,
     "q207_learnability_select" -> q207,
     "q210_heldout_ppl" -> q210,
+    "q225_ppl_buckets" -> q225,
     "q211_preference_pairs" -> q211,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
@@ -1497,6 +1571,48 @@ object TextQueries extends QueryPack {
          |WHERE h.logit16 - l.logit16 > 0
          |ORDER BY source, lang""".stripMargin
     },
+    "q225_ppl_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |bg AS (SELECT doc_id, lang, w[r.i] AS tok, w[r.i + 1] AS nxt
+        |       FROM t, unnest(range(1, len(w))) r(i)),
+        |train AS (SELECT * FROM bg WHERE doc_id % 10 <> 0),
+        |bi AS (SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c12
+        |       FROM train GROUP BY tok, nxt),
+        |ctx AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctx
+        |        FROM train GROUP BY tok),
+        |uni AS (SELECT nxt, CAST(count(*) AS BIGINT) AS c2
+        |        FROM train GROUP BY nxt),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS t,
+        |                 CAST(count(DISTINCT nxt) AS BIGINT) AS v FROM train),
+        |sc AS (
+        |  SELECT g.doc_id, g.lang,
+        |    CAST(round(round(
+        |      log2((4 * COALESCE(c.ctx, 1) * (s.t + s.v))::DOUBLE)
+        |      - log2((3 * COALESCE(b.c12, 0) * (s.t + s.v)
+        |              + COALESCE(c.ctx, 1) * (COALESCE(u.c2, 0) + 1))::DOUBLE),
+        |      6) * 1000000) AS BIGINT) AS mb
+        |  FROM bg g
+        |  LEFT JOIN bi b ON b.tok = g.tok AND b.nxt = g.nxt
+        |  LEFT JOIN ctx c ON c.tok = g.tok
+        |  LEFT JOIN uni u ON u.nxt = g.nxt, stats s),
+        |pd AS (
+        |  SELECT doc_id, lang, count(*) AS n_bg,
+        |    CAST(sum(mb) AS BIGINT) // count(*) AS mbpt
+        |  FROM sc GROUP BY doc_id, lang),
+        |cuts AS (
+        |  SELECT lang AS clang, quantile_disc(mbpt, 0.3333334) AS c1,
+        |         quantile_disc(mbpt, 0.6666668) AS c2
+        |  FROM pd GROUP BY lang)
+        |SELECT pd.lang,
+        |  CASE WHEN mbpt <= c1 THEN 'head'
+        |       WHEN mbpt <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+        |  min(mbpt) AS min_mbpt, max(mbpt) AS max_mbpt
+        |FROM pd JOIN cuts ON pd.lang = cuts.clang
+        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "q210_heldout_ppl" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Provable invariants of the round-8 report queries — properties that
+  * must hold on ANY corpus, asserted on the sf0.001 fixture:
+  *
+  *  - q225: per language the three buckets partition the scored docs
+  *    and their mbpt ranges are ordered (max(head) ≤ min(middle) ≤
+  *    … ≤ max(tail)) — the tercile cut is a real cut.
+  *  - q226: flagged ⊆ scored; max_cos is a cosine (|·| ≤ 1 + rounding);
+  *    every non-eval document with an embedding is counted exactly once.
+  *  - q227: a key's snapshot row exists iff its LATEST op is not a
+  *    tombstone — cross-checked against an independent window plan;
+  *    deletes never exceed ops.
+  *  - q228: borda = r1+r2+r3 with each rank in [1, docs]; the selection
+  *    is the 20 smallest borda scores (no larger score may appear).
+  *  - q229: fertility ≥ 1e6 ppm (BPE never merges across words, so a
+  *    word is ≥ 1 token) and chars-per-token is positive.
+  */
+class RoundEightInvariantSpec extends SparkSpec {
+
+  test("q225: buckets partition each language and cut in mbpt order") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q225_ppl_buckets")(s, sfDir)
+      .localCheckpoint()
+    val rows = res
+      .select($"lang", $"bucket", $"n_docs", $"min_mbpt", $"max_mbpt")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val by = rs.map(r => r._2 -> r).toMap
+      for (Seq(lo, hi) <- Seq("head", "middle", "tail").sliding(2)
+           if by.contains(lo) && by.contains(hi))
+        assert(by(lo)._5 <= by(hi)._4,
+          s"$lang: $lo max_mbpt must not exceed $hi min_mbpt")
+      assert(rs.map(_._3).sum > 0, s"$lang: empty census")
+    }
+  }
+
+  test("q226: every non-eval embedded doc counted once; flags bounded") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q226_semantic_decontam")(s, sfDir)
+      .localCheckpoint()
+    assert(res.where($"n_flagged" > $"n_docs" || $"n_flagged" < 0).isEmpty)
+    assert(res.where(abs($"max_cos") > 1.000001).isEmpty,
+      "a rounded cosine cannot exceed 1 by more than the rounding step")
+    val counted = res.agg(sum($"n_docs")).as[Long].head()
+    val expected = graft.core.Tables.embeddings(s, sfDir)
+      .where($"embedding".isNotNull && $"vec_id".isNotNull &&
+        $"vec_id" % 97 =!= 0)
+      .join(graft.core.Tables.documents(s, sfDir)
+        .where($"doc_id".isNotNull), $"vec_id" === $"doc_id")
+      .count()
+    assert(counted == expected, s"census covers $counted of $expected")
+  }
+
+  test("q227: snapshot membership == latest-op-not-delete; counts sane") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q227_cdc_apply")(s, sfDir)
+      .localCheckpoint()
+    assert(res.where($"n_deletes" > $"n_ops").isEmpty)
+    // independent plan: per-user last event via a window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy(unix_micros($"ts").desc, $"event_id".desc)
+    val lastOps = graft.core.Tables.events(s, sfDir)
+      .where($"user_id".isNotNull && $"ts".isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+    val alive = lastOps.where($"event_type" =!= "error")
+      .select($"user_id").as[Long].collect().toSet
+    val got = res.select($"user_id").as[Long].collect().toSet
+    assert(got == alive, "snapshot keys must be exactly the tombstone-free keys")
+  }
+
+  test("q228: borda is the rank sum and the 20-smallest selection") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q228_rank_fusion")(s, sfDir)
+      .localCheckpoint()
+    val nDocs = graft.core.Tables.documents(s, sfDir)
+      .where($"text".isNotNull && $"doc_id".isNotNull).count()
+    assert(res.where($"borda" =!= $"r1" + $"r2" + $"r3").isEmpty)
+    assert(res.where($"r1" < 1 || $"r1" > nDocs ||
+      $"r2" < 1 || $"r2" > nDocs || $"r3" < 1 || $"r3" > nDocs).isEmpty)
+    assert(res.count() == math.min(20L, nDocs))
+    val rows = res.orderBy($"rnk").select($"borda").as[Long].collect()
+    assert(rows.sameElements(rows.sorted), "selection ordered by borda")
+  }
+
+  test("q229: fertility at least one token per word, compression positive") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q229_tokenizer_fertility")(s, sfDir)
+      .localCheckpoint()
+    assert(res.count() > 0)
+    assert(res.where($"fertility_ppm" < 1000000L).isEmpty,
+      "a word can never encode to less than one BPE token")
+    assert(res.where($"chars_per_tok_milli" <= 0L).isEmpty)
+  }
+}
