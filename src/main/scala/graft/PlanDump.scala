@@ -66,7 +66,10 @@ object PlanDump {
     "q225_ppl_buckets" -> "CCNet perplexity terciles: q210's shuffle-joined LM tables (never broadcast) score every bigram on one tokenizing scan; per-doc mean one hash agg; only the O(langs) tercile-cuts frame carries a broadcast hint",
     "q226_semantic_decontam" -> "semantic decontamination: eval slice joins with NO forced hint (corpus-tracking here, bounded benchmark in production — AQE broadcasts it while it fits); per-doc max-cos one hash agg, census over the doc_id==vec_id seam",
     "q227_cdc_apply" -> "CDC changelog compaction: max_by(payload, seq) is a declarative agg — partial_ map-side reduction to one candidate per key BEFORE the exchange; no window, no sort of the log",
-    "q228_rank_fusion" -> "Borda rank fusion: all three signals from ONE tokenizing scan + one doc-keyed agg; each global rank is the window-free DistributedRank over the doc-level frame; fusion three doc_id equi joins, selection a TakeOrdered")
+    "q228_rank_fusion" -> "Borda rank fusion: all three signals from ONE tokenizing scan + one doc-keyed agg; each global rank is the window-free DistributedRank over the doc-level frame; fusion three doc_id equi joins, selection a TakeOrdered",
+    "q230_incremental_census" -> "incremental MV maintenance: each side reduces to per-lang MERGEABLE states (sum/min/max + a collect_set vocab state with map-side partials); the merge is one O(langs) hash agg — at a persisted base only the delta side scans",
+    "q231_memorization" -> "memorization audit: codegen'd shingle builder, train gram table DISTINCT on the join key, eval side the small relation of a semi join — the q89 plan transposed, never all-pairs",
+    "q232_gate_ablation" -> "gate ablation: one tokenizing scan computes length+repetition, the dup gate adds one fingerprint min-exchange, then pure boolean algebra on the 4-flag frame via an inline struct-array explode — O(docs*4) rows into one hash agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

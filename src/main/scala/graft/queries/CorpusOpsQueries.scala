@@ -1466,7 +1466,111 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Incremental materialized-view maintenance — the merge algebra that
+    * turns the reference's daily FULL-REWRITE report jobs
+    * (the `homed/repots` jobs re-derive every day from scratch) into O(delta)
+    * work: a per-language corpus census is kept as MERGEABLE partial
+    * states, yesterday's states persist, and only the arriving batch is
+    * scanned. Here the corpus splits into base (every source but
+    * src19) and delta (src19 — the q106 arriving-batch convention);
+    * each side reduces to per-language states and the MERGE reproduces
+    * the full recompute EXACTLY, which is precisely what the oracle
+    * (a from-scratch census over everything) checks. The states and
+    * their merges: doc count/char mass by SUM, id range by MIN/MAX, and
+    * — the interesting one — exact distinct vocabulary as a token SET
+    * union (A13's no-UDF array_distinct∘flatten merge), because
+    * distinct COUNTS do not add across overlapping partitions. The mean
+    * doc length derives from merged sums (never stored — averages don't
+    * merge).
+    *
+    * Scale shape: each side is one doc-grain agg + one vocab-set agg
+    * (map-side partial, tokens collapse to the Heaps-sublinear
+    * per-(lang, side) set before the exchange); the merge touches
+    * O(langs) rows. At 100 TB the base states are a persisted table
+    * and the set state swaps for the HLL sketch Monitor already
+    * persists (q08's accuracy contract) — same algebra, bounded state. */
+  private val q230: Q = (s, d) => {
+    import s.implicits._
+    def states(part: org.apache.spark.sql.DataFrame) = {
+      val doc = part.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      val vocab = part
+        .select($"lang",
+          explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+        .groupBy($"lang").agg(collect_set($"tok").as("toks"))
+      doc.join(vocab, Seq("lang"))
+    }
+    val docs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+    val base = states(docs.where($"source" =!= "src19"))
+    val delta = states(docs.where($"source" === "src19"))
+    base.unionByName(delta)
+      .groupBy($"lang")
+      .agg(sum($"n_docs").as("n_docs"), sum($"sum_chars").as("sum_chars"),
+        min($"min_doc").as("min_doc"), max($"max_doc").as("max_doc"),
+        size(array_distinct(flatten(collect_list($"toks"))))
+          .cast("long").as("n_vocab"))
+      .select($"lang", $"n_docs", $"sum_chars", $"min_doc", $"max_doc",
+        $"n_vocab", expr("sum_chars DIV n_docs").as("chars_per_doc"))
+      .orderBy($"lang")
+  }
+
+  /** Independent-gate ablation census — the filter-correlation
+    * diagnostic behind published ablations (Dolma, RefinedWeb report
+    * per-filter removal rates BEFORE sequencing them): q224 attributes
+    * each drop to the FIRST failing stage of the pipeline order; this
+    * query evaluates four gates INDEPENDENTLY on the raw input and
+    * reports, per gate, its total failure mass and its EXCLUSIVE mass
+    * (docs only it catches) — the number that says whether a gate earns
+    * its runtime or is subsumed by the others. Gates: token-length
+    * window (q224's), language allowlist, exact-duplicate loser
+    * (min-doc_id-per-fingerprint election, q46), lexical-repetition
+    * floor (distinct-token ratio ≥ 35%, the q76/q142 family).
+    *
+    * Scale shape: ONE tokenizing scan computes length + repetition; the
+    * dup gate adds the q46 fingerprint exchange (min per md5 group
+    * broadcast... joined back on the fingerprint — map-side partial
+    * min); the ablation is then pure boolean algebra on a per-doc
+    * 4-flag frame, one hash agg per gate via an inline explode of the
+    * four (gate, fail, only) tuples. */
+  private val q232: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+    val sig = docs
+      .select($"doc_id", $"lang",
+        md5(trim($"text").cast("binary")).as("fp"),
+        explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"lang", $"fp")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_uniq"))
+    val keeper = sig.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val flags = sig.join(keeper, Seq("fp"))
+      .select($"doc_id",
+        (!($"n_tok" >= 10 && $"n_tok" <= 1000)).as("f_len"),
+        (!$"lang".isin("de", "en", "es", "fr")).as("f_lang"),
+        ($"doc_id" =!= $"keep_id").as("f_dup"),
+        (expr("n_uniq * 1000000 DIV n_tok") < 350000L).as("f_rep"))
+    val gates: Seq[(String, org.apache.spark.sql.Column)] =
+      Seq("len" -> $"f_len", "lang" -> $"f_lang",
+        "dup" -> $"f_dup", "rep" -> $"f_rep")
+    val exploded = flags.select(explode(array(gates.map { case (g, c) =>
+      struct(lit(g).as("gate"), c.as("fail"),
+        (c && !gates.filter(_._1 != g).map(_._2).reduce(_ || _)).as("only"))
+    }: _*)).as("x"))
+    exploded
+      .groupBy($"x.gate".as("gate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"x.fail", 1L).otherwise(0L)).as("n_fail"),
+        sum(when($"x.only", 1L).otherwise(0L)).as("n_fail_only"))
+      .select($"gate", $"n_docs", $"n_fail", $"n_fail_only",
+        expr("n_fail * 1000000 DIV n_docs").as("fail_ppm"))
+      .orderBy($"gate")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q230_incremental_census" -> q230,
+    "q232_gate_ablation" -> q232,
     "q228_rank_fusion" -> q228,
     "q229_tokenizer_fertility" -> q229,
     "q223_pack_shard" -> q223,
@@ -1510,6 +1614,56 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q230_incremental_census" ->
+      """WITH docs AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |doc AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |  FROM docs GROUP BY lang),
+        |voc AS (
+        |  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+        |  FROM (SELECT lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM docs)
+        |  GROUP BY lang)
+        |SELECT d.lang, d.n_docs, d.sum_chars, d.min_doc, d.max_doc,
+        |  v.n_vocab, d.sum_chars // d.n_docs AS chars_per_doc
+        |FROM doc d JOIN voc v ON d.lang = v.lang
+        |ORDER BY d.lang""".stripMargin,
+    "q232_gate_ablation" ->
+      """WITH sig AS (
+        |  SELECT doc_id, lang, md5(trim(text)) AS fp,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      AS n_uniq
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |keeper AS (SELECT fp, min(doc_id) AS keep_id FROM sig GROUP BY fp),
+        |flags AS (
+        |  SELECT s.doc_id,
+        |    NOT (n_tok BETWEEN 10 AND 1000) AS f_len,
+        |    lang NOT IN ('de', 'en', 'es', 'fr') AS f_lang,
+        |    s.doc_id <> k.keep_id AS f_dup,
+        |    n_uniq * 1000000 // n_tok < 350000 AS f_rep
+        |  FROM sig s JOIN keeper k ON s.fp = k.fp),
+        |x AS (
+        |  SELECT 'len' AS gate, f_len AS fail,
+        |    f_len AND NOT (f_lang OR f_dup OR f_rep) AS onl FROM flags
+        |  UNION ALL SELECT 'lang', f_lang,
+        |    f_lang AND NOT (f_len OR f_dup OR f_rep) FROM flags
+        |  UNION ALL SELECT 'dup', f_dup,
+        |    f_dup AND NOT (f_len OR f_lang OR f_rep) FROM flags
+        |  UNION ALL SELECT 'rep', f_rep,
+        |    f_rep AND NOT (f_len OR f_lang OR f_dup) FROM flags)
+        |SELECT gate, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+        |  CAST(sum(CASE WHEN onl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_only,
+        |  CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // count(*) AS fail_ppm
+        |FROM x GROUP BY gate ORDER BY gate""".stripMargin,
     "q228_rank_fusion" -> {
       import graft.operators.HashedLinearModel.{duckBucket, duckWeight16}
       s"""WITH sig AS (

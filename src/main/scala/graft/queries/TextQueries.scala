@@ -172,6 +172,54 @@ object TextQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Memorization-exposure audit — q89's screen run in the OPPOSITE
+    * direction (the Lee et al. 2022 / Carlini et al. 2021 framing):
+    * q89 flags TRAINING docs that leak eval content; this measures, per
+    * EVAL document, how much of it the training corpus already contains
+    * — the fraction of its distinct 8-gram windows (Lee et al.'s
+    * dedup/memorization unit) present anywhere in the train split. An
+    * eval item with high coverage cannot distinguish memorization from
+    * generalization and gets down-weighted or dropped from the harness.
+    * Census per language: eval docs, exposed docs (any overlap), total
+    * and covered distinct grams, coverage in exact ppm.
+    *
+    * Scale shape: grams come from the codegen'd split→posexplode→lead
+    * shingle builder; the train gram table is DISTINCT on the join key
+    * (one uniform-key exchange, never all-pairs); the eval side is the
+    * tiny relation — the semi join is the q89 plan transposed. At
+    * 100 TB the train gram set persists as the dedup index already
+    * built for q106/StreamingDedup (hashed grams, same key). */
+  private val q231: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val sh = graft.functions.DedupFunctions
+      .shingleRows(docs.select($"doc_id", $"text"), "doc_id", "text", 8)
+    val evg = sh.where($"doc_id" % 97 === 0)
+      .select($"doc_id", $"s").distinct()
+    val trs = sh.where($"doc_id" % 97 =!= 0).select($"s").distinct()
+    val cov = evg.join(trs, Seq("s"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_seen"))
+    val perDoc = evg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams", coalesce($"n_seen", lit(0L)).as("n_seen"))
+    docs.where($"doc_id" % 97 === 0)
+      .select($"doc_id", $"lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"lang", coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_seen", lit(0L)).as("n_seen"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_seen" > 0, 1L).otherwise(0L)).as("n_exposed"),
+        sum($"n_grams").as("total_grams"),
+        sum($"n_seen").as("covered_grams"))
+      .select($"lang", $"n_docs", $"n_exposed", $"total_grams",
+        $"covered_grams",
+        when($"total_grams" > 0,
+          expr("covered_grams * 1000000 DIV total_grams"))
+          .otherwise(lit(0L)).as("coverage_ppm"))
+      .orderBy($"lang")
+  }
+
   /** TF-IDF keyword extraction, integer-exact: per language, term
     * frequency tf and document frequency df from one explode + grouped
     * agg; the idf weight is the reciprocal-df proxy
@@ -1338,6 +1386,7 @@ object TextQueries extends QueryPack {
     "q207_learnability_select" -> q207,
     "q210_heldout_ppl" -> q210,
     "q225_ppl_buckets" -> q225,
+    "q231_memorization" -> q231,
     "q211_preference_pairs" -> q211,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
@@ -2083,6 +2132,31 @@ object TextQueries extends QueryPack {
       """SELECT substr(md5(trim(text)), 1, 1) AS bucket,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q231_memorization" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |              FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, array_to_string(a[i:i+7], ' ') AS s
+        |       FROM toks, unnest(range(1, len(a) - 6)) AS t(i)),
+        |evg AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 = 0),
+        |trs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 <> 0),
+        |cov AS (SELECT doc_id, count(*) AS n_seen
+        |        FROM evg SEMI JOIN trs USING (s) GROUP BY doc_id),
+        |pd AS (SELECT e.doc_id, count(*) AS n_grams,
+        |         coalesce(any_value(c.n_seen), 0) AS n_seen
+        |       FROM evg e LEFT JOIN cov c ON e.doc_id = c.doc_id
+        |       GROUP BY e.doc_id)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(p.n_seen, 0) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_exposed,
+        |  CAST(sum(coalesce(p.n_grams, 0)) AS BIGINT) AS total_grams,
+        |  CAST(sum(coalesce(p.n_seen, 0)) AS BIGINT) AS covered_grams,
+        |  CASE WHEN sum(coalesce(p.n_grams, 0)) > 0
+        |    THEN CAST(sum(coalesce(p.n_seen, 0)) AS BIGINT) * 1000000
+        |         // CAST(sum(coalesce(p.n_grams, 0)) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS coverage_ppm
+        |FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc_id
+        |WHERE d.text IS NOT NULL AND d.doc_id % 97 = 0
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q89_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
         |              FROM documents WHERE text IS NOT NULL),

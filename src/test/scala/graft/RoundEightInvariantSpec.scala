@@ -92,6 +92,51 @@ class RoundEightInvariantSpec extends SparkSpec {
     assert(rows.sameElements(rows.sorted), "selection ordered by borda")
   }
 
+  test("q230: the base+delta state merge equals an unsplit recompute") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q230_incremental_census")(s, sfDir)
+      .localCheckpoint()
+    // direct single-pass census, no base/delta split: the merge must be
+    // invisible (count/sum/min/max additive; vocab a true set union)
+    val docs = graft.core.Tables.documents(s, sfDir)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+    val direct = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    val vocab = docs.select($"lang",
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"lang").agg(countDistinct($"tok").as("n_vocab"))
+    val exp = direct.join(vocab, Seq("lang"))
+      .select($"lang", $"n_docs", $"sum_chars", $"min_doc", $"max_doc",
+        $"n_vocab", expr("sum_chars DIV n_docs").as("chars_per_doc"))
+    assert(res.exceptAll(exp).isEmpty && exp.exceptAll(res).isEmpty,
+      "merged MV states must reproduce the from-scratch census exactly")
+  }
+
+  test("q231: coverage bounded; exposure implies coverage") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q231_memorization")(s, sfDir)
+      .localCheckpoint()
+    assert(res.count() > 0)
+    assert(res.where($"covered_grams" > $"total_grams" ||
+      $"n_exposed" > $"n_docs" || $"coverage_ppm" > 1000000L).isEmpty)
+    assert(res.where($"n_exposed" === 0 && $"covered_grams" > 0).isEmpty)
+  }
+
+  test("q232: exclusive mass bounded by total; one census row per gate") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q232_gate_ablation")(s, sfDir)
+      .localCheckpoint()
+    assert(res.select($"gate").as[String].collect().sorted.toSeq ==
+      Seq("dup", "lang", "len", "rep"))
+    assert(res.where($"n_fail_only" > $"n_fail" || $"n_fail" > $"n_docs").isEmpty)
+    assert(res.select($"n_docs").distinct().count() == 1,
+      "every gate is evaluated on the same raw input")
+  }
+
   test("q229: fertility at least one token per word, compression positive") {
     val s = spark
     import s.implicits._
