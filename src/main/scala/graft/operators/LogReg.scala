@@ -126,9 +126,13 @@ object LogReg {
     // exactly one per doc, so this sums each doc's weight once
     val wTot = lf.where(col("b") === -1L)
       .agg(coalesce(sum(col("__wt")), lit(0L))).head().getLong(0)
-    require(wTot > 0, "training set is empty")
     var w: DataFrame = spark.range(0)
       .select(col("id").as("b"), col("id").as("w"))
+    // an empty training set trains to all-zero weights — the empty
+    // sparse frame (missing bucket = 0), not an error: a gate trained
+    // on no data passes everything at logit 0, and empty-input sweeps
+    // (EmptyInputSpec) must run every query end to end
+    if (wTot == 0) return w
     for (it <- 0 until iters) {
       val shift = MScale - WScale - etaLog2 + (if (decay) it else 0)
       val denom = wTot * (1L << shift)
