@@ -112,13 +112,31 @@ object Bench {
       t >= 0 && base.get(n).exists(b => t > math.max(2.0 * b, b + 1.0))
     }
 
+    // box-calibration telemetry (round-8 lesson: containers differ up to
+    // 1.5x single-thread round to round, and a raw total grades box
+    // speed): aggregate ratio vs the committed quiet bases over queries
+    // that HAVE a base, plus the median per-query ratio — a run whose
+    // median sits near 1.0 is quiet-comparable; a uniformly inflated
+    // median with no suspects is a slower box, not a plan regression
+    val ratios = names.flatMap { n =>
+      val t = results(n)
+      base.get(n).filter(_ > 0).filter(_ => t >= 0).map(b => (t, b))
+    }
+    val aggRatio = if (ratios.isEmpty) -1.0
+      else ratios.map(_._1).sum / ratios.map(_._2).sum
+    val medRatio = if (ratios.isEmpty) -1.0 else {
+      val rs = ratios.map { case (t, b) => t / b }.sorted
+      rs(rs.size / 2)
+    }
+
     def jsonLine(f: String => String, fmt: Double => String): String = {
       val qs = names.map(n => "\"" + f(n) + "\":" + fmt(results(n)))
         .mkString("{", ",", "}")
       val ok = results.values.filter(_ >= 0)
       val total = if (ok.nonEmpty) ok.sum else 0.0
       val sus = suspects.map(n => "\"" + f(n) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"suspect":$sus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"suspect":$sus,""" +
+        f""""agg_vs_base":$aggRatio%.3f,"median_vs_base":$medRatio%.3f,"sf":"$sfDir"}"""
     }
     val full = jsonLine(identity, _.toString)
     val compact = jsonLine(_.takeWhile(_ != '_'), v => f"$v%.3f")
