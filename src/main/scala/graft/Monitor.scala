@@ -30,13 +30,21 @@ object Monitor {
     *    grain; the profiler pass costs the same single scan and answers
     *    the on-call's next question ("which column went null?") too.
     *
+    *  - `mv:<lang>` (when `mvCensus` names the persisted
+    *    [[graft.streaming.StreamingMvCensus]] doc/vocab state paths):
+    *    the ingest-maintained corpus census — `n` is the language's
+    *    document count, `metric` its distinct vocabulary, both folded
+    *    from the batch_id state partitions without touching raw
+    *    history (round 8).
+    *
     * State reads are O(state), not O(history); the warehouse pass is
     * one scan per listed table — list the day's report outputs, not the
     * raw corpus. */
   def stateReport(spark: org.apache.spark.sql.SparkSession,
       momentsPath: String, reference: org.apache.spark.sql.DataFrame,
       sketchPath: String,
-      warehouse: Seq[(String, org.apache.spark.sql.DataFrame)] = Nil)
+      warehouse: Seq[(String, org.apache.spark.sql.DataFrame)] = Nil,
+      mvCensus: Option[(String, String)] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingCentroidMonitor
@@ -59,7 +67,12 @@ object Monitor {
           round((col("n_rows") - col("n_null")).cast("double") /
             greatest(col("n_rows"), lit(1L)), 6).as("metric"))
     }
-    profRows.foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
+    val mvRows = mvCensus.toSeq.map { case (docPath, vocabPath) =>
+      graft.streaming.StreamingMvCensus.census(spark, docPath, vocabPath)
+        .select(concat(lit("mv:"), col("lang")).as("family"),
+          col("n_docs").as("n"), col("n_vocab").cast("double").as("metric"))
+    }
+    (profRows ++ mvRows).foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
   }
 
   def main(args: Array[String]): Unit = {

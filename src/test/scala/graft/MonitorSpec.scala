@@ -87,4 +87,37 @@ class MonitorSpec extends SparkSpec {
     assert(report("profile:docs.doc_id") == ((4L, 1.0)))
     assert(report("profile:docs.text") == ((4L, 0.5)))
   }
+
+  test("stateReport serves the ingest-maintained MV census per language") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_monitor3").toString
+    val moments = s"$dir/moments.parquet"
+    val emb = Tables.embeddings(s, sfDir)
+      .where($"label".isNotNull && $"embedding".isNotNull)
+      .select($"label".cast("long").as("label"), $"embedding")
+    StreamingCentroidMonitor.sink(moments, "label", "embedding")(emb, 0L)
+    val sketches = s"$dir/uv.parquet"
+    SketchRollup.sketchTable(Tables.events(s, sfDir),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(sketches)
+    val ref = StreamingCentroidMonitor.centroids(s, moments)
+      .select($"label", $"centroid")
+
+    val docs = Tables.documents(s, sfDir)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+    graft.streaming.StreamingMvCensus
+      .sink(s"$dir/mv_doc", s"$dir/mv_vocab")(docs, 0L)
+    val report = Monitor.stateReport(s, moments, ref, sketches,
+        mvCensus = Some((s"$dir/mv_doc", s"$dir/mv_vocab")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val perLang = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    perLang.foreach { case (lang, n) =>
+      val (gotN, gotVocab) = report(s"mv:$lang")
+      assert(gotN == n, s"mv:$lang doc count")
+      assert(gotVocab > 0, s"mv:$lang vocabulary")
+    }
+  }
 }

@@ -611,4 +611,22 @@ class PlanAssertSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "metadata pre-filter must be a semi join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q226: the eval slice broadcasts by SIZE (no hint), never a cartesian") {
+    // the scaladoc's claim — a bounded benchmark side rides a broadcast
+    // nested-loop under plain size-based planning; a CartesianProduct
+    // would mean the broadcast stopped fitting and the plan degraded
+    val p = plan("q226_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "eval side must broadcast under size-based planning")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q227: CDC compaction reduces map-side — partial max_by before the exchange") {
+    val p = plan("q227_cdc_apply")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby"),
+      "the winner candidate must reduce before the key exchange:\n" +
+        p.linesIterator.take(12).mkString("\n"))
+    assert(!p.contains("Window"), "no window over the changelog")
+  }
 }
