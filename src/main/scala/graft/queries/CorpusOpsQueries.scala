@@ -1568,7 +1568,68 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"gate")
   }
 
+  /** UniMax language-budget allocation (Chung et al. 2023 — the mT5/
+    * PaLM-2-era alternative to α-temperature sampling): spread the
+    * token budget UNIFORMLY across languages, except no language may
+    * repeat more than C epochs — low-resource languages hit the epoch
+    * cap, the surplus waterfills into the rest. Completes the mixture-
+    * planning family: q130 temperature (relative weights), q216
+    * Muennighoff (global utility-decay epochs), q220 DoReMi
+    * (loss-driven), q233 UniMax (uniform-with-caps).
+    *
+    * Integer waterfilling closure: sort languages by mass ascending;
+    * language i is CAPPED iff C·u_i·(n−i+1) ≤ B − C·Σ_{j<i}u_j — a pure
+    * integer comparison (no division), and both sides are monotone in
+    * i, so the capped set is the maximal prefix t. Uncapped languages
+    * split the remainder by integer DIV; the sub-(n−t) division
+    * remainder is reported as `leftover` on every row rather than
+    * silently over-allocated. Budget B = (3·total) DIV 2, cap C = 2.
+    *
+    * Scale shape: one map-side token census per language; everything
+    * after lives on O(langs) rows (the rank window is bounded by the
+    * language census, never by data). */
+  private val q233: Q = (s, d) => {
+    import s.implicits._
+    val C = 2L
+    val per = Tables.documents(s, d)
+      .where($"text".isNotNull && $"lang".isNotNull)
+      .select($"lang", size(split(trim($"text"), "\\s+")).cast("long").as("tok"))
+      .groupBy($"lang").agg(sum($"tok").as("u_tokens"))
+    val tot = per.agg(expr("(sum(u_tokens) * 3) DIV 2").as("budget"),
+      count(lit(1)).as("n"))
+    val w = Window.orderBy($"u_tokens", $"lang")
+    val ranked = per
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("prefc",
+        (sum($"u_tokens").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) * C).as("prefc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("capped",
+        lit(C) * $"u_tokens" * ($"n" - $"i" + 1L) <=
+          $"budget" - ($"prefc" - lit(C) * $"u_tokens"))
+    val t = ranked.agg(coalesce(sum(when($"capped", 1L).otherwise(0L)),
+      lit(0L)).as("t"),
+      coalesce(max(when($"capped", $"prefc")), lit(0L)).as("capmass"))
+    ranked.crossJoin(broadcast(t))
+      .select($"lang", $"u_tokens", $"capped", $"budget",
+        when($"capped", lit(C) * $"u_tokens")
+          .otherwise(expr("(budget - capmass) DIV (n - t)"))
+          .as("alloc_tokens"),
+        // ANSI mode: n = t (everything capped) would divide by zero on
+        // this unconditional column — guard it (B >= C*total regime)
+        when($"n" > $"t",
+          expr("(budget - capmass) - ((budget - capmass) DIV (n - t)) * (n - t)"))
+          .otherwise(expr("budget - capmass")).as("leftover"))
+      .select($"lang", $"u_tokens",
+        $"capped".cast("string").as("capped"), $"alloc_tokens",
+        expr("alloc_tokens * 1000 DIV u_tokens").as("epochs_milli"),
+        expr("alloc_tokens * 1000000 DIV budget").as("share_ppm"),
+        $"leftover")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q233_unimax_alloc" -> q233,
     "q230_incremental_census" -> q230,
     "q232_gate_ablation" -> q232,
     "q228_rank_fusion" -> q228,
@@ -1614,6 +1675,45 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q233_unimax_alloc" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS u_tokens
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY lang),
+        |tot AS (SELECT CAST((sum(u_tokens) * 3) // 2 AS BIGINT) AS budget,
+        |               CAST(count(*) AS BIGINT) AS n FROM per),
+        |ranked AS (
+        |  SELECT lang, u_tokens,
+        |    CAST(row_number() OVER (ORDER BY u_tokens, lang) AS BIGINT) AS i,
+        |    CAST(2 * sum(u_tokens) OVER (ORDER BY u_tokens, lang
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefc
+        |  FROM per),
+        |flagged AS (
+        |  SELECT r.*, t.budget, t.n,
+        |    2 * u_tokens * (t.n - i + 1) <= t.budget - (prefc - 2 * u_tokens)
+        |      AS capped
+        |  FROM ranked r, tot t),
+        |th AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS t,
+        |    CAST(coalesce(max(CASE WHEN capped THEN prefc END), 0)
+        |      AS BIGINT) AS capmass
+        |  FROM flagged)
+        |SELECT lang, u_tokens, CAST(capped AS VARCHAR) AS capped,
+        |  CASE WHEN capped THEN 2 * u_tokens
+        |       ELSE (budget - capmass) // (n - th.t) END AS alloc_tokens,
+        |  (CASE WHEN capped THEN 2 * u_tokens
+        |        ELSE (budget - capmass) // (n - th.t) END) * 1000
+        |    // u_tokens AS epochs_milli,
+        |  (CASE WHEN capped THEN 2 * u_tokens
+        |        ELSE (budget - capmass) // (n - th.t) END) * 1000000
+        |    // budget AS share_ppm,
+        |  CASE WHEN n > th.t THEN (budget - capmass)
+        |      - ((budget - capmass) // (n - th.t)) * (n - th.t)
+        |    ELSE budget - capmass END AS leftover
+        |FROM flagged, th ORDER BY lang""".stripMargin,
     "q230_incremental_census" ->
       """WITH docs AS (
         |  SELECT * FROM documents

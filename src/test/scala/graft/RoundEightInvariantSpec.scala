@@ -137,6 +137,27 @@ class RoundEightInvariantSpec extends SparkSpec {
       "every gate is evaluated on the same raw input")
   }
 
+  test("q233: caps respected and the budget partitions exactly") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q233_unimax_alloc")(s, sfDir)
+      .localCheckpoint()
+    assert(res.where($"epochs_milli" > 2000L).isEmpty,
+      "no language may exceed the 2-epoch cap")
+    assert(res.where($"capped" === "true" &&
+      $"alloc_tokens" =!= $"u_tokens" * 2L).isEmpty,
+      "a capped language gets exactly C epochs")
+    val Seq((alloc, leftover)) = res
+      .agg(sum($"alloc_tokens"), max($"leftover"))
+      .as[(Long, Long)].collect().toSeq
+    val total = graft.core.Tables.documents(s, sfDir)
+      .where($"text".isNotNull && $"lang".isNotNull)
+      .select(size(split(trim($"text"), "\\s+")).cast("long").as("t"))
+      .agg(sum($"t")).as[Long].head()
+    assert(alloc + leftover == total * 3L / 2L,
+      "allocations + leftover must partition the budget exactly")
+  }
+
   test("q229: fertility at least one token per word, compression positive") {
     val s = spark
     import s.implicits._
