@@ -1628,7 +1628,48 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Tokenizer merge-curve ablation — the vocab-size design report
+    * (the compression-vs-vocab tradeoff every tokenizer paper plots,
+    * Gallé 2019): encode the corpus under PREFIXES of the committed
+    * [[packMerges]] vocabulary (0 merges = the character baseline,
+    * then tranches of 4) and report, per prefix, the total token mass,
+    * the tokens the tranche saved, and the saving per merge — the
+    * marginal-utility curve that says where growing the vocabulary
+    * stops paying. BPE merges apply in learned order, so a prefix IS
+    * the tokenizer that training would have produced had it stopped
+    * there — no re-training per point.
+    *
+    * Scale shape: one narrow typed-map encode pass per curve point
+    * (4 corpus scans here; a production sweep fuses them into one
+    * mapPartitions emitting all K counts per doc — same math); each
+    * pass reduces map-side to ONE row; the curve math is a lag window
+    * over O(points) rows. */
+  private val q234: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull &&
+        length(trim($"text")) > 0)
+    val sizes = Seq(0, 4, 8, 12)
+    val curve = sizes.map { k =>
+      graft.operators.BpeTrainer
+        .countTokens(docs, "doc_id", "text", packMerges.take(k))
+        .agg(sum($"n_bpe_tokens").as("total_tokens"))
+        .select(lit(k.toLong).as("n_merges"), $"total_tokens")
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy($"n_merges")
+    curve
+      .withColumn("prev_t", lag($"total_tokens", 1).over(w))
+      .withColumn("prev_m", lag($"n_merges", 1).over(w))
+      .select($"n_merges", $"total_tokens",
+        coalesce($"prev_t" - $"total_tokens", lit(0L)).as("saved_tokens"),
+        when($"prev_m".isNotNull,
+          expr("(prev_t - total_tokens) * 1000 DIV (n_merges - prev_m)"))
+          .otherwise(lit(0L)).as("saved_per_merge_milli"))
+      .orderBy($"n_merges")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q234_merge_curve" -> q234,
     "q233_unimax_alloc" -> q233,
     "q230_incremental_census" -> q230,
     "q232_gate_ablation" -> q232,
@@ -1675,6 +1716,41 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q234_merge_curve" -> {
+      val charSplit = "'|' || array_to_string(string_split(w, ''), '|') || '|'"
+      def enc(k: Int): String = packMerges.take(k)
+        .foldLeft(charSplit) { case (acc, (a, b)) =>
+          s"replace($acc, '|$a|$b|', '|$a$b|')"
+        }
+      val points = Seq(0, 4, 8, 12).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS n_merges,
+           |  CAST(coalesce(sum(len(string_split(${enc(k)}, '|')) - 2), 0)
+           |    AS BIGINT) AS total_tokens
+           |FROM words WHERE w <> ''""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |    AND len(trim(text)) > 0),
+         |words AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM docs),
+         |curve AS (
+         |$points),
+         |lagged AS (
+         |  SELECT n_merges, total_tokens,
+         |    lag(total_tokens) OVER (ORDER BY n_merges) AS prev_t,
+         |    lag(n_merges) OVER (ORDER BY n_merges) AS prev_m
+         |  FROM curve)
+         |SELECT n_merges, total_tokens,
+         |  CAST(coalesce(prev_t - total_tokens, 0) AS BIGINT)
+         |    AS saved_tokens,
+         |  CASE WHEN prev_m IS NOT NULL
+         |    THEN (prev_t - total_tokens) * 1000 // (n_merges - prev_m)
+         |    ELSE CAST(0 AS BIGINT) END AS saved_per_merge_milli
+         |FROM lagged ORDER BY n_merges""".stripMargin
+    },
     "q233_unimax_alloc" ->
       """WITH per AS (
         |  SELECT lang,

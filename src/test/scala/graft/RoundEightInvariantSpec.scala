@@ -158,6 +158,25 @@ class RoundEightInvariantSpec extends SparkSpec {
       "allocations + leftover must partition the budget exactly")
   }
 
+  test("q234: each merge tranche can only shrink the corpus; baseline is chars") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q234_merge_curve")(s, sfDir)
+      .orderBy($"n_merges").localCheckpoint()
+    val ts = res.select($"total_tokens").as[Long].collect()
+    assert(ts.zip(ts.tail).forall { case (a, b) => b <= a },
+      "a merge can never increase the token count")
+    assert(res.where($"saved_tokens" < 0).isEmpty)
+    val charBase = graft.core.Tables.documents(s, sfDir)
+      .where($"doc_id".isNotNull && $"text".isNotNull &&
+        length(trim($"text")) > 0)
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .where(length($"w") > 0)
+      .agg(sum(length($"w"))).as[Long].head()
+    assert(ts.head == charBase,
+      "0 merges must tokenize to exactly the non-space character count")
+  }
+
   test("q229: fertility at least one token per word, compression positive") {
     val s = spark
     import s.implicits._
