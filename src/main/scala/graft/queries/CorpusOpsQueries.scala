@@ -1668,7 +1668,126 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"n_merges")
   }
 
+  /** Round-8 FLAGSHIP composition — the governed-release manifest a
+    * training-data drop ships with (the q65/q206/q223 composition
+    * pattern over this round's stages): candidate docs (the non-eval
+    * slice) pass the CCNet perplexity gate (q225's per-language
+    * terciles under the q210 train-split LM — tail dropped), then the
+    * semantic decontamination gate (q226's max-cosine ≥ 0.35 against
+    * the benchmark slice — flagged dropped), and the surviving token
+    * mass is allocated by UniMax waterfilling (q233, C = 2,
+    * B = 1.5·total). One row per language: input/dropped/kept doc
+    * counts with stage attribution, surviving token mass, and the
+    * allocation with exact milli-epochs — every number an integer,
+    * every stage the already-oracle-proven formulation.
+    *
+    * Scale shape: the LM joins and the per-doc aggs are q225's; the
+    * decontam pair scan is q226's (bounded benchmark broadcasts);
+    * everything after the two gates lives on O(langs) rows. */
+  private val q235: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.VectorFunctions.{dot => dot2, l2norm => l2norm2}
+    val C = 2L
+    // --- q225 fragment: per-doc mean micro-bits under the split LM ---
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+      .select($"doc_id", $"lang", posexplode(split(trim($"text"), "\\s+")))
+      .toDF("doc_id", "lang", "pos", "tok")
+    val bigrams = toks
+      .withColumn("nxt", lead($"tok", 1).over(wd))
+      .where($"nxt".isNotNull)
+    val train = bigrams.where($"doc_id" % 10 =!= 0)
+    val bi  = train.groupBy($"tok", $"nxt").agg(count(lit(1)).as("c12"))
+    val ctx = train.groupBy($"tok").agg(count(lit(1)).as("ctx"))
+    val uni = train.groupBy($"nxt").agg(count(lit(1)).as("c2"))
+    val stats = train.agg(count(lit(1)).as("t"), countDistinct($"nxt").as("v"))
+    val perDoc = bigrams.where($"doc_id" % 97 =!= 0)
+      .join(bi, Seq("tok", "nxt"), "left")
+      .join(ctx, Seq("tok"), "left")
+      .join(uni, Seq("nxt"), "left")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", $"lang",
+        round(round(
+          log2(lit(4L) * coalesce($"ctx", lit(1L)) * ($"t" + $"v")) -
+          log2(lit(3L) * coalesce($"c12", lit(0L)) * ($"t" + $"v")
+            + coalesce($"ctx", lit(1L)) * (coalesce($"c2", lit(0L)) + lit(1L))),
+          6) * 1000000).cast("long").as("mb"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_bg"), sum($"mb").as("nll"))
+      .select($"doc_id", $"lang", expr("nll DIV n_bg").as("mbpt"))
+    val cuts = perDoc.groupBy($"lang")
+      .agg(expr("approx_percentile(mbpt, array(0.3333334, 0.6666668), 1000000)")
+        .as("cs"))
+      .select($"lang", $"cs".getItem(1).as("c2cut"))
+    // --- q226 fragment: benchmark contamination flag per doc ---
+    val e = Tables.embeddings(s, d)
+      .where($"embedding".isNotNull && $"vec_id".isNotNull)
+      .select($"vec_id", $"embedding", l2norm2($"embedding").as("nrm"))
+    val ev = e.where($"vec_id" % 97 === 0)
+      .select($"vec_id".as("e_id"), $"embedding".as("e_emb"), $"nrm".as("e_nrm"))
+    val contam = e.where($"vec_id" % 97 =!= 0).crossJoin(ev)
+      .select($"vec_id",
+        round(dot2($"embedding", $"e_emb") / ($"nrm" * $"e_nrm"), 6).as("cos"))
+      .groupBy($"vec_id").agg(max($"cos").as("mc"))
+      .where($"mc" >= 0.35)
+      .select($"vec_id")
+    // --- gates with stage attribution ---
+    val input = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull && $"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_words"))
+    val staged = input
+      .join(perDoc.select($"doc_id", $"mbpt"), Seq("doc_id"), "left")
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .join(contam.withColumn("is_contam", lit(true)),
+        input("doc_id") === contam("vec_id"), "left")
+      .select($"lang", $"n_words",
+        when($"mbpt" <= $"c2cut", "kept").otherwise("tail").as("ppl"),
+        coalesce($"is_contam", lit(false)).as("contam"))
+      .select($"lang", $"n_words",
+        when($"ppl" === "tail", "drop_ppl")
+          .when($"contam", "drop_contam")
+          .otherwise("kept").as("verdict"))
+    val perLang = staged.groupBy($"lang")
+      .agg(count(lit(1)).as("n_input"),
+        sum(when($"verdict" === "drop_ppl", 1L).otherwise(0L)).as("n_drop_ppl"),
+        sum(when($"verdict" === "drop_contam", 1L).otherwise(0L))
+          .as("n_drop_contam"),
+        sum(when($"verdict" === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"verdict" === "kept", $"n_words").otherwise(0L))
+          .as("u_tokens"))
+    // --- q233 fragment: UniMax waterfilling over surviving mass ---
+    val tot = perLang.agg(expr("(sum(u_tokens) * 3) DIV 2").as("budget"),
+      count(lit(1)).as("n"))
+    val wr = Window.orderBy($"u_tokens", $"lang")
+    val ranked = perLang
+      .withColumn("i", row_number().over(wr).cast("long"))
+      .withColumn("prefc",
+        sum($"u_tokens").over(wr.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) * C)
+      .crossJoin(broadcast(tot))
+      .withColumn("capped",
+        lit(C) * $"u_tokens" * ($"n" - $"i" + 1L) <=
+          $"budget" - ($"prefc" - lit(C) * $"u_tokens"))
+    val th = ranked.agg(
+      coalesce(sum(when($"capped", 1L).otherwise(0L)), lit(0L)).as("t"),
+      coalesce(max(when($"capped", $"prefc")), lit(0L)).as("capmass"))
+    ranked.crossJoin(broadcast(th))
+      .select($"lang", $"n_input", $"n_drop_ppl", $"n_drop_contam",
+        $"n_kept", $"u_tokens",
+        when($"capped", lit(C) * $"u_tokens")
+          .otherwise(expr("(budget - capmass) DIV (n - t)"))
+          .as("alloc_tokens"))
+      .select($"lang", $"n_input", $"n_drop_ppl", $"n_drop_contam",
+        $"n_kept", $"u_tokens", $"alloc_tokens",
+        when($"u_tokens" > 0, expr("alloc_tokens * 1000 DIV u_tokens"))
+          .otherwise(lit(0L)).as("epochs_milli"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q235_release_manifest" -> q235,
     "q234_merge_curve" -> q234,
     "q233_unimax_alloc" -> q233,
     "q230_incremental_census" -> q230,
@@ -1716,6 +1835,112 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q235_release_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |bg AS (SELECT doc_id, lang, w[r.i] AS tok, w[r.i + 1] AS nxt
+        |       FROM t, unnest(range(1, len(w))) r(i)),
+        |train AS (SELECT * FROM bg WHERE doc_id % 10 <> 0),
+        |bi AS (SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c12
+        |       FROM train GROUP BY tok, nxt),
+        |ctx AS (SELECT tok, CAST(count(*) AS BIGINT) AS ctx
+        |        FROM train GROUP BY tok),
+        |uni AS (SELECT nxt, CAST(count(*) AS BIGINT) AS c2
+        |        FROM train GROUP BY nxt),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS t,
+        |                 CAST(count(DISTINCT nxt) AS BIGINT) AS v FROM train),
+        |sc AS (
+        |  SELECT g.doc_id, g.lang,
+        |    CAST(round(round(
+        |      log2((4 * COALESCE(c.ctx, 1) * (s.t + s.v))::DOUBLE)
+        |      - log2((3 * COALESCE(b.c12, 0) * (s.t + s.v)
+        |              + COALESCE(c.ctx, 1) * (COALESCE(u.c2, 0) + 1))::DOUBLE),
+        |      6) * 1000000) AS BIGINT) AS mb
+        |  FROM bg g
+        |  LEFT JOIN bi b ON b.tok = g.tok AND b.nxt = g.nxt
+        |  LEFT JOIN ctx c ON c.tok = g.tok
+        |  LEFT JOIN uni u ON u.nxt = g.nxt, stats s
+        |  WHERE g.doc_id % 97 <> 0),
+        |pd AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(mb) AS BIGINT) // count(*) AS mbpt
+        |  FROM sc GROUP BY doc_id, lang),
+        |cuts AS (
+        |  SELECT lang AS clang, quantile_disc(mbpt, 0.6666668) AS c2cut
+        |  FROM pd GROUP BY lang),
+        |e AS (SELECT vec_id, embedding FROM embeddings
+        |      WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+        |ev AS (SELECT vec_id AS e_id, embedding AS e_emb FROM e
+        |       WHERE vec_id % 97 = 0),
+        |contam AS (
+        |  SELECT vec_id FROM (
+        |    SELECT e.vec_id,
+        |      max(round(
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> e.embedding[i]::DOUBLE * ev.e_emb[i]::DOUBLE))
+        |        / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+        |         * sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> ev.e_emb[i]::DOUBLE * ev.e_emb[i]::DOUBLE)))), 6))
+        |        AS mc
+        |    FROM e CROSS JOIN ev WHERE e.vec_id % 97 <> 0
+        |    GROUP BY e.vec_id)
+        |  WHERE mc >= 0.35),
+        |input AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_words
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 97 <> 0),
+        |staged AS (
+        |  SELECT i.lang, i.n_words,
+        |    CASE WHEN p.mbpt <= c.c2cut THEN
+        |        (CASE WHEN i.doc_id IN (SELECT vec_id FROM contam)
+        |          THEN 'drop_contam' ELSE 'kept' END)
+        |      ELSE 'drop_ppl' END AS verdict
+        |  FROM input i
+        |  LEFT JOIN pd p ON i.doc_id = p.doc_id
+        |  LEFT JOIN cuts c ON i.lang = c.clang),
+        |per AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_input,
+        |    CAST(sum(CASE WHEN verdict = 'drop_ppl' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_drop_ppl,
+        |    CAST(sum(CASE WHEN verdict = 'drop_contam' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_drop_contam,
+        |    CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN verdict = 'kept' THEN n_words ELSE 0 END)
+        |      AS BIGINT) AS u_tokens
+        |  FROM staged GROUP BY lang),
+        |tot AS (SELECT CAST((sum(u_tokens) * 3) // 2 AS BIGINT) AS budget,
+        |               CAST(count(*) AS BIGINT) AS n FROM per),
+        |ranked AS (
+        |  SELECT per.*,
+        |    CAST(row_number() OVER (ORDER BY u_tokens, lang) AS BIGINT) AS i,
+        |    CAST(2 * sum(u_tokens) OVER (ORDER BY u_tokens, lang
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefc
+        |  FROM per),
+        |flagged AS (
+        |  SELECT r.*, t.budget, t.n,
+        |    2 * u_tokens * (t.n - i + 1) <= t.budget - (prefc - 2 * u_tokens)
+        |      AS capped
+        |  FROM ranked r, tot t),
+        |th AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS t,
+        |    CAST(coalesce(max(CASE WHEN capped THEN prefc END), 0)
+        |      AS BIGINT) AS capmass
+        |  FROM flagged)
+        |SELECT lang, n_input, n_drop_ppl, n_drop_contam, n_kept, u_tokens,
+        |  CASE WHEN capped THEN 2 * u_tokens
+        |       ELSE (budget - capmass) // (n - th.t) END AS alloc_tokens,
+        |  CASE WHEN u_tokens > 0 THEN
+        |      (CASE WHEN capped THEN 2 * u_tokens
+        |            ELSE (budget - capmass) // (n - th.t) END) * 1000
+        |        // u_tokens
+        |    ELSE CAST(0 AS BIGINT) END AS epochs_milli
+        |FROM flagged, th ORDER BY lang""".stripMargin,
     "q234_merge_curve" -> {
       val charSplit = "'|' || array_to_string(string_split(w, ''), '|') || '|'"
       def enc(k: Int): String = packMerges.take(k)

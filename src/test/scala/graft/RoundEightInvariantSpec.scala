@@ -177,6 +177,23 @@ class RoundEightInvariantSpec extends SparkSpec {
       "0 merges must tokenize to exactly the non-space character count")
   }
 
+  test("q235: stage attribution partitions input; allocation respects caps") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q235_release_manifest")(s, sfDir)
+      .localCheckpoint()
+    assert(res.where($"n_drop_ppl" + $"n_drop_contam" + $"n_kept"
+      =!= $"n_input").isEmpty,
+      "every input doc gets exactly one verdict")
+    assert(res.where($"epochs_milli" > 2000L).isEmpty,
+      "no language may exceed the 2-epoch cap")
+    val expectedInput = graft.core.Tables.documents(s, sfDir)
+      .where($"text".isNotNull && $"doc_id".isNotNull &&
+        $"doc_id" % 97 =!= 0).count()
+    assert(res.agg(sum($"n_input")).as[Long].head() == expectedInput,
+      "the manifest covers the whole candidate slice")
+  }
+
   test("q229: fertility at least one token per word, compression positive") {
     val s = spark
     import s.implicits._
