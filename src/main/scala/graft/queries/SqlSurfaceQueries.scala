@@ -276,7 +276,29 @@ object SqlSurfaceQueries extends QueryPack {
     ORDER BY n_name, c_mktsegment"""
   private val q209 = sql(q209Text)
 
+  /** LATERAL COLUMN ALIAS + `ORDER BY ALL` — the other two dialect
+    * conveniences (both DuckDB-originated; Spark ≥3.4 / ≥4.0) pasted
+    * between engines: a SELECT item referencing an alias defined to its
+    * LEFT in the same list (here a derived metric built from two
+    * aggregate aliases), and an ORDER BY over every select item with no
+    * list to keep in sync. ONE string runs verbatim in both engines;
+    * resolution is analyzer-level sugar — the aggregate plan is the
+    * explicit-spelling plan (the q209 claim, same contract). The
+    * derived metric stays in integer units (×1000 then subtract) so no
+    * division dialect (DIV vs //) enters the shared text. */
+  private val q236Text = """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+           qty_c * 2 AS qty_c_double,
+           qty_c - n AS qty_c_minus_n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY ALL"""
+  private val q236 = sql(q236Text)
+
   val queries: Map[String, Q] = Map(
+    "q236_sql_lateral_alias" -> q236,
     "q209_sql_groupby_all" -> q209,
     "q166_sql_lateral_view" -> q166,
     "q167_sql_hive_window" -> q167,
@@ -292,6 +314,7 @@ object SqlSurfaceQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q236_sql_lateral_alias" -> q236Text,
     "q209_sql_groupby_all" -> q209Text,
     "q195_sql_recursive" ->
       """WITH RECURSIVE nxt AS (
