@@ -52,7 +52,12 @@ object SuffixRank {
     * sizes, so no broadcast opportunity is lost. Materialization is
     * lazy (first action fills the checkpoint cache once); a 100 TB run
     * that must survive executor loss should swap in reliable
-    * `RDD.checkpoint` — same stats-reset property. */
+    * `RDD.checkpoint` — same stats-reset property. An UnsafeRow-level
+    * variant (queryExecution.toRdd + internalCreateDataFrame, skipping
+    * both external-Row conversions) measured NEUTRAL here in a
+    * same-hour A/B: these frames are three longs, so converter cost is
+    * negligible — that lever only pays on wide rows (the q225 lesson
+    * in reverse). */
   private def cut(df: DataFrame): DataFrame = {
     val rdd = df.rdd
     rdd.localCheckpoint()
