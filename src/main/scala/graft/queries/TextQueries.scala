@@ -220,6 +220,47 @@ object TextQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Per-document token-ENTROPY quality gate (the Gopher/RefinedWeb
+    * rule family's information-theoretic member: repetitive junk has
+    * low entropy, random noise maxes it; q76's repetition ratio and
+    * q142's distinct-token score are its cheaper cousins — entropy
+    * also separates "few types, balanced" from "few types, one
+    * dominating"): H(doc) = Σ (c/n)·log2(n/c) over the doc's token
+    * histogram, banded at literal cuts and censused per (lang, band).
+    *
+    * Cross-engine closure: each histogram term closes as
+    * c · micro(log2 n − log2 c) — two exact-integer-argument log2
+    * calls (the q136/q150 class) rounded to micro-bits BEFORE the
+    * cross-row sum (the q218 rule); the per-doc mean is an integer
+    * DIV, the band a literal integer compare.
+    *
+    * Scale shape: one tokenizing scan → per-(doc, tok) counts → two
+    * doc-keyed hash aggs; the band census is O(langs·bands). Nothing
+    * leaves the doc key until the census. */
+  private val q237: Q = (s, d) => {
+    import s.implicits._
+    val cnt = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("c"))
+    val n = cnt.groupBy($"doc_id").agg(sum($"c").as("n"))
+    val h = cnt.join(n, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"n",
+        ($"c" * round(round(log2($"n") - log2($"c"), 6) * 1000000)
+          .cast("long")).as("term"))
+      .groupBy($"doc_id", $"lang")
+      .agg(max($"n").as("n"), sum($"term").as("hn"))
+      .select($"doc_id", $"lang", $"n", expr("hn DIV n").as("h_micro"))
+    h.select($"lang", $"n", $"h_micro",
+        when($"h_micro" < 4200000L, "low")
+          .when($"h_micro" < 4600000L, "mid")
+          .otherwise("high").as("band"))
+      .groupBy($"lang", $"band")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"),
+        min($"h_micro").as("min_h"), max($"h_micro").as("max_h"))
+      .orderBy($"lang", $"band")
+  }
+
   /** TF-IDF keyword extraction, integer-exact: per language, term
     * frequency tf and document frequency df from one explode + grouped
     * agg; the idf weight is the reciprocal-df proxy
@@ -1395,6 +1436,7 @@ object TextQueries extends QueryPack {
     "q210_heldout_ppl" -> q210,
     "q225_ppl_buckets" -> q225,
     "q231_memorization" -> q231,
+    "q237_token_entropy" -> q237,
     "q211_preference_pairs" -> q211,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
@@ -2140,6 +2182,33 @@ object TextQueries extends QueryPack {
       """SELECT substr(md5(trim(text)), 1, 1) AS bucket,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q237_token_entropy" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |        FROM documents
+        |        WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+        |  GROUP BY doc_id, lang, tok),
+        |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+        |      FROM cnt GROUP BY doc_id),
+        |h AS (
+        |  SELECT cnt.doc_id, cnt.lang, max(n.n) AS n,
+        |    CAST(sum(cnt.c * CAST(round(round(
+        |        log2(n.n::DOUBLE) - log2(cnt.c::DOUBLE), 6) * 1000000)
+        |      AS BIGINT)) AS BIGINT) // max(n.n) AS h_micro
+        |  FROM cnt JOIN n ON cnt.doc_id = n.doc_id
+        |  GROUP BY cnt.doc_id, cnt.lang),
+        |b AS (
+        |  SELECT lang, n, h_micro,
+        |    CASE WHEN h_micro < 4200000 THEN 'low'
+        |         WHEN h_micro < 4600000 THEN 'mid'
+        |         ELSE 'high' END AS band
+        |  FROM h)
+        |SELECT lang, band, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  min(h_micro) AS min_h, max(h_micro) AS max_h
+        |FROM b GROUP BY lang, band ORDER BY lang, band""".stripMargin,
     "q231_memorization" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
         |              FROM documents WHERE text IS NOT NULL),

@@ -194,6 +194,29 @@ class RoundEightInvariantSpec extends SparkSpec {
       "the manifest covers the whole candidate slice")
   }
 
+  test("q237: entropy bounded by log2(doc length); bands ordered") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q237_token_entropy")(s, sfDir)
+      .localCheckpoint()
+    assert(res.count() > 0)
+    assert(res.where($"min_h" < 0L).isEmpty, "entropy is non-negative")
+    // H <= log2(n) for any distribution over at most n outcomes; the
+    // census keeps per-band token masses, so bound with the global max
+    val maxN = res.agg(max($"n_tokens")).as[Long].head()
+    val bound = (math.log(maxN.toDouble) / math.log(2.0) + 1e-3) * 1e6
+    assert(res.where($"max_h" > bound).isEmpty,
+      s"entropy must stay under log2(total tokens) = $bound")
+    val byBand = res.groupBy($"band")
+      .agg(min($"min_h").as("lo"), max($"max_h").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (b <- byBand.get("low")) assert(b._2 < 4200000L)
+    for (b <- byBand.get("mid"))
+      assert(b._1 >= 4200000L && b._2 < 4600000L)
+    for (b <- byBand.get("high")) assert(b._1 >= 4600000L)
+  }
+
   test("q229: fertility at least one token per word, compression positive") {
     val s = spark
     import s.implicits._
