@@ -101,7 +101,8 @@ object ScaleProbe {
       "q227_cdc_apply", "q228_rank_fusion", "q229_tokenizer_fertility",
       "q230_incremental_census", "q231_memorization", "q232_gate_ablation",
       "q233_unimax_alloc", "q234_merge_curve", "q235_release_manifest",
-      "q236_sql_lateral_alias", "q237_token_entropy")
+      "q236_sql_lateral_alias", "q237_token_entropy",
+      "q238_exposed_evals")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -261,6 +261,50 @@ object TextQueries extends QueryPack {
       .orderBy($"lang", $"band")
   }
 
+  /** Most-exposed eval ITEMS — q231's census made actionable: the
+    * specific benchmark documents whose 8-gram content the training
+    * corpus already carries, ranked by coverage (the list an eval-harness
+    * owner actually consumes: drop or down-weight these items, q231's
+    * per-language rates justify the policy). Same gram machinery, one
+    * TakeOrdered on the O(eval docs) frame — no new operator math.
+    * Audited at the 4-gram SCREEN grain (stricter than q231's 8-gram
+    * dedup grain — shorter windows flag more; harness owners sweep the
+    * grain downward until the list is non-empty, exactly this corpus'
+    * situation: zero 8-gram coverage, a handful of 4-gram echoes).
+    *
+    * Scale shape: identical to q231 until the per-doc frame (train gram
+    * table distinct on the join key, eval the small semi-join side);
+    * the ranking is a global top-20 TakeOrdered, never a window over
+    * data. */
+  private val q238: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).where($"text".isNotNull)
+    val sh = graft.functions.DedupFunctions
+      .shingleRows(docs.select($"doc_id", $"text"), "doc_id", "text", 4)
+    val evg = sh.where($"doc_id" % 97 === 0)
+      .select($"doc_id", $"s").distinct()
+    val trs = sh.where($"doc_id" % 97 =!= 0).select($"s").distinct()
+    val cov = evg.join(trs, Seq("s"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_seen"))
+    val perDoc = evg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_seen", lit(0L)).as("n_seen"))
+      .where($"n_seen" > 0)
+      .select($"doc_id", $"n_grams", $"n_seen",
+        expr("n_seen * 1000000 DIV n_grams").as("coverage_ppm"))
+    docs.where($"doc_id" % 97 === 0).select($"doc_id", $"lang")
+      .join(perDoc, Seq("doc_id"))
+      .orderBy($"coverage_ppm".desc, $"doc_id")
+      .limit(20)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"coverage_ppm".desc, $"doc_id")))
+      .select($"rnk".cast("long").as("rnk"), $"doc_id", $"lang",
+        $"n_grams", $"n_seen", $"coverage_ppm")
+      .orderBy($"rnk")
+  }
+
   /** TF-IDF keyword extraction, integer-exact: per language, term
     * frequency tf and document frequency df from one explode + grouped
     * agg; the idf weight is the reciprocal-df proxy
@@ -1437,6 +1481,7 @@ object TextQueries extends QueryPack {
     "q225_ppl_buckets" -> q225,
     "q231_memorization" -> q231,
     "q237_token_entropy" -> q237,
+    "q238_exposed_evals" -> q238,
     "q211_preference_pairs" -> q211,
     "q183_bm25" -> q183,
     "q180_datacard" -> q180,
@@ -2209,6 +2254,28 @@ object TextQueries extends QueryPack {
         |  CAST(sum(n) AS BIGINT) AS n_tokens,
         |  min(h_micro) AS min_h, max(h_micro) AS max_h
         |FROM b GROUP BY lang, band ORDER BY lang, band""".stripMargin,
+    "q238_exposed_evals" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |              FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, array_to_string(a[i:i+3], ' ') AS s
+        |       FROM toks, unnest(range(1, len(a) - 2)) AS t(i)),
+        |evg AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 = 0),
+        |trs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 <> 0),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seen
+        |        FROM evg SEMI JOIN trs USING (s) GROUP BY doc_id),
+        |pd AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(coalesce(any_value(c.n_seen), 0) AS BIGINT) AS n_seen
+        |       FROM evg e LEFT JOIN cov c ON e.doc_id = c.doc_id
+        |       GROUP BY e.doc_id),
+        |x AS (
+        |  SELECT d.doc_id, d.lang, p.n_grams, p.n_seen,
+        |    p.n_seen * 1000000 // p.n_grams AS coverage_ppm
+        |  FROM documents d JOIN pd p ON d.doc_id = p.doc_id
+        |  WHERE d.doc_id % 97 = 0 AND p.n_seen > 0)
+        |SELECT rnk, doc_id, lang, n_grams, n_seen, coverage_ppm FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |      ORDER BY coverage_ppm DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM x) WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "q231_memorization" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
         |              FROM documents WHERE text IS NOT NULL),
