@@ -1029,11 +1029,18 @@ object SimilarityQueries extends QueryPack {
     * complement of q89's 5-gram decontamination (the gap both audits
     * name: paraphrased benchmark items survive n-gram screens; Yang et
     * al. 2023 "Rethinking Benchmark and Contamination" flag exactly
-    * this). The held-out benchmark slice is vec_id % 97 = 0 (the q224
-    * eval-split convention on the doc_id==vec_id seam); every candidate
-    * training vector's contamination score is its MAX cosine against
-    * the benchmark, and the census reports, per source, how many
-    * documents a τ=0.35 gate would quarantine.
+    * this). q177 (DedupQueries) is this stage's LSH-ROUTED form — cell
+    * keys bound each train row's candidate set and the output is the
+    * flagged PAIR list with nearest neighbors; this query is the EXACT
+    * tier and the census consumer: true max cosine (no routing miss —
+    * the number that certifies "nothing above τ survives, at any
+    * angle LSH might drop"), aggregated per SOURCE across the
+    * doc_id==vec_id seam for the curation decision table. The held-out
+    * benchmark slice is vec_id % 97 = 0 (the q224 eval-split
+    * convention); every candidate training vector's contamination
+    * score is its MAX cosine against the benchmark, and the census
+    * reports, per source, how many documents a τ=0.35 gate would
+    * quarantine.
     *
     * Cross-engine closure: per-pair cosine through the codegen'd
     * [[graft.expressions.FloatDotProduct]] vs DuckDB's identical
