@@ -73,7 +73,8 @@ object PlanDump {
     "q233_unimax_alloc" -> "UniMax waterfilling: one map-side token census per language; the capped-prefix test is a pure integer comparison on the O(langs) rank window — no division until the final uniform split, nothing beyond the census leaves O(langs) rows",
     "q234_merge_curve" -> "tokenizer merge curve: one narrow typed-map encode per curve point, each reducing map-side to ONE row; the marginal-utility math is a lag window over O(points) rows",
     "q235_release_manifest" -> "round-8 flagship: q225's shuffle-joined LM scoring + q226's size-broadcast decontam pair scan feed two gates; everything after lives on O(langs) rows through the q233 waterfilling — the whole release manifest is two corpus passes",
-    "q237_token_entropy" -> "entropy gate: one tokenizing scan, per-(doc,tok) counts, two doc-keyed hash aggs; histogram terms close as micro-units of exact-integer log2 BEFORE the cross-row sum — nothing leaves the doc key until the O(langs*bands) census")
+    "q237_token_entropy" -> "entropy gate: one tokenizing scan, per-(doc,tok) counts, two doc-keyed hash aggs; histogram terms close as micro-units of exact-integer log2 BEFORE the cross-row sum — nothing leaves the doc key until the O(langs*bands) census",
+    "q239_pack_purity" -> "packing purity: q223's narrow tokenize + bucket-exchange prefix sum; sequence membership is a bounded per-doc range explode (toks DIV 512 + 2 rows), never a token-level join; two hash aggs close the census")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

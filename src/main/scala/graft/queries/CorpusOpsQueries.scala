@@ -1786,7 +1786,58 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Packing-PURITY census — the report that motivates doc-boundary-
+    * aware packing (Ding et al. 2024 "Fewer Truncations Improve
+    * Language Modeling" and the LLaMA-3 recipe both isolate documents
+    * per sequence; naive q223-style stream packing lets attention bleed
+    * across unrelated documents): under the SAME packing as q223
+    * (committed-vocab BPE counts, reproducible salted-hash order,
+    * 512-token windows), report how many training sequences mix
+    * languages — per distinct-language count, the sequence count, doc
+    * mass, and share in exact ppm. A doc spans the sequences its token
+    * interval [rt−toks, rt) covers, so membership is one bounded
+    * per-doc sequence-range explode (toks DIV 512 + 2 rows), never a
+    * token-level join.
+    *
+    * Scale shape: q223's tokenize (narrow map) + prefix sum (bucket
+    * exchange); the explode adds O(docs · docLen/512) rows; two hash
+    * aggs close the census. */
+  private val q239: Q = (s, d) => {
+    import s.implicits._
+    val perDoc = graft.operators.BpeTrainer
+      .countTokens(Tables.documents(s, d)
+        .where($"doc_id".isNotNull && $"text".isNotNull),
+        "doc_id", "text", packMerges)
+      .select($"doc_id", $"n_bpe_tokens".as("toks"))
+      .where($"toks" > 0)
+    val h = graft.functions.DedupFunctions.hash32(
+      concat(lit("pack:"), $"doc_id".cast("string")))
+    val spans = graft.functions.DistributedRank
+      .withRunningTotal(perDoc.withColumn("hk", h), "rt", $"toks",
+        $"hk", $"doc_id")
+      .select($"doc_id", $"toks",
+        expr("(rt - toks) DIV 512").as("seq_lo"),
+        expr("(rt - 1) DIV 512").as("seq_hi"))
+      .select($"doc_id",
+        explode(sequence($"seq_lo", $"seq_hi")).as("seq"))
+    val langs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id", $"lang")
+    val perSeq = spans.join(langs, Seq("doc_id"))
+      .groupBy($"seq")
+      .agg(countDistinct($"lang").as("n_langs"),
+        count(lit(1)).as("n_docs"))
+    val census = perSeq.groupBy($"n_langs")
+      .agg(count(lit(1)).as("n_seqs"), sum($"n_docs").as("n_doc_slots"))
+    val tot = census.agg(sum($"n_seqs").as("tot"))
+    census.crossJoin(broadcast(tot))
+      .select($"n_langs", $"n_seqs", $"n_doc_slots",
+        expr("n_seqs * 1000000 DIV tot").as("share_ppm"))
+      .orderBy($"n_langs")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q239_pack_purity" -> q239,
     "q235_release_manifest" -> q235,
     "q234_merge_curve" -> q234,
     "q233_unimax_alloc" -> q233,
@@ -1835,6 +1886,53 @@ object CorpusOpsQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q239_pack_purity" -> {
+      val charSplit = "'|' || array_to_string(string_split(w, ''), '|') || '|'"
+      val encoded = packMerges.foldLeft(charSplit) { case (acc, (a, b)) =>
+        s"replace($acc, '|$a|$b|', '|$a$b|')"
+      }
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |words AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM docs),
+         |enc AS (
+         |  SELECT doc_id, $encoded AS s FROM words WHERE w <> ''),
+         |cnt AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sum(len(string_split(e.s, '|')) - 2), 0)
+         |      AS BIGINT) AS toks
+         |  FROM docs d LEFT JOIN enc e USING (doc_id) GROUP BY d.doc_id
+         |  HAVING CAST(coalesce(sum(len(string_split(e.s, '|')) - 2), 0)
+         |      AS BIGINT) > 0),
+         |r AS (
+         |  SELECT doc_id, toks,
+         |    sum(toks) OVER (
+         |      ORDER BY ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+         |               doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+         |  FROM cnt),
+         |spans AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(CAST((rt - toks) // 512 AS BIGINT),
+         |                           CAST((rt - 1) // 512 AS BIGINT)))
+         |      AS seq
+         |  FROM r),
+         |perseq AS (
+         |  SELECT seq, count(DISTINCT d.lang) AS n_langs,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM spans JOIN docs d USING (doc_id) GROUP BY seq),
+         |census AS (
+         |  SELECT n_langs, CAST(count(*) AS BIGINT) AS n_seqs,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_doc_slots
+         |  FROM perseq GROUP BY n_langs),
+         |tot AS (SELECT CAST(sum(n_seqs) AS BIGINT) AS tot FROM census)
+         |SELECT CAST(n_langs AS BIGINT) AS n_langs, n_seqs, n_doc_slots,
+         |  n_seqs * 1000000 // tot AS share_ppm
+         |FROM census, tot ORDER BY n_langs""".stripMargin
+    },
     "q235_release_manifest" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w

@@ -217,6 +217,19 @@ class RoundEightInvariantSpec extends SparkSpec {
     for (b <- byBand.get("high")) assert(b._1 >= 4600000L)
   }
 
+  test("q239: doc slots cover every doc span; language counts bounded") {
+    val s = spark
+    import s.implicits._
+    val res = SparkEntry.queries("q239_pack_purity")(s, sfDir)
+      .localCheckpoint()
+    assert(res.where($"n_langs" < 1L || $"n_langs" > 5L).isEmpty)
+    assert(res.where($"n_doc_slots" < $"n_seqs").isEmpty,
+      "every sequence holds at least one doc slot")
+    val shares = res.agg(sum($"share_ppm")).as[Long].head()
+    assert(shares <= 1000000L && shares > 1000000L - res.count() * 2,
+      "shares must partition ppm up to DIV truncation")
+  }
+
   test("q229: fertility at least one token per word, compression positive") {
     val s = spark
     import s.implicits._
