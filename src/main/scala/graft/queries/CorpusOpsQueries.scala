@@ -1316,6 +1316,43 @@ object CorpusOpsQueries extends QueryPack {
     "o" -> "r",                         // order, sort, vector
     "q" -> "u")                         // query
 
+  /** Shared oracle CTE chains for the q223 pipeline and its round-9
+    * bisection sentinels — ONE text both the flagship and each
+    * diagnostic reuse, so a sentinel result indicts the stage, not a
+    * transcription drift. */
+  private lazy val packCntCtes: String = {
+    val charSplit =
+      "'|' || array_to_string(string_split(w, ''), '|') || '|'"
+    val encoded = packMerges.foldLeft(charSplit) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a|$b|', '|$a$b|')"
+    }
+    s"""docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+       |words AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM docs),
+       |enc AS (
+       |  SELECT doc_id, $encoded AS s FROM words WHERE w <> ''),
+       |cnt AS (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(sum(len(string_split(e.s, '|')) - 2), 0)
+       |      AS BIGINT) AS toks
+       |  FROM docs d LEFT JOIN enc e USING (doc_id) GROUP BY d.doc_id)"""
+      .stripMargin
+  }
+  private lazy val packSeqCtes: String =
+    """r AS (
+      |  SELECT doc_id, toks,
+      |    sum(toks) OVER (
+      |      ORDER BY ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |               doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
+      |  FROM cnt),
+      |sq AS (SELECT doc_id, toks,
+      |  CAST((rt - toks) // 512 AS BIGINT) AS seq FROM r)""".stripMargin
+
   /** Tokenize → pack → shard EXPORT FLAGSHIP — the last mile every
     * training run ends with, as ONE oracle-checked composition (the
     * q65-flagship pattern): (1) BPE-encode every document with the
@@ -1368,6 +1405,67 @@ object CorpusOpsQueries extends QueryPack {
       .select($"shard", $"n_seqs", $"n_docs", $"sum_tokens",
         expr("sum_tokens * 1000000 DIV (n_seqs * 512)").as("fill_ppm"),
         $"min_doc", $"max_doc")
+      .orderBy($"shard")
+  }
+
+  /** Round-9 bisection sentinels for the q223 driver split (VERDICT r8
+    * #1): four stage-isolating views of the same pipeline, each with
+    * its own oracle, so a driver-side red row names the construct. The
+    * adjudicated root cause is the HUGEINT seq/shard key (fixed in the
+    * q223 oracle with an explicit BIGINT cast); these stay registered
+    * one round as sentinels proving each stage independently, then can
+    * be retired once q223 is driver-green. */
+  private def q223PerDoc(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.operators.BpeTrainer
+      .tokenize(Tables.documents(s, d)
+        .where($"doc_id".isNotNull && $"text".isNotNull),
+        "doc_id", "text", packMerges)
+      .select($"doc_id", $"n_bpe_tokens".as("toks"))
+  }
+  private def q223Seqd(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val h = graft.functions.DedupFunctions.hash32(
+      concat(lit("pack:"), $"doc_id".cast("string")))
+    graft.functions.DistributedRank
+      .withRunningTotal(q223PerDoc(s, d).withColumn("hk", h), "rt",
+        $"toks", $"hk", $"doc_id")
+      .select($"doc_id", $"toks", expr("(rt - toks) DIV 512").as("seq"))
+  }
+  /** (a) per-doc token counts — isolates the BPE replay. */
+  private val q223d1: Q = (s, d) => {
+    import s.implicits._
+    q223PerDoc(s, d).orderBy($"doc_id")
+  }
+  /** (b) per-doc sequence assignment — isolates the md5-ordered
+    * prefix sum (hash order + window + the DIV). */
+  private val q223d2: Q = (s, d) => {
+    import s.implicits._
+    q223Seqd(s, d).orderBy($"doc_id")
+  }
+  /** (c) shard census without DISTINCT/fill — isolates grouping and
+    * min/max over the packed order. */
+  private val q223d3: Q = (s, d) => {
+    import s.implicits._
+    q223Seqd(s, d)
+      .withColumn("shard", expr("seq DIV 16"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"shard")
+  }
+  /** (d) shard census DISTINCT+fill half — isolates count(DISTINCT)
+    * and the ppm division. */
+  private val q223d4: Q = (s, d) => {
+    import s.implicits._
+    q223Seqd(s, d)
+      .withColumn("shard", expr("seq DIV 16"))
+      .groupBy($"shard")
+      .agg(countDistinct($"seq").as("n_seqs"), sum($"toks").as("st"))
+      .select($"shard", $"n_seqs",
+        expr("st * 1000000 DIV (n_seqs * 512)").as("fill_ppm"))
       .orderBy($"shard")
   }
 
@@ -1846,6 +1944,10 @@ object CorpusOpsQueries extends QueryPack {
     "q228_rank_fusion" -> q228,
     "q229_tokenizer_fertility" -> q229,
     "q223_pack_shard" -> q223,
+    "q223d1_pack_toks" -> q223d1,
+    "q223d2_pack_prefix" -> q223d2,
+    "q223d3_pack_census" -> q223d3,
+    "q223d4_pack_distinct" -> q223d4,
     "q213_pii_census" -> q213,
     "q206_curation_funnel" -> q206,
     "q193_reshard_census" -> q193,
@@ -2900,6 +3002,27 @@ object CorpusOpsQueries extends QueryPack {
          |HAVING count(*) * 10 >= any_value(a.n) * 8
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q223d1_pack_toks" ->
+      s"""WITH $packCntCtes
+         |SELECT doc_id, toks FROM cnt ORDER BY doc_id""".stripMargin,
+    "q223d2_pack_prefix" ->
+      s"""WITH $packCntCtes,
+         |$packSeqCtes
+         |SELECT doc_id, toks, seq FROM sq ORDER BY doc_id""".stripMargin,
+    "q223d3_pack_census" ->
+      s"""WITH $packCntCtes,
+         |$packSeqCtes
+         |SELECT seq // 16 AS shard, count(*) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q223d4_pack_distinct" ->
+      s"""WITH $packCntCtes,
+         |$packSeqCtes
+         |SELECT seq // 16 AS shard, count(DISTINCT seq) AS n_seqs,
+         |  CAST(sum(toks) * 1000000 // (count(DISTINCT seq) * 512)
+         |    AS BIGINT) AS fill_ppm
+         |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin,
     "q223_pack_shard" -> {
       // BPE as a chained leftmost replace: each word becomes a
       // '|'-framed char string ('|s|p|a|r|k|'), each committed merge
@@ -2907,32 +3030,17 @@ object CorpusOpsQueries extends QueryPack {
       // leftmost-nonoverlapping continuation == BpeTrainer's merge
       // fold; token count = pieces between frames. Packing then only
       // needs the counts.
-      val charSplit = "'|' || array_to_string(string_split(w, ''), '|') || '|'"
-      val encoded = packMerges.foldLeft(charSplit) { case (acc, (a, b)) =>
-        s"replace($acc, '|$a|$b|', '|$a$b|')"
-      }
-      s"""WITH docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-         |words AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-         |  FROM docs),
-         |enc AS (
-         |  SELECT doc_id, $encoded AS s FROM words WHERE w <> ''),
-         |cnt AS (
-         |  SELECT d.doc_id,
-         |    CAST(coalesce(sum(len(string_split(e.s, '|')) - 2), 0)
-         |      AS BIGINT) AS toks
-         |  FROM docs d LEFT JOIN enc e USING (doc_id) GROUP BY d.doc_id),
-         |r AS (
-         |  SELECT doc_id, toks,
-         |    sum(toks) OVER (
-         |      ORDER BY ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
-         |               doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt
-         |  FROM cnt),
-         |sq AS (SELECT doc_id, toks, (rt - toks) // 512 AS seq FROM r)
+      //
+      // seq MUST be cast to BIGINT here (round-8's only red row):
+      // rt is a window sum over BIGINT, which DuckDB types HUGEINT,
+      // so the derived seq/shard group key was HUGEINT — rendered as
+      // float64 by fetchdf, so a value-HASHING checker sees 0.0 vs
+      // Spark's 0 and mismatches, while an allclose checker passes.
+      // q239 was green because its generate_series bounds carried the
+      // same cast. The type sweep (tools/type_sweep.py) now flags any
+      // non-finite-width oracle output column.
+      s"""WITH $packCntCtes,
+         |$packSeqCtes
          |SELECT seq // 16 AS shard,
          |  count(DISTINCT seq) AS n_seqs,
          |  count(*) AS n_docs,
