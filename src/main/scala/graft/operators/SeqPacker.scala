@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Doc-boundary-aware sequence packing — the ACTING counterpart of
+  * q239's packing-purity census (the repo's census→action pattern:
+  * q129 audits → q134 acts, q231 audits → q238 ranks). q239 *measures*
+  * how many 512-token training sequences mix languages/documents under
+  * q223's stream packing; this operator *packs* so that no sequence
+  * ever crosses a document boundary (Ding et al. 2024, "Fewer
+  * Truncations Improve Language Modeling": truncation-free packing
+  * removes cross-document attention bleed without attention-mask
+  * surgery).
+  *
+  * Semantics:
+  *  - Every document is first SPLIT into pieces of at most `cap`
+  *    tokens: `toks DIV cap` full pieces (each exactly `cap` — they
+  *    own a whole sequence) plus one remainder piece `toks MOD cap`.
+  *    Splitting a long doc at its own boundaries keeps every sequence
+  *    single-document for long docs and loses nothing (own-doc
+  *    sequences are truncation-free by definition).
+  *  - Pieces are then packed GREEDILY (next-fit) in a reproducible
+  *    salted-hash order within fixed 64-doc buckets: a piece joins the
+  *    currently open sequence if it fits, else opens a new one. A
+  *    sequence therefore only ever contains WHOLE pieces — no token of
+  *    any document straddles two sequences.
+  *
+  * Why next-fit (not first-fit/best-fit-decreasing): the fold is O(1)
+  * state per bucket, streams, and is replayable as a scalar lockstep
+  * recursion by an external oracle; next-fit's fill guarantee (any two
+  * consecutive sequences overflow `cap`, so closed sequences average
+  * >50% full) is measured rather than assumed — the census query
+  * reports exact fill ppm, and SeqPackerSpec pins the tradeoff against
+  * q223's boundary-blind packing (denser, but bleeding).
+  *
+  * Scale shape (100 TB): bucketing rides ONE DistributedRank pass
+  * (window-free two-pass global row number over a composite
+  * langId*2^32+hash key, so per-language numbering costs no
+  * per-language hot partition); the pack itself is one hash exchange
+  * on (lang, bucket) + a sortWithinPartitions + a linear
+  * mapPartitions fold with O(1) state — the genuine per-partition
+  * imperative case. Buckets are 64 docs, so no task ever holds more
+  * than a bucket's metadata; nothing funnels through the driver.
+  */
+object SeqPacker {
+
+  /** One packable piece: `ord1`/`ord2` give the deterministic packing
+    * order within (lang, bucket) — callers pass (per-lang salted rank,
+    * piece index). `size` in tokens, 1 <= size <= cap. */
+  final case class Piece(lang: String, bucket: Long, ord1: Long,
+    ord2: Long, docId: Long, size: Long)
+
+  /** `Piece` plus its assigned sequence index within (lang, bucket). */
+  final case class Placed(lang: String, bucket: Long, ord1: Long,
+    ord2: Long, docId: Long, size: Long, seq: Long)
+
+  /** Explodes per-doc token counts into <=cap pieces.
+    * Input columns: `lang` (string), `bucket`, `ord1`, `doc_id`,
+    * `toks` (longs, toks >= 1). Output: one row per piece with
+    * `pidx` (0-based) and `size` — `toks DIV cap` full pieces then a
+    * MOD-cap remainder when nonzero. */
+  def pieces(perDoc: DataFrame, cap: Int): DataFrame = {
+    val np = (col("toks") + (cap - 1)).cast("long") / cap
+    perDoc
+      .withColumn("pidx",
+        explode(sequence(lit(0L), np.cast("long") - 1)))
+      .withColumn("size", least(lit(cap.toLong),
+        col("toks") - col("pidx") * cap))
+      .select(col("lang"), col("bucket"), col("ord1"),
+        col("pidx").as("ord2"), col("doc_id"), col("size"))
+  }
+
+  /** Next-fit packing of pieces into sequences of capacity `cap`,
+    * independently within each (lang, bucket) group, in (ord1, ord2)
+    * order: place the piece in the open sequence if it fits, else open
+    * the next. Deterministic for any partitioning: the fold's state
+    * resets at every group boundary, and groups are made contiguous by
+    * the exchange+sort, so the per-group result never depends on which
+    * partition a group landed in. */
+  def pack(pieces: Dataset[Piece], cap: Int): Dataset[Placed] = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    require(cap > 0, s"cap must be positive, got $cap")
+    pieces
+      .repartition(col("lang"), col("bucket"))
+      .sortWithinPartitions(col("lang"), col("bucket"), col("ord1"),
+        col("ord2"))
+      .as[Piece]
+      .mapPartitions { it =>
+        var curLang: String = null
+        var curBucket = Long.MinValue
+        var seq = -1L
+        var rem = 0L
+        it.map { p =>
+          if (p.lang != curLang || p.bucket != curBucket) {
+            curLang = p.lang; curBucket = p.bucket; seq = -1L; rem = 0L
+          }
+          if (p.size <= rem) rem -= p.size
+          else { seq += 1L; rem = cap.toLong - p.size }
+          Placed(p.lang, p.bucket, p.ord1, p.ord2, p.docId, p.size, seq)
+        }
+      }
+  }
+
+  /** End-to-end convenience: per-doc counts -> pieces -> packed.
+    * Input columns as [[pieces]]. */
+  def packDocs(perDoc: DataFrame, cap: Int): Dataset[Placed] = {
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    pack(pieces(perDoc, cap)
+      .select(col("lang"), col("bucket"), col("ord1"), col("ord2"),
+        col("doc_id").as("docId"), col("size")).as[Piece], cap)
+  }
+}

@@ -1469,6 +1469,75 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"shard")
   }
 
+  /** Doc-boundary-aware packing census — the ACTING counterpart of
+    * q239's packing-purity audit, via [[graft.operators.SeqPacker]]
+    * (Ding et al. 2024: truncation-free packing removes cross-document
+    * attention bleed; q239 measured the bleed under q223's stream
+    * packing, this query performs the packing that eliminates it).
+    * Pipeline: the q223 BPE token counts → per-LANGUAGE reproducible
+    * salted order → 64-doc buckets (q122's graining) → split long docs
+    * into <=512-token own pieces → next-fit pack within each bucket.
+    * Census per (lang, bucket): docs, pieces, sequences, token mass,
+    * exact fill ppm, and the two invariant counters a reviewer needs —
+    * sequences over capacity (must be 0) and sequences holding pieces
+    * of more than one document (allowed: whole short docs sharing a
+    * sequence are bleed-free under per-doc attention masks; what can
+    * NEVER happen here is a torn doc or a mixed-language sequence,
+    * the latter by construction since packing groups carry lang).
+    *
+    * Cross-engine closure: packing consumes only integer piece sizes;
+    * the oracle replays the next-fit fold as a lockstep recursive CTE
+    * over the within-bucket position (all buckets advance together, so
+    * recursion depth = max pieces per bucket, ~100 at 64-doc buckets).
+    *
+    * Scale shape: one DistributedRank over the composite
+    * langId*2^32+hash key (per-lang numbering WITHOUT per-lang hot
+    * partitions), one O(langs) min-rank broadcast, one exchange on
+    * (lang, bucket) + linear in-task fold, two hash aggs. The fill
+    * price of boundary-purity vs q223 is the published number
+    * (SeqPackerSpec pins the tradeoff direction). */
+  private val q240: Q = (s, d) => {
+    import s.implicits._
+    val lang = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id", $"lang")
+    val perDoc0 = q223PerDoc(s, d).where($"toks" > 0)
+      .join(lang, Seq("doc_id"))
+    // dense language id: O(langs) frame, the repo-blessed bounded
+    // unpartitioned window (world languages, not corpus-tracking)
+    val langDim = perDoc0.select($"lang").distinct()
+      .withColumn("lid", row_number().over(Window.orderBy($"lang"))
+        .cast("long"))
+    val hk = graft.functions.DedupFunctions.hash32(
+      concat(lit("bpack:"), $"doc_id".cast("string")))
+    val keyed = perDoc0.join(broadcast(langDim), Seq("lang"))
+      .withColumn("hk", hk)
+      .withColumn("key", $"lid" * lit(4294967296L) + $"hk")
+    val ranked = DistributedRank.withRowNumber(keyed, "rn", $"key",
+      $"doc_id")
+    val minRn = ranked.groupBy($"lang").agg(min($"rn").as("rn0"))
+    val perDoc = ranked.join(broadcast(minRn), Seq("lang"))
+      .select($"lang", expr("(rn - rn0) DIV 64").as("bucket"),
+        ($"rn" - $"rn0").as("ord1"), $"doc_id", $"toks")
+    val packed = graft.operators.SeqPacker.packDocs(perDoc, 512).toDF()
+    val perSeq = packed.groupBy($"lang", $"bucket", $"seq")
+      .agg(sum($"size").as("seq_tok"), count(lit(1)).as("np"),
+        countDistinct($"docId").as("sdocs"))
+    val bkt = perSeq.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_seqs"), sum($"np").as("n_pieces"),
+        sum($"seq_tok").as("sum_tokens"),
+        sum(when($"seq_tok" > 512, 1L).otherwise(0L)).as("n_overfull"),
+        sum(when($"sdocs" > 1, 1L).otherwise(0L)).as("n_multi_doc_seqs"))
+    val nd = perDoc.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    bkt.join(nd, Seq("lang", "bucket"))
+      .select($"lang", $"bucket".as("shard"), $"n_docs", $"n_pieces",
+        $"n_seqs", $"sum_tokens",
+        expr("sum_tokens * 1000000 DIV (n_seqs * 512)").as("fill_ppm"),
+        $"n_overfull", $"n_multi_doc_seqs")
+      .orderBy($"lang", $"shard")
+  }
+
   /** Borda rank-fusion data selection — the rank-aggregation shape
     * used when several incomparable quality signals must pick one
     * training subset (the multi-judge setting of LLM-as-judge ensembles
@@ -1935,6 +2004,7 @@ object CorpusOpsQueries extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "q240_boundary_pack" -> q240,
     "q239_pack_purity" -> q239,
     "q235_release_manifest" -> q235,
     "q234_merge_curve" -> q234,
@@ -3002,6 +3072,66 @@ object CorpusOpsQueries extends QueryPack {
          |HAVING count(*) * 10 >= any_value(a.n) * 8
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "q240_boundary_pack" ->
+      // next-fit replayed as a lockstep recursion: all (lang, bucket)
+      // groups advance one within-bucket position per step, so depth =
+      // max pieces per bucket. All-integer closure; every aggregate
+      // output CAST to BIGINT (the q223 HUGEINT lesson).
+      s"""WITH RECURSIVE $packCntCtes,
+         |pd AS (
+         |  SELECT c.doc_id, c.toks, d.lang,
+         |    ('0x' || substr(md5('bpack:' || CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+         |  FROM cnt c JOIN documents d USING (doc_id) WHERE c.toks > 0),
+         |pb AS (
+         |  SELECT doc_id, toks, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1
+         |      AS BIGINT) AS rnl0
+         |  FROM pd),
+         |pbk AS (SELECT doc_id, toks, lang, rnl0, rnl0 // 64 AS bucket FROM pb),
+         |pc AS (
+         |  SELECT doc_id, lang, bucket, rnl0, r.i AS pidx,
+         |    CAST(least(512, toks - r.i * 512) AS BIGINT) AS size
+         |  FROM pbk, unnest(range(0, CAST((toks + 511) // 512 AS BIGINT))) r(i)),
+         |ord AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY lang, bucket ORDER BY rnl0, pidx) AS pos
+         |  FROM pc),
+         |st AS (
+         |  SELECT lang, bucket, pos, doc_id, size,
+         |    CAST(0 AS BIGINT) AS seq, CAST(512 - size AS BIGINT) AS rem
+         |  FROM ord WHERE pos = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.bucket, o.pos, o.doc_id, o.size,
+         |    CASE WHEN o.size <= st.rem THEN st.seq ELSE st.seq + 1 END,
+         |    CASE WHEN o.size <= st.rem THEN st.rem - o.size
+         |         ELSE 512 - o.size END
+         |  FROM st JOIN ord o
+         |    ON o.lang = st.lang AND o.bucket = st.bucket
+         |   AND o.pos = st.pos + 1),
+         |perseq AS (
+         |  SELECT lang, bucket, seq,
+         |    CAST(sum(size) AS BIGINT) AS seq_tok,
+         |    CAST(count(*) AS BIGINT) AS np,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS sdocs
+         |  FROM st GROUP BY 1, 2, 3),
+         |bkt AS (
+         |  SELECT lang, bucket,
+         |    CAST(count(*) AS BIGINT) AS n_seqs,
+         |    CAST(sum(np) AS BIGINT) AS n_pieces,
+         |    CAST(sum(seq_tok) AS BIGINT) AS sum_tokens,
+         |    CAST(sum(CASE WHEN seq_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overfull,
+         |    CAST(sum(CASE WHEN sdocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_multi_doc_seqs
+         |  FROM perseq GROUP BY 1, 2),
+         |nd AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM pbk GROUP BY 1, 2)
+         |SELECT b.lang, b.bucket AS shard, n_docs, n_pieces, n_seqs,
+         |  sum_tokens,
+         |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
+         |  n_overfull, n_multi_doc_seqs
+         |FROM bkt b JOIN nd USING (lang, bucket)
+         |ORDER BY lang, shard""".stripMargin,
     "q223d1_pack_toks" ->
       s"""WITH $packCntCtes
          |SELECT doc_id, toks FROM cnt ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[SeqPacker]]'s packing semantics (round-8 verdict #3):
+  * hand-computed next-fit, the NO-STRADDLE invariant (no sequence over
+  * capacity, every piece whole, long docs split at own boundaries),
+  * determinism under different input partitioning, and the fill
+  * tradeoff direction vs q223's boundary-blind stream packing. */
+class SeqPackerSpec extends SparkSpec {
+
+  import SeqPacker.{Piece, Placed}
+
+  private def mk(rows: Seq[(String, Long, Long, Long)]) = {
+    // (lang, bucket, doc, size), ord1 = doc order, ord2 = 0
+    val s = spark
+    import s.implicits._
+    rows.zipWithIndex.map { case ((l, b, doc, sz), i) =>
+      Piece(l, b, i.toLong, 0L, doc, sz)
+    }.toDS()
+  }
+
+  test("hand-computed next-fit: fits stay, misfits open a new sequence") {
+    val s = spark; import s.implicits._
+    // cap 10, one bucket, sizes 4,4,3,10,2,9,1
+    // seq0: 4+4 (rem 2); 3 misfits -> seq1: 3 (rem 7); 10 misfits ->
+    // seq2: 10 (rem 0); 2 -> seq3: 2 (rem 8); 9 misfits -> seq4: 9 (rem 1); 1 -> seq4
+    val out = SeqPacker.pack(
+      mk(Seq(("en", 0L, 1L, 4L), ("en", 0L, 2L, 4L), ("en", 0L, 3L, 3L),
+        ("en", 0L, 4L, 10L), ("en", 0L, 5L, 2L), ("en", 0L, 6L, 9L),
+        ("en", 0L, 7L, 1L))), 10)
+      .collect().sortBy(_.ord1).map(p => p.docId -> p.seq)
+    assert(out.toSeq == Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 4L, 7L -> 4L))
+  }
+
+  test("state resets per (lang, bucket) group — groups pack independently") {
+    val s = spark; import s.implicits._
+    val out = SeqPacker.pack(
+      mk(Seq(("en", 0L, 1L, 9L), ("en", 1L, 2L, 9L), ("de", 0L, 3L, 9L),
+        ("en", 0L, 4L, 2L))), 10)
+      .collect()
+    // each group's first piece is seq 0; en/0's second piece (size 2)
+    // misfits after 9 -> seq 1
+    val bySeq = out.map(p => (p.lang, p.bucket, p.docId) -> p.seq).toMap
+    assert(bySeq(("en", 0L, 1L)) == 0L && bySeq(("en", 1L, 2L)) == 0L &&
+      bySeq(("de", 0L, 3L)) == 0L && bySeq(("en", 0L, 4L)) == 1L)
+  }
+
+  test("no-straddle invariant on real corpus pieces: no sequence over cap, " +
+    "every piece intact, long docs split 512/512/remainder") {
+    val s = spark; import s.implicits._
+    // synthetic per-doc frame incl. long docs the sf fixture lacks
+    val perDoc = Seq(
+      ("en", 0L, 0L, 1L, 1300L), ("en", 0L, 1L, 2L, 40L),
+      ("en", 0L, 2L, 3L, 512L), ("en", 0L, 3L, 4L, 513L),
+      ("de", 0L, 0L, 5L, 100L), ("de", 0L, 1L, 6L, 470L))
+      .toDF("lang", "bucket", "ord1", "doc_id", "toks")
+    val placed = SeqPacker.packDocs(perDoc, 512).collect()
+    // piece sizes reconstruct each doc's token count exactly
+    val perDocSum = placed.groupBy(_.docId).view.mapValues(_.map(_.size).sum)
+    assert(perDocSum(1L) == 1300L && perDocSum(4L) == 513L)
+    // doc 1 splits 512,512,276; doc 4 splits 512,1
+    assert(placed.filter(_.docId == 1L).sortBy(_.ord2).map(_.size).toSeq
+      == Seq(512L, 512L, 276L))
+    assert(placed.filter(_.docId == 4L).sortBy(_.ord2).map(_.size).toSeq
+      == Seq(512L, 1L))
+    // capacity: no (lang,bucket,seq) exceeds 512
+    val seqSums = placed.groupBy(p => (p.lang, p.bucket, p.seq))
+      .view.mapValues(_.map(_.size).sum)
+    assert(seqSums.values.forall(_ <= 512L))
+    // full pieces own their sequence (a 512 piece fills it exactly)
+    val fullSeqs = placed.filter(_.size == 512L).map(p => (p.lang, p.bucket, p.seq))
+    fullSeqs.foreach { k => assert(seqSums(k) == 512L) }
+  }
+
+  test("deterministic under input partitioning and repeated runs") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 300L).map(i =>
+      ("l" + (i % 3), i % 5, i, 0L, i, (i * 37 % 500) + 1))
+    val ds = rows.map(r => Piece(r._1, r._2, r._3, r._4, r._5, r._6)).toDS()
+    def key(p: Placed) = (p.lang, p.bucket, p.ord1, p.seq)
+    val a = SeqPacker.pack(ds.repartition(1), 512).collect().map(key).sorted
+    val b = SeqPacker.pack(ds.repartition(13), 512).collect().map(key).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("fill tradeoff: boundary packing never beats stream packing, and " +
+    "next-fit keeps closed sequences above half full") {
+    val s = spark; import s.implicits._
+    val sizes = (1L to 200L).map(i => (i * 53 % 400) + 1)
+    val ds = sizes.zipWithIndex.map { case (sz, i) =>
+      Piece("en", 0L, i.toLong, 0L, i.toLong, sz)
+    }.toDS()
+    val placed = SeqPacker.pack(ds, 512).collect()
+    val nSeqs = placed.map(_.seq).distinct.size
+    val mass = sizes.sum
+    // stream packing (q223) uses ceil(mass/512) sequences — the dense
+    // lower bound boundary packing can only meet, never beat
+    val streamSeqs = (mass + 511) / 512
+    assert(nSeqs >= streamSeqs)
+    // next-fit guarantee: two consecutive sequences always overflow cap,
+    // so total fill of n sequences exceeds cap*(n-1)/2
+    assert(mass * 2 > 512L * (nSeqs - 1))
+  }
+}
