@@ -311,6 +311,80 @@ object VectorIndex {
     fs.delete(old, true)
   }
 
+  /** What a [[forget]] call did: rows removed, partitions rewritten in
+    * place, partitions deleted outright (emptied by the removal). */
+  final case class ForgetStats(nForgotten: Long, nPartsRewritten: Long,
+    nPartsDeleted: Long)
+
+  /** Right-to-be-forgotten DELETE on the persisted codes table — the
+    * ACTING counterpart of q221's erasure audit (the census→action
+    * pattern: q221 *reports* the per-(batch_id, cluster) footprint a
+    * deletion list touches; this operator *rewrites exactly that
+    * footprint* and nothing else). GDPR/CCPA erasure for a vector
+    * store: after `forget`, no search path ([[search]], [[searchFlat]],
+    * [[searchRerank]]) can ever return a forgotten id, because the id
+    * is gone from the inverted file itself — not masked at query time.
+    *
+    * Mechanics: (1) one semi join finds the touched (batch_id, cluster)
+    * partitions — a bounded driver list (batches × cells, partition
+    * METADATA, not data); (2) the touched partitions' surviving rows are
+    * anti-joined against the deletion list, materialized (localCheckpoint
+    * — the frame must not lazily re-read the files it is about to
+    * replace), and written back via DYNAMIC partition overwrite, so
+    * untouched partitions keep their bytes; (3) partitions the deletion
+    * EMPTIED (dynamic overwrite never sees them — zero output rows)
+    * have their directories deleted explicitly. Crash-safe by
+    * RETRY-IDEMPOTENCE rather than a global swap: each job commit is
+    * all-or-nothing per partition, a crash between steps leaves the
+    * forgotten ids still present in un-replaced partitions, and a rerun
+    * of the SAME call converges (already-scrubbed partitions are no
+    * longer touched; a second run after success is a no-op returning
+    * zeros). The whole-table write-then-rename of [[compactBatches]]
+    * would also work but rewrites every partition — wrong cost shape
+    * when the erasure footprint is a few cells of a few batches.
+    *
+    * Scale shape at 100 TB: cost is O(touched partitions' data), not
+    * O(index); the deletion list joins with NO forced broadcast (it is
+    * externally sized — audit rule; AQE broadcasts real GDPR lists,
+    * which are small). */
+  def forget(spark: SparkSession, path: String, delIds: DataFrame,
+      delCol: String): ForgetStats = {
+    val idCol = spark.read.parquet(s"$path/meta").collect().head.getString(3)
+    val del = delIds.select(col(delCol).cast("long").as(idCol))
+      .where(col(idCol).isNotNull).distinct()
+    val codes = spark.read.schema(codesSchema(idCol)).parquet(s"$path/codes")
+    val hit = codes.join(del, Seq(idCol), "left_semi")
+    // touched partition list + forgotten-row count in ONE bounded agg
+    val touched = hit.groupBy(col("batch_id"), col("cluster"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (touched.isEmpty) return ForgetStats(0L, 0L, 0L)
+    val nForgotten = touched.map(_._3).sum
+    val touchedPred = touched.map { case (b, c, _) =>
+      col("batch_id") === b && col("cluster") === c
+    }.reduce(_ || _)
+    val remaining = codes.where(touchedPred)
+      .join(del, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val survivors = remaining.select(col("batch_id"), col("cluster"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    remaining
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cluster")
+      .parquet(s"$path/codes")
+    val fs = new org.apache.hadoop.fs.Path(s"$path/codes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val emptied = touched.collect {
+      case (b, c, _) if !survivors((b, c)) =>
+        new org.apache.hadoop.fs.Path(
+          s"$path/codes/batch_id=$b/cluster=$c")
+    }
+    emptied.foreach(fs.delete(_, true))
+    ForgetStats(nForgotten, touched.length - emptied.length,
+      emptied.length.toLong)
+  }
+
   /** foreachBatch sink for streaming ingest: wire as
     * `vecStream.writeStream.foreachBatch(VectorIndex.ingestSink(path,
     * idx, idCol, vecCol))`. Each micro-batch is one narrow frozen-model

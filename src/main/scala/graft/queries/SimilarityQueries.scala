@@ -1025,6 +1025,41 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"tbl")
   }
 
+  /** Erasure EXECUTED against the persisted index — the acting
+    * counterpart q221's audit called for (round-8 verdict #4), driver-
+    * visible as a q200-style before/after census: build the lifecycle
+    * index (literal dyadic cells, real PQ), then
+    * [[graft.operators.VectorIndex.forget]] the vec_id % 97 = 0
+    * deletion list (q221's erasure-key convention), then read the codes
+    * table BACK from disk and report, per cell, members before, members
+    * after, and rows forgotten. The before-census is materialized
+    * before the delete (it reads the very files forget rewrites); the
+    * after-census re-lists the table, so the row only matches the
+    * oracle if the targeted partition rewrite actually removed the ids
+    * from disk AND left every surviving row in place. Scrub semantics
+    * (which partitions are rewritten vs deleted, untouched bytes,
+    * search exclusion, retry idempotence) are VectorIndexSpec
+    * territory. */
+  private val q241: Q = (s, d) => {
+    import s.implicits._
+    val path = buildLifecycleIndex(s, d, "ivf241")
+    val schema = VectorIndex.codesSchema("vec_id")
+    val before = s.read.schema(schema).parquet(path + "/codes")
+      .groupBy($"cluster").agg(count(lit(1)).as("n_before"))
+      .localCheckpoint()
+    val del = Tables.embeddings(s, d)
+      .where($"vec_id".isNotNull && $"vec_id" % 97 === 0)
+      .select($"vec_id")
+    VectorIndex.forget(s, path, del, "vec_id")
+    val after = s.read.schema(schema).parquet(path + "/codes")
+      .groupBy($"cluster").agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("cluster"), "left")
+      .select($"cluster".cast("long").as("cell"), $"n_before",
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        ($"n_before" - coalesce($"n_after", lit(0L))).as("n_forgotten"))
+      .orderBy($"cell")
+  }
+
   /** SEMANTIC eval-set decontamination census — the embedding-space
     * complement of q89's 5-gram decontamination (the gap both audits
     * name: paraphrased benchmark items survive n-gram screens; Yang et
@@ -1082,6 +1117,7 @@ object SimilarityQueries extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "q241_forget_census" -> q241,
     "q226_semantic_decontam" -> q226,
     "q221_forget_audit" -> q221,
     "q218_late_interaction" -> q218,
@@ -1171,6 +1207,19 @@ object SimilarityQueries extends QueryPack {
          |FROM documents d JOIN mc ON d.doc_id = mc.vec_id
          |WHERE d.doc_id IS NOT NULL
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q241_forget_census" ->
+      // the lifecycle index holds EVERY corpus vector (build slice at
+      // batch -1 + frozen-model append at batch 1), so before = all,
+      // after = all minus the % 97 erasure list, per literal cell
+      s"""WITH $duckIvfAssign,
+         |b AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before
+         |      FROM assign GROUP BY cell),
+         |a AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_after
+         |      FROM assign WHERE vec_id % 97 <> 0 GROUP BY cell)
+         |SELECT CAST(b.cell AS BIGINT) AS cell, n_before,
+         |  coalesce(a.n_after, 0) AS n_after,
+         |  n_before - coalesce(a.n_after, 0) AS n_forgotten
+         |FROM b LEFT JOIN a USING (cell) ORDER BY cell""".stripMargin,
     "q221_forget_audit" ->
       s"""WITH $duckIvfAssign,
          |del AS (SELECT doc_id FROM documents
