@@ -37,6 +37,21 @@ object Monitor {
     *    from the batch_id state partitions without touching raw
     *    history (round 8).
     *
+    *  - `countmin` (when `countMin` names a persisted
+    *    [[graft.operators.CountMin.sink]] store and its group columns):
+    *    `n` is the served sparse-counter cell count, `metric` the EXACT
+    *    number of keyed items the stream delivered — every item
+    *    increments exactly one bucket of row r=0, so row 0's counter
+    *    mass is the item count, not an estimate (round 9; with this and
+    *    `cdc`, every streaming state family the repo persists is
+    *    monitor-consumable).
+    *
+    *  - `cdc` (when `cdc` names an append sink of
+    *    [[graft.streaming.CdcRow]] emissions): the changelog-apply
+    *    snapshot via [[graft.streaming.CdcMachine.reconstruct]] —
+    *    `n` is the keys ever tracked, `metric` the LIVE (untombstoned)
+    *    key count.
+    *
     * State reads are O(state), not O(history); the warehouse pass is
     * one scan per listed table — list the day's report outputs, not the
     * raw corpus. */
@@ -44,11 +59,13 @@ object Monitor {
       momentsPath: String, reference: org.apache.spark.sql.DataFrame,
       sketchPath: String,
       warehouse: Seq[(String, org.apache.spark.sql.DataFrame)] = Nil,
-      mvCensus: Option[(String, String)] = None)
+      mvCensus: Option[(String, String)] = None,
+      countMin: Option[(String, Seq[String])] = None,
+      cdc: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingCentroidMonitor
-    import graft.operators.{SketchRollup, TableProfiler}
+    import graft.operators.{CountMin, SketchRollup, TableProfiler}
     val cur = StreamingCentroidMonitor.centroids(spark, momentsPath)
     val drift = StreamingCentroidMonitor.drift(cur, reference)
     val centRow = drift
@@ -72,7 +89,22 @@ object Monitor {
         .select(concat(lit("mv:"), col("lang")).as("family"),
           col("n_docs").as("n"), col("n_vocab").cast("double").as("metric"))
     }
-    (profRows ++ mvRows).foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
+    val cmRows = countMin.toSeq.map { case (path, groupCols) =>
+      val cells = CountMin.served(spark, path, groupCols)
+      cells.agg(count(lit(1)).as("n"),
+          sum(when(col("r") === 0, col("cnt")).otherwise(0L)).as("items"))
+        .select(lit("countmin").as("family"), col("n"),
+          coalesce(col("items"), lit(0L)).cast("double").as("metric"))
+    }
+    val cdcRows = cdc.toSeq.map { path =>
+      graft.streaming.CdcMachine.reconstruct(spark.read.parquet(path))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("isDel"), 0L).otherwise(1L)).as("live"))
+        .select(lit("cdc").as("family"), col("n"),
+          coalesce(col("live"), lit(0L)).cast("double").as("metric"))
+    }
+    (profRows ++ mvRows ++ cmRows ++ cdcRows)
+      .foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
   }
 
   def main(args: Array[String]): Unit = {

@@ -131,8 +131,17 @@ object LogReg {
     // an empty training set trains to all-zero weights — the empty
     // sparse frame (missing bucket = 0), not an error: a gate trained
     // on no data passes everything at logit 0, and empty-input sweeps
-    // (EmptyInputSpec) must run every query end to end
-    if (wTot == 0) return w
+    // (EmptyInputSpec) must run every query end to end. Loudly, though
+    // (round-8 ADVICE): an ACCIDENTALLY empty label join — a broken
+    // key in a caller — would otherwise silently ship a pass-everything
+    // gate.
+    if (wTot == 0) {
+      System.err.println("[LogReg] WARNING: empty training set (no " +
+        "labeled feature rows) — returning all-zero weights; a gate " +
+        "built from them keeps EVERYTHING at logit 0. If the input was " +
+        "not meant to be empty, check the label join key.")
+      return w
+    }
     for (it <- 0 until iters) {
       val shift = MScale - WScale - etaLog2 + (if (decay) it else 0)
       val denom = wTot * (1L << shift)

@@ -1468,7 +1468,62 @@ object TextQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** HELD-OUT evaluation of the in-engine trainer + the trained gate
+    * wired end to end (round-8 verdict #6) — the "does the quality
+    * filter generalize" number FineWeb-Edu reports: train [[graft
+    * .operators.LogReg]] on the doc_id % 7 ≠ 0 slice ONLY (mod 7, not
+    * the q210 mod-10 convention: the fixture strides doc_id across
+    * sources in blocks of 20/25, so a mod-10 eval slice degenerates to
+    * two sources; 7 is coprime with the stride and every source
+    * contributes held-out docs), then gate the UNSEEN
+    * doc_id % 7 = 0 slice through [[graft.operators.CorpusPipeline
+    * .qualityFilterTrained]] — the production keep/drop API consuming
+    * the LEARNED weights, closing the train→gate loop q206 documents
+    * with stand-in weights — and report the per-source confusion
+    * counts (tp/fp/fn/tn) as exact integers; accuracy, precision and
+    * recall are their ratios, left to the reader so every published
+    * number stays hash-exact.
+    *
+    * Cross-engine closure: identical to q222 (all-integer unrolled GD
+    * rounds) with the train-slice filter applied to every training
+    * CTE; the eval slice never leaks into features, class balance, or
+    * the gradient normalizer. Scale shape: q222's (one tokenize scan
+    * per slice, checkpointed features, O(dims) model broadcasts); the
+    * gate adds one semi join. */
+  private val q242: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{CorpusPipeline, LogReg}
+    val DIMS = 1024
+    val ITERS = 8
+    val docs = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull && $"source".isNotNull)
+      .select($"doc_id", $"source",
+        array_contains(tokens($"text"), "dup").cast("long").as("y"),
+        $"text")
+    val train = docs.where($"doc_id" % 7 =!= 0)
+    val eval = docs.where($"doc_id" % 7 === 0)
+    val trToks = train.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val trFeats = LogReg.features(trToks, "doc_id", "tok", DIMS, binary = true)
+    val labels = LogReg.balancedLabels(train.select($"doc_id", $"y"), "doc_id")
+    val w = LogReg.train(trFeats, labels, "doc_id",
+      iters = ITERS, etaLog2 = 2, decay = true, weightCol = Some("wt"))
+    val kept = CorpusPipeline
+      .qualityFilterTrained(eval, w, CorpusPipeline.Config(),
+        dims = DIMS, minLogitW = 0L, binary = true)
+      .select($"doc_id", lit(1L).as("kept"))
+    eval.join(kept, Seq("doc_id"), "left")
+      .select($"source", $"y", coalesce($"kept", lit(0L)).as("kept"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_eval"), sum($"y").as("n_pos"),
+        sum($"kept" * $"y").as("tp"),
+        sum($"kept" * (lit(1L) - $"y")).as("fp"),
+        sum((lit(1L) - $"kept") * $"y").as("fn"),
+        sum((lit(1L) - $"kept") * (lit(1L) - $"y")).as("tn"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q242_trained_eval" -> q242,
     "q222_trained_filter" -> q222,
     "q189_heaps_growth" -> q189,
     "q190_domain_tagger" -> q190,
@@ -1510,7 +1565,110 @@ object TextQueries extends QueryPack {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Shared q222/q242 oracle machinery: the `iters` unrolled
+    * gradient-descent rounds over a `lf` labeled-feature CTE and a
+    * 1-row `wtot` normalizer CTE — ONE text both the full-corpus
+    * trainer census and the held-out eval replay, so the two oracles
+    * can never drift apart (the q223-sentinel sharing rule). Constants
+    * are LogReg's lattice: M = 2^20, σ_h half/slope, clamp 2^24,
+    * η = 2^2 halving per round. */
+  private def duckGdRounds(iters: Int): String = {
+    val m = 1L << 20
+    val half = 1L << 19
+    val slope = 1L << 10 // 2^(MScale - WScale - 2)
+    val wmax = 1L << 24
+    (1 to iters).map { r =>
+      val pw = s"w${r - 1}"
+      // 2^(MScale - WScale - etaLog2 + round), etaLog2 = 2, decay
+      val shift = 1L << (10 + (r - 1))
+      s"""l$r AS (
+         |  SELECT lf.doc_id, max(lf.ym) AS ym, max(lf.wt) AS wt,
+         |    CAST(sum(lf.c * coalesce(pw.w, 0)) AS BIGINT) AS lg
+         |  FROM lf LEFT JOIN $pw pw ON lf.b = pw.b GROUP BY lf.doc_id),
+         |r$r AS (
+         |  SELECT doc_id,
+         |    (ym - least(greatest($half + lg * $slope, 0), $m)) * wt AS rr
+         |  FROM l$r),
+         |g$r AS (
+         |  SELECT lf.b, CAST(sum(lf.c * r.rr) AS BIGINT) AS g
+         |  FROM lf JOIN r$r r USING (doc_id) GROUP BY lf.b),
+         |w$r AS MATERIALIZED (
+         |  SELECT b, w FROM (
+         |    SELECT coalesce(pw.b, g.b) AS b,
+         |      least(greatest(coalesce(pw.w, 0)
+         |        + coalesce(g.g // ((SELECT wtot FROM wtot) * $shift), 0),
+         |        -$wmax), $wmax) AS w
+         |    FROM $pw pw FULL OUTER JOIN g$r g ON pw.b = g.b)
+         |  WHERE w <> 0)""".stripMargin
+    }.mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q242_trained_eval" -> {
+      // q222's training replay with every training CTE filtered to the
+      // doc_id % 7 <> 0 slice (mod 7: coprime with the fixture's
+      // source stride — see the query scaladoc); the held-out slice only appears in the
+      // scoring tail, gated at lw >= 0 (= qualityFilterTrained's
+      // minLogitW = 0)
+      import graft.operators.HashedLinearModel.duckBucket
+      val dims = 1024
+      val iters = 8
+      val m = 1L << 20
+      val rounds = duckGdRounds(iters)
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CASE WHEN list_contains(
+         |      regexp_split_to_array(trim(text), '\\s+'), 'dup')
+         |      THEN 1 ELSE 0 END AS y,
+         |    text
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+         |    AND source IS NOT NULL),
+         |tr AS MATERIALIZED (SELECT * FROM docs WHERE doc_id % 7 <> 0),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM tr),
+         |f AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
+         |  FROM toks
+         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM toks),
+         |cls AS (SELECT y, count(*) AS ny FROM tr GROUP BY y),
+         |nn AS (SELECT count(*) AS n FROM tr),
+         |wts AS (SELECT y, (n * 8) // (2 * ny) AS wt FROM cls, nn),
+         |lf AS MATERIALIZED (
+         |  SELECT f.doc_id, f.b, f.c, d.y * $m AS ym, w.wt
+         |  FROM f JOIN tr d USING (doc_id) JOIN wts w USING (y)),
+         |wtot AS (
+         |  SELECT CAST(sum(w.wt) AS BIGINT) AS wtot
+         |  FROM tr d JOIN wts w USING (y)),
+         |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+         |       WHERE false),
+         |$rounds,
+         |ev AS MATERIALIZED (SELECT * FROM docs WHERE doc_id % 7 = 0),
+         |etoks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM ev),
+         |ef AS (
+         |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
+         |  FROM etoks
+         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM etoks),
+         |sc AS (
+         |  SELECT ef.doc_id, CAST(sum(ef.c * coalesce(w.w, 0)) AS BIGINT) AS lw
+         |  FROM ef LEFT JOIN w$iters w ON ef.b = w.b GROUP BY ef.doc_id),
+         |j AS (
+         |  SELECT d.source, d.y,
+         |    CASE WHEN sc.lw >= 0 THEN 1 ELSE 0 END AS kept
+         |  FROM sc JOIN ev d USING (doc_id))
+         |SELECT source, count(*) AS n_eval,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(sum(kept * y) AS BIGINT) AS tp,
+         |  CAST(sum(kept * (1 - y)) AS BIGINT) AS fp,
+         |  CAST(sum((1 - kept) * y) AS BIGINT) AS fn,
+         |  CAST(sum((1 - kept) * (1 - y)) AS BIGINT) AS tn
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
     "q183_bm25" ->
       s"""WITH $bm25Cte,
          |r AS (
@@ -1813,38 +1971,13 @@ object TextQueries extends QueryPack {
       // = logit left join, hard-sigmoid residual × balanced doc weight,
       // gradient agg, weight merge with the same truncating // and
       // clamp LogReg uses; the divisor doubles per round = the halving
-      // dyadic rate)
+      // dyadic rate). Rounds text shared with q242 (duckGdRounds) —
+      // the held-out twin must replay the identical trainer.
       import graft.operators.HashedLinearModel.duckBucket
       val dims = 1024
       val iters = 8
       val m = 1L << 20
-      val half = 1L << 19
-      val slope = 1L << 10 // 2^(MScale - WScale - 2)
-      val wmax = 1L << 24
-      val rounds = (1 to iters).map { r =>
-        val pw = s"w${r - 1}"
-        // 2^(MScale - WScale - etaLog2 + round), etaLog2 = 2, decay
-        val shift = 1L << (10 + (r - 1))
-        s"""l$r AS (
-           |  SELECT lf.doc_id, max(lf.ym) AS ym, max(lf.wt) AS wt,
-           |    CAST(sum(lf.c * coalesce(pw.w, 0)) AS BIGINT) AS lg
-           |  FROM lf LEFT JOIN $pw pw ON lf.b = pw.b GROUP BY lf.doc_id),
-           |r$r AS (
-           |  SELECT doc_id,
-           |    (ym - least(greatest($half + lg * $slope, 0), $m)) * wt AS rr
-           |  FROM l$r),
-           |g$r AS (
-           |  SELECT lf.b, CAST(sum(lf.c * r.rr) AS BIGINT) AS g
-           |  FROM lf JOIN r$r r USING (doc_id) GROUP BY lf.b),
-           |w$r AS MATERIALIZED (
-           |  SELECT b, w FROM (
-           |    SELECT coalesce(pw.b, g.b) AS b,
-           |      least(greatest(coalesce(pw.w, 0)
-           |        + coalesce(g.g // ((SELECT wtot FROM wtot) * $shift), 0),
-           |        -$wmax), $wmax) AS w
-           |    FROM $pw pw FULL OUTER JOIN g$r g ON pw.b = g.b)
-           |  WHERE w <> 0)""".stripMargin
-      }.mkString(",\n")
+      val rounds = duckGdRounds(iters)
       s"""WITH docs AS MATERIALIZED (
          |  SELECT doc_id, source,
          |    CASE WHEN list_contains(

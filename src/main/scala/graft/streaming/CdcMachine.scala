@@ -75,4 +75,22 @@ object CdcMachine {
     ops.groupByKey(_.key)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** End-of-stream snapshot from an APPEND sink of [[CdcRow]]
+    * emissions — the reconstruction the CdcRow scaladoc promises:
+    * `nOps` strictly increases on every emission for a key, so the
+    * row with the maximal nOps IS the latest state. One declarative
+    * max_by per key (map-side partial reduction, the q227 idiom — no
+    * window/sort over the emission history); O(keys) output whatever
+    * the history length. Tombstoned keys are RETAINED (isDel=true) —
+    * a snapshot consumer filters, exactly as with the live state. */
+  def reconstruct(rows: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    rows.groupBy(col("key"))
+      .agg(max(col("nOps")).as("nOps"),
+        max_by(col("nDeletes"), col("nOps")).as("nDeletes"),
+        max_by(col("isDel"), col("nOps")).as("isDel"),
+        max_by(col("cents"), col("nOps")).as("cents"))
+  }
 }

@@ -120,4 +120,63 @@ class MonitorSpec extends SparkSpec {
       assert(gotVocab > 0, s"mv:$lang vocabulary")
     }
   }
+
+  test("stateReport serves the CountMin and CDC state families " +
+    "(round-9: every persisted streaming state table is consumable)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_monitor4").toString
+    val moments = s"$dir/moments.parquet"
+    val emb = Tables.embeddings(s, sfDir)
+      .where($"label".isNotNull && $"embedding".isNotNull)
+      .select($"label".cast("long").as("label"), $"embedding")
+    StreamingCentroidMonitor.sink(moments, "label", "embedding")(emb, 0L)
+    val sketches = s"$dir/uv.parquet"
+    SketchRollup.sketchTable(Tables.events(s, sfDir),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(sketches)
+    val ref = StreamingCentroidMonitor.centroids(s, moments)
+      .select($"label", $"centroid")
+
+    // CountMin store: two micro-batches + an at-least-once RETRY of the
+    // second — the served item count must see each item exactly once
+    val cmPath = s"$dir/cm"
+    val ev = Tables.events(s, sfDir)
+      .where($"user_id".isNotNull).select($"event_type", $"user_id")
+    val cmSink = graft.operators.CountMin
+      .sink(cmPath, Seq("event_type"), "user_id", d = 3, w = 64)
+    cmSink(ev.where($"user_id" % 2 === 0), 0L)
+    cmSink(ev.where($"user_id" % 2 === 1), 1L)
+    cmSink(ev.where($"user_id" % 2 === 1), 1L) // retry overwrites itself
+
+    // CDC append sink: key 1 updated twice (the nOps=1 emission is
+    // STALE and must lose to nOps=2), key 2 ends tombstoned, key 3 live
+    val cdcPath = s"$dir/cdc"
+    Seq(
+      graft.streaming.CdcRow(1L, 1L, 0L, isDel = false, 10L),
+      graft.streaming.CdcRow(1L, 2L, 0L, isDel = false, 25L),
+      graft.streaming.CdcRow(2L, 1L, 0L, isDel = false, 7L),
+      graft.streaming.CdcRow(2L, 2L, 1L, isDel = true, 7L),
+      graft.streaming.CdcRow(3L, 1L, 0L, isDel = false, 3L))
+      .toDF().write.mode("overwrite").parquet(cdcPath)
+
+    val report = Monitor.stateReport(s, moments, ref, sketches,
+        countMin = Some((cmPath, Seq("event_type"))),
+        cdc = Some(cdcPath))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val (cmCells, cmItems) = report("countmin")
+    assert(cmItems == ev.count().toDouble,
+      "row-0 counter mass must equal the exact delivered item count")
+    val served = graft.operators.CountMin.served(s, cmPath, Seq("event_type"))
+    assert(cmCells == served.count(), "served sparse-cell census")
+    val (cdcKeys, cdcLive) = report("cdc")
+    assert(cdcKeys == 3L, "keys ever tracked")
+    assert(cdcLive == 2.0, "tombstoned key excluded from live count")
+    // the reconstruction picked the LATEST emission for key 1
+    val k1 = graft.streaming.CdcMachine
+      .reconstruct(s.read.parquet(cdcPath))
+      .where($"key" === 1L).select($"cents").as[Long].head()
+    assert(k1 == 25L)
+  }
 }
