@@ -1806,23 +1806,23 @@ object CorpusOpsQueries extends QueryPack {
     * the tokenizer that training would have produced had it stopped
     * there — no re-training per point.
     *
-    * Scale shape: one narrow typed-map encode pass per curve point
-    * (4 corpus scans here; a production sweep fuses them into one
-    * mapPartitions emitting all K counts per doc — same math); each
-    * pass reduces map-side to ONE row; the curve math is a lag window
-    * over O(points) rows. */
+    * Scale shape: ONE narrow typed-map encode pass for the WHOLE curve
+    * ([[graft.operators.BpeTrainer.countTokensCurve]], round-9 fusion
+    * of the former scan-per-point loop: prefix-k counts derive from
+    * the full fold's per-rank application tallies, so 4 curve points
+    * cost one FileScan — PlanAssertSpec pins it); the scan reduces
+    * map-side to O(points) rows; the curve math is a lag window over
+    * O(points) rows. */
   private val q234: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
       .where($"doc_id".isNotNull && $"text".isNotNull &&
         length(trim($"text")) > 0)
     val sizes = Seq(0, 4, 8, 12)
-    val curve = sizes.map { k =>
-      graft.operators.BpeTrainer
-        .countTokens(docs, "doc_id", "text", packMerges.take(k))
-        .agg(sum($"n_bpe_tokens").as("total_tokens"))
-        .select(lit(k.toLong).as("n_merges"), $"total_tokens")
-    }.reduce(_ unionByName _)
+    val curve = graft.operators.BpeTrainer
+      .countTokensCurve(docs, "doc_id", "text", packMerges, sizes)
+      .groupBy($"n_merges")
+      .agg(sum($"n_bpe_tokens").as("total_tokens"))
     val w = Window.orderBy($"n_merges")
     curve
       .withColumn("prev_t", lag($"total_tokens", 1).over(w))

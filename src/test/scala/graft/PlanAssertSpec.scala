@@ -158,6 +158,17 @@ class PlanAssertSpec extends SparkSpec {
       "expected a single documents scan feeding all fused signals")
   }
 
+  test("q234: the whole merge curve rides ONE corpus scan (round-9 fusion)") {
+    // one scan-per-curve-point cost 4 linear passes (round-8 100x spot);
+    // countTokensCurve derives every prefix count from the full fold's
+    // per-rank tallies in a single narrow pass
+    val df = SparkEntry.queries("q234_merge_curve")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      "expected a single documents scan feeding all curve points")
+  }
+
   test("q181: centroid frame broadcasts; the exploded partial agg is map-side") {
     val df = SparkEntry.queries("q181_centroid_diag")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

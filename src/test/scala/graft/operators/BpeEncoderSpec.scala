@@ -123,4 +123,30 @@ class BpeEncoderSpec extends SparkSpec {
         "countTokens must agree with tokenize lengths")
     }
   }
+
+  test("countTokensCurve: one fused pass equals a per-prefix encode at " +
+    "every curve point (round-9 q234 fusion)") {
+    val s = spark
+    import s.implicits._
+    val docs = (corpus :+ (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus.toDF("doc_id", "text"), "text",
+      nMerges = 12)
+    val sizes = Seq(0, 3, 7, 12)
+    val fused = BpeTrainer
+      .countTokensCurve(docs, "doc_id", "text", merges, sizes)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, k, n) => (id, k) -> n }.toMap
+    assert(fused.size == docs.count() * sizes.size,
+      "|sizes| rows per doc, null text included")
+    sizes.foreach { k =>
+      val direct = BpeTrainer.tokenize(docs, "doc_id", "text",
+        merges.take(k)).select($"doc_id", $"n_bpe_tokens")
+        .as[(Long, Long)].collect().toMap
+      direct.foreach { case (id, n) =>
+        assert(fused((id, k.toLong)) == n,
+          s"curve disagrees with a direct $k-prefix encode for doc $id")
+      }
+    }
+  }
 }
