@@ -56,6 +56,13 @@ class BpeEncoderSpec extends SparkSpec {
         val want = BpeTrainer.encodeWordFold(w, merges)
         val got = BpeTrainer.encodeWord(w, ranks)
         assert(got == want, s"trial $trial word=$w merges=$merges:\ngot $got want $want")
+        // per-rank application tallies (the merge-curve primitive) must
+        // also match the fold's — at every prefix, not just the end
+        val ft = BpeTrainer.foldApplyCounts(w, merges).map(_.toLong)
+        val ht = BpeTrainer.heapApplyCounts(w, ranks, merges.size)
+        val (fc, hc) = (ft.scanLeft(0L)(_ + _), ht.scanLeft(0L)(_ + _))
+        assert(hc.toSeq == fc.toSeq,
+          s"trial $trial word=$w: heap tallies ${ht.toSeq} != fold ${ft.toSeq}")
       }
     }
   }
