@@ -394,6 +394,15 @@ object VectorIndex {
       vecCol: String): (DataFrame, Long) => Unit =
     (batch, batchId) => appendTo(path, idx, idCol, batch, vecCol, batchId)
 
+  /** foreachBatch sink for a streaming DELETION feed — the erasure
+    * queue every GDPR pipeline drains ([[ingestSink]]'s inverse): each
+    * micro-batch of ids is one [[forget]] call against the persisted
+    * index. At-least-once safe by forget's own contract: a redelivered
+    * batch finds its ids already gone and is a zero-op, a crashed batch
+    * converges on retry. `delCol` names the id column of the stream. */
+  def forgetSink(path: String, delCol: String): (DataFrame, Long) => Unit =
+    (batch, _) => { forget(batch.sparkSession, path, batch, delCol); () }
+
   /** ADC top-k over the `probes` cells nearest to `query`, in ONE
     * distributed pass: the per-cell residual lookup tables (probes·m·ks
     * rows, exact doubles) broadcast into an equi join on

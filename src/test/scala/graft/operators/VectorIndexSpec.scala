@@ -293,6 +293,37 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(s, path)._1.codes.count() == total - nDel)
   }
 
+  test("forgetSink: a streaming deletion feed drains through foreachBatch, " +
+    "redelivery is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+    val idx = VectorIndex.build(embs, "vec_id", "embedding", Dim, Cells, M, Ks)
+    val path = tmp("vidx_forget_stream")
+    VectorIndex.save(idx, "vec_id", path)
+    val total = idx.codes.count()
+    val dels = embs.where($"vec_id" % 5 === 0).select($"vec_id")
+      .as[Long].collect().sorted
+    assert(dels.length > 1)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = in.toDF().toDF("vec_id")
+      .writeStream
+      .foreachBatch(VectorIndex.forgetSink(path, "vec_id"))
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = dels.splitAt(dels.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      in.addData(b1.toIndexedSeq); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    val (reloaded, _) = VectorIndex.load(s, path)
+    assert(reloaded.codes.count() == total - dels.length,
+      "each deletion applied exactly once across batches + redelivery")
+    assert(reloaded.codes
+      .where($"vec_id".isin(dels.toSeq: _*)).count() == 0)
+  }
+
   test("forget: a fully-erased partition's directory is deleted, " +
     "and the index stays loadable and searchable") {
     val s = spark
