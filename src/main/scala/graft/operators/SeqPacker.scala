@@ -103,13 +103,60 @@ object SeqPacker {
       }
   }
 
+  /** BEST-FIT-DECREASING packing — the algorithm Ding et al. 2024
+    * actually ship (next-fit is the O(1)-state streaming floor; BFD is
+    * the offline quality ceiling): within each (lang, bucket) group,
+    * pieces sort by (size DESC, ord1, ord2) and each goes to the open
+    * sequence with the SMALLEST remainder that still fits (ties →
+    * lowest sequence index), else opens a new one. Classic bin-packing
+    * guarantee: BFD uses ≤ 11/9·OPT + 4 bins, and never more than
+    * next-fit on the same pieces (SeqPackerSpec measures the gap).
+    * State per group is the open-remainder array — bounded by the
+    * bucket's sequence count (≤ 64·maxPieces here), scanned linearly
+    * per piece; same exchange + sortWithinPartitions + fold shape as
+    * [[pack]], so the cost difference is in-task only. */
+  def packBfd(pieces: Dataset[Piece], cap: Int): Dataset[Placed] = {
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    require(cap > 0, s"cap must be positive, got $cap")
+    pieces
+      .repartition(col("lang"), col("bucket"))
+      .sortWithinPartitions(col("lang"), col("bucket"),
+        col("size").desc, col("ord1"), col("ord2"))
+      .as[Piece]
+      .mapPartitions { it =>
+        var curLang: String = null
+        var curBucket = Long.MinValue
+        val rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { p =>
+          if (p.lang != curLang || p.bucket != curBucket) {
+            curLang = p.lang; curBucket = p.bucket; rems.clear()
+          }
+          var best = -1
+          var i = 0
+          while (i < rems.length) {
+            if (rems(i) >= p.size &&
+              (best < 0 || rems(i) < rems(best))) best = i
+            i += 1
+          }
+          val bin =
+            if (best >= 0) { rems(best) -= p.size; best.toLong }
+            else { rems += cap.toLong - p.size; (rems.length - 1).toLong }
+          Placed(p.lang, p.bucket, p.ord1, p.ord2, p.docId, p.size, bin)
+        }
+      }
+  }
+
   /** End-to-end convenience: per-doc counts -> pieces -> packed.
-    * Input columns as [[pieces]]. */
-  def packDocs(perDoc: DataFrame, cap: Int): Dataset[Placed] = {
+    * Input columns as [[pieces]]. `bfd` picks [[packBfd]] over the
+    * next-fit default. */
+  def packDocs(perDoc: DataFrame, cap: Int,
+      bfd: Boolean = false): Dataset[Placed] = {
     val spark = perDoc.sparkSession
     import spark.implicits._
-    pack(pieces(perDoc, cap)
+    val ps = pieces(perDoc, cap)
       .select(col("lang"), col("bucket"), col("ord1"), col("ord2"),
-        col("doc_id").as("docId"), col("size")).as[Piece], cap)
+        col("doc_id").as("docId"), col("size")).as[Piece]
+    if (bfd) packBfd(ps, cap) else pack(ps, cap)
   }
 }

@@ -1353,6 +1353,59 @@ object CorpusOpsQueries extends QueryPack {
       |sq AS (SELECT doc_id, toks,
       |  CAST((rt - toks) // 512 AS BIGINT) AS seq FROM r)""".stripMargin
 
+  /** Shared q240/q243 oracle prefix (downstream of [[packCntCtes]]'s
+    * `cnt`): per-doc counts → per-language salted order → 64-doc
+    * buckets → ≤512-token pieces. */
+  private lazy val packBucketCtes: String =
+    """pd AS (
+      |  SELECT c.doc_id, c.toks, d.lang,
+      |    ('0x' || substr(md5('bpack:' || CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+      |  FROM cnt c JOIN documents d USING (doc_id) WHERE c.toks > 0),
+      |pb AS (
+      |  SELECT doc_id, toks, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1
+      |      AS BIGINT) AS rnl0
+      |  FROM pd),
+      |pbk AS (SELECT doc_id, toks, lang, rnl0, rnl0 // 64 AS bucket FROM pb),
+      |pc AS (
+      |  SELECT doc_id, lang, bucket, rnl0, r.i AS pidx,
+      |    CAST(least(512, toks - r.i * 512) AS BIGINT) AS size
+      |  FROM pbk, unnest(range(0, CAST((toks + 511) // 512 AS BIGINT))) r(i))"""
+      .stripMargin
+
+  /** Shared q240/q243 census tail over a piece-assignment CTE
+    * `st(lang, bucket, seq, doc_id, size)`. */
+  private lazy val packCensusTail: String =
+    """perseq AS (
+      |  SELECT lang, bucket, seq,
+      |    CAST(sum(size) AS BIGINT) AS seq_tok,
+      |    CAST(count(*) AS BIGINT) AS np,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS sdocs
+      |  FROM st GROUP BY 1, 2, 3),
+      |bkt AS (
+      |  SELECT lang, bucket,
+      |    CAST(count(*) AS BIGINT) AS n_seqs,
+      |    CAST(sum(np) AS BIGINT) AS n_pieces,
+      |    CAST(sum(seq_tok) AS BIGINT) AS sum_tokens,
+      |    CAST(sum(CASE WHEN seq_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_overfull,
+      |    CAST(sum(CASE WHEN sdocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_multi_doc_seqs
+      |  FROM perseq GROUP BY 1, 2),
+      |nd AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+      |       FROM pbk GROUP BY 1, 2)
+      |SELECT b.lang, b.bucket AS shard, n_docs, n_pieces, n_seqs,
+      |  sum_tokens,
+      |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
+      |  n_overfull, n_multi_doc_seqs
+      |FROM bkt b JOIN nd USING (lang, bucket)
+      |ORDER BY lang, shard""".stripMargin
+
+  /** q243 recursion step helpers: the best-fit remainder and its
+    * 1-based position in the state list. */
+  private val bfdFit = "list_min(list_filter(st.rems, r -> r >= o.size))"
+  private val bfdPos = s"list_position(st.rems, $bfdFit)"
+
   /** Tokenize → pack → shard EXPORT FLAGSHIP — the last mile every
     * training run ends with, as ONE oracle-checked composition (the
     * q65-flagship pattern): (1) BPE-encode every document with the
@@ -1496,7 +1549,19 @@ object CorpusOpsQueries extends QueryPack {
     * (lang, bucket) + linear in-task fold, two hash aggs. The fill
     * price of boundary-purity vs q223 is the published number
     * (SeqPackerSpec pins the tradeoff direction). */
-  private val q240: Q = (s, d) => {
+  private val q240: Q = (s, d) => boundaryPackCensus(s, d, bfd = false)
+
+  /** q243: the SAME census under BEST-FIT-DECREASING packing
+    * ([[graft.operators.SeqPacker.packBfd]] — the Ding et al. offline
+    * algorithm; q240's next-fit is the streaming floor). Fill must
+    * dominate q240's on every bucket (SeqPackerSpec pins the
+    * direction); the oracle replays best-fit as the same lockstep
+    * recursion with the open-remainder LIST as state (list_min ∘
+    * list_filter = best fit, list_position = lowest-index tie). */
+  private val q243: Q = (s, d) => boundaryPackCensus(s, d, bfd = true)
+
+  private def boundaryPackCensus(s: org.apache.spark.sql.SparkSession,
+      d: String, bfd: Boolean): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val lang = Tables.documents(s, d)
       .where($"doc_id".isNotNull && $"text".isNotNull)
@@ -1519,7 +1584,8 @@ object CorpusOpsQueries extends QueryPack {
     val perDoc = ranked.join(broadcast(minRn), Seq("lang"))
       .select($"lang", expr("(rn - rn0) DIV 64").as("bucket"),
         ($"rn" - $"rn0").as("ord1"), $"doc_id", $"toks")
-    val packed = graft.operators.SeqPacker.packDocs(perDoc, 512).toDF()
+    val packed = graft.operators.SeqPacker
+      .packDocs(perDoc, 512, bfd = bfd).toDF()
     val perSeq = packed.groupBy($"lang", $"bucket", $"seq")
       .agg(sum($"size").as("seq_tok"), count(lit(1)).as("np"),
         countDistinct($"docId").as("sdocs"))
@@ -2004,6 +2070,7 @@ object CorpusOpsQueries extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "q243_bfd_pack" -> q243,
     "q240_boundary_pack" -> q240,
     "q239_pack_purity" -> q239,
     "q235_release_manifest" -> q235,
@@ -3076,22 +3143,10 @@ object CorpusOpsQueries extends QueryPack {
       // next-fit replayed as a lockstep recursion: all (lang, bucket)
       // groups advance one within-bucket position per step, so depth =
       // max pieces per bucket. All-integer closure; every aggregate
-      // output CAST to BIGINT (the q223 HUGEINT lesson).
+      // output CAST to BIGINT (the q223 HUGEINT lesson). Prefix and
+      // census tail shared verbatim with q243 (the sentinel rule).
       s"""WITH RECURSIVE $packCntCtes,
-         |pd AS (
-         |  SELECT c.doc_id, c.toks, d.lang,
-         |    ('0x' || substr(md5('bpack:' || CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
-         |  FROM cnt c JOIN documents d USING (doc_id) WHERE c.toks > 0),
-         |pb AS (
-         |  SELECT doc_id, toks, lang,
-         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1
-         |      AS BIGINT) AS rnl0
-         |  FROM pd),
-         |pbk AS (SELECT doc_id, toks, lang, rnl0, rnl0 // 64 AS bucket FROM pb),
-         |pc AS (
-         |  SELECT doc_id, lang, bucket, rnl0, r.i AS pidx,
-         |    CAST(least(512, toks - r.i * 512) AS BIGINT) AS size
-         |  FROM pbk, unnest(range(0, CAST((toks + 511) // 512 AS BIGINT))) r(i)),
+         |$packBucketCtes,
          |ord AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY lang, bucket ORDER BY rnl0, pidx) AS pos
@@ -3108,30 +3163,39 @@ object CorpusOpsQueries extends QueryPack {
          |  FROM st JOIN ord o
          |    ON o.lang = st.lang AND o.bucket = st.bucket
          |   AND o.pos = st.pos + 1),
-         |perseq AS (
-         |  SELECT lang, bucket, seq,
-         |    CAST(sum(size) AS BIGINT) AS seq_tok,
-         |    CAST(count(*) AS BIGINT) AS np,
-         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS sdocs
-         |  FROM st GROUP BY 1, 2, 3),
-         |bkt AS (
-         |  SELECT lang, bucket,
-         |    CAST(count(*) AS BIGINT) AS n_seqs,
-         |    CAST(sum(np) AS BIGINT) AS n_pieces,
-         |    CAST(sum(seq_tok) AS BIGINT) AS sum_tokens,
-         |    CAST(sum(CASE WHEN seq_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_overfull,
-         |    CAST(sum(CASE WHEN sdocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_multi_doc_seqs
-         |  FROM perseq GROUP BY 1, 2),
-         |nd AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
-         |       FROM pbk GROUP BY 1, 2)
-         |SELECT b.lang, b.bucket AS shard, n_docs, n_pieces, n_seqs,
-         |  sum_tokens,
-         |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
-         |  n_overfull, n_multi_doc_seqs
-         |FROM bkt b JOIN nd USING (lang, bucket)
-         |ORDER BY lang, shard""".stripMargin,
+         |$packCensusTail""".stripMargin,
+    "q243_bfd_pack" ->
+      // best-fit-decreasing replayed as the SAME lockstep recursion
+      // with the open-remainder LIST as state: best fit = list_min of
+      // the fitting remainders (minimizing rem ⟺ minimizing rem−size),
+      // lowest-index tie = list_position's first match; no fit appends
+      // a fresh sequence. DuckDB-1.0-safe (no index lambdas).
+      s"""WITH RECURSIVE $packCntCtes,
+         |$packBucketCtes,
+         |ord AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY lang, bucket
+         |    ORDER BY size DESC, rnl0, pidx) AS pos
+         |  FROM pc),
+         |st AS (
+         |  SELECT lang, bucket, pos, doc_id, size,
+         |    CAST(0 AS BIGINT) AS seq,
+         |    [CAST(512 - size AS BIGINT)] AS rems
+         |  FROM ord WHERE pos = 1
+         |  UNION ALL
+         |  SELECT o.lang, o.bucket, o.pos, o.doc_id, o.size,
+         |    CASE WHEN $bfdFit IS NULL THEN CAST(len(st.rems) AS BIGINT)
+         |         ELSE CAST($bfdPos - 1 AS BIGINT) END,
+         |    CASE WHEN $bfdFit IS NULL
+         |         THEN list_concat(st.rems, [CAST(512 - o.size AS BIGINT)])
+         |         ELSE list_concat(list_concat(
+         |            st.rems[1:$bfdPos - 1],
+         |            [$bfdFit - o.size]),
+         |            st.rems[$bfdPos + 1:]) END
+         |  FROM st JOIN ord o
+         |    ON o.lang = st.lang AND o.bucket = st.bucket
+         |   AND o.pos = st.pos + 1),
+         |$packCensusTail""".stripMargin,
     "q223d1_pack_toks" ->
       s"""WITH $packCntCtes
          |SELECT doc_id, toks FROM cnt ORDER BY doc_id""".stripMargin,

@@ -86,6 +86,50 @@ class SeqPackerSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("best-fit-decreasing: hand-computed assignment, lowest-index ties") {
+    val s = spark; import s.implicits._
+    // cap 10, sizes already decreasing: 7,6,5,4,3,2,2
+    // 7->bin0(3); 6->bin1(4); 5->bin2(5); 4->best of {4,5}=4->bin1(0);
+    // 3->best of {3,5}=3->bin0(0); 2->bin2(3); 2->bin2(1)
+    val out = SeqPacker.packBfd(
+      mk(Seq(("en", 0L, 1L, 7L), ("en", 0L, 2L, 6L), ("en", 0L, 3L, 5L),
+        ("en", 0L, 4L, 4L), ("en", 0L, 5L, 3L), ("en", 0L, 6L, 2L),
+        ("en", 0L, 7L, 2L))), 10)
+      .collect().sortBy(_.ord1).map(p => p.docId -> p.seq)
+    assert(out.toSeq == Seq(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L,
+      5L -> 0L, 6L -> 2L, 7L -> 2L))
+  }
+
+  test("best-fit-decreasing dominates next-fit: never more sequences, " +
+    "capacity holds, every piece placed, deterministic under partitioning") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 400L).map(i =>
+      Piece("l" + (i % 3), i % 4, i, 0L, i, (i * 37 % 500) + 1))
+    val ds = rows.toDS()
+    def seqsPerGroup(placed: Array[Placed]) = placed
+      .groupBy(p => (p.lang, p.bucket)).view
+      .mapValues(_.map(_.seq).distinct.size).toMap
+    val nf = seqsPerGroup(SeqPacker.pack(ds, 512).collect())
+    val bfdPlaced = SeqPacker.packBfd(ds, 512).collect()
+    val bfd = seqsPerGroup(bfdPlaced)
+    assert(bfd.keySet == nf.keySet)
+    bfd.foreach { case (k, n) =>
+      assert(n <= nf(k), s"group $k: BFD used $n seqs, next-fit ${nf(k)}")
+    }
+    assert(bfd.values.sum < nf.values.sum,
+      "BFD must strictly improve somewhere on this mix")
+    // capacity + completeness
+    val seqSums = bfdPlaced.groupBy(p => (p.lang, p.bucket, p.seq))
+      .view.mapValues(_.map(_.size).sum)
+    assert(seqSums.values.forall(_ <= 512L))
+    assert(bfdPlaced.length == rows.length)
+    // determinism across input partitionings
+    def key(p: Placed) = (p.lang, p.bucket, p.ord1, p.seq)
+    val a = SeqPacker.packBfd(ds.repartition(1), 512).collect().map(key).sorted
+    val b = SeqPacker.packBfd(ds.repartition(11), 512).collect().map(key).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("fill tradeoff: boundary packing never beats stream packing, and " +
     "next-fit keeps closed sequences above half full") {
     val s = spark; import s.implicits._
