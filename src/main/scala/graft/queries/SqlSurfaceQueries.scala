@@ -297,7 +297,64 @@ object SqlSurfaceQueries extends QueryPack {
     ORDER BY ALL"""
   private val q236 = sql(q236Text)
 
+  /** VARIANT ingestion (Spark 4's semi-structured type, the
+    * Snowflake/Databricks JSON-column workhorse): serialize per-doc
+    * metadata to JSON text, `parse_json` it into a VARIANT column, and
+    * read it back ONLY through typed `variant_get` path extraction —
+    * nested paths, a typed filter, and grouped integer aggregates over
+    * extracted values. This is the schema-on-read pattern a log
+    * pipeline uses when producers evolve fields faster than tables;
+    * the binary VARIANT encoding makes repeated path reads cheaper
+    * than re-parsing JSON text per access. The oracle reproduces the
+    * same construct→extract round trip in DuckDB's JSON type — key
+    * order and whitespace never matter because only EXTRACTED typed
+    * values are compared. Integer-only outputs (counts + summed
+    * extracted BIGINTs). */
+  private val q244 = sql("""
+    WITH j AS (
+      SELECT parse_json(to_json(named_struct(
+               'id', doc_id,
+               'meta', named_struct('lang', lang, 'n', n_chars),
+               'src', source))) AS v
+      FROM documents WHERE doc_id IS NOT NULL),
+    x AS (
+      SELECT variant_get(v, '$.meta.lang', 'string') AS lang,
+             variant_get(v, '$.meta.n', 'bigint') AS n,
+             variant_get(v, '$.src', 'string') AS src
+      FROM j)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_chars,
+           COUNT(DISTINCT src) AS n_sources
+    FROM x
+    WHERE n > 100
+    GROUP BY lang
+    ORDER BY lang""")
+
+  /** SQL session VARIABLES + EXECUTE IMMEDIATE (Spark 4 SQL
+    * scripting): a threshold DECLAREd once, SET from SQL, referenced
+    * by a later statement, plus a parameterized query text run through
+    * EXECUTE IMMEDIATE ... USING — the pattern that replaces
+    * string-splicing drivers (the reference interpolates every
+    * parameter into its HiveQL strings; variables make the parameter
+    * a session object instead). The oracle is the final SELECT with
+    * the variable's value inlined as a literal — by definition the
+    * same query once binding happens at the analyzer. */
+  private val q245: Q = (s, d) => {
+    views(s, d)
+    s.sql("DECLARE OR REPLACE VARIABLE graft_min_chars BIGINT DEFAULT 0")
+    s.sql("SET VAR graft_min_chars = 200")
+    s.sql("""EXECUTE IMMEDIATE
+      'SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       FROM documents
+       WHERE n_chars >= ? AND doc_id IS NOT NULL
+       GROUP BY lang ORDER BY lang'
+      USING graft_min_chars""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q244_sql_variant" -> q244,
+    "q245_sql_session_vars" -> q245,
     "q236_sql_lateral_alias" -> q236,
     "q209_sql_groupby_all" -> q209,
     "q166_sql_lateral_view" -> q166,
@@ -314,6 +371,31 @@ object SqlSurfaceQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q244_sql_variant" ->
+      """WITH j AS (
+        |  SELECT to_json(struct_pack(
+        |           id := doc_id,
+        |           meta := struct_pack(lang := lang, n := n_chars),
+        |           src := source)) AS v
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |x AS (
+        |  SELECT v->'meta'->>'lang' AS lang,
+        |         CAST(v->'meta'->>'n' AS BIGINT) AS n,
+        |         v->>'src' AS src
+        |  FROM j)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT src) AS n_sources
+        |FROM x
+        |WHERE n > 100
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q245_sql_session_vars" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE n_chars >= 200 AND doc_id IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q236_sql_lateral_alias" -> q236Text,
     "q209_sql_groupby_all" -> q209Text,
     "q195_sql_recursive" ->
