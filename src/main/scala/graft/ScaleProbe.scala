@@ -104,7 +104,8 @@ object ScaleProbe {
       "q236_sql_lateral_alias", "q237_token_entropy",
       "q238_exposed_evals", "q239_pack_purity",
       "q240_boundary_pack", "q241_forget_census", "q242_trained_eval",
-      "q243_bfd_pack", "q244_sql_variant", "q245_sql_session_vars")
+      "q243_bfd_pack", "q244_sql_variant", "q245_sql_session_vars",
+      "q246_export_manifest")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -1320,28 +1320,30 @@ object CorpusOpsQueries extends QueryPack {
     * bisection sentinels — ONE text both the flagship and each
     * diagnostic reuse, so a sentinel result indicts the stage, not a
     * transcription drift. */
-  private lazy val packCntCtes: String = {
+  private def packCntCtesP(p: String): String = {
     val charSplit =
       "'|' || array_to_string(string_split(w, ''), '|') || '|'"
     val encoded = packMerges.foldLeft(charSplit) { case (acc, (a, b)) =>
       s"replace($acc, '|$a|$b|', '|$a$b|')"
     }
-    s"""docs AS (
+    s"""${p}docs AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-       |words AS (
+       |${p}words AS (
        |  SELECT doc_id,
        |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-       |  FROM docs),
-       |enc AS (
-       |  SELECT doc_id, $encoded AS s FROM words WHERE w <> ''),
-       |cnt AS (
+       |  FROM ${p}docs),
+       |${p}enc AS (
+       |  SELECT doc_id, $encoded AS s FROM ${p}words WHERE w <> ''),
+       |${p}cnt AS (
        |  SELECT d.doc_id,
        |    CAST(coalesce(sum(len(string_split(e.s, '|')) - 2), 0)
        |      AS BIGINT) AS toks
-       |  FROM docs d LEFT JOIN enc e USING (doc_id) GROUP BY d.doc_id)"""
+       |  FROM ${p}docs d LEFT JOIN ${p}enc e USING (doc_id)
+       |  GROUP BY d.doc_id)"""
       .stripMargin
   }
+  private lazy val packCntCtes: String = packCntCtesP("")
   private lazy val packSeqCtes: String =
     """r AS (
       |  SELECT doc_id, toks,
@@ -1353,14 +1355,17 @@ object CorpusOpsQueries extends QueryPack {
       |sq AS (SELECT doc_id, toks,
       |  CAST((rt - toks) // 512 AS BIGINT) AS seq FROM r)""".stripMargin
 
-  /** Shared q240/q243 oracle prefix (downstream of [[packCntCtes]]'s
-    * `cnt`): per-doc counts → per-language salted order → 64-doc
-    * buckets → ≤512-token pieces. */
-  private lazy val packBucketCtes: String =
-    """pd AS (
+  /** Shared q240/q243/q246 oracle prefix (downstream of
+    * [[packCntCtesP]]'s `cnt`): per-doc counts → per-language salted
+    * order → 64-doc buckets → ≤512-token pieces. `cntName` points at
+    * the counts CTE; `extraJoin` restricts the packed population (the
+    * q246 trained-gate semi join). */
+  private def packBucketCtesP(cntName: String, extraJoin: String): String =
+    s"""pd AS (
       |  SELECT c.doc_id, c.toks, d.lang,
       |    ('0x' || substr(md5('bpack:' || CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
-      |  FROM cnt c JOIN documents d USING (doc_id) WHERE c.toks > 0),
+      |  FROM $cntName c JOIN documents d USING (doc_id)$extraJoin
+      |  WHERE c.toks > 0),
       |pb AS (
       |  SELECT doc_id, toks, lang,
       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1
@@ -1372,6 +1377,34 @@ object CorpusOpsQueries extends QueryPack {
       |    CAST(least(512, toks - r.i * 512) AS BIGINT) AS size
       |  FROM pbk, unnest(range(0, CAST((toks + 511) // 512 AS BIGINT))) r(i))"""
       .stripMargin
+  private lazy val packBucketCtes: String = packBucketCtesP("cnt", "")
+
+  /** Shared q243/q246 BFD recursion (ord over `pc`, best-fit lockstep
+    * with the open-remainder LIST as state). */
+  private lazy val bfdOrdStCtes: String =
+    s"""ord AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY lang, bucket
+       |    ORDER BY size DESC, rnl0, pidx) AS pos
+       |  FROM pc),
+       |st AS (
+       |  SELECT lang, bucket, pos, doc_id, size,
+       |    CAST(0 AS BIGINT) AS seq,
+       |    [CAST(512 - size AS BIGINT)] AS rems
+       |  FROM ord WHERE pos = 1
+       |  UNION ALL
+       |  SELECT o.lang, o.bucket, o.pos, o.doc_id, o.size,
+       |    CASE WHEN $bfdFit IS NULL THEN CAST(len(st.rems) AS BIGINT)
+       |         ELSE CAST($bfdPos - 1 AS BIGINT) END,
+       |    CASE WHEN $bfdFit IS NULL
+       |         THEN list_concat(st.rems, [CAST(512 - o.size AS BIGINT)])
+       |         ELSE list_concat(list_concat(
+       |            st.rems[1:$bfdPos - 1],
+       |            [$bfdFit - o.size]),
+       |            st.rems[$bfdPos + 1:]) END
+       |  FROM st JOIN ord o
+       |    ON o.lang = st.lang AND o.bucket = st.bucket
+       |   AND o.pos = st.pos + 1)""".stripMargin
 
   /** Shared q240/q243 census tail over a piece-assignment CTE
     * `st(lang, bucket, seq, doc_id, size)`. */
@@ -1560,6 +1593,99 @@ object CorpusOpsQueries extends QueryPack {
     * list_filter = best fit, list_position = lowest-index tie). */
   private val q243: Q = (s, d) => boundaryPackCensus(s, d, bfd = true)
 
+  /** Shared q240/q243/q246 bucket keying: (doc_id, lang, toks) →
+    * (lang, bucket, ord1, doc_id, toks) via ONE DistributedRank over
+    * the composite langId·2^32+hash key (per-language salted order
+    * without per-language hot partitions) and 64-doc buckets. */
+  private def packKeyed(perDoc0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // dense language id: O(langs) frame, the repo-blessed bounded
+    // unpartitioned window (world languages, not corpus-tracking)
+    val langDim = perDoc0.select(col("lang")).distinct()
+      .withColumn("lid", row_number().over(Window.orderBy(col("lang")))
+        .cast("long"))
+    val hk = graft.functions.DedupFunctions.hash32(
+      concat(lit("bpack:"), col("doc_id").cast("string")))
+    val keyed = perDoc0.join(broadcast(langDim), Seq("lang"))
+      .withColumn("hk", hk)
+      .withColumn("key", col("lid") * lit(4294967296L) + col("hk"))
+    val ranked = DistributedRank.withRowNumber(keyed, "rn", col("key"),
+      col("doc_id"))
+    val minRn = ranked.groupBy(col("lang")).agg(min(col("rn")).as("rn0"))
+    ranked.join(broadcast(minRn), Seq("lang"))
+      .select(col("lang"), expr("(rn - rn0) DIV 64").as("bucket"),
+        (col("rn") - col("rn0")).as("ord1"), col("doc_id"), col("toks"))
+  }
+
+  /** ROUND-9 FLAGSHIP composition — the complete model-governed export
+    * arc as ONE oracle-checked query (the q65/q206/q235 composition
+    * pattern over this round's operators): label → train → gate →
+    * truncation-free pack → per-language export manifest.
+    * (1) [[graft.operators.LogReg]] trains on the doc_id % 7 ≠ 0 slice
+    * (q242's trainer — oracle text shared byte-for-byte);
+    * (2) the LEARNED weights score the WHOLE corpus and the export
+    * keeps the clean side (logit ≤ 0 — the classifier flags dup-like
+    * docs, and the degenerate zero-weight model from an empty training
+    * set keeps everything, the LogReg empty-input contract);
+    * (3) survivors are boundary-packed with BEST-FIT-DECREASING
+    * ([[graft.operators.SeqPacker.packBfd]], q243's machinery —
+    * bucket keying and recursion oracle text shared);
+    * (4) the manifest reports, per language: input docs, gate drops,
+    * kept docs, training sequences, token mass, and exact fill ppm —
+    * the drop a training run would actually ship.
+    *
+    * Scale shape: the trainer is q242's (fixed rounds over a
+    * checkpointed train-slice feature frame); scoring is ONE corpus
+    * tokenizing scan against the O(dims) broadcast model; the pack is
+    * q243's (one DistributedRank + one exchange + linear fold); the
+    * manifest lives on O(langs) rows. Division guarded for the
+    * zero-sequence language (ANSI mode; empty-input sweep). */
+  private val q246: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.LogReg
+    import graft.functions.TextFunctions.tokens
+    val DIMS = 1024
+    val ITERS = 8
+    val docsAll = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull && $"source".isNotNull)
+      .select($"doc_id", $"lang",
+        array_contains(tokens($"text"), "dup").cast("long").as("y"),
+        $"text")
+    val train = docsAll.where($"doc_id" % 7 =!= 0)
+    val trToks = train.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val trFeats = LogReg.features(trToks, "doc_id", "tok", DIMS, binary = true)
+    val labels = LogReg.balancedLabels(train.select($"doc_id", $"y"), "doc_id")
+    val w = LogReg.train(trFeats, labels, "doc_id",
+      iters = ITERS, etaLog2 = 2, decay = true, weightCol = Some("wt"))
+    val allToks = docsAll.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val allFeats = LogReg.features(allToks, "doc_id", "tok", DIMS, binary = true)
+    val kept = LogReg.score(allFeats, w, "doc_id")
+      .where($"logit_w" <= 0L).select($"doc_id")
+    val perDoc0 = q223PerDoc(s, d).where($"toks" > 0)
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(docsAll.select($"doc_id", $"lang"), Seq("doc_id"))
+    val packed = graft.operators.SeqPacker
+      .packDocs(packKeyed(perDoc0), 512, bfd = true).toDF()
+    val perSeq = packed.groupBy($"lang", $"bucket", $"seq")
+      .agg(sum($"size").as("seq_tok"))
+    val packLang = perSeq.groupBy($"lang")
+      .agg(count(lit(1)).as("n_seqs"), sum($"seq_tok").as("sum_tokens"))
+    val inp = docsAll.groupBy($"lang").agg(count(lit(1)).as("n_input"))
+    val keptLang = docsAll.join(kept, Seq("doc_id"), "left_semi")
+      .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+    inp.join(keptLang, Seq("lang"), "left")
+      .join(packLang, Seq("lang"), "left")
+      .select($"lang", $"n_input",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_input" - coalesce($"n_kept", lit(0L))).as("n_dropped"),
+        coalesce($"n_seqs", lit(0L)).as("n_seqs"),
+        coalesce($"sum_tokens", lit(0L)).as("sum_tokens"),
+        when(coalesce($"n_seqs", lit(0L)) > 0L,
+          expr("sum_tokens * 1000000 DIV (n_seqs * 512)"))
+          .otherwise(lit(0L)).as("fill_ppm"))
+      .orderBy($"lang")
+  }
+
   private def boundaryPackCensus(s: org.apache.spark.sql.SparkSession,
       d: String, bfd: Boolean): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -1568,22 +1694,7 @@ object CorpusOpsQueries extends QueryPack {
       .select($"doc_id", $"lang")
     val perDoc0 = q223PerDoc(s, d).where($"toks" > 0)
       .join(lang, Seq("doc_id"))
-    // dense language id: O(langs) frame, the repo-blessed bounded
-    // unpartitioned window (world languages, not corpus-tracking)
-    val langDim = perDoc0.select($"lang").distinct()
-      .withColumn("lid", row_number().over(Window.orderBy($"lang"))
-        .cast("long"))
-    val hk = graft.functions.DedupFunctions.hash32(
-      concat(lit("bpack:"), $"doc_id".cast("string")))
-    val keyed = perDoc0.join(broadcast(langDim), Seq("lang"))
-      .withColumn("hk", hk)
-      .withColumn("key", $"lid" * lit(4294967296L) + $"hk")
-    val ranked = DistributedRank.withRowNumber(keyed, "rn", $"key",
-      $"doc_id")
-    val minRn = ranked.groupBy($"lang").agg(min($"rn").as("rn0"))
-    val perDoc = ranked.join(broadcast(minRn), Seq("lang"))
-      .select($"lang", expr("(rn - rn0) DIV 64").as("bucket"),
-        ($"rn" - $"rn0").as("ord1"), $"doc_id", $"toks")
+    val perDoc = packKeyed(perDoc0)
     val packed = graft.operators.SeqPacker
       .packDocs(perDoc, 512, bfd = bfd).toDF()
     val perSeq = packed.groupBy($"lang", $"bucket", $"seq")
@@ -2070,6 +2181,7 @@ object CorpusOpsQueries extends QueryPack {
   }
 
   val queries: Map[String, Q] = Map(
+    "q246_export_manifest" -> q246,
     "q243_bfd_pack" -> q243,
     "q240_boundary_pack" -> q240,
     "q239_pack_purity" -> q239,
@@ -3164,6 +3276,56 @@ object CorpusOpsQueries extends QueryPack {
          |    ON o.lang = st.lang AND o.bucket = st.bucket
          |   AND o.pos = st.pos + 1),
          |$packCensusTail""".stripMargin,
+    "q246_export_manifest" -> {
+      // every stage's oracle text is the already-proven one: trainer
+      // CTEs + unrolled GD rounds shared with q242 (TextQueries),
+      // prefixed BPE-count CTEs + bucket prefix + BFD recursion shared
+      // with q243; only the whole-corpus scoring (atoks/af/ascore) and
+      // the O(langs) manifest tail are new text.
+      import graft.operators.HashedLinearModel.duckBucket
+      s"""WITH RECURSIVE ${TextQueries.duckLogregTrainCtes("doc_id % 7 <> 0")},
+         |${TextQueries.duckGdRounds(8)},
+         |atoks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM docs),
+         |af AS (
+         |  SELECT DISTINCT doc_id, ${duckBucket("tok", 1024)} AS b, 1 AS c
+         |  FROM atoks
+         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM atoks),
+         |ascore AS (
+         |  SELECT af.doc_id, CAST(sum(af.c * coalesce(w.w, 0)) AS BIGINT) AS lw
+         |  FROM af LEFT JOIN w8 w ON af.b = w.b GROUP BY af.doc_id),
+         |kept AS (SELECT doc_id FROM ascore WHERE lw <= 0),
+         |${packCntCtesP("p_")},
+         |${packBucketCtesP("p_cnt", " JOIN kept k USING (doc_id)")},
+         |$bfdOrdStCtes,
+         |perseq AS (
+         |  SELECT lang, bucket, seq, CAST(sum(size) AS BIGINT) AS seq_tok
+         |  FROM st GROUP BY 1, 2, 3),
+         |pl AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_seqs,
+         |    CAST(sum(seq_tok) AS BIGINT) AS sum_tokens
+         |  FROM perseq GROUP BY 1),
+         |inp AS (
+         |  SELECT d2.lang, CAST(count(*) AS BIGINT) AS n_input
+         |  FROM docs JOIN documents d2 USING (doc_id) GROUP BY 1),
+         |kl AS (
+         |  SELECT d2.lang, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept
+         |  JOIN docs USING (doc_id)
+         |  JOIN documents d2 USING (doc_id) GROUP BY 1)
+         |SELECT i.lang, n_input,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  n_input - coalesce(n_kept, 0) AS n_dropped,
+         |  coalesce(n_seqs, 0) AS n_seqs,
+         |  coalesce(sum_tokens, 0) AS sum_tokens,
+         |  CASE WHEN coalesce(n_seqs, 0) > 0
+         |       THEN sum_tokens * 1000000 // (n_seqs * 512)
+         |       ELSE 0 END AS fill_ppm
+         |FROM inp i LEFT JOIN kl USING (lang) LEFT JOIN pl USING (lang)
+         |ORDER BY lang""".stripMargin
+    },
     "q243_bfd_pack" ->
       // best-fit-decreasing replayed as the SAME lockstep recursion
       // with the open-remainder LIST as state: best fit = list_min of
@@ -3172,29 +3334,7 @@ object CorpusOpsQueries extends QueryPack {
       // a fresh sequence. DuckDB-1.0-safe (no index lambdas).
       s"""WITH RECURSIVE $packCntCtes,
          |$packBucketCtes,
-         |ord AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY lang, bucket
-         |    ORDER BY size DESC, rnl0, pidx) AS pos
-         |  FROM pc),
-         |st AS (
-         |  SELECT lang, bucket, pos, doc_id, size,
-         |    CAST(0 AS BIGINT) AS seq,
-         |    [CAST(512 - size AS BIGINT)] AS rems
-         |  FROM ord WHERE pos = 1
-         |  UNION ALL
-         |  SELECT o.lang, o.bucket, o.pos, o.doc_id, o.size,
-         |    CASE WHEN $bfdFit IS NULL THEN CAST(len(st.rems) AS BIGINT)
-         |         ELSE CAST($bfdPos - 1 AS BIGINT) END,
-         |    CASE WHEN $bfdFit IS NULL
-         |         THEN list_concat(st.rems, [CAST(512 - o.size AS BIGINT)])
-         |         ELSE list_concat(list_concat(
-         |            st.rems[1:$bfdPos - 1],
-         |            [$bfdFit - o.size]),
-         |            st.rems[$bfdPos + 1:]) END
-         |  FROM st JOIN ord o
-         |    ON o.lang = st.lang AND o.bucket = st.bucket
-         |   AND o.pos = st.pos + 1),
+         |$bfdOrdStCtes,
          |$packCensusTail""".stripMargin,
     "q223d1_pack_toks" ->
       s"""WITH $packCntCtes

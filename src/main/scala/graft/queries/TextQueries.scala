@@ -1572,7 +1572,7 @@ object TextQueries extends QueryPack {
     * can never drift apart (the q223-sentinel sharing rule). Constants
     * are LogReg's lattice: M = 2^20, σ_h half/slope, clamp 2^24,
     * η = 2^2 halving per round. */
-  private def duckGdRounds(iters: Int): String = {
+  private[queries] def duckGdRounds(iters: Int): String = {
     val m = 1L << 20
     val half = 1L << 19
     val slope = 1L << 10 // 2^(MScale - WScale - 2)
@@ -1603,6 +1603,46 @@ object TextQueries extends QueryPack {
     }.mkString(",\n")
   }
 
+  /** Shared q242/q246 oracle machinery: the train-slice label/feature/
+    * normalizer CTE chain (docs, tr, toks, f, cls, nn, wts, lf, wtot,
+    * w0) feeding [[duckGdRounds]] — parameterized ONLY by the
+    * train-slice predicate, so the trainer the held-out eval replays
+    * and the trainer the export flagship replays are one text. */
+  private[queries] def duckLogregTrainCtes(slice: String): String = {
+    import graft.operators.HashedLinearModel.duckBucket
+    val dims = 1024
+    val m = 1L << 20
+    s"""docs AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CASE WHEN list_contains(
+       |      regexp_split_to_array(trim(text), '\\s+'), 'dup')
+       |      THEN 1 ELSE 0 END AS y,
+       |    text
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+       |    AND source IS NOT NULL),
+       |tr AS MATERIALIZED (SELECT * FROM docs WHERE $slice),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM tr),
+       |f AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
+       |  FROM toks
+       |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM toks),
+       |cls AS (SELECT y, count(*) AS ny FROM tr GROUP BY y),
+       |nn AS (SELECT count(*) AS n FROM tr),
+       |wts AS (SELECT y, (n * 8) // (2 * ny) AS wt FROM cls, nn),
+       |lf AS MATERIALIZED (
+       |  SELECT f.doc_id, f.b, f.c, d.y * $m AS ym, w.wt
+       |  FROM f JOIN tr d USING (doc_id) JOIN wts w USING (y)),
+       |wtot AS (
+       |  SELECT CAST(sum(w.wt) AS BIGINT) AS wtot
+       |  FROM tr d JOIN wts w USING (y)),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+       |       WHERE false)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q242_trained_eval" -> {
       // q222's training replay with every training CTE filtered to the
@@ -1613,37 +1653,8 @@ object TextQueries extends QueryPack {
       import graft.operators.HashedLinearModel.duckBucket
       val dims = 1024
       val iters = 8
-      val m = 1L << 20
       val rounds = duckGdRounds(iters)
-      s"""WITH docs AS MATERIALIZED (
-         |  SELECT doc_id, source,
-         |    CASE WHEN list_contains(
-         |      regexp_split_to_array(trim(text), '\\s+'), 'dup')
-         |      THEN 1 ELSE 0 END AS y,
-         |    text
-         |  FROM documents
-         |  WHERE text IS NOT NULL AND doc_id IS NOT NULL
-         |    AND source IS NOT NULL),
-         |tr AS MATERIALIZED (SELECT * FROM docs WHERE doc_id % 7 <> 0),
-         |toks AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-         |  FROM tr),
-         |f AS MATERIALIZED (
-         |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
-         |  FROM toks
-         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM toks),
-         |cls AS (SELECT y, count(*) AS ny FROM tr GROUP BY y),
-         |nn AS (SELECT count(*) AS n FROM tr),
-         |wts AS (SELECT y, (n * 8) // (2 * ny) AS wt FROM cls, nn),
-         |lf AS MATERIALIZED (
-         |  SELECT f.doc_id, f.b, f.c, d.y * $m AS ym, w.wt
-         |  FROM f JOIN tr d USING (doc_id) JOIN wts w USING (y)),
-         |wtot AS (
-         |  SELECT CAST(sum(w.wt) AS BIGINT) AS wtot
-         |  FROM tr d JOIN wts w USING (y)),
-         |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
-         |       WHERE false),
+      s"""WITH ${duckLogregTrainCtes("doc_id % 7 <> 0")},
          |$rounds,
          |ev AS MATERIALIZED (SELECT * FROM docs WHERE doc_id % 7 = 0),
          |etoks AS (
