@@ -1522,7 +1522,68 @@ object TextQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** Threshold-CALIBRATION sweep for the trained gate — the step
+    * between q242's fixed-τ confusion report and shipping a filter:
+    * FineWeb-Edu publishes precision/recall at a swept score threshold
+    * and picks τ where precision holds (3 in their 0–5 grade scale);
+    * this query computes the whole curve in one pass. Train exactly as
+    * q242 (doc_id % 7 ≠ 0 slice, 8 unrolled GD rounds — oracle CTEs
+    * byte-shared via [[duckLogregTrainCtes]]/[[duckGdRounds]], the
+    * q223-sentinel sharing rule), score the UNSEEN slice once, then
+    * cross-join the O(1) dyadic threshold ladder (9 exact lattice
+    * integers spanning the clamp range — no data-derived quantiles, so
+    * the ladder is engine-free text) and aggregate exact global
+    * confusion counts per τ. keep = logit_w ≥ τ, so τ = 0 reproduces
+    * q242's totals by construction (cross-checked in the spec).
+    *
+    * Scale shape: the trainer is q242's (fixed rounds, O(dims) model
+    * broadcasts, checkpointed features); the sweep adds ONE broadcast
+    * of a 9-row literal frame and one grouped agg over |eval| × 9
+    * rows — never a per-threshold rescan. Output O(thresholds). */
+  private val q247: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.LogReg
+    val DIMS = 1024
+    val ITERS = 8
+    val docs = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull && $"source".isNotNull)
+      .select($"doc_id", $"source",
+        array_contains(tokens($"text"), "dup").cast("long").as("y"),
+        $"text")
+    val train = docs.where($"doc_id" % 7 =!= 0)
+    val eval = docs.where($"doc_id" % 7 === 0)
+    val trToks = train.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val trFeats = LogReg.features(trToks, "doc_id", "tok", DIMS, binary = true)
+    val labels = LogReg.balancedLabels(train.select($"doc_id", $"y"), "doc_id")
+    val w = LogReg.train(trFeats, labels, "doc_id",
+      iters = ITERS, etaLog2 = 2, decay = true, weightCol = Some("wt"))
+    val evToks = eval.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val evFeats = LogReg.features(evToks, "doc_id", "tok", DIMS, binary = true)
+    val scored = LogReg.score(evFeats, w, "doc_id")
+      .join(eval.select($"doc_id", $"y"), Seq("doc_id"))
+    val taus = calibrationTaus.toDF("tau")
+    scored.crossJoin(broadcast(taus))
+      .select($"tau", $"y",
+        ($"logit_w" >= $"tau").cast("long").as("kept"))
+      .groupBy($"tau")
+      .agg(sum($"kept").as("n_keep"),
+        sum($"kept" * $"y").as("tp"),
+        sum($"kept" * (lit(1L) - $"y")).as("fp"),
+        sum((lit(1L) - $"kept") * $"y").as("fn"),
+        sum((lit(1L) - $"kept") * (lit(1L) - $"y")).as("tn"))
+      .orderBy($"tau")
+  }
+
+  /** The q247 threshold ladder: exact dyadic lattice integers spanning
+    * LogReg's ±2^24 weight clamp at logit grain — fixed text on both
+    * engines (never data-derived), ONE definition so the Spark frame
+    * and the oracle VALUES list cannot drift. */
+  private[queries] val calibrationTaus: Seq[Long] =
+    Seq(-(1L << 20), -(1L << 16), -(1L << 12), -(1L << 8), 0L,
+      1L << 8, 1L << 12, 1L << 16, 1L << 20)
+
   val queries: Map[String, Q] = Map(
+    "q247_gate_calibration" -> q247,
     "q242_trained_eval" -> q242,
     "q222_trained_filter" -> q222,
     "q189_heaps_growth" -> q189,
@@ -1644,6 +1705,45 @@ object TextQueries extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "q247_gate_calibration" -> {
+      // q242's training replay (CTE text byte-shared via
+      // duckLogregTrainCtes/duckGdRounds) + the scoring tail, swept
+      // over the calibrationTaus VALUES ladder; every output column
+      // CAST BIGINT (the q223 HUGEINT rule — sums over ints go
+      // HUGEINT in DuckDB and a value-hashing checker splits on the
+      // float64 render)
+      import graft.operators.HashedLinearModel.duckBucket
+      val dims = 1024
+      val iters = 8
+      val rounds = duckGdRounds(iters)
+      val tauValues = calibrationTaus.map(t => s"($t)").mkString(", ")
+      s"""WITH ${duckLogregTrainCtes("doc_id % 7 <> 0")},
+         |$rounds,
+         |ev AS MATERIALIZED (SELECT * FROM docs WHERE doc_id % 7 = 0),
+         |etoks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM ev),
+         |ef AS (
+         |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
+         |  FROM etoks
+         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM etoks),
+         |sc AS (
+         |  SELECT ef.doc_id, CAST(sum(ef.c * coalesce(w.w, 0)) AS BIGINT) AS lw
+         |  FROM ef LEFT JOIN w$iters w ON ef.b = w.b GROUP BY ef.doc_id),
+         |taus(tau) AS (VALUES $tauValues),
+         |j AS (
+         |  SELECT t.tau, d.y,
+         |    CASE WHEN sc.lw >= t.tau THEN 1 ELSE 0 END AS kept
+         |  FROM sc JOIN ev d USING (doc_id) CROSS JOIN taus t)
+         |SELECT CAST(tau AS BIGINT) AS tau,
+         |  CAST(sum(kept) AS BIGINT) AS n_keep,
+         |  CAST(sum(kept * y) AS BIGINT) AS tp,
+         |  CAST(sum(kept * (1 - y)) AS BIGINT) AS fp,
+         |  CAST(sum((1 - kept) * y) AS BIGINT) AS fn,
+         |  CAST(sum((1 - kept) * (1 - y)) AS BIGINT) AS tn
+         |FROM j GROUP BY tau ORDER BY tau""".stripMargin
+    },
     "q242_trained_eval" -> {
       // q222's training replay with every training CTE filtered to the
       // doc_id % 7 <> 0 slice (mod 7: coprime with the fixture's
