@@ -105,7 +105,8 @@ object ScaleProbe {
       "q238_exposed_evals", "q239_pack_purity",
       "q240_boundary_pack", "q241_forget_census", "q242_trained_eval",
       "q243_bfd_pack", "q244_sql_variant", "q245_sql_session_vars",
-      "q246_export_manifest", "q247_gate_calibration")
+      "q246_export_manifest", "q247_gate_calibration",
+      "q248_calibrated_release")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

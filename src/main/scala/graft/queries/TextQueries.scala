@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -1542,6 +1542,16 @@ object TextQueries extends QueryPack {
     * rows — never a per-threshold rescan. Output O(thresholds). */
   private val q247: Q = (s, d) => {
     import s.implicits._
+    calibrationParts(s, d)._3.orderBy($"tau")
+  }
+
+  /** Shared q247/q248 machinery: (labeled docs, trained weights,
+    * unordered per-τ confusion sweep) — one definition so the curve
+    * q248 selects its operating point from is EXACTLY the curve q247
+    * reports (the duckGdRounds sharing rule, Spark-side). */
+  private def calibrationParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
     import graft.operators.LogReg
     val DIMS = 1024
     val ITERS = 8
@@ -1562,7 +1572,7 @@ object TextQueries extends QueryPack {
     val scored = LogReg.score(evFeats, w, "doc_id")
       .join(eval.select($"doc_id", $"y"), Seq("doc_id"))
     val taus = calibrationTaus.toDF("tau")
-    scored.crossJoin(broadcast(taus))
+    val sweep = scored.crossJoin(broadcast(taus))
       .select($"tau", $"y",
         ($"logit_w" >= $"tau").cast("long").as("kept"))
       .groupBy($"tau")
@@ -1571,7 +1581,61 @@ object TextQueries extends QueryPack {
         sum($"kept" * (lit(1L) - $"y")).as("fp"),
         sum((lit(1L) - $"kept") * $"y").as("fn"),
         sum((lit(1L) - $"kept") * (lit(1L) - $"y")).as("tn"))
-      .orderBy($"tau")
+    (docs, w, sweep)
+  }
+
+  /** CALIBRATED release — the sweep→ship closure over q247: q247
+    * reports the detector's precision/recall curve; this query SELECTS
+    * the operating point and gates the corpus with it, the step
+    * FineWeb-Edu performs between publishing the threshold sweep and
+    * releasing the filtered corpus. The rule is exact-integer (never a
+    * float ratio): τ* = the qualifying threshold — detector precision
+    * ≥ 3/4 as the cross-multiplication 4·tp ≥ 3·(tp+fp) — that catches
+    * the most dups (max tp, ties to the smallest τ); if NO threshold
+    * qualifies the release falls back to the most conservative ladder
+    * point (max τ — flag least, ship most, a deliberate choice the
+    * scaladoc of the fallback row records). The WHOLE corpus (train +
+    * eval slices — the release is everything) is then scored with the
+    * learned weights and docs with logit_w ≥ τ* are flagged as
+    * dup-like; the manifest reports per source: docs scored, flagged,
+    * released, released token mass, and τ* itself (so the selection
+    * rule is oracle-checked, not just the census).
+    *
+    * Scale shape: trainer + sweep are q247's (fixed rounds, O(dims)
+    * model broadcasts); τ* lives on a ≤9-row frame reduced to ONE row
+    * and broadcast (1-row stat — the broadcast-audit-rule exemption);
+    * corpus scoring is ONE tokenizing scan; census output O(sources).
+    * Oracle: trainer/sweep CTEs byte-shared with q242/q247
+    * ([[duckLogregTrainCtes]]/[[duckGdRounds]]), the selection a
+    * scalar subquery over the shared sweep text. */
+  private val q248: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.LogReg
+    val DIMS = 1024
+    val (docs, w, sweep) = calibrationParts(s, d)
+    val qual = sweep
+      .where(lit(4L) * $"tp" >= lit(3L) * ($"tp" + $"fp"))
+      .orderBy($"tp".desc, $"tau".asc).limit(1)
+      .select($"tau", lit(0L).as("pri"))
+    // fallback: max-τ ladder point (flag least) when nothing qualifies
+    val fallback = Seq((calibrationTaus.max, 1L)).toDF("tau", "pri")
+    val tauStar = qual.union(fallback).orderBy($"pri").limit(1).select($"tau")
+    val allToks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+    val allFeats = LogReg.features(allToks, "doc_id", "tok", DIMS, binary = true)
+    val scoredAll = LogReg.score(allFeats, w, "doc_id")
+    docs.select($"doc_id", $"source",
+        size(tokens($"text")).cast("long").as("ntok"))
+      .join(scoredAll, Seq("doc_id"))
+      .crossJoin(broadcast(tauStar))
+      .select($"source", $"ntok", $"tau",
+        ($"logit_w" >= $"tau").cast("long").as("flagged"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"flagged").as("n_flagged"),
+        sum(lit(1L) - $"flagged").as("n_released"),
+        sum((lit(1L) - $"flagged") * $"ntok").as("released_tokens"),
+        min($"tau").as("tau_star"))
+      .orderBy($"source")
   }
 
   /** The q247 threshold ladder: exact dyadic lattice integers spanning
@@ -1583,6 +1647,7 @@ object TextQueries extends QueryPack {
       1L << 8, 1L << 12, 1L << 16, 1L << 20)
 
   val queries: Map[String, Q] = Map(
+    "q248_calibrated_release" -> q248,
     "q247_gate_calibration" -> q247,
     "q242_trained_eval" -> q242,
     "q222_trained_filter" -> q222,
@@ -1704,45 +1769,92 @@ object TextQueries extends QueryPack {
        |       WHERE false)""".stripMargin
   }
 
+  /** Shared q247/q248 oracle machinery: the trainer replay
+    * ([[duckLogregTrainCtes]]/[[duckGdRounds]], byte-shared with
+    * q242/q246) + held-out scoring + the calibrationTaus VALUES ladder
+    * + the per-(τ, doc) keep frame `j` — ONE text, so the curve q248's
+    * selection rule reads is exactly the curve q247 reports. Every
+    * downstream sum CAST BIGINT (the q223 HUGEINT rule). */
+  private def duckCalibrationCtes: String = {
+    import graft.operators.HashedLinearModel.duckBucket
+    val dims = 1024
+    val iters = 8
+    val rounds = duckGdRounds(iters)
+    val tauValues = calibrationTaus.map(t => s"($t)").mkString(", ")
+    s"""${duckLogregTrainCtes("doc_id % 7 <> 0")},
+       |$rounds,
+       |ev AS MATERIALIZED (SELECT * FROM docs WHERE doc_id % 7 = 0),
+       |etoks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM ev),
+       |ef AS (
+       |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
+       |  FROM etoks
+       |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM etoks),
+       |sc AS (
+       |  SELECT ef.doc_id, CAST(sum(ef.c * coalesce(w.w, 0)) AS BIGINT) AS lw
+       |  FROM ef LEFT JOIN w$iters w ON ef.b = w.b GROUP BY ef.doc_id),
+       |taus(tau) AS (VALUES $tauValues),
+       |j AS (
+       |  SELECT t.tau, d.y,
+       |    CASE WHEN sc.lw >= t.tau THEN 1 ELSE 0 END AS kept
+       |  FROM sc JOIN ev d USING (doc_id) CROSS JOIN taus t)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "q247_gate_calibration" -> {
-      // q242's training replay (CTE text byte-shared via
-      // duckLogregTrainCtes/duckGdRounds) + the scoring tail, swept
-      // over the calibrationTaus VALUES ladder; every output column
-      // CAST BIGINT (the q223 HUGEINT rule — sums over ints go
-      // HUGEINT in DuckDB and a value-hashing checker splits on the
-      // float64 render)
-      import graft.operators.HashedLinearModel.duckBucket
-      val dims = 1024
-      val iters = 8
-      val rounds = duckGdRounds(iters)
-      val tauValues = calibrationTaus.map(t => s"($t)").mkString(", ")
-      s"""WITH ${duckLogregTrainCtes("doc_id % 7 <> 0")},
-         |$rounds,
-         |ev AS MATERIALIZED (SELECT * FROM docs WHERE doc_id % 7 = 0),
-         |etoks AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-         |  FROM ev),
-         |ef AS (
-         |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
-         |  FROM etoks
-         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM etoks),
-         |sc AS (
-         |  SELECT ef.doc_id, CAST(sum(ef.c * coalesce(w.w, 0)) AS BIGINT) AS lw
-         |  FROM ef LEFT JOIN w$iters w ON ef.b = w.b GROUP BY ef.doc_id),
-         |taus(tau) AS (VALUES $tauValues),
-         |j AS (
-         |  SELECT t.tau, d.y,
-         |    CASE WHEN sc.lw >= t.tau THEN 1 ELSE 0 END AS kept
-         |  FROM sc JOIN ev d USING (doc_id) CROSS JOIN taus t)
+    "q247_gate_calibration" ->
+      s"""WITH $duckCalibrationCtes
          |SELECT CAST(tau AS BIGINT) AS tau,
          |  CAST(sum(kept) AS BIGINT) AS n_keep,
          |  CAST(sum(kept * y) AS BIGINT) AS tp,
          |  CAST(sum(kept * (1 - y)) AS BIGINT) AS fp,
          |  CAST(sum((1 - kept) * y) AS BIGINT) AS fn,
          |  CAST(sum((1 - kept) * (1 - y)) AS BIGINT) AS tn
-         |FROM j GROUP BY tau ORDER BY tau""".stripMargin
+         |FROM j GROUP BY tau ORDER BY tau""".stripMargin,
+    "q248_calibrated_release" -> {
+      // sweep/selection over the SHARED calibration CTEs, then one
+      // full-corpus scoring pass (af/asc0 mirror ef/sc over `docs`)
+      // and the per-source release census; τ* selection is exact
+      // integer cross-multiplication (precision ≥ 3/4 ⇔ 4·tp ≥
+      // 3·(tp+fp)), fallback = max ladder point when none qualifies
+      import graft.operators.HashedLinearModel.duckBucket
+      val dims = 1024
+      val iters = 8
+      s"""WITH $duckCalibrationCtes,
+         |sweep AS (
+         |  SELECT CAST(tau AS BIGINT) AS tau,
+         |    CAST(sum(kept * y) AS BIGINT) AS tp,
+         |    CAST(sum(kept * (1 - y)) AS BIGINT) AS fp
+         |  FROM j GROUP BY tau),
+         |sel AS (
+         |  SELECT CAST(coalesce(
+         |    (SELECT tau FROM sweep WHERE 4 * tp >= 3 * (tp + fp)
+         |     ORDER BY tp DESC, tau ASC LIMIT 1),
+         |    ${calibrationTaus.max}) AS BIGINT) AS tau),
+         |atoks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM docs),
+         |af AS (
+         |  SELECT DISTINCT doc_id, ${duckBucket("tok", dims)} AS b, 1 AS c
+         |  FROM atoks
+         |  UNION ALL SELECT DISTINCT doc_id, -1 AS b, 1 AS c FROM atoks),
+         |asc0 AS (
+         |  SELECT af.doc_id, CAST(sum(af.c * coalesce(w.w, 0)) AS BIGINT) AS lw
+         |  FROM af LEFT JOIN w$iters w ON af.b = w.b GROUP BY af.doc_id),
+         |rel AS (
+         |  SELECT d.source, s.tau,
+         |    CASE WHEN a.lw >= s.tau THEN 1 ELSE 0 END AS flagged,
+         |    len(regexp_split_to_array(trim(d.text), '\\s+')) AS ntok
+         |  FROM asc0 a JOIN docs d USING (doc_id) CROSS JOIN sel s)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+         |  CAST(sum(1 - flagged) AS BIGINT) AS n_released,
+         |  CAST(sum((1 - flagged) * ntok) AS BIGINT) AS released_tokens,
+         |  CAST(min(tau) AS BIGINT) AS tau_star
+         |FROM rel GROUP BY source ORDER BY source""".stripMargin
     },
     "q242_trained_eval" -> {
       // q222's training replay with every training CTE filtered to the

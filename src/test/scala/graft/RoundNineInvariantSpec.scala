@@ -38,4 +38,36 @@ class RoundNineInvariantSpec extends SparkSpec {
     assert((zero._3, zero._4, zero._5, zero._6) == ((tp, fp, fn, tn)),
       "τ=0 must reproduce q242's confusion totals")
   }
+
+  test("q248: census partitions, τ* is constant, on the ladder, and " +
+    "replays the selection rule over q247's curve") {
+    val s = spark
+    import s.implicits._
+    val rel = SparkEntry.queries("q248_calibrated_release")(s, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rel.nonEmpty, "empty release census")
+    rel.foreach { case (src, nDocs, nFlag, nRel, relTok, _) =>
+      assert(nFlag + nRel == nDocs, s"$src: flagged+released != docs")
+      assert(nFlag >= 0 && nRel >= 0 && relTok >= 0, s"$src: negative count")
+      assert(relTok >= nRel, s"$src: released docs must carry >= 1 token each " +
+        "(whitespace tokenizer yields >= 1 token per non-null text)")
+    }
+    val taus = rel.map(_._6).distinct
+    assert(taus.length == 1, "τ* must be one global operating point")
+    val ladder = Seq(-(1L << 20), -(1L << 16), -(1L << 12), -(1L << 8), 0L,
+      1L << 8, 1L << 12, 1L << 16, 1L << 20)
+    assert(ladder.contains(taus.head), "τ* must be a ladder point")
+    // replay the selection rule (precision >= 3/4 via exact integer
+    // cross-multiplication; max tp, ties to smallest τ; fallback max τ)
+    // over q247's published curve — the two queries must agree
+    val curve = SparkEntry.queries("q247_gate_calibration")(s, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val qual = curve.filter { case (_, _, tp2, fp2, _, _) =>
+      4 * tp2 >= 3 * (tp2 + fp2) }
+    val expect =
+      if (qual.isEmpty) ladder.max
+      else qual.maxBy { case (t, _, tp2, _, _, _) => (tp2, -t) }._1
+    assert(taus.head == expect,
+      s"τ* ${taus.head} disagrees with the rule replayed on q247 ($expect)")
+  }
 }
