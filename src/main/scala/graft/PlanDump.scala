@@ -76,7 +76,8 @@ object PlanDump {
     "q237_token_entropy" -> "entropy gate: one tokenizing scan, per-(doc,tok) counts, two doc-keyed hash aggs; histogram terms close as micro-units of exact-integer log2 BEFORE the cross-row sum — nothing leaves the doc key until the O(langs*bands) census",
     "q239_pack_purity" -> "packing purity: q223's narrow tokenize + bucket-exchange prefix sum; sequence membership is a bounded per-doc range explode (toks DIV 512 + 2 rows), never a token-level join; two hash aggs close the census",
     "q247_gate_calibration" -> "gate calibration sweep: q242's fixed-round trainer (O(dims) model broadcasts over checkpointed features) scores the held-out slice ONCE; the 9-threshold ladder is a broadcast literal crossJoin into a single hash agg — never a per-threshold rescan",
-    "q248_calibrated_release" -> "calibrated release: τ* reduced from the ≤9-row sweep and broadcast as a 1-row frame; full-corpus scoring is ONE tokenizing scan against the O(dims) model; census closes per source — the sweep never rescans the corpus")
+    "q248_calibrated_release" -> "calibrated release: τ* reduced from the ≤9-row sweep and broadcast as a 1-row frame; full-corpus scoring is ONE tokenizing scan against the O(dims) model; census closes per source — the sweep never rescans the corpus",
+    "q249_shard_export" -> "shard export round trip: q240's pack + ONE hash-repartitioned partitioned write (no small-file explosion), manifest agg, and a read-back census whose scan lists the (lang, bucket) partition columns — file data and manifest meet in one O(shards) join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

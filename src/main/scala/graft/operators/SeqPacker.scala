@@ -159,4 +159,91 @@ object SeqPacker {
         col("doc_id").as("docId"), col("size")).as[Piece]
     if (bfd) packBfd(ps, cap) else pack(ps, cap)
   }
+
+  // ---- shard export (write/read the packed corpus) -------------------
+
+  /** Read-side schemas — passed explicitly so an EMPTY export (no data
+    * files, only directory markers) still reads back as an empty frame
+    * instead of failing parquet schema inference. `lang`/`bucket` are
+    * the partition columns of the data layout. */
+  val shardSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ord1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ord2",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("docId",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("size",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+
+  val manifestSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_seqs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("checksum",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Order-free per-shard content fingerprint: XOR of a 64-bit hash of
+    * every placement row. Commutative (safe under any read order /
+    * file split), collision-negligible for corruption detection, and
+    * cheap — one codegen'd hash per row inside the manifest agg. */
+  def pieceChecksum: org.apache.spark.sql.Column =
+    bit_xor(xxhash64(concat_ws(":", col("ord1"), col("ord2"),
+      col("docId"), col("size"), col("seq"))))
+
+  /** Per-(lang, bucket) manifest of a packed frame: piece/sequence/
+    * token mass plus the [[pieceChecksum]] fingerprint. */
+  def manifest(packed: DataFrame): DataFrame =
+    packed.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("seq")).as("n_seqs"),
+        sum(col("size")).as("sum_tokens"),
+        pieceChecksum.as("checksum"))
+
+  /** Writes the packed corpus as the TRAINING-EXPORT layout: placement
+    * rows under `outDir/data`, hash-partitioned and directory-
+    * partitioned by (lang, bucket) — one shard per 64-doc pack bucket,
+    * so a trainer reads any shard independently and a census prunes on
+    * the partition columns — plus the per-shard [[manifest]] under
+    * `outDir/manifest`. Crash safety is the VectorIndex swap pattern:
+    * everything builds under `outDir.tmp`, then one atomic rename
+    * replaces `outDir`; a rerun after ANY failure converges (stale tmp
+    * deleted first), and a rerun after success is a clean rewrite of
+    * identical content — retry-idempotent, never a partial export. */
+  def writeShards(packed: Dataset[Placed], outDir: String): Unit = {
+    val spark = packed.sparkSession
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    val tmp = new org.apache.hadoop.fs.Path(outDir + ".tmp")
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    val df = packed.toDF()
+    df.repartition(col("lang"), col("bucket"))
+      .write.partitionBy("lang", "bucket")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
+    manifest(df).coalesce(1)
+      .write.parquet(new org.apache.hadoop.fs.Path(tmp, "manifest").toString)
+    fs.delete(out, true)
+    require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+  }
+
+  /** Reads an export back: (placement rows, manifest). Explicit
+    * schemas — see [[shardSchema]]. */
+  def readShards(spark: SparkSession, dir: String): (DataFrame, DataFrame) = (
+    spark.read.schema(shardSchema).parquet(s"$dir/data"),
+    spark.read.schema(manifestSchema).parquet(s"$dir/manifest"))
 }

@@ -1379,6 +1379,27 @@ object CorpusOpsQueries extends QueryPack {
       .stripMargin
   private lazy val packBucketCtes: String = packBucketCtesP("cnt", "")
 
+  /** Shared q240/q249 NEXT-FIT recursion (ord over `pc`, O(1)-state
+    * lockstep — all (lang, bucket) groups advance one within-bucket
+    * position per step). */
+  private lazy val nextFitOrdStCtes: String =
+    s"""ord AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY lang, bucket ORDER BY rnl0, pidx) AS pos
+       |  FROM pc),
+       |st AS (
+       |  SELECT lang, bucket, pos, doc_id, size,
+       |    CAST(0 AS BIGINT) AS seq, CAST(512 - size AS BIGINT) AS rem
+       |  FROM ord WHERE pos = 1
+       |  UNION ALL
+       |  SELECT o.lang, o.bucket, o.pos, o.doc_id, o.size,
+       |    CASE WHEN o.size <= st.rem THEN st.seq ELSE st.seq + 1 END,
+       |    CASE WHEN o.size <= st.rem THEN st.rem - o.size
+       |         ELSE 512 - o.size END
+       |  FROM st JOIN ord o
+       |    ON o.lang = st.lang AND o.bucket = st.bucket
+       |   AND o.pos = st.pos + 1)""".stripMargin
+
   /** Shared q243/q246 BFD recursion (ord over `pc`, best-fit lockstep
     * with the open-remainder LIST as state). */
   private lazy val bfdOrdStCtes: String =
@@ -1592,6 +1613,58 @@ object CorpusOpsQueries extends QueryPack {
     * recursion with the open-remainder LIST as state (list_min ∘
     * list_filter = best fit, list_position = lowest-index tie). */
   private val q243: Q = (s, d) => boundaryPackCensus(s, d, bfd = true)
+
+  /** Shard-export ROUND TRIP — the missing last step of the export
+    * family, made driver-visible: q223/q240/q246 all COMPUTE shards
+    * but nothing ever wrote them; [[graft.operators.SeqPacker
+    * .writeShards]] persists the packed corpus in the training-export
+    * layout (placement rows directory-partitioned by (lang, bucket) —
+    * one shard per pack bucket — plus a per-shard manifest with an
+    * order-free XOR fingerprint, built under a tmp dir and swapped in
+    * by one rename: the VectorIndex crash-safety pattern). This query
+    * packs exactly as q240 (next-fit; shared keying), WRITES the
+    * export to a deterministic scratch dir, reads both layers back
+    * FROM DISK, and reports the manifest census per shard with `ok` =
+    * 1 iff the re-read files reproduce the manifest (pieces, distinct
+    * sequences, token mass, XOR fingerprint). The oracle replays the
+    * pack (prefix/recursion text shared verbatim with q240) and pins
+    * `ok` = 1 — any write/read infidelity turns the row red.
+    *
+    * Scale shape: q240's pack + one partitioned write (hash-
+    * repartitioned on the partition key, so no small-file explosion),
+    * one manifest agg, one read-back census that prunes on partition
+    * columns. Output O(shards). */
+  private val q249: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.SeqPacker
+    val lang = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id", $"lang")
+    val perDoc0 = q223PerDoc(s, d).where($"toks" > 0)
+      .join(lang, Seq("doc_id"))
+    val packed = SeqPacker.packDocs(packKeyed(perDoc0), 512)
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_shards_q249").toString
+    SeqPacker.writeShards(packed, tmp)
+    val (files, man) = SeqPacker.readShards(s, tmp)
+    val census = files.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("f_pieces"),
+        countDistinct($"seq").as("f_seqs"),
+        sum($"size").as("f_tokens"),
+        SeqPacker.pieceChecksum.as("f_sum"))
+    // full join: divergence in EITHER direction must surface as a row
+    // the literal oracle cannot match
+    man.join(census, Seq("lang", "bucket"), "full")
+      .select($"lang", $"bucket".as("shard"),
+        $"n_pieces", $"n_seqs", $"sum_tokens",
+        expr("sum_tokens * 1000000 DIV (n_seqs * 512)").as("fill_ppm"),
+        (coalesce($"f_pieces", lit(-1L)) === $"n_pieces" &&
+          coalesce($"f_seqs", lit(-1L)) === $"n_seqs" &&
+          coalesce($"f_tokens", lit(-1L)) === $"sum_tokens" &&
+          coalesce($"f_sum", lit(Long.MinValue)) === $"checksum")
+          .cast("long").as("ok"))
+      .orderBy($"lang", $"shard")
+  }
 
   /** Shared q240/q243/q246 bucket keying: (doc_id, lang, toks) →
     * (lang, bucket, ord1, doc_id, toks) via ONE DistributedRank over
@@ -2184,6 +2257,7 @@ object CorpusOpsQueries extends QueryPack {
     "q246_export_manifest" -> q246,
     "q243_bfd_pack" -> q243,
     "q240_boundary_pack" -> q240,
+    "q249_shard_export" -> q249,
     "q239_pack_purity" -> q239,
     "q235_release_manifest" -> q235,
     "q234_merge_curve" -> q234,
@@ -3255,27 +3329,36 @@ object CorpusOpsQueries extends QueryPack {
       // next-fit replayed as a lockstep recursion: all (lang, bucket)
       // groups advance one within-bucket position per step, so depth =
       // max pieces per bucket. All-integer closure; every aggregate
-      // output CAST to BIGINT (the q223 HUGEINT lesson). Prefix and
-      // census tail shared verbatim with q243 (the sentinel rule).
+      // output CAST to BIGINT (the q223 HUGEINT lesson). Prefix,
+      // recursion and census tail shared verbatim with q243/q249
+      // (the sentinel rule).
       s"""WITH RECURSIVE $packCntCtes,
          |$packBucketCtes,
-         |ord AS (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY lang, bucket ORDER BY rnl0, pidx) AS pos
-         |  FROM pc),
-         |st AS (
-         |  SELECT lang, bucket, pos, doc_id, size,
-         |    CAST(0 AS BIGINT) AS seq, CAST(512 - size AS BIGINT) AS rem
-         |  FROM ord WHERE pos = 1
-         |  UNION ALL
-         |  SELECT o.lang, o.bucket, o.pos, o.doc_id, o.size,
-         |    CASE WHEN o.size <= st.rem THEN st.seq ELSE st.seq + 1 END,
-         |    CASE WHEN o.size <= st.rem THEN st.rem - o.size
-         |         ELSE 512 - o.size END
-         |  FROM st JOIN ord o
-         |    ON o.lang = st.lang AND o.bucket = st.bucket
-         |   AND o.pos = st.pos + 1),
+         |$nextFitOrdStCtes,
          |$packCensusTail""".stripMargin,
+    "q249_shard_export" ->
+      // q240's pack replay (prefix + next-fit recursion shared
+      // verbatim) with the export-census tail; ok is the literal 1 —
+      // the Spark side computes it from the re-read files vs the
+      // manifest, so any round-trip infidelity hash-mismatches
+      s"""WITH RECURSIVE $packCntCtes,
+         |$packBucketCtes,
+         |$nextFitOrdStCtes,
+         |perseq AS (
+         |  SELECT lang, bucket, seq,
+         |    CAST(sum(size) AS BIGINT) AS seq_tok,
+         |    CAST(count(*) AS BIGINT) AS np
+         |  FROM st GROUP BY 1, 2, 3),
+         |bkt AS (
+         |  SELECT lang, bucket,
+         |    CAST(count(*) AS BIGINT) AS n_seqs,
+         |    CAST(sum(np) AS BIGINT) AS n_pieces,
+         |    CAST(sum(seq_tok) AS BIGINT) AS sum_tokens
+         |  FROM perseq GROUP BY 1, 2)
+         |SELECT lang, bucket AS shard, n_pieces, n_seqs, sum_tokens,
+         |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
+         |  CAST(1 AS BIGINT) AS ok
+         |FROM bkt ORDER BY lang, shard""".stripMargin,
     "q246_export_manifest" -> {
       // every stage's oracle text is the already-proven one: trainer
       // CTEs + unrolled GD rounds shared with q242 (TextQueries),
