@@ -106,7 +106,8 @@ object ScaleProbe {
       "q240_boundary_pack", "q241_forget_census", "q242_trained_eval",
       "q243_bfd_pack", "q244_sql_variant", "q245_sql_session_vars",
       "q246_export_manifest", "q247_gate_calibration",
-      "q248_calibrated_release", "q249_shard_export")
+      "q248_calibrated_release", "q249_shard_export",
+      "q250_export_forget")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -246,4 +246,95 @@ object SeqPacker {
   def readShards(spark: SparkSession, dir: String): (DataFrame, DataFrame) = (
     spark.read.schema(shardSchema).parquet(s"$dir/data"),
     spark.read.schema(manifestSchema).parquet(s"$dir/manifest"))
+
+  final case class ForgetShardStats(nForgotten: Long, nRewritten: Long,
+    nEmptied: Long)
+
+  /** GDPR-erasure for the shard export — the acting counterpart of
+    * [[graft.operators.VectorIndex.forget]] on the OTHER persisted
+    * corpus artifact: delete every placement row of the deletion
+    * list's documents, re-packing ONLY the (lang, bucket) shards the
+    * list touches (footprint from one partition-pruned semi join —
+    * bounded by the deletion list, never a corpus rewrite). Surviving
+    * pieces re-pack with their ORIGINAL within-bucket order, so the
+    * result is exactly the pack of the bucket minus the deleted docs;
+    * emptied shard dirs are deleted; manifest rows for touched shards
+    * are recomputed from the REWRITTEN data and swapped in atomically.
+    *
+    * Crash safety differs from VectorIndex.forget because the export
+    * carries a manifest that must stay consistent with data the crash
+    * may have half-rewritten: the touched-shard footprint is recorded
+    * in a `_forget_pending` intent sidecar BEFORE any mutation (WAL
+    * pattern) and deleted only after the manifest swap commits. A
+    * retry unions the sidecar into its own footprint, so shards whose
+    * data committed but whose manifest didn't are re-finished even
+    * though their files no longer contain any deleted id; a retry
+    * after full success finds no hits and no sidecar — a zero-op. An
+    * interrupted manifest swap (tmp present, live dir gone) is
+    * completed on entry before anything else. */
+  def forgetShards(spark: SparkSession, dir: String, delIds: DataFrame,
+      delCol: String, cap: Int): ForgetShardStats = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manPath = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val manTmp = new org.apache.hadoop.fs.Path(s"$dir/manifest.tmp")
+    // finish an interrupted manifest swap from a previous attempt
+    if (!fs.exists(manPath) && fs.exists(manTmp))
+      require(fs.rename(manTmp, manPath), s"swap recovery failed: $manTmp")
+    val pending = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending")
+    val del = delIds.select(col(delCol).cast("long").as("docId"))
+      .where(col("docId").isNotNull).distinct()
+    val (files, man) = readShards(spark, dir)
+    val hitAgg = files.join(del, Seq("docId"), "left_semi")
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pendingPrev: Seq[(String, Long)] =
+      if (!fs.exists(pending)) Seq.empty
+      else {
+        val in = fs.open(pending)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(lang, b) = l.split('\t'); (lang, b.toLong)
+        }.toSeq
+      }
+    val touched =
+      (hitAgg.map(t => (t._1, t._2)) ++ pendingPrev).distinct.sortBy(identity)
+    if (touched.isEmpty) return ForgetShardStats(0L, 0L, 0L)
+    // intent record BEFORE any mutation
+    val outS = fs.create(pending, true)
+    try outS.write(touched.map { case (l, b) => s"$l\t$b" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally outS.close()
+    val touchedPred = touched.map { case (l, b) =>
+      col("lang") === l && col("bucket") === b
+    }.reduce(_ || _)
+    // re-pack survivors of touched shards in their ORIGINAL order;
+    // checkpoint: the write below overwrites the files being read
+    val repacked = pack(files.where(touchedPred)
+      .join(del, Seq("docId"), "left_anti")
+      .select(col("lang"), col("bucket"), col("ord1"), col("ord2"),
+        col("docId"), col("size")).as[Piece], cap)
+      .toDF().localCheckpoint()
+    val survivors = repacked.select(col("lang"), col("bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    repacked.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang", "bucket").parquet(s"$dir/data")
+    val emptied = touched.filterNot(survivors)
+    emptied.foreach { case (l, b) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/data/lang=$l/bucket=$b"), true)
+    }
+    // manifest: untouched rows + rows recomputed from the rewrite
+    man.where(!touchedPred).unionByName(manifest(repacked))
+      .coalesce(1).write.parquet(manTmp.toString)
+    fs.delete(manPath, true)
+    require(fs.rename(manTmp, manPath), s"manifest swap failed: $manTmp")
+    fs.delete(pending, false)
+    ForgetShardStats(hitAgg.map(_._3).sum,
+      (touched.length - emptied.length).toLong, emptied.length.toLong)
+  }
 }

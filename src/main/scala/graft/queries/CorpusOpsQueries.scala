@@ -1379,14 +1379,14 @@ object CorpusOpsQueries extends QueryPack {
       .stripMargin
   private lazy val packBucketCtes: String = packBucketCtesP("cnt", "")
 
-  /** Shared q240/q249 NEXT-FIT recursion (ord over `pc`, O(1)-state
-    * lockstep — all (lang, bucket) groups advance one within-bucket
-    * position per step). */
-  private lazy val nextFitOrdStCtes: String =
+  /** Shared q240/q249/q250 NEXT-FIT recursion (ord over the `src`
+    * piece CTE, O(1)-state lockstep — all (lang, bucket) groups
+    * advance one within-bucket position per step). */
+  private def nextFitOrdSt(src: String): String =
     s"""ord AS (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY lang, bucket ORDER BY rnl0, pidx) AS pos
-       |  FROM pc),
+       |  FROM $src),
        |st AS (
        |  SELECT lang, bucket, pos, doc_id, size,
        |    CAST(0 AS BIGINT) AS seq, CAST(512 - size AS BIGINT) AS rem
@@ -1399,6 +1399,23 @@ object CorpusOpsQueries extends QueryPack {
        |  FROM st JOIN ord o
        |    ON o.lang = st.lang AND o.bucket = st.bucket
        |   AND o.pos = st.pos + 1)""".stripMargin
+
+  private lazy val nextFitOrdStCtes: String = nextFitOrdSt("pc")
+
+  /** Shared q249/q250 export-census CTEs over a piece-assignment CTE
+    * `st(lang, bucket, seq, size)`. */
+  private lazy val exportCensusCtes: String =
+    """perseq AS (
+      |  SELECT lang, bucket, seq,
+      |    CAST(sum(size) AS BIGINT) AS seq_tok,
+      |    CAST(count(*) AS BIGINT) AS np
+      |  FROM st GROUP BY 1, 2, 3),
+      |bkt AS (
+      |  SELECT lang, bucket,
+      |    CAST(count(*) AS BIGINT) AS n_seqs,
+      |    CAST(sum(np) AS BIGINT) AS n_pieces,
+      |    CAST(sum(seq_tok) AS BIGINT) AS sum_tokens
+      |  FROM perseq GROUP BY 1, 2)""".stripMargin
 
   /** Shared q243/q246 BFD recursion (ord over `pc`, best-fit lockstep
     * with the open-remainder LIST as state). */
@@ -1655,6 +1672,63 @@ object CorpusOpsQueries extends QueryPack {
     // full join: divergence in EITHER direction must surface as a row
     // the literal oracle cannot match
     man.join(census, Seq("lang", "bucket"), "full")
+      .select($"lang", $"bucket".as("shard"),
+        $"n_pieces", $"n_seqs", $"sum_tokens",
+        expr("sum_tokens * 1000000 DIV (n_seqs * 512)").as("fill_ppm"),
+        (coalesce($"f_pieces", lit(-1L)) === $"n_pieces" &&
+          coalesce($"f_seqs", lit(-1L)) === $"n_seqs" &&
+          coalesce($"f_tokens", lit(-1L)) === $"sum_tokens" &&
+          coalesce($"f_sum", lit(Long.MinValue)) === $"checksum")
+          .cast("long").as("ok"))
+      .orderBy($"lang", $"shard")
+  }
+
+  /** Erasure propagated into the shard EXPORT — the q221→q241 forget
+    * arc completed on the second persisted corpus artifact (round-9
+    * verdict #4's pattern): q241 erases from the vector index; this
+    * query erases from the training export. Build the q240 export in a
+    * scratch dir, then [[graft.operators.SeqPacker.forgetShards]] a
+    * deterministic deletion slice (doc_id ≡ 13 mod 97 — fixed text
+    * both engines) with the BOUNDED rewrite contract: only the shards
+    * the list touches re-pack (survivors keep their original order),
+    * emptied shard dirs are deleted, and touched manifest rows are
+    * recomputed from the rewritten data under a WAL intent sidecar so
+    * a crashed forget converges on retry (the spec drives the crash
+    * windows; here the driver-visible claim is the END STATE). The
+    * census re-reads BOTH layers from disk for the AFFECTED shards and
+    * reports the post-forget manifest rows with ok = 1 iff the files
+    * reproduce them — the oracle replays the pack of the bucket minus
+    * the deleted docs (ranks/buckets from the FULL population: erasure
+    * never renumbers the corpus) with q240/q249's shared recursion.
+    *
+    * Scale shape: q240's pack + write, then one partition-pruned semi
+    * join for the footprint, one re-pack exchange bounded by the
+    * deletion list, one manifest merge on O(shards) rows. */
+  private val q250: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.SeqPacker
+    val lang = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id", $"lang")
+    val perDoc0 = q223PerDoc(s, d).where($"toks" > 0)
+      .join(lang, Seq("doc_id"))
+    val packed = SeqPacker.packDocs(packKeyed(perDoc0), 512)
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_shards_q250").toString
+    SeqPacker.writeShards(packed, tmp)
+    SeqPacker.forgetShards(s, tmp,
+      perDoc0.where($"doc_id" % 97 === 13).select($"doc_id"),
+      "doc_id", 512)
+    val (files, man) = SeqPacker.readShards(s, tmp)
+    val affected = packed.toDF().where($"docId" % 97 === 13)
+      .select($"lang", $"bucket").distinct()
+    val census = files.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("f_pieces"),
+        countDistinct($"seq").as("f_seqs"),
+        sum($"size").as("f_tokens"),
+        SeqPacker.pieceChecksum.as("f_sum"))
+    man.join(census, Seq("lang", "bucket"), "full")
+      .join(affected, Seq("lang", "bucket"), "left_semi")
       .select($"lang", $"bucket".as("shard"),
         $"n_pieces", $"n_seqs", $"sum_tokens",
         expr("sum_tokens * 1000000 DIV (n_seqs * 512)").as("fill_ppm"),
@@ -2258,6 +2332,7 @@ object CorpusOpsQueries extends QueryPack {
     "q243_bfd_pack" -> q243,
     "q240_boundary_pack" -> q240,
     "q249_shard_export" -> q249,
+    "q250_export_forget" -> q250,
     "q239_pack_purity" -> q239,
     "q235_release_manifest" -> q235,
     "q234_merge_curve" -> q234,
@@ -3344,21 +3419,31 @@ object CorpusOpsQueries extends QueryPack {
       s"""WITH RECURSIVE $packCntCtes,
          |$packBucketCtes,
          |$nextFitOrdStCtes,
-         |perseq AS (
-         |  SELECT lang, bucket, seq,
-         |    CAST(sum(size) AS BIGINT) AS seq_tok,
-         |    CAST(count(*) AS BIGINT) AS np
-         |  FROM st GROUP BY 1, 2, 3),
-         |bkt AS (
-         |  SELECT lang, bucket,
-         |    CAST(count(*) AS BIGINT) AS n_seqs,
-         |    CAST(sum(np) AS BIGINT) AS n_pieces,
-         |    CAST(sum(seq_tok) AS BIGINT) AS sum_tokens
-         |  FROM perseq GROUP BY 1, 2)
+         |$exportCensusCtes
          |SELECT lang, bucket AS shard, n_pieces, n_seqs, sum_tokens,
          |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
          |  CAST(1 AS BIGINT) AS ok
          |FROM bkt ORDER BY lang, shard""".stripMargin,
+    "q250_export_forget" ->
+      // the pack replay minus the deletion predicate's docs: ranks and
+      // buckets come from the FULL population (erasure does not renumber
+      // the corpus), pieces filter AFTER bucketing (pcf), and the
+      // recursion text is q240/q249's verbatim, pointed at pcf; output
+      // restricted to the shards the deletion list touches. ok = 1 as
+      // in q249 — the Spark side computes it from re-read files vs the
+      // post-forget manifest
+      s"""WITH RECURSIVE $packCntCtes,
+         |$packBucketCtes,
+         |pcf AS (SELECT * FROM pc WHERE NOT (doc_id % 97 = 13)),
+         |aff AS (SELECT DISTINCT lang, bucket FROM pc
+         |        WHERE doc_id % 97 = 13),
+         |${nextFitOrdSt("pcf")},
+         |$exportCensusCtes
+         |SELECT lang, bucket AS shard, n_pieces, n_seqs, sum_tokens,
+         |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
+         |  CAST(1 AS BIGINT) AS ok
+         |FROM bkt JOIN aff USING (lang, bucket)
+         |ORDER BY lang, shard""".stripMargin,
     "q246_export_manifest" -> {
       // every stage's oracle text is the already-proven one: trainer
       // CTEs + unrolled GD rounds shared with q242 (TextQueries),

@@ -70,6 +70,100 @@ class SeqShardWriterSpec extends SparkSpec {
       "crashed-attempt junk must not survive into the export")
   }
 
+  private def md5Of(dir: java.io.File): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.startsWith("part-")) Seq(f) else Seq.empty
+    walk(dir).map { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      f.getPath -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }.toMap
+  }
+
+  test("forgetShards: bounded erasure — ids gone, touched shards " +
+    "repacked, untouched shards byte-identical, emptied dir removed") {
+    val s = spark
+    import s.implicits._
+    val d = dir("forget")
+    SeqPacker.writeShards(fixturePacked, d)
+    val frBefore = md5Of(new java.io.File(s"$d/data/lang=fr"))
+    // doc 2 lives in (en,0); doc 4 is ALONE in (en,1) -> emptied
+    val stats = SeqPacker.forgetShards(s, d,
+      Seq(2L, 4L).toDF("doc_id"), "doc_id", 512)
+    assert(stats == SeqPacker.ForgetShardStats(2L, 1L, 1L))
+    val (files, man) = SeqPacker.readShards(s, d)
+    assert(files.where(col("docId").isin(2L, 4L)).count() == 0,
+      "forgotten ids must not survive")
+    assert(!new java.io.File(s"$d/data/lang=en/bucket=1").exists(),
+      "emptied shard dir must be deleted")
+    assert(man.where(col("lang") === "en" && col("bucket") === 1L)
+      .count() == 0, "emptied shard's manifest row must be gone")
+    // (en,0) repacked == pack of the original pieces minus doc 2
+    val expect = SeqPacker.pack(fixturePacked.filter(_.docId != 2L)
+      .select(col("lang"), col("bucket"), col("ord1"), col("ord2"),
+        col("docId"), col("size")).as[Piece], 512)
+      .toDF().collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(files.select("lang", "bucket", "ord1", "ord2", "docId",
+      "size", "seq").collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      .filter(_.head != "fr") ==
+      expect.map(r => Seq(r(0), r(1), r(2), r(3), r(4), r(5), r(6)))
+        .filter(_.head != "fr").filter(r => r(1) != 1L),
+      "touched shard must equal the pack of its survivors in original order")
+    assert(md5Of(new java.io.File(s"$d/data/lang=fr")) == frBefore,
+      "untouched shards must be byte-identical")
+    assert(SeqPacker.manifest(files).collect().map(_.toSeq)
+      .sortBy(_.mkString("|")).toSeq ==
+      man.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq,
+      "post-forget manifest must equal the census of the files")
+    // retry after success: zero-op, bytes untouched
+    val all = md5Of(new java.io.File(s"$d/data"))
+    assert(SeqPacker.forgetShards(s, d, Seq(2L, 4L).toDF("doc_id"),
+      "doc_id", 512) == SeqPacker.ForgetShardStats(0L, 0L, 0L))
+    assert(md5Of(new java.io.File(s"$d/data")) == all,
+      "post-success retry must not rewrite anything")
+  }
+
+  test("forgetShards crash windows: a pending intent sidecar re-finishes " +
+    "a stale manifest; an interrupted manifest swap recovers on entry") {
+    val s = spark
+    import s.implicits._
+    val d = dir("crash")
+    SeqPacker.writeShards(fixturePacked, d)
+    // -- window 1: data committed, manifest swap never happened --
+    // simulate: corrupt (en,0)'s manifest row, leave the intent behind
+    val man0 = SeqPacker.readShards(s, d)._2
+    man0.withColumn("n_pieces",
+        when(col("lang") === "en" && col("bucket") === 0L, lit(999L))
+          .otherwise(col("n_pieces")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/manifest_stale")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/manifest"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/manifest_stale"),
+      new org.apache.hadoop.fs.Path(s"$d/manifest"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$d/_forget_pending"), true)
+    out.write("en\t0\n".getBytes("UTF-8")); out.close()
+    // retry with an EMPTY deletion list: the sidecar alone must drive
+    SeqPacker.forgetShards(s, d, Seq.empty[Long].toDF("doc_id"),
+      "doc_id", 512)
+    val (files1, man1) = SeqPacker.readShards(s, d)
+    assert(SeqPacker.manifest(files1).collect().map(_.toSeq)
+      .sortBy(_.mkString("|")).toSeq ==
+      man1.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq,
+      "sidecar retry must re-finish the stale manifest row")
+    assert(!new java.io.File(s"$d/_forget_pending").exists(),
+      "sidecar must be cleared after the swap commits")
+    // -- window 2: crash between manifest delete and rename --
+    fs.rename(new org.apache.hadoop.fs.Path(s"$d/manifest"),
+      new org.apache.hadoop.fs.Path(s"$d/manifest.tmp"))
+    assert(SeqPacker.forgetShards(s, d, Seq.empty[Long].toDF("doc_id"),
+      "doc_id", 512) == SeqPacker.ForgetShardStats(0L, 0L, 0L))
+    assert(new java.io.File(s"$d/manifest").exists() &&
+      !new java.io.File(s"$d/manifest.tmp").exists(),
+      "entry must complete an interrupted manifest swap")
+  }
+
   test("empty export reads back as empty frames (explicit schemas)") {
     val s = spark
     import s.implicits._
