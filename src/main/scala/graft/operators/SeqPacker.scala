@@ -254,8 +254,14 @@ object SeqPacker {
     * [[graft.operators.VectorIndex.forget]] on the OTHER persisted
     * corpus artifact: delete every placement row of the deletion
     * list's documents, re-packing ONLY the (lang, bucket) shards the
-    * list touches (footprint from one partition-pruned semi join —
-    * bounded by the deletion list, never a corpus rewrite). Surviving
+    * list touches. Footprint discovery is one NARROW scan (docId +
+    * the partition columns) semi-joined with the deletion list; the
+    * REWRITE is bounded by the footprint — never a corpus rewrite.
+    * The footprint travels as a frame, not an Or-chain predicate (a
+    * large list touches thousands of shards; an Or tree would
+    * overflow the analyzer and evaluate O(touched) per row), and
+    * carries no forced broadcast hint — it tracks the deletion list
+    * (audit rule), so AQE broadcasts the common small case. Surviving
     * pieces re-pack with their ORIGINAL within-bucket order, so the
     * result is exactly the pack of the bucket minus the deleted docs;
     * emptied shard dirs are deleted; manifest rows for touched shards
@@ -308,12 +314,16 @@ object SeqPacker {
     try outS.write(touched.map { case (l, b) => s"$l\t$b" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally outS.close()
-    val touchedPred = touched.map { case (l, b) =>
-      col("lang") === l && col("bucket") === b
-    }.reduce(_ || _)
+    // footprint as a FRAME, never an Or-chain predicate (a large
+    // deletion list touches thousands of shards — a per-shard Or tree
+    // overflows the analyzer stack and evaluates O(touched) per row);
+    // the frame tracks the deletion list, so no forced broadcast hint
+    // (audit rule) — AQE broadcasts the common small case on its own
+    val touchedDf = touched.toSeq.toDF("lang", "bucket")
     // re-pack survivors of touched shards in their ORIGINAL order;
     // checkpoint: the write below overwrites the files being read
-    val repacked = pack(files.where(touchedPred)
+    val repacked = pack(files
+      .join(touchedDf, Seq("lang", "bucket"), "left_semi")
       .join(del, Seq("docId"), "left_anti")
       .select(col("lang"), col("bucket"), col("ord1"), col("ord2"),
         col("docId"), col("size")).as[Piece], cap)
@@ -329,7 +339,8 @@ object SeqPacker {
         s"$dir/data/lang=$l/bucket=$b"), true)
     }
     // manifest: untouched rows + rows recomputed from the rewrite
-    man.where(!touchedPred).unionByName(manifest(repacked))
+    man.join(touchedDf, Seq("lang", "bucket"), "left_anti")
+      .unionByName(manifest(repacked))
       .coalesce(1).write.parquet(manTmp.toString)
     fs.delete(manPath, true)
     require(fs.rename(manTmp, manPath), s"manifest swap failed: $manTmp")

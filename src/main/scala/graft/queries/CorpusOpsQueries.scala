@@ -1701,9 +1701,9 @@ object CorpusOpsQueries extends QueryPack {
     * the deleted docs (ranks/buckets from the FULL population: erasure
     * never renumbers the corpus) with q240/q249's shared recursion.
     *
-    * Scale shape: q240's pack + write, then one partition-pruned semi
-    * join for the footprint, one re-pack exchange bounded by the
-    * deletion list, one manifest merge on O(shards) rows. */
+    * Scale shape: q240's pack + write, then one narrow (docId +
+    * partition columns) footprint scan, one re-pack exchange bounded
+    * by the touched shards, one manifest merge on O(shards) rows. */
   private val q250: Q = (s, d) => {
     import s.implicits._
     import graft.operators.SeqPacker
