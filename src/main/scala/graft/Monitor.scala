@@ -52,6 +52,14 @@ object Monitor {
     *    `n` is the keys ever tracked, `metric` the LIVE (untombstoned)
     *    key count.
     *
+    *  - `export` (when `export` names a
+    *    [[graft.operators.SeqPacker.writeShards]] directory): the
+    *    training-export health row off the MANIFEST alone (O(shards)
+    *    rows, data files never opened) — `n` is the shard count,
+    *    `metric` the global fill ppm (round 9; with this, every
+    *    persisted artifact the repo writes — index, state tables,
+    *    export — is monitor-consumable).
+    *
     * State reads are O(state), not O(history); the warehouse pass is
     * one scan per listed table — list the day's report outputs, not the
     * raw corpus. */
@@ -61,7 +69,8 @@ object Monitor {
       warehouse: Seq[(String, org.apache.spark.sql.DataFrame)] = Nil,
       mvCensus: Option[(String, String)] = None,
       countMin: Option[(String, Seq[String])] = None,
-      cdc: Option[String] = None)
+      cdc: Option[String] = None,
+      export: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingCentroidMonitor
@@ -103,7 +112,16 @@ object Monitor {
         .select(lit("cdc").as("family"), col("n"),
           coalesce(col("live"), lit(0L)).cast("double").as("metric"))
     }
-    (profRows ++ mvRows ++ cmRows ++ cdcRows)
+    val exportRows = export.toSeq.map { dir =>
+      graft.operators.SeqPacker.readShards(spark, dir)._2
+        .agg(count(lit(1)).as("n"),
+          sum(col("sum_tokens")).as("tok"), sum(col("n_seqs")).as("sq"))
+        .select(lit("export").as("family"), col("n"),
+          when(coalesce(col("sq"), lit(0L)) > 0L,
+            (col("tok") * 1000000L / (col("sq") * 512L)))
+            .otherwise(lit(0L)).cast("double").as("metric"))
+    }
+    (profRows ++ mvRows ++ cmRows ++ cdcRows ++ exportRows)
       .foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
   }
 

@@ -348,4 +348,16 @@ object SeqPacker {
     ForgetShardStats(hitAgg.map(_._3).sum,
       (touched.length - emptied.length).toLong, emptied.length.toLong)
   }
+
+  /** foreachBatch sink for a streaming DELETION feed against the shard
+    * export — [[graft.operators.VectorIndex.forgetSink]]'s twin on the
+    * other persisted corpus artifact, so one erasure queue can fan out
+    * to every store. At-least-once safe by [[forgetShards]]' own
+    * contract: a redelivered batch finds its ids already gone and is a
+    * zero-op, a crashed batch converges on retry (intent sidecar).
+    * `delCol` names the id column of the stream. */
+  def forgetSink(dir: String, delCol: String,
+      cap: Int): (DataFrame, Long) => Unit =
+    (batch, _) => { forgetShards(batch.sparkSession, dir, batch,
+      delCol, cap); () }
 }

@@ -179,4 +179,38 @@ class MonitorSpec extends SparkSpec {
       .where($"key" === 1L).select($"cents").as[Long].head()
     assert(k1 == 25L)
   }
+
+  test("stateReport serves the shard-export manifest (round-9: every " +
+    "persisted artifact is monitor-consumable)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    import graft.operators.SeqPacker
+    val dir = java.nio.file.Files.createTempDirectory("graft_monitor5").toString
+    val moments = s"$dir/moments.parquet"
+    val emb = Tables.embeddings(s, sfDir)
+      .where($"label".isNotNull && $"embedding".isNotNull)
+      .select($"label".cast("long").as("label"), $"embedding")
+    StreamingCentroidMonitor.sink(moments, "label", "embedding")(emb, 0L)
+    val sketches = s"$dir/uv.parquet"
+    SketchRollup.sketchTable(Tables.events(s, sfDir),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(sketches)
+    val ref = StreamingCentroidMonitor.centroids(s, moments)
+      .select($"label", $"centroid")
+    val exp = s"$dir/export"
+    val pieces = Seq(
+      SeqPacker.Piece("en", 0L, 0L, 0L, 1L, 400L),
+      SeqPacker.Piece("en", 0L, 1L, 0L, 2L, 200L),
+      SeqPacker.Piece("fr", 0L, 0L, 0L, 3L, 512L)).toDS()
+    SeqPacker.writeShards(SeqPacker.pack(pieces, 512), exp)
+    val report = Monitor.stateReport(s, moments, ref, sketches,
+        export = Some(exp))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val (nShards, fill) = report("export")
+    assert(nShards == 2L, "one manifest row per shard")
+    // (400+200) packs as two seqs in (en,0) + 512 fills (fr,0): 3 seqs
+    assert(math.abs(fill - 1112.0 * 1000000 / (3 * 512)) < 1e-6,
+      "global fill ppm off the manifest alone")
+  }
 }

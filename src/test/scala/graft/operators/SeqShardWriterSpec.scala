@@ -164,6 +164,35 @@ class SeqShardWriterSpec extends SparkSpec {
       "entry must complete an interrupted manifest swap")
   }
 
+  test("forgetSink: a streaming deletion feed drains into the export, " +
+    "redelivery is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = dir("sink")
+    SeqPacker.writeShards(fixturePacked, d)
+    val total = SeqPacker.readShards(s, d)._1.count()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = in.toDF().toDF("doc_id")
+      .writeStream
+      .foreachBatch(SeqPacker.forgetSink(d, "doc_id", 512))
+      .outputMode("append").start()
+    try {
+      in.addData(2L); q.processAllAvailable()
+      in.addData(5L); q.processAllAvailable()
+      in.addData(2L); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    val (files, man) = SeqPacker.readShards(s, d)
+    assert(files.count() == total - 2,
+      "each deletion applied exactly once across batches + redelivery")
+    assert(files.where(col("docId").isin(2L, 5L)).count() == 0)
+    assert(SeqPacker.manifest(files).collect().map(_.toSeq)
+      .sortBy(_.mkString("|")).toSeq ==
+      man.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq,
+      "manifest stays consistent across streamed erasures")
+  }
+
   test("empty export reads back as empty frames (explicit schemas)") {
     val s = spark
     import s.implicits._
