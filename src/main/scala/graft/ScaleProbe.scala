@@ -107,7 +107,7 @@ object ScaleProbe {
       "q243_bfd_pack", "q244_sql_variant", "q245_sql_session_vars",
       "q246_export_manifest", "q247_gate_calibration",
       "q248_calibrated_release", "q249_shard_export",
-      "q250_export_forget")
+      "q250_export_forget", "q251_sql_listagg")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

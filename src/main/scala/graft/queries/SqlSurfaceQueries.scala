@@ -352,7 +352,26 @@ object SqlSurfaceQueries extends QueryPack {
       USING graft_min_chars""")
   }
 
+  /** SQL:2016 LISTAGG (Spark 4.0's spelling, WITHIN GROUP ordered) —
+    * the string-set merge the reference builds by hand with
+    * concat_ws(collect_list(...)) (SURVEY A13), as one standard
+    * aggregate. The group-internal order is TOTAL (count DESC, then
+    * lang) so the joined string is deterministic on any partitioning;
+    * DuckDB spells the same aggregate string_agg(expr, sep ORDER BY
+    * ...) — same semantics, per-engine text. */
+  private val q251 = sql("""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY source, lang)
+    SELECT source,
+           COUNT(*) AS n_langs,
+           listagg(lang, ',') WITHIN GROUP (ORDER BY n DESC, lang) AS langs
+    FROM c GROUP BY source ORDER BY source""")
+
   val queries: Map[String, Q] = Map(
+    "q251_sql_listagg" -> q251,
     "q244_sql_variant" -> q244,
     "q245_sql_session_vars" -> q245,
     "q236_sql_lateral_alias" -> q236,
@@ -371,6 +390,16 @@ object SqlSurfaceQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q251_sql_listagg" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS n
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY source, lang)
+        |SELECT source,
+        |       COUNT(*) AS n_langs,
+        |       string_agg(lang, ',' ORDER BY n DESC, lang) AS langs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q244_sql_variant" ->
       """WITH j AS (
         |  SELECT to_json(struct_pack(
