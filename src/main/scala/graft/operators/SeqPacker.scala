@@ -231,7 +231,9 @@ object SeqPacker {
     val tmp = new org.apache.hadoop.fs.Path(outDir + ".tmp")
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true)
-    val df = packed.toDF()
+    // checkpoint once: the pack chain (rank + exchange + fold) would
+    // otherwise recompute for the data write AND the manifest agg
+    val df = packed.toDF().localCheckpoint()
     df.repartition(col("lang"), col("bucket"))
       .write.partitionBy("lang", "bucket")
       .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)

@@ -1716,12 +1716,16 @@ object CorpusOpsQueries extends QueryPack {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_shards_q250").toString
     SeqPacker.writeShards(packed, tmp)
+    // the pre-forget footprint, read from the WRITTEN export (never a
+    // pack recompute) and materialized eagerly — the forget below
+    // mutates the files this frame is derived from
+    val affected = SeqPacker.readShards(s, tmp)._1
+      .where($"docId" % 97 === 13)
+      .select($"lang", $"bucket").distinct().localCheckpoint()
     SeqPacker.forgetShards(s, tmp,
       perDoc0.where($"doc_id" % 97 === 13).select($"doc_id"),
       "doc_id", 512)
     val (files, man) = SeqPacker.readShards(s, tmp)
-    val affected = packed.toDF().where($"docId" % 97 === 13)
-      .select($"lang", $"bucket").distinct()
     val census = files.groupBy($"lang", $"bucket")
       .agg(count(lit(1)).as("f_pieces"),
         countDistinct($"seq").as("f_seqs"),
