@@ -193,6 +193,21 @@ class SeqShardWriterSpec extends SparkSpec {
       "manifest stays consistent across streamed erasures")
   }
 
+  test("a (lang, bucket)-filtered read prunes at the PARTITION level — " +
+    "a trainer fetching one shard never scans the export") {
+    val s = spark
+    val d = dir("prune")
+    SeqPacker.writeShards(fixturePacked, d)
+    val one = SeqPacker.readShards(s, d)._1
+      .where(col("lang") === "en" && col("bucket") === 0L)
+    val p = one.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val parts = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(parts.contains("lang") && parts.contains("bucket"), p)
+    assert(one.count() == 3L, "en/0 holds exactly its three pieces")
+  }
+
   test("empty export reads back as empty frames (explicit schemas)") {
     val s = spark
     import s.implicits._
