@@ -117,6 +117,17 @@ object Bench {
             s"$baseFile: ${e.getMessage}")
         Map.empty
       }
+    // orphan-key audit: a base entry that matches NO registered query is
+    // invisible to every ratio below (a short-form or misspelled key
+    // shipped exactly this way in round 9 — the query silently ran
+    // ungated until the next full-run screen). Never fatal.
+    locally {
+      val all = SparkEntry.queries.keySet
+      val orphans = base.keySet.filterNot(all).toSeq.sorted
+      if (orphans.nonEmpty)
+        System.err.println("[bench] WARNING: BENCH_BASE keys match no " +
+          s"query (misspelled or removed): ${orphans.mkString(", ")}")
+    }
 
     // stale-base audit: visible in the bench log, never fatal
     try {

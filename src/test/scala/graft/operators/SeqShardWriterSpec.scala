@@ -208,6 +208,33 @@ class SeqShardWriterSpec extends SparkSpec {
     assert(one.count() == 3L, "en/0 holds exactly its three pieces")
   }
 
+  test("negative path: file loss and file duplication both break the " +
+    "manifest agreement q249's ok column asserts") {
+    val s = spark
+    val d = dir("corrupt")
+    SeqPacker.writeShards(fixturePacked, d)
+    def parts(sub: String) = new java.io.File(s"$d/data/$sub").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    // loss: drop a data file from (en,0)
+    assert(parts("lang=en/bucket=0").head.delete())
+    // duplication: double a data file in (fr,0)
+    val fr = parts("lang=fr/bucket=0").head
+    java.nio.file.Files.copy(fr.toPath,
+      fr.toPath.resolveSibling("part-dup-" + fr.getName.drop(5)))
+    val (files, man) = SeqPacker.readShards(s, d)
+    val recomputed = SeqPacker.manifest(files).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val stored = man.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    assert(recomputed.get(("en", 0L)) != stored.get(("en", 0L)),
+      "row loss must break the shard's manifest agreement " +
+        "(a whole-file loss may drop the shard from the recompute entirely)")
+    assert(recomputed.get(("fr", 0L)) != stored.get(("fr", 0L)),
+      "row duplication must break the shard's manifest agreement")
+    assert(recomputed.get(("en", 1L)) == stored.get(("en", 1L)),
+      "untouched shards keep agreeing")
+  }
+
   test("empty export reads back as empty frames (explicit schemas)") {
     val s = spark
     import s.implicits._
