@@ -70,4 +70,16 @@ class RoundNineInvariantSpec extends SparkSpec {
     assert(taus.head == expect,
       s"τ* ${taus.head} disagrees with the rule replayed on q247 ($expect)")
   }
+
+  test("q249/q250: every shard row reports ok=1 — the written export " +
+    "reproduces its manifest on the fixture") {
+    val s = spark
+    import s.implicits._
+    for (name <- Seq("q249_shard_export", "q250_export_forget")) {
+      val rows = SparkEntry.queries(name)(s, sfDir)
+        .select($"ok").as[Long].collect()
+      assert(rows.nonEmpty, s"$name: empty census")
+      assert(rows.forall(_ == 1L), s"$name: a shard failed the round trip")
+    }
+  }
 }
