@@ -1722,8 +1722,12 @@ object CorpusOpsQueries extends QueryPack {
     val affected = SeqPacker.readShards(s, tmp)._1
       .where($"docId" % 97 === 13)
       .select($"lang", $"bucket").distinct().localCheckpoint()
+    // the deletion list needs only ids — derived from `documents`, not
+    // the BPE-count frame (ids absent from the export are harmless to
+    // the footprint semi join, and this skips a tokenizing recompute)
     SeqPacker.forgetShards(s, tmp,
-      perDoc0.where($"doc_id" % 97 === 13).select($"doc_id"),
+      Tables.documents(s, d).where($"doc_id" % 97 === 13)
+        .select($"doc_id"),
       "doc_id", 512)
     val (files, man) = SeqPacker.readShards(s, tmp)
     val census = files.groupBy($"lang", $"bucket")
