@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.SeqPacker
+import graft.operators.SeqPacker.Piece
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Pins [[StreamingExport]]: the streamed pack landed on disk equals
+  * the batch pack, the census's read-time n_seqs is correct even when
+  * a sequence SPANS micro-batches (per-batch distinct counts would
+  * double-count at the seam — the documented design pitfall), the
+  * manifest cross-check holds, and a redelivered batch converges. */
+class StreamingExportSpec extends SparkSpec {
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      body
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def md5(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("streamed export equals the batch pack; read-time n_seqs is " +
+    "exact across a batch-spanning sequence; manifest cross-check ok") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_export").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val pieces = (1L to 120L).map(i =>
+      Piece("l" + (i % 2), i % 2, i, 0L, i, (i * 37 % 500) + 1))
+    val ordered = pieces.sortBy(p => (p.ord1, p.ord2))
+    val (b1, rest) = ordered.splitAt(ordered.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val batches = Seq(b1, b2, b3).map(_.sortBy(p => md5(s"se:${p.docId}")))
+    withRocksDb {
+      val in = MemoryStream[Piece]
+      val q = StreamingPacker.placed(in.toDS(), 512).toDF()
+        .writeStream.foreachBatch(StreamingExport.sink(dir))
+        .outputMode("append").start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val landed = StreamingExport.readPlaced(s, dir)
+    val batchPack = SeqPacker.pack(pieces.toDS(), 512).toDF()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("lang", "bucket", "ord1", "ord2", "docId", "size", "seq")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(key(landed) == key(batchPack),
+      "the landed placements must equal the batch next-fit pack")
+    // the pitfall is actually exercised: some sequence spans batches
+    val spanning = landed.groupBy($"lang", $"bucket", $"seq")
+      .agg(countDistinct($"batch_id").as("nb"))
+      .where($"nb" > 1).count()
+    assert(spanning > 0, "fixture must produce a batch-spanning sequence")
+    // census: read-time n_seqs equals the batch pack's distinct count
+    val census = StreamingExport.census(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val expect = batchPack.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("p"), countDistinct($"seq").as("sq"),
+        sum($"size").as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(census.keySet == expect.keySet)
+    census.foreach { case (k, (p, sq, t, ok)) =>
+      assert((p, sq, t) == expect(k), s"$k: census disagrees with batch pack")
+      assert(ok == 1L, s"$k: manifest cross-check failed")
+    }
+    // redelivery: re-append the LAST batch's landed rows under its own
+    // batch_id — content must converge, not double
+    val last = landed.where($"batch_id" === landed.agg(max($"batch_id"))
+      .head().getLong(0))
+    val lastId = last.select($"batch_id").head().getLong(0)
+    StreamingExport.appendBatch(last, dir, lastId)
+    assert(key(StreamingExport.readPlaced(s, dir)) == key(batchPack),
+      "a redelivered batch must converge to identical content")
+    assert(StreamingExport.census(s, dir).collect()
+      .forall(_.getLong(5) == 1L), "census stays ok after redelivery")
+  }
+
+  test("empty streaming export reads back as empty frames; census empty") {
+    val s = spark
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_export_e").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/manifest"))
+    assert(StreamingExport.readPlaced(s, dir).count() == 0)
+    assert(StreamingExport.census(s, dir).count() == 0)
+  }
+}
