@@ -27,7 +27,8 @@ object SparkEntry {
     ComposedReportQueries,
     BehaviorQueries,
     CorpusOpsQueries,
-    SqlSurfaceQueries
+    SqlSurfaceQueries,
+    LayoutQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
