@@ -78,7 +78,10 @@ object PlanDump {
     "q247_gate_calibration" -> "gate calibration sweep: q242's fixed-round trainer (O(dims) model broadcasts over checkpointed features) scores the held-out slice ONCE; the 9-threshold ladder is a broadcast literal crossJoin into a single hash agg — never a per-threshold rescan",
     "q248_calibrated_release" -> "calibrated release: τ* reduced from the ≤9-row sweep and broadcast as a 1-row frame; full-corpus scoring is ONE tokenizing scan against the O(dims) model; census closes per source — the sweep never rescans the corpus",
     "q249_shard_export" -> "shard export round trip: q240's pack + ONE hash-repartitioned partitioned write (no small-file explosion), manifest agg, and a read-back census whose scan lists the (lang, bucket) partition columns — file data and manifest meet in one O(shards) join",
-    "q250_export_forget" -> "export erasure: deletion footprint from one narrow (docId + partition cols) scan, footprint travels as a frame (no Or-chain, no forced broadcast — deletion-tracking), re-pack exchange bounded by the touched shards, manifest merge on O(shards) rows — only the shards the list touches are rewritten")
+    "q250_export_forget" -> "export erasure: deletion footprint from one narrow (docId + partition cols) scan, footprint travels as a frame (no Or-chain, no forced broadcast — deletion-tracking), re-pack exchange bounded by the touched shards, manifest merge on O(shards) rows — only the shards the list touches are rewritten",
+    "q252_zorder_skip" -> "z-order layout census: codes + Morton value are codegen'd integer div/mod riding the narrow 4-column scan; both layouts rank via the window-free DistributedRank (bucket exchange, no single-task window); censuses close at O(32) rows; only the 1-row min/max stats frame is broadcast",
+    "q253_hilbert_locality" -> "hilbert vs z-order: the 10-step CASE unroll collapses into ONE projection on the coded scan (no UDF, no join, no shuffle for the curve index); both layouts rank window-free; census O(32) rows",
+    "q255_epoch_materialize" -> "epoch materializer: per-doc tokens ride one narrow scan; the within-lang prefix sum is ONE window-free running-total pass over the composite langId*2^32+hash key (q240 keying — no per-lang hot partition); lang dims/bases O(langs) broadcast; census O(langs) rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

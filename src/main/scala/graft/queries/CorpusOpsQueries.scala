@@ -2087,7 +2087,12 @@ object CorpusOpsQueries extends QueryPack {
     * Scale shape: one map-side token census per language; everything
     * after lives on O(langs) rows (the rank window is bounded by the
     * language census, never by data). */
-  private val q233: Q = (s, d) => {
+  /** The q233 waterfilling as a reusable frame — (lang, u_tokens,
+    * capped, budget, alloc_tokens, leftover) — shared by q233's report
+    * and q255's materializer (census→action: the plan and the stream it
+    * plans must come from ONE allocation). */
+  private def unimaxAllocFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val C = 2L
     val per = Tables.documents(s, d)
@@ -2119,11 +2124,83 @@ object CorpusOpsQueries extends QueryPack {
         when($"n" > $"t",
           expr("(budget - capmass) - ((budget - capmass) DIV (n - t)) * (n - t)"))
           .otherwise(expr("budget - capmass")).as("leftover"))
+  }
+
+  private val q233: Q = (s, d) => {
+    import s.implicits._
+    unimaxAllocFrame(s, d)
       .select($"lang", $"u_tokens",
         $"capped".cast("string").as("capped"), $"alloc_tokens",
         expr("alloc_tokens * 1000 DIV u_tokens").as("epochs_milli"),
         expr("alloc_tokens * 1000000 DIV budget").as("share_ppm"),
         $"leftover")
+      .orderBy($"lang")
+  }
+
+  /** Epoch-mixture MATERIALIZER — the acting counterpart of q233 (the
+    * census→action rule: q129→q134, q231→q238, q239→q240): UniMax
+    * *plans* per-language token budgets; a trainer needs an actual
+    * per-document repeat assignment that DELIVERS them. Every language
+    * repeats `alloc DIV u_tokens` full epochs; the fractional epoch is
+    * the maximal PREFIX of the language's documents in reproducible
+    * salted-hash order (the writeShards convention — re-runs and
+    * incremental re-exports assign identically) whose token mass fits
+    * the remainder `alloc % u_tokens`. No sampling, no floats: the
+    * delivered mass is exact, the undeliverable tail (`shortfall` — at
+    * most one document's tokens) is REPORTED per language, never
+    * silently dropped or over-served (the q233 leftover discipline).
+    *
+    * Scale shape: per-doc token counts ride one narrow scan; the
+    * within-language prefix sum is ONE window-free
+    * [[graft.functions.DistributedRank.withRunningTotal]] pass over the
+    * composite `langId·2^32 + hash` key (the q240 keying — no
+    * per-language hot partition, no single-task window), de-offset per
+    * language by the O(langs) census joined back broadcast; everything
+    * else lives on O(langs) rows. The oracle replays the waterfilling
+    * (CTE text shared with q233) and the prefix rule with a per-lang
+    * window — exact integers end to end. */
+  private val q255: Q = (s, d) => {
+    import s.implicits._
+    val alloc = unimaxAllocFrame(s, d)
+      .select($"lang", $"u_tokens", $"alloc_tokens")
+    val doc = Tables.documents(s, d)
+      .where($"text".isNotNull && $"lang".isNotNull)
+      .select($"lang", $"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("tok"))
+    // dense language ids + per-language global-prefix bases, both from
+    // the O(langs) doc census via a triangular broadcast self-join (the
+    // DistributedRank offsets idiom — no unpartitioned window even on
+    // metadata rows). Bases come from the DOC frame, not the alloc
+    // frame, so the de-offset is self-consistent by construction with
+    // the running total it corrects (they coincide with u_tokens under
+    // today's shared filters; this survives a filter drift).
+    val cen = doc.groupBy($"lang").agg(sum($"tok").as("m"))
+    val dim = cen.select($"lang".as("l2"), $"m".as("m2"))
+    val langDim = cen
+      .join(broadcast(dim), $"lang" > $"l2", "left")
+      .groupBy($"lang")
+      .agg(count($"l2").as("lang_id"),
+        coalesce(sum($"m2"), lit(0L)).as("lang_base"))
+    val keyed = doc.join(broadcast(langDim), "lang")
+      .withColumn("hk", graft.functions.DedupFunctions.hash32(
+        concat(lit("epoch:"), $"doc_id".cast("string"))))
+      .withColumn("okey", $"lang_id" * lit(4294967296L) + $"hk")
+    val pref = graft.functions.DistributedRank
+      .withRunningTotal(keyed, "rt", $"tok", $"okey", $"doc_id")
+      .withColumn("pref", $"rt" - $"lang_base")
+    val marked = pref.join(broadcast(alloc), "lang")
+      .withColumn("full_epochs", expr("alloc_tokens DIV u_tokens"))
+      .withColumn("extra",
+        ($"pref" <= expr("alloc_tokens % u_tokens")).cast("long"))
+    marked.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"u_tokens").as("u_tokens"),
+        min($"alloc_tokens").as("alloc_tokens"),
+        min($"full_epochs").as("full_epochs"),
+        sum($"extra").as("extra_docs"),
+        (min($"full_epochs") * min($"u_tokens") +
+          sum($"extra" * $"tok")).as("delivered_tokens"))
+      .withColumn("shortfall", $"alloc_tokens" - $"delivered_tokens")
       .orderBy($"lang")
   }
 
@@ -2345,6 +2422,7 @@ object CorpusOpsQueries extends QueryPack {
     "q235_release_manifest" -> q235,
     "q234_merge_curve" -> q234,
     "q233_unimax_alloc" -> q233,
+    "q255_epoch_materialize" -> q255,
     "q230_incremental_census" -> q230,
     "q232_gate_ablation" -> q232,
     "q228_rank_fusion" -> q228,
@@ -2392,6 +2470,37 @@ object CorpusOpsQueries extends QueryPack {
     "q108_quota_sample" -> q108,
     "q112_interpolate" -> q112
   )
+
+  /** q233's waterfilling oracle chain (per → tot → ranked → flagged →
+    * th), ONE text shared by q233 and q255 (the byte-shared-trainer
+    * convention of q242/q246/q247): the materializer must deliver the
+    * budgets the SAME allocation computed. */
+  private val unimaxCtes: String =
+    """per AS (
+      |  SELECT lang,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+      |      AS BIGINT) AS u_tokens
+      |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+      |  GROUP BY lang),
+      |tot AS (SELECT CAST((sum(u_tokens) * 3) // 2 AS BIGINT) AS budget,
+      |               CAST(count(*) AS BIGINT) AS n FROM per),
+      |ranked AS (
+      |  SELECT lang, u_tokens,
+      |    CAST(row_number() OVER (ORDER BY u_tokens, lang) AS BIGINT) AS i,
+      |    CAST(2 * sum(u_tokens) OVER (ORDER BY u_tokens, lang
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefc
+      |  FROM per),
+      |flagged AS (
+      |  SELECT r.*, t.budget, t.n,
+      |    2 * u_tokens * (t.n - i + 1) <= t.budget - (prefc - 2 * u_tokens)
+      |      AS capped
+      |  FROM ranked r, tot t),
+      |th AS (
+      |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS t,
+      |    CAST(coalesce(max(CASE WHEN capped THEN prefc END), 0)
+      |      AS BIGINT) AS capmass
+      |  FROM flagged)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q239_pack_purity" -> {
@@ -2582,32 +2691,42 @@ object CorpusOpsQueries extends QueryPack {
          |    ELSE CAST(0 AS BIGINT) END AS saved_per_merge_milli
          |FROM lagged ORDER BY n_merges""".stripMargin
     },
-    "q233_unimax_alloc" ->
-      """WITH per AS (
-        |  SELECT lang,
-        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
-        |      AS BIGINT) AS u_tokens
-        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
-        |  GROUP BY lang),
-        |tot AS (SELECT CAST((sum(u_tokens) * 3) // 2 AS BIGINT) AS budget,
-        |               CAST(count(*) AS BIGINT) AS n FROM per),
-        |ranked AS (
+    "q255_epoch_materialize" ->
+      s"""WITH $unimaxCtes,
+        |alloc AS (
         |  SELECT lang, u_tokens,
-        |    CAST(row_number() OVER (ORDER BY u_tokens, lang) AS BIGINT) AS i,
-        |    CAST(2 * sum(u_tokens) OVER (ORDER BY u_tokens, lang
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefc
-        |  FROM per),
-        |flagged AS (
-        |  SELECT r.*, t.budget, t.n,
-        |    2 * u_tokens * (t.n - i + 1) <= t.budget - (prefc - 2 * u_tokens)
-        |      AS capped
-        |  FROM ranked r, tot t),
-        |th AS (
-        |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0)
-        |      AS BIGINT) AS t,
-        |    CAST(coalesce(max(CASE WHEN capped THEN prefc END), 0)
-        |      AS BIGINT) AS capmass
-        |  FROM flagged)
+        |    CASE WHEN capped THEN 2 * u_tokens
+        |         ELSE (budget - capmass) // (n - th.t) END AS alloc_tokens
+        |  FROM flagged, th),
+        |doc AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+        |      AS tok
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |pref AS (
+        |  SELECT lang, tok,
+        |    CAST(sum(tok) OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT NULLS FIRST,
+        |               doc_id NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref
+        |  FROM doc),
+        |m AS (
+        |  SELECT p.lang, p.tok, a.u_tokens, a.alloc_tokens,
+        |    a.alloc_tokens // a.u_tokens AS full_epochs,
+        |    CASE WHEN p.pref <= a.alloc_tokens % a.u_tokens
+        |         THEN 1 ELSE 0 END AS extra
+        |  FROM pref p JOIN alloc a USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(u_tokens) AS u_tokens, min(alloc_tokens) AS alloc_tokens,
+        |  min(full_epochs) AS full_epochs,
+        |  CAST(sum(extra) AS BIGINT) AS extra_docs,
+        |  CAST(min(full_epochs) * min(u_tokens) + sum(extra * tok)
+        |    AS BIGINT) AS delivered_tokens,
+        |  CAST(min(alloc_tokens) - min(full_epochs) * min(u_tokens)
+        |    - sum(extra * tok) AS BIGINT) AS shortfall
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q233_unimax_alloc" ->
+      s"""WITH $unimaxCtes
         |SELECT lang, u_tokens, CAST(capped AS VARCHAR) AS capped,
         |  CASE WHEN capped THEN 2 * u_tokens
         |       ELSE (budget - capmass) // (n - th.t) END AS alloc_tokens,

@@ -82,4 +82,32 @@ class RoundNineInvariantSpec extends SparkSpec {
       assert(rows.forall(_ == 1L), s"$name: a shard failed the round trip")
     }
   }
+
+  test("q255: the materializer delivers q233's allocation — per-lang " +
+    "accounting closes and the shortfall is bounded by one document") {
+    val s = spark
+    import s.implicits._
+    // (lang, n_docs, u_tokens, alloc_tokens, full_epochs, extra_docs,
+    //  delivered_tokens, shortfall)
+    val m = SparkEntry.queries("q255_epoch_materialize")(s, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(m.nonEmpty)
+    val alloc233 = SparkEntry.queries("q233_unimax_alloc")(s, sfDir)
+      .select($"lang", $"alloc_tokens").as[(String, Long)].collect().toMap
+    m.foreach { case (lang, nDocs, u, alloc, full, extra, delivered, short) =>
+      assert(alloc == alloc233(lang),
+        s"$lang: materializer must serve the SAME allocation q233 planned")
+      assert(full == alloc / u, s"$lang: full epochs are the integer floor")
+      assert(extra >= 0L && extra <= nDocs, s"$lang: extra docs bounded")
+      assert(short >= 0L && delivered + short == alloc,
+        s"$lang: delivered + shortfall must partition the budget")
+      assert(delivered >= full * u,
+        s"$lang: full epochs are always delivered")
+      // greedy prefix: what remains undelivered is less than one more
+      // document's tokens, i.e. strictly less than the whole remainder
+      // unless the remainder can't fit the smallest next document —
+      // bounded by the per-lang remainder itself
+      assert(short <= alloc % u, s"$lang: shortfall exceeds the remainder")
+    }
+  }
 }
