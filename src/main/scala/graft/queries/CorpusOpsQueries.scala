@@ -2204,6 +2204,89 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang")
   }
 
+  /** Training-STREAM manifest — the composition that closes the
+    * mixture arc (plan → materialize → PACK, the q246 flagship pattern
+    * over this round's operators): q255's epoch assignment actually
+    * emitted as a repeat stream (epoch-major: every full epoch is a
+    * complete pass over the language in the reproducible salted order;
+    * the fractional epoch is the q255 token-prefix — because the extra
+    * set is a PREFIX of the same order, instance position is simply
+    * `epoch·n_docs + rank`), then boundary-packed into 512-token
+    * sequences with [[graft.operators.SeqPacker]]'s next-fit (the
+    * STREAMING discipline — a training loader consumes in arrival
+    * order; BFD is the offline variant, q243) over 64-unit buckets.
+    * The manifest reports, per (lang, shard): repeat instances,
+    * pieces, sequences, token mass, exact fill ppm, and the
+    * no-straddle invariants (overfull = 0 by construction,
+    * multi-doc-seq count — bounded bleed, the q239 measurement).
+    *
+    * Scale shape: the keyed doc frame is checkpointed ONCE (narrow,
+    * O(docs)) and feeds BOTH the token-prefix pass and the rank pass
+    * (each one bucket exchange — the q253 multi-consumer lesson);
+    * language dims (id, token base, count base, size) ride one
+    * triangular broadcast self-join over the O(langs) census; the
+    * epoch explode is bounded by the cap (≤ C+1 instances/doc); the
+    * pack is SeqPacker's exchange + O(1)-state fold. The oracle replays
+    * allocation (CTE text shared with q233/q255), instances
+    * (`unnest(range(...))`), and the pack (the q240 next-fit lockstep
+    * recursion, text shared verbatim). */
+  private val q256: Q = (s, d) => {
+    import s.implicits._
+    val alloc = unimaxAllocFrame(s, d)
+      .select($"lang", $"u_tokens", $"alloc_tokens")
+    val doc = Tables.documents(s, d)
+      .where($"text".isNotNull && $"lang".isNotNull)
+      .select($"lang", $"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("tok"))
+    val cen = doc.groupBy($"lang")
+      .agg(sum($"tok").as("m"), count(lit(1)).as("nl"))
+    val dim = cen.select($"lang".as("l2"), $"m".as("m2"), $"nl".as("nl2"))
+    val langDim = cen
+      .join(broadcast(dim), $"lang" > $"l2", "left")
+      .groupBy($"lang")
+      .agg(min($"nl").as("nl"),
+        count($"l2").as("lang_id"),
+        coalesce(sum($"m2"), lit(0L)).as("lang_base"),
+        coalesce(sum($"nl2"), lit(0L)).as("cnt_base"))
+    val keyed = doc.join(broadcast(langDim), "lang")
+      .withColumn("hk", graft.functions.DedupFunctions.hash32(
+        concat(lit("epoch:"), $"doc_id".cast("string"))))
+      .withColumn("okey", $"lang_id" * lit(4294967296L) + $"hk")
+      .localCheckpoint()
+    val pref = graft.functions.DistributedRank
+      .withRunningTotal(keyed, "rt", $"tok", $"okey", $"doc_id")
+      .withColumn("pref", $"rt" - $"lang_base")
+    val ranked = graft.functions.DistributedRank
+      .withRowNumber(pref, "rn", $"okey", $"doc_id")
+      .withColumn("rnl", $"rn" - $"cnt_base" - 1L)
+    val inst = ranked.join(broadcast(alloc), "lang")
+      .withColumn("reps",
+        expr("alloc_tokens DIV u_tokens") +
+          ($"pref" <= expr("alloc_tokens % u_tokens")).cast("long"))
+      .withColumn("e", explode(when($"reps" > 0L,
+        sequence(lit(0L), $"reps" - 1L)).otherwise(array())))
+      .withColumn("pos", $"e" * $"nl" + $"rnl")
+      .select($"lang", expr("pos DIV 64").as("bucket"),
+        $"pos".as("ord1"), $"doc_id", $"tok".as("toks"))
+    val packed = graft.operators.SeqPacker.packDocs(inst, 512).toDF()
+    val perSeq = packed.groupBy($"lang", $"bucket", $"seq")
+      .agg(sum($"size").as("seq_tok"), count(lit(1)).as("np"),
+        countDistinct($"docId").as("sdocs"))
+    val bkt = perSeq.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_seqs"), sum($"np").as("n_pieces"),
+        sum($"seq_tok").as("sum_tokens"),
+        sum(when($"seq_tok" > 512, 1L).otherwise(0L)).as("n_overfull"),
+        sum(when($"sdocs" > 1, 1L).otherwise(0L)).as("n_multi_doc_seqs"))
+    val nu = inst.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_units"))
+    bkt.join(nu, Seq("lang", "bucket"))
+      .select($"lang", $"bucket".as("shard"), $"n_units", $"n_pieces",
+        $"n_seqs", $"sum_tokens",
+        expr("sum_tokens * 1000000 DIV (n_seqs * 512)").as("fill_ppm"),
+        $"n_overfull", $"n_multi_doc_seqs")
+      .orderBy($"lang", $"shard")
+  }
+
   /** Tokenizer merge-curve ablation — the vocab-size design report
     * (the compression-vs-vocab tradeoff every tokenizer paper plots,
     * Gallé 2019): encode the corpus under PREFIXES of the committed
@@ -2423,6 +2506,7 @@ object CorpusOpsQueries extends QueryPack {
     "q234_merge_curve" -> q234,
     "q233_unimax_alloc" -> q233,
     "q255_epoch_materialize" -> q255,
+    "q256_training_stream" -> q256,
     "q230_incremental_census" -> q230,
     "q232_gate_ablation" -> q232,
     "q228_rank_fusion" -> q228,
@@ -2725,6 +2809,77 @@ object CorpusOpsQueries extends QueryPack {
         |  CAST(min(alloc_tokens) - min(full_epochs) * min(u_tokens)
         |    - sum(extra * tok) AS BIGINT) AS shortfall
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "q256_training_stream" ->
+      // allocation CTEs shared with q233/q255; instance positions are
+      // epoch*n_docs + within-lang rank (the extra set is a PREFIX of
+      // the same salted order, so positions stay gap-free); next-fit
+      // recursion shared verbatim with q240/q249/q250
+      s"""WITH RECURSIVE $unimaxCtes,
+        |alloc AS (
+        |  SELECT lang, u_tokens,
+        |    CASE WHEN capped THEN 2 * u_tokens
+        |         ELSE (budget - capmass) // (n - th.t) END AS alloc_tokens
+        |  FROM flagged, th),
+        |doc AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+        |      AS tok
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |dn AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |       FROM doc GROUP BY lang),
+        |hx AS (
+        |  SELECT lang, doc_id, tok,
+        |    ('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+        |  FROM doc),
+        |pr AS (
+        |  SELECT lang, doc_id, tok,
+        |    CAST(sum(tok) OVER (PARTITION BY lang
+        |      ORDER BY hk NULLS FIRST, doc_id NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY hk NULLS FIRST, doc_id NULLS FIRST) - 1
+        |      AS BIGINT) AS rnl
+        |  FROM hx),
+        |mk AS (
+        |  SELECT p.lang, p.doc_id, p.tok, p.rnl, dn.nl,
+        |    a.alloc_tokens // a.u_tokens
+        |      + CASE WHEN p.pref <= a.alloc_tokens % a.u_tokens
+        |             THEN 1 ELSE 0 END AS reps
+        |  FROM pr p JOIN alloc a USING (lang) JOIN dn USING (lang)),
+        |inst AS (
+        |  SELECT lang, doc_id, tok,
+        |    CAST(r.e * nl + rnl AS BIGINT) AS pos,
+        |    (r.e * nl + rnl) // 64 AS bucket
+        |  FROM mk, unnest(range(0, CAST(reps AS BIGINT))) r(e)),
+        |pc AS (
+        |  SELECT lang, bucket, pos AS rnl0, doc_id, r.i AS pidx,
+        |    CAST(least(512, tok - r.i * 512) AS BIGINT) AS size
+        |  FROM inst, unnest(range(0, CAST((tok + 511) // 512 AS BIGINT))) r(i)),
+        |${nextFitOrdSt("pc")},
+        |perseq AS (
+        |  SELECT lang, bucket, seq,
+        |    CAST(sum(size) AS BIGINT) AS seq_tok,
+        |    CAST(count(*) AS BIGINT) AS np,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS sdocs
+        |  FROM st GROUP BY 1, 2, 3),
+        |bkt AS (
+        |  SELECT lang, bucket,
+        |    CAST(count(*) AS BIGINT) AS n_seqs,
+        |    CAST(sum(np) AS BIGINT) AS n_pieces,
+        |    CAST(sum(seq_tok) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(CASE WHEN seq_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_overfull,
+        |    CAST(sum(CASE WHEN sdocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_multi_doc_seqs
+        |  FROM perseq GROUP BY 1, 2),
+        |nu AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_units
+        |       FROM inst GROUP BY 1, 2)
+        |SELECT b.lang, b.bucket AS shard, n_units, n_pieces, n_seqs,
+        |  sum_tokens,
+        |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
+        |  n_overfull, n_multi_doc_seqs
+        |FROM bkt b JOIN nu USING (lang, bucket)
+        |ORDER BY lang, shard""".stripMargin,
     "q233_unimax_alloc" ->
       s"""WITH $unimaxCtes
         |SELECT lang, u_tokens, CAST(capped AS VARCHAR) AS capped,

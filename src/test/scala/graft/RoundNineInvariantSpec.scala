@@ -110,4 +110,31 @@ class RoundNineInvariantSpec extends SparkSpec {
       assert(short <= alloc % u, s"$lang: shortfall exceeds the remainder")
     }
   }
+
+  test("q256: the packed training stream carries EXACTLY the mass q255 " +
+    "delivered, never overfills, and accounts every repeat instance") {
+    val s = spark
+    import s.implicits._
+    // (lang, shard, n_units, n_pieces, n_seqs, sum_tokens, fill_ppm,
+    //  n_overfull, n_multi_doc_seqs)
+    val stream = SparkEntry.queries("q256_training_stream")(s, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(stream.nonEmpty)
+    val mat = SparkEntry.queries("q255_epoch_materialize")(s, sfDir)
+      .select($"lang", $"n_docs", $"full_epochs", $"extra_docs",
+        $"delivered_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    stream.groupBy(_._1).foreach { case (lang, shards) =>
+      val (_, nDocs, full, extra, delivered) = mat(lang)
+      assert(shards.map(_._6).sum == delivered,
+        s"$lang: packed mass must equal the materialized delivery")
+      assert(shards.map(_._3).sum == full * nDocs + extra,
+        s"$lang: one pack unit per repeat instance")
+      assert(shards.forall(_._8 == 0L), s"$lang: no sequence over capacity")
+      assert(shards.forall(r => r._7 > 0L && r._7 <= 1000000L),
+        s"$lang: fill ppm in (0, 1e6]")
+    }
+  }
 }
