@@ -105,4 +105,78 @@ object StreamingExport {
           .cast("long").as("ok"))
       .orderBy(col("lang"), col("shard"))
   }
+
+  /** Fold the per-batch subtrees into one `batch_id=-1` baseline — the
+    * small-files/partition-listing debt every micro-batch sink accrues
+    * (thousands of batches = thousands of directories and one-row
+    * manifest files; the reference pays the same debt with nightly
+    * `repartition` rewrites, and [[graft.operators.VectorIndex
+    * .compactBatches]] is the codes-table analog). Placement rows, seq
+    * indexes, folded manifest stats and the [[census]] (including `ok`)
+    * are IDENTICAL before and after — the manifest was designed
+    * mergeable (sum/sum/xor) exactly so a fold is a no-op to every
+    * reader.
+    *
+    * Redelivery interaction (the reason for `keepLast`): appendBatch's
+    * idempotence is per-BATCH — it rewrites its own `batch_id=N`
+    * subtree. Folding N into the baseline forfeits that: a redelivered
+    * batch N would land as new rows beside its folded copy. After a
+    * crash, foreachBatch redelivers only the LAST uncommitted batch, so
+    * `keepLast = true` (default) folds every batch EXCEPT the highest,
+    * which keeps its own subtree and its redelivery contract; use
+    * `keepLast = false` only on a SEALED export (stream stopped).
+    *
+    * Crash safety is the whole-tree write-then-rename (VectorIndex
+    * pattern): the replacement data and manifest trees commit
+    * completely in sibling dirs while the live export keeps serving,
+    * then each swaps via two renames with the old tree deleted LAST. A
+    * crash between the data swap and the manifest swap still serves a
+    * CONSISTENT census — the census folds the manifest whatever its
+    * batch structure, and both trees hold exactly the same rows — and
+    * a rerun converges (the fold source is never mutated before its
+    * replacement is complete). Run between micro-batches (maintenance
+    * window): an appendBatch concurrent with the swap could land in
+    * the old tree. */
+  def compact(spark: SparkSession, dir: String,
+      keepLast: Boolean = true): Unit = {
+    val placed = readPlaced(spark, dir)
+    val manAll = spark.read.schema(manifestSchema)
+      .parquet(s"$dir/manifest")
+    val maxBatch = placed.agg(max(col("batch_id"))).head() match {
+      case r if r.isNullAt(0) => return // empty export: nothing to fold
+      case r => r.getLong(0)
+    }
+    val cut = if (keepLast) maxBatch else maxBatch + 1
+    // checkpoint BEFORE any tree is swapped away (the lazy-read lesson)
+    val newData = placed
+      .withColumn("batch_id",
+        when(col("batch_id") < cut, lit(-1L)).otherwise(col("batch_id")))
+      .localCheckpoint()
+    val newMan = manAll
+      .withColumn("batch_id",
+        when(col("batch_id") < cut, lit(-1L)).otherwise(col("batch_id")))
+      .groupBy(col("batch_id"), col("lang"), col("bucket"))
+      .agg(sum(col("n_pieces")).as("n_pieces"),
+        sum(col("sum_tokens")).as("sum_tokens"),
+        bit_xor(col("checksum")).as("checksum"))
+      .localCheckpoint()
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact_old")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(tmp, true); fs.delete(old, true) // stale crash leftovers
+      write(tmp.toString)
+      fs.rename(live, old)
+      fs.rename(tmp, live)
+      fs.delete(old, true)
+    }
+    swap("data") { tmp =>
+      newData.repartition(col("lang"), col("bucket"))
+        .write.partitionBy("batch_id", "lang", "bucket").parquet(tmp)
+    }
+    swap("manifest") { tmp =>
+      newMan.coalesce(1).write.partitionBy("batch_id").parquet(tmp)
+    }
+  }
 }

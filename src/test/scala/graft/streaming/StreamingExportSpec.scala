@@ -92,6 +92,53 @@ class StreamingExportSpec extends SparkSpec {
       .forall(_.getLong(5) == 1L), "census stays ok after redelivery")
   }
 
+  test("compact: folds all but the last batch, census byte-identical, " +
+    "stale crash leftovers cleaned, kept batch still redelivery-safe, " +
+    "sealed fold collapses to one subtree") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_export_c").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val placed = SeqPacker.pack(
+      (1L to 90L).map(i =>
+        Piece("l" + (i % 2), i % 2, i, 0L, i, (i * 53 % 400) + 1)).toDS(),
+      512).toDF().localCheckpoint()
+    // three appendBatch calls split by packing order — batch 2 is "last"
+    Seq(0L, 1L, 2L).foreach { b =>
+      StreamingExport.appendBatch(
+        placed.where($"ord1" % 3 === b), dir, b)
+    }
+    def censusRows() = StreamingExport.census(s, dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    def batchDirs(sub: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+    val before = censusRows()
+    assert(before.nonEmpty && before.forall(_.last == 1L))
+    // stale leftovers from a hypothetical prior crash must not break it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/data_compact_tmp/junk"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/manifest_compact_old"))
+    StreamingExport.compact(s, dir)
+    assert(batchDirs("data") == Seq("batch_id=-1", "batch_id=2"),
+      "keepLast folds every batch except the highest")
+    assert(batchDirs("manifest") == Seq("batch_id=-1", "batch_id=2"))
+    assert(censusRows() == before,
+      "the fold must be invisible to every census reader")
+    // the kept batch keeps its per-batch idempotence: redeliver it
+    val last = StreamingExport.readPlaced(s, dir)
+      .where($"batch_id" === 2L).localCheckpoint()
+    StreamingExport.appendBatch(last, dir, 2L)
+    assert(censusRows() == before, "redelivered kept batch converges")
+    // sealed export: fold EVERYTHING
+    StreamingExport.compact(s, dir, keepLast = false)
+    assert(batchDirs("data") == Seq("batch_id=-1"))
+    assert(batchDirs("manifest") == Seq("batch_id=-1"))
+    assert(censusRows() == before, "sealed fold is a no-op to readers")
+  }
+
   test("empty streaming export reads back as empty frames; census empty") {
     val s = spark
     val dir = java.nio.file.Paths.get(
