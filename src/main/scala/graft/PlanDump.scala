@@ -82,7 +82,8 @@ object PlanDump {
     "q252_zorder_skip" -> "z-order layout census: codes + Morton value are codegen'd integer div/mod riding the narrow 4-column scan; both layouts rank via the window-free DistributedRank (bucket exchange, no single-task window); censuses close at O(32) rows; only the 1-row min/max stats frame is broadcast",
     "q253_hilbert_locality" -> "hilbert vs z-order: the 10-step CASE unroll collapses into ONE projection on the coded scan (no UDF, no join, no shuffle for the curve index); both layouts rank window-free; census O(32) rows",
     "q255_epoch_materialize" -> "epoch materializer: per-doc tokens ride one narrow scan; the within-lang prefix sum is ONE window-free running-total pass over the composite langId*2^32+hash key (q240 keying — no per-lang hot partition); lang dims/bases O(langs) broadcast; census O(langs) rows",
-    "q256_training_stream" -> "training-stream flagship: checkpointed keyed frame feeds prefix + rank passes (one bucket exchange each); epoch explode bounded by the cap; pack is SeqPacker's (lang,bucket) exchange + O(1)-state fold; censuses hash aggs")
+    "q256_training_stream" -> "training-stream flagship: checkpointed keyed frame feeds prefix + rank passes (one bucket exchange each); epoch explode bounded by the cap; pack is SeqPacker's (lang,bucket) exchange + O(1)-state fold; censuses hash aggs",
+    "q257_web_extract" -> "web extraction: the whole strip/decode chain is codegen'd regexp_replace/replace expressions riding the documents scan — no UDF, zero shuffles before the O(langs) census")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

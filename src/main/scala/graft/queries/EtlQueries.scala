@@ -196,6 +196,46 @@ object EtlQueries extends QueryPack {
     * the exchange); no window, no self-join, no sort of the full log.
     * Values close as integer cents via floor(value*100) (the q57
     * closure — exact on the fixture's 2-decimal doubles). */
+  /** Web-page text extraction round trip (the P-family's web-corpus
+    * analog — CCNet/RefinedWeb/Dolma all begin at raw HTML): each
+    * document is wrapped in a deterministic page (head/title, style and
+    * script blocks — the script deliberately contains a bare `<` —
+    * comments, nav boilerplate, entity-bearing footer), then
+    * [[graft.etl.WebExtract.extractText]] strips it back to visible
+    * text as ONE codegen'd expression chain riding the scan. The census
+    * reports per language: docs, extracted token and char mass, and the
+    * exact markup overhead the extraction removed. The oracle runs the
+    * SAME pattern list ([[graft.etl.WebExtract.extractSqlDuck]] — one
+    * pattern table, two engine spellings; DuckDB needs the explicit 'g'
+    * flag). Scale: a per-row map on the ingest scan, no shuffle before
+    * the O(langs) census. */
+  private val q257: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull &&
+        $"lang".isNotNull && $"source".isNotNull)
+    val html = concat(
+      lit("<html><!-- doc:"), $"doc_id".cast("string"),
+      lit(" --><head><title>"), $"source",
+      lit("</title><style>p { margin: 0 }</style>" +
+        "<script type=\"text/javascript\">var lang = \""), $"lang",
+      lit("\"; if (1 < 2) { track(); }</script></head><body><h1>"),
+      $"source",
+      lit("</h1><nav><a href=\"/home\">home</a> " +
+        "<a href=\"/about\">about</a></nav><p>"), $"text",
+      lit("</p><footer>contact &amp; legal &#39;2024&#39;" +
+        "</footer></body></html>"))
+    docs.select($"lang", html.as("html"))
+      .withColumn("extracted", graft.etl.WebExtract.extractText($"html"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"extracted", " "))).as("sum_ext_tokens"),
+        sum(length($"extracted")).as("sum_ext_chars"),
+        sum(length($"html") - length($"extracted"))
+          .as("markup_overhead_chars"))
+      .orderBy($"lang")
+  }
+
   private val q227: Q = (s, d) => {
     import s.implicits._
     val log = Tables.events(s, d)
@@ -217,6 +257,7 @@ object EtlQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     "q227_cdc_apply" -> q227,
+    "q257_web_extract" -> q257,
     "q70_identity_resolution" -> q70,
     "q57_runlog_parse" -> q57,
     "q58_arate_parse" -> q58,
@@ -225,6 +266,27 @@ object EtlQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "q257_web_extract" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND lang IS NOT NULL AND source IS NOT NULL),
+        |h AS (SELECT lang,
+        |  '<html><!-- doc:' || CAST(doc_id AS VARCHAR) || ' --><head><title>' || source ||
+        |  '</title><style>p { margin: 0 }</style><script type="text/javascript">var lang = "' || lang ||
+        |  '"; if (1 < 2) { track(); }</script></head><body><h1>' || source ||
+        |  '</h1><nav><a href="/home">home</a> <a href="/about">about</a></nav><p>' || text ||
+        |  '</p><footer>contact &amp; legal &#39;2024&#39;</footer></body></html>' AS html
+        | FROM d),
+        |x AS (SELECT lang, html,
+        |  ${graft.etl.WebExtract.extractSqlDuck("html")} AS extracted FROM h)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(extracted, ' '))) AS BIGINT)
+        |    AS sum_ext_tokens,
+        |  CAST(sum(len(extracted)) AS BIGINT) AS sum_ext_chars,
+        |  CAST(sum(len(html) - len(extracted)) AS BIGINT)
+        |    AS markup_overhead_chars
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
     "q227_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, event_id,
