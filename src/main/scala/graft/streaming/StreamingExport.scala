@@ -106,6 +106,115 @@ object StreamingExport {
       .orderBy(col("lang"), col("shard"))
   }
 
+  /** What a [[forget]] call did. */
+  final case class ForgetExportStats(nForgotten: Long, nPartsRewritten: Long,
+    nPartsDeleted: Long, nBatchesTouched: Long)
+
+  /** Right-to-be-forgotten DELETE on the streaming export — erasure
+    * propagated into the THIRD persisted corpus artifact (VectorIndex
+    * .forget and SeqPacker.forgetShards are the index and batch-export
+    * analogs; a GDPR pipeline must reach every store). Removes every
+    * placement of the listed doc ids by rewriting ONLY the
+    * (batch_id, lang, bucket) partitions they touch, then recomputes
+    * the touched batches' manifest rows from the rewritten data so the
+    * [[census]] cross-check stays green.
+    *
+    * Unlike the batch export's forgetShards, survivors are NOT
+    * re-packed: sequences keep their numbering with holes where the
+    * erased pieces sat (erasure never renumbers — the q250 rule), and
+    * re-packing here would also move rows across batch subtrees whose
+    * per-batch redelivery contract owns them. The price is fill
+    * degradation where deletions cluster, visible in the census token
+    * mass; [[compact]] plus a downstream re-pack is the offline remedy
+    * on a sealed export.
+    *
+    * Crash safety (the forgetShards discipline): the touched footprint
+    * is recorded in a `_forget_pending` WAL sidecar BEFORE any
+    * mutation and cleared only after the manifests commit; a rerun —
+    * after a crash in ANY window, or after success — converges
+    * (already-scrubbed partitions anti-join to themselves, stale
+    * manifests are recomputed from data). The footprint travels as a
+    * FRAME with no forced broadcast (deletion-tracking, audit rule). */
+  def forget(spark: SparkSession, dir: String, delIds: DataFrame,
+      delCol: String): ForgetExportStats = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending")
+    val del = delIds.select(col(delCol).cast("long").as("docId"))
+      .where(col("docId").isNotNull).distinct()
+    val placed = readPlaced(spark, dir)
+    val hitAgg = placed.join(del, Seq("docId"), "left_semi")
+      .groupBy(col("batch_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pendingPrev: Seq[(Long, String, Long)] =
+      if (!fs.exists(pending)) Seq.empty
+      else {
+        val in = fs.open(pending)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(b, lang, k) = l.split('\t')
+          (b.toLong, lang, k.toLong)
+        }.toSeq
+      }
+    val touched = (hitAgg.map(t => (t._1, t._2, t._3)) ++ pendingPrev)
+      .distinct.sortBy(identity)
+    if (touched.isEmpty) return ForgetExportStats(0L, 0L, 0L, 0L)
+    // intent record BEFORE any mutation (WAL): a crash after the data
+    // rewrite but before the manifest recompute must leave enough to
+    // finish the job on retry even if the retry's deletion list no
+    // longer hits the already-scrubbed rows
+    val outS = fs.create(pending, true)
+    try outS.write(touched.map { case (b, l, k) => s"$b\t$l\t$k" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally outS.close()
+    val touchedDf = touched.toSeq.toDF("batch_id", "lang", "bucket")
+    // survivors of the touched partitions, checkpointed BEFORE the
+    // write that replaces the very files they were read from
+    val survivors = placed
+      .join(touchedDf, Seq("batch_id", "lang", "bucket"), "left_semi")
+      .join(del, Seq("docId"), "left_anti")
+      .select(col("ord1"), col("ord2"), col("docId"), col("size"),
+        col("seq"), col("batch_id"), col("lang"), col("bucket"))
+      .localCheckpoint()
+    survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "lang", "bucket").parquet(s"$dir/data")
+    val surv = survivors.select(col("batch_id"), col("lang"), col("bucket"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val emptied = touched.filterNot(surv)
+    emptied.foreach { case (b, l, k) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/data/batch_id=$b/lang=$l/bucket=$k"), true)
+    }
+    // manifests: recompute each touched batch wholesale from its
+    // rewritten data (idempotent; a batch the erasure emptied loses
+    // both subtrees outright)
+    val touchedBatches = touched.map(_._1).distinct.sorted
+    touchedBatches.foreach { b =>
+      val dataB = new org.apache.hadoop.fs.Path(s"$dir/data/batch_id=$b")
+      val manB = new org.apache.hadoop.fs.Path(s"$dir/manifest/batch_id=$b")
+      val rows = readPlaced(spark, dir).where(col("batch_id") === b)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_pieces"),
+          sum(col("size")).as("sum_tokens"),
+          SeqPacker.pieceChecksum.as("checksum"))
+        .localCheckpoint()
+      if (rows.isEmpty) { fs.delete(dataB, true); fs.delete(manB, true) }
+      else {
+        fs.delete(manB, true)
+        rows.coalesce(1).write.parquet(manB.toString)
+      }
+    }
+    fs.delete(pending, false)
+    ForgetExportStats(hitAgg.map(_._4).sum,
+      (touched.length - emptied.length).toLong, emptied.length.toLong,
+      touchedBatches.length.toLong)
+  }
+
   /** Fold the per-batch subtrees into one `batch_id=-1` baseline — the
     * small-files/partition-listing debt every micro-batch sink accrues
     * (thousands of batches = thousands of directories and one-row

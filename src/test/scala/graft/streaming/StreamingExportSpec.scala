@@ -139,6 +139,90 @@ class StreamingExportSpec extends SparkSpec {
     assert(censusRows() == before, "sealed fold is a no-op to readers")
   }
 
+  test("forget: erased ids vanish, untouched partitions byte-identical, " +
+    "census stays ok, emptied partition dirs removed, sequences never " +
+    "renumbered, post-success rerun is a zero-op, WAL recovery heals") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_export_f").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    // 4 buckets x 2 langs x 3 batches: enough partitions that the
+    // deletion list leaves most of them untouched
+    val placed = SeqPacker.pack(
+      (1L to 90L).map(i =>
+        Piece("l" + (i % 2), i % 4, i, 0L, i, (i * 53 % 400) + 1)).toDS(),
+      512).toDF().localCheckpoint()
+    Seq(0L, 1L, 2L).foreach { b =>
+      StreamingExport.appendBatch(placed.where($"ord1" % 3 === b), dir, b)
+    }
+    val before = StreamingExport.readPlaced(s, dir).collect()
+      .map(_.toSeq).toSet
+    def md5Of(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 16)
+        out.toByteArray
+      } finally in.close()
+      md5(new String(bytes.map(_.toChar)))
+    }
+    def dataFiles(): Map[String, String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/data"), true)
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += (f.toString -> md5Of(f))
+      }
+      b.result()
+    }
+    val filesBefore = dataFiles()
+    // scattered deletions + ONE whole partition's ids (empties it)
+    val onePart = StreamingExport.readPlaced(s, dir)
+      .where($"batch_id" === 1L && $"lang" === "l0" && $"bucket" === 0L)
+      .select($"docId").as[Long].collect().toSet
+    val scattered = (1L to 90L).filter(_ % 31 == 0).toSet
+    val delSet = onePart ++ scattered
+    val stats = StreamingExport.forget(s, dir,
+      delSet.toSeq.toDF("gone"), "gone")
+    assert(stats.nForgotten > 0 && stats.nPartsDeleted >= 1)
+    val after = StreamingExport.readPlaced(s, dir).collect()
+      .map(_.toSeq).toSet
+    // exact set semantics: survivors unchanged (seq/ord intact), erased gone
+    assert(after == before.filterNot(r => delSet(r(2).asInstanceOf[Long])),
+      "forget must remove exactly the listed ids and nothing else")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/data/batch_id=1/lang=l0/bucket=0")), "emptied dir removed")
+    assert(StreamingExport.census(s, dir).collect()
+      .forall(_.getLong(5) == 1L), "census ok after forget")
+    // untouched partitions keep their exact bytes
+    val filesAfter = dataFiles()
+    val common = filesBefore.keySet intersect filesAfter.keySet
+    assert(common.nonEmpty)
+    common.foreach { f =>
+      assert(filesBefore(f) == filesAfter(f), s"untouched file changed: $f")
+    }
+    // post-success rerun: zero-op
+    val rerun = StreamingExport.forget(s, dir,
+      delSet.toSeq.toDF("gone"), "gone")
+    assert(rerun == StreamingExport.ForgetExportStats(0L, 0L, 0L, 0L))
+    assert(dataFiles() == filesAfter, "rerun must not rewrite anything")
+    // WAL recovery: a pending sidecar names a partition whose ids are
+    // already scrubbed (the crash-between-rewrite-and-manifest window);
+    // a forget with an EMPTY list must finish the job and clear it
+    val pend = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending")
+    val o = fs.create(pend, true)
+    o.write("0\tl1\t1\n".getBytes("UTF-8")); o.close()
+    val heal = StreamingExport.forget(s, dir,
+      Seq.empty[Long].toDF("gone"), "gone")
+    assert(heal.nBatchesTouched == 1L && !fs.exists(pend),
+      "pending footprint drained and cleared")
+    assert(StreamingExport.census(s, dir).collect()
+      .forall(_.getLong(5) == 1L), "census ok after WAL recovery")
+  }
+
   test("empty streaming export reads back as empty frames; census empty") {
     val s = spark
     val dir = java.nio.file.Paths.get(
