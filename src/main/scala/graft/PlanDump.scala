@@ -83,7 +83,8 @@ object PlanDump {
     "q253_hilbert_locality" -> "hilbert vs z-order: the 10-step CASE unroll collapses into ONE projection on the coded scan (no UDF, no join, no shuffle for the curve index); both layouts rank window-free; census O(32) rows",
     "q255_epoch_materialize" -> "epoch materializer: per-doc tokens ride one narrow scan; the within-lang prefix sum is ONE window-free running-total pass over the composite langId*2^32+hash key (q240 keying — no per-lang hot partition); lang dims/bases O(langs) broadcast; census O(langs) rows",
     "q256_training_stream" -> "training-stream flagship: checkpointed keyed frame feeds prefix + rank passes (one bucket exchange each); epoch explode bounded by the cap; pack is SeqPacker's (lang,bucket) exchange + O(1)-state fold; censuses hash aggs",
-    "q257_web_extract" -> "web extraction: the whole strip/decode chain is codegen'd regexp_replace/replace expressions riding the documents scan — no UDF, zero shuffles before the O(langs) census")
+    "q257_web_extract" -> "web extraction: the whole strip/decode chain is codegen'd regexp_replace/replace expressions riding the documents scan — no UDF, zero shuffles before the O(langs) census",
+    "q258_stream_forget" -> "streaming-export erasure: q240's pack + three bounded batch writes; the forget is one narrow footprint scan + a dynamic overwrite bounded by the touched (batch,lang,bucket) partitions + O(touched batches) manifest recomputes; census reads manifest rows + one data agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

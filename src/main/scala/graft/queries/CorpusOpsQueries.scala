@@ -1360,7 +1360,8 @@ object CorpusOpsQueries extends QueryPack {
     * order → 64-doc buckets → ≤512-token pieces. `cntName` points at
     * the counts CTE; `extraJoin` restricts the packed population (the
     * q246 trained-gate semi join). */
-  private def packBucketCtesP(cntName: String, extraJoin: String): String =
+  private def packBucketCtesP(cntName: String, extraJoin: String,
+      bucketDocs: Long = 64L): String =
     s"""pd AS (
       |  SELECT c.doc_id, c.toks, d.lang,
       |    ('0x' || substr(md5('bpack:' || CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
@@ -1371,7 +1372,7 @@ object CorpusOpsQueries extends QueryPack {
       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1
       |      AS BIGINT) AS rnl0
       |  FROM pd),
-      |pbk AS (SELECT doc_id, toks, lang, rnl0, rnl0 // 64 AS bucket FROM pb),
+      |pbk AS (SELECT doc_id, toks, lang, rnl0, rnl0 // $bucketDocs AS bucket FROM pb),
       |pc AS (
       |  SELECT doc_id, lang, bucket, rnl0, r.i AS pidx,
       |    CAST(least(512, toks - r.i * 512) AS BIGINT) AS size
@@ -1748,12 +1749,71 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"lang", $"shard")
   }
 
+  /** Erasure on the STREAMING export's batch_id layout, driver-visible
+    * (the q250 pattern on the third persisted artifact): build the
+    * q240 pack, land it as three micro-batch subtrees
+    * ([[graft.streaming.StreamingExport.appendBatch]] — placements
+    * split by packing order, content identical to the batch pack by
+    * construction), then [[graft.streaming.StreamingExport.forget]]
+    * the doc_id ≡ 13 mod 97 slice. Unlike forgetShards, survivors are
+    * NOT re-packed — sequences keep their numbering with holes
+    * (erasure never renumbers, and batch subtrees own their redelivery
+    * contract) — so the oracle replays the FULL pack (q240/q249's
+    * shared recursion) and simply deletes the erased docs' rows: the
+    * per-shard survivor census (pieces, distinct seqs, token mass,
+    * post-erasure fill) must match exactly, with ok = 1 pinned as a
+    * literal — any manifest/data divergence after the forget is a
+    * driver-red row.
+    *
+    * Scale shape: q240's pack + three bounded batch writes; the forget
+    * is one narrow footprint scan + a dynamic overwrite bounded by the
+    * touched (batch, lang, bucket) partitions + O(touched batches)
+    * manifest recomputes; the census reads manifest rows and one data
+    * agg. */
+  private val q258: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.SeqPacker
+    import graft.streaming.StreamingExport
+    val lang = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull)
+      .select($"doc_id", $"lang")
+    val perDoc0 = q223PerDoc(s, d).where($"toks" > 0)
+      .join(lang, Seq("doc_id"))
+    // 512-doc shard grain (vs the batch export's 64): the batch_id
+    // layout multiplies leaf directories by the batch count, and the
+    // write/overwrite cost here is per-DIRECTORY commit work, not data
+    // — measured 8x fewer dirs ~= 8x cheaper end-to-end at the probe
+    val placed = SeqPacker.packDocs(packKeyed(perDoc0, 512L), 512)
+      .toDF().localCheckpoint()
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_q258").toString
+    Seq(0L, 1L, 2L).foreach { b =>
+      StreamingExport.appendBatch(placed.where($"ord1" % 3 === b), tmp, b)
+    }
+    // pre-forget footprint at the output grain, from the checkpointed
+    // placement frame (identical to the landed data by appendBatch's
+    // contract — no disk round trip before the forget mutates files)
+    val affected = placed
+      .where($"docId" % 97 === 13)
+      .select($"lang", $"bucket".as("shard")).distinct().localCheckpoint()
+    StreamingExport.forget(s, tmp,
+      Tables.documents(s, d).where($"doc_id" % 97 === 13)
+        .select($"doc_id"),
+      "doc_id")
+    StreamingExport.census(s, tmp)
+      .join(affected, Seq("lang", "shard"), "left_semi")
+      .select($"lang", $"shard", $"n_pieces", $"n_seqs", $"sum_tokens",
+        expr("sum_tokens * 1000000 DIV (n_seqs * 512)").as("fill_ppm"),
+        $"ok")
+      .orderBy($"lang", $"shard")
+  }
+
   /** Shared q240/q243/q246 bucket keying: (doc_id, lang, toks) →
     * (lang, bucket, ord1, doc_id, toks) via ONE DistributedRank over
     * the composite langId·2^32+hash key (per-language salted order
     * without per-language hot partitions) and 64-doc buckets. */
-  private def packKeyed(perDoc0: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private def packKeyed(perDoc0: org.apache.spark.sql.DataFrame,
+      bucketDocs: Long = 64L): org.apache.spark.sql.DataFrame = {
     // dense language id: O(langs) frame, the repo-blessed bounded
     // unpartitioned window (world languages, not corpus-tracking)
     val langDim = perDoc0.select(col("lang")).distinct()
@@ -1768,7 +1828,7 @@ object CorpusOpsQueries extends QueryPack {
       col("doc_id"))
     val minRn = ranked.groupBy(col("lang")).agg(min(col("rn")).as("rn0"))
     ranked.join(broadcast(minRn), Seq("lang"))
-      .select(col("lang"), expr("(rn - rn0) DIV 64").as("bucket"),
+      .select(col("lang"), expr(s"(rn - rn0) DIV $bucketDocs").as("bucket"),
         (col("rn") - col("rn0")).as("ord1"), col("doc_id"), col("toks"))
   }
 
@@ -2507,6 +2567,7 @@ object CorpusOpsQueries extends QueryPack {
     "q233_unimax_alloc" -> q233,
     "q255_epoch_materialize" -> q255,
     "q256_training_stream" -> q256,
+    "q258_stream_forget" -> q258,
     "q230_incremental_census" -> q230,
     "q232_gate_ablation" -> q232,
     "q228_rank_fusion" -> q228,
@@ -3706,6 +3767,28 @@ object CorpusOpsQueries extends QueryPack {
          |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
          |  CAST(1 AS BIGINT) AS ok
          |FROM bkt ORDER BY lang, shard""".stripMargin,
+    "q258_stream_forget" ->
+      // the streaming-layout erasure keeps sequence numbering (holes
+      // where erased pieces sat), so the oracle packs the FULL
+      // population with q240/q249's verbatim recursion and deletes the
+      // erased docs' rows AFTERWARD — the exact opposite order of
+      // q250's re-packing oracle (pcf filters BEFORE its recursion)
+      s"""WITH RECURSIVE $packCntCtes,
+         |${packBucketCtesP("cnt", "", 512L)},
+         |$nextFitOrdStCtes,
+         |aff AS (SELECT DISTINCT lang, bucket FROM st
+         |        WHERE doc_id % 97 = 13),
+         |surv AS (SELECT * FROM st WHERE NOT (doc_id % 97 = 13)),
+         |cen AS (
+         |  SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_pieces,
+         |    CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs,
+         |    CAST(sum(size) AS BIGINT) AS sum_tokens
+         |  FROM surv GROUP BY 1, 2)
+         |SELECT lang, bucket AS shard, n_pieces, n_seqs, sum_tokens,
+         |  sum_tokens * 1000000 // (n_seqs * 512) AS fill_ppm,
+         |  CAST(1 AS BIGINT) AS ok
+         |FROM cen JOIN aff USING (lang, bucket)
+         |ORDER BY lang, shard""".stripMargin,
     "q250_export_forget" ->
       // the pack replay minus the deletion predicate's docs: ranks and
       // buckets come from the FULL population (erasure does not renumber

@@ -179,7 +179,12 @@ object StreamingExport {
       .select(col("ord1"), col("ord2"), col("docId"), col("size"),
         col("seq"), col("batch_id"), col("lang"), col("bucket"))
       .localCheckpoint()
-    survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // hash-repartition on the partition key before the dynamic
+    // overwrite (the appendBatch rule): without it every task opens a
+    // writer per touched leaf dir — a corpus-tracking deletion list
+    // touches thousands, and the write degrades to a small-file storm
+    survivors.repartition(col("batch_id"), col("lang"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "lang", "bucket").parquet(s"$dir/data")
     val surv = survivors.select(col("batch_id"), col("lang"), col("bucket"))
@@ -190,19 +195,21 @@ object StreamingExport {
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$dir/data/batch_id=$b/lang=$l/bucket=$k"), true)
     }
-    // manifests: recompute each touched batch wholesale from its
-    // rewritten data (idempotent; a batch the erasure emptied loses
-    // both subtrees outright)
+    // manifests: recompute every touched batch from the rewritten data
+    // in ONE read (checkpointed), then commit per batch (idempotent; a
+    // batch the erasure emptied loses both subtrees outright)
     val touchedBatches = touched.map(_._1).distinct.sorted
+    val manRows = readPlaced(spark, dir)
+      .where(col("batch_id").isin(touchedBatches: _*))
+      .groupBy(col("batch_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col("size")).as("sum_tokens"),
+        SeqPacker.pieceChecksum.as("checksum"))
+      .localCheckpoint()
     touchedBatches.foreach { b =>
       val dataB = new org.apache.hadoop.fs.Path(s"$dir/data/batch_id=$b")
       val manB = new org.apache.hadoop.fs.Path(s"$dir/manifest/batch_id=$b")
-      val rows = readPlaced(spark, dir).where(col("batch_id") === b)
-        .groupBy(col("lang"), col("bucket"))
-        .agg(count(lit(1)).as("n_pieces"),
-          sum(col("size")).as("sum_tokens"),
-          SeqPacker.pieceChecksum.as("checksum"))
-        .localCheckpoint()
+      val rows = manRows.where(col("batch_id") === b).drop("batch_id")
       if (rows.isEmpty) { fs.delete(dataB, true); fs.delete(manB, true) }
       else {
         fs.delete(manB, true)
