@@ -2294,8 +2294,14 @@ object CorpusOpsQueries extends QueryPack {
     import s.implicits._
     val alloc = unimaxAllocFrame(s, d)
       .select($"lang", $"u_tokens", $"alloc_tokens")
+    // doc_id must be non-null here (unlike q255): instances become
+    // SeqPacker.Piece rows whose docId is a primitive Long — a null id
+    // would crash the encoder, not mis-rank (NullInputSpec). The census
+    // frame below derives from THIS filtered frame, so ranks, bases and
+    // counts stay self-consistent; only the (pathological) null-id docs
+    // drop out of the stream, on both engines identically.
     val doc = Tables.documents(s, d)
-      .where($"text".isNotNull && $"lang".isNotNull)
+      .where($"text".isNotNull && $"lang".isNotNull && $"doc_id".isNotNull)
       .select($"lang", $"doc_id",
         size(split(trim($"text"), "\\s+")).cast("long").as("tok"))
     val cen = doc.groupBy($"lang")
@@ -2885,7 +2891,8 @@ object CorpusOpsQueries extends QueryPack {
         |  SELECT lang, doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
         |      AS tok
-        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id IS NOT NULL),
         |dn AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
         |       FROM doc GROUP BY lang),
         |hx AS (
