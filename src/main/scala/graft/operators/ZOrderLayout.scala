@@ -95,14 +95,19 @@ object ZOrderLayout {
     s"((($v - $lo) * ${1L << bits}) $div ($hi - $lo + 1))"
   }
 
-  /** Production z-ordered rewrite: quantize `colA`/`colB` against their
-    * observed min/max (ONE 1-row stats action — a driver scalar, not a
-    * data collect), range-partition on the Morton value and sort within
-    * each task, so files carry tight (a, b) bounding boxes. Null keys
-    * code as the minimum (bounding boxes stay correct — nulls simply
-    * inflate file 0's box). */
+  /** Production curve-ordered rewrite: quantize `colA`/`colB` against
+    * their observed min/max (ONE 1-row stats action — a driver scalar,
+    * not a data collect), range-partition on the curve value and sort
+    * within each task, so files carry tight (a, b) bounding boxes.
+    * Null keys code as the minimum (bounding boxes stay correct —
+    * nulls simply inflate file 0's box). `hilbert = true` orders by
+    * the Hilbert index instead of Morton — the acting counterpart of
+    * q253's census (tighter boxes, fewer files per probe) at the price
+    * of the `bits`-step unroll per row; the unroll evaluates exactly
+    * once here (single write job), so the multi-consumer checkpoint
+    * rule does not apply. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      bits: Int = 10, partitions: Int = 32): Unit = {
+      bits: Int = 10, partitions: Int = 32, hilbert: Boolean = false): Unit = {
     require(partitions >= 1, s"partitions must be >= 1 (got $partitions)")
     val r = df.agg(
       min(col(colA)).cast("long").as("alo"), max(col(colA)).cast("long").as("ahi"),
@@ -111,7 +116,13 @@ object ZOrderLayout {
     val (alo, ahi, blo, bhi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val ca = quantize(coalesce(col(colA), lit(alo)), lit(alo), lit(ahi), bits)
     val cb = quantize(coalesce(col(colB), lit(blo)), lit(blo), lit(bhi), bits)
-    df.withColumn("__zv", interleave(ca, cb, bits))
+    val curved =
+      if (hilbert)
+        HilbertCurve.withHilbert(
+          df.withColumn("__ca", ca).withColumn("__cb", cb),
+          "__zv", col("__ca"), col("__cb"), bits).drop("__ca", "__cb")
+      else df.withColumn("__zv", interleave(ca, cb, bits))
+    curved
       .repartitionByRange(partitions, col("__zv"))
       .sortWithinPartitions("__zv")
       .drop("__zv")

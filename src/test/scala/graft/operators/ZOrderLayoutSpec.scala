@@ -144,4 +144,33 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(lt == ltot, "linear layout cannot skip on the second column")
     assert(zt < lt, s"z-order must skip: z=$zt vs linear=$lt")
   }
+
+  test("writeZOrdered(hilbert=true): tighter per-file box mass than Morton") {
+    val s = spark; import s.implicits._
+    val li = graft.core.Tables.lineitem(s, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("hilbw").toString
+    ZOrderLayout.writeZOrdered(li, s"$dir/m", "l_partkey", "l_suppkey",
+      bits = 10, partitions = 8)
+    ZOrderLayout.writeZOrdered(li, s"$dir/h", "l_partkey", "l_suppkey",
+      bits = 10, partitions = 8, hilbert = true)
+    def boxMass(path: String): Long = {
+      val r = s.read.parquet(path)
+      val st = r.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (alo, ahi, blo, bhi) =
+        (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+      r.withColumn("ca", ZOrderLayout.quantize(col("l_partkey"),
+          lit(alo), lit(ahi), 10))
+        .withColumn("cb", ZOrderLayout.quantize(col("l_suppkey"),
+          lit(blo), lit(bhi), 10))
+        .groupBy(input_file_name())
+        .agg(((max("ca") - min("ca") + 1) *
+          (max("cb") - min("cb") + 1)).as("area"))
+        .agg(sum("area")).head().getLong(0)
+    }
+    val (hm, mm) = (boxMass(s"$dir/h"), boxMass(s"$dir/m"))
+    assert(hm < mm, s"hilbert box mass $hm must beat morton $mm " +
+      "(the q253 census claim, proven at the real file grain)")
+  }
 }
