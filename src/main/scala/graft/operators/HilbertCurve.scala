@@ -44,18 +44,22 @@ import org.apache.spark.sql.functions.expr
 object HilbertCurve {
 
   /** Per-step SQL texts, most-significant bit first. Step i rewrites
-    * (`d`, `x`, `y`) → the same names suffixed for the NEXT step; the
+    * (`dn`, `xn`, `yn`) → the same names suffixed for the NEXT step; the
     * caller chains them (withColumn on Spark, CTEs on an oracle).
-    * Returns (dExpr, xExpr, yExpr) over input names `(d, x, y)`. */
-  def steps(bits: Int, div: String): Seq[(String, String, String)] = {
+    * Returns (dExpr, xExpr, yExpr) over input names `(dn, xn, yn)` —
+    * default `(d, x, y)` for the oracle CTE chain; [[withHilbert]]
+    * passes collision-resistant `__hc_*` names so a caller frame that
+    * happens to own columns d/x/y is never clobbered. */
+  def steps(bits: Int, div: String, dn: String = "d", xn: String = "x",
+      yn: String = "y"): Seq[(String, String, String)] = {
     require(bits >= 1 && bits <= 20, s"bits out of range: $bits")
     (bits - 1 to 0 by -1).map { i =>
       val s = 1L << i
-      val rx = s"((x $div $s) % 2)"
-      val ry = s"((y $div $s) % 2)"
-      val xl = s"(x % $s)"
-      val yl = s"(y % $s)"
-      val dE = s"d + ${s * s} * (3 * $rx + (1 - 2 * $rx) * $ry)"
+      val rx = s"(($xn $div $s) % 2)"
+      val ry = s"(($yn $div $s) % 2)"
+      val xl = s"($xn % $s)"
+      val yl = s"($yn % $s)"
+      val dE = s"$dn + ${s * s} * (3 * $rx + (1 - 2 * $rx) * $ry)"
       val xE = s"CASE WHEN $ry = 1 THEN $xl WHEN $rx = 1 THEN ${s - 1} - $yl ELSE $yl END"
       val yE = s"CASE WHEN $ry = 1 THEN $yl WHEN $rx = 1 THEN ${s - 1} - $xl ELSE $xl END"
       (dE, xE, yE)
@@ -79,20 +83,21 @@ object HilbertCurve {
     * q228 established for recomputed signal frames. */
   def withHilbert(df: DataFrame, outCol: String, a: Column, b: Column,
       bits: Int): DataFrame = {
-    val seeded = df.withColumn("d", org.apache.spark.sql.functions.lit(0L))
-      .withColumn("x", a.cast("long"))
-      .withColumn("y", b.cast("long"))
-    val walked = steps(bits, "DIV").foldLeft(seeded) {
+    val (dn, xn, yn) = ("__hc_d", "__hc_x", "__hc_y")
+    val seeded = df.withColumn(dn, org.apache.spark.sql.functions.lit(0L))
+      .withColumn(xn, a.cast("long"))
+      .withColumn(yn, b.cast("long"))
+    val walked = steps(bits, "DIV", dn, xn, yn).foldLeft(seeded) {
       case (acc, (dE, xE, yE)) =>
         // all three read the PREVIOUS step's (d, x, y): rewrite into
         // temporaries first, then rename — withColumn is sequential
-        acc.withColumn("d2", expr(dE)).withColumn("x2", expr(xE))
-          .withColumn("y2", expr(yE))
-          .drop("d", "x", "y")
-          .withColumnRenamed("d2", "d").withColumnRenamed("x2", "x")
-          .withColumnRenamed("y2", "y")
+        acc.withColumn("__hc_d2", expr(dE)).withColumn("__hc_x2", expr(xE))
+          .withColumn("__hc_y2", expr(yE))
+          .drop(dn, xn, yn)
+          .withColumnRenamed("__hc_d2", dn).withColumnRenamed("__hc_x2", xn)
+          .withColumnRenamed("__hc_y2", yn)
     }
-    walked.withColumnRenamed("d", outCol).drop("x", "y")
+    walked.withColumnRenamed(dn, outCol).drop(xn, yn)
   }
 
   /** The same walk as chained oracle CTEs: `withName` is the seeded CTE

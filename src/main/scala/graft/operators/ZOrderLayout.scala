@@ -113,7 +113,18 @@ object ZOrderLayout {
       min(col(colA)).cast("long").as("alo"), max(col(colA)).cast("long").as("ahi"),
       min(col(colB)).cast("long").as("blo"), max(col(colB)).cast("long").as("bhi"))
       .head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"writeZOrdered: no non-null values in '$colA'/'$colB' " +
+        "(empty frame or all-null key column) — nothing to quantize")
     val (alo, ahi, blo, bhi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // (v-lo)*2^bits must stay in Long: past hi-lo+1 > 2^(63-bits) the
+    // product overflows SILENTLY and codes land on wrong partitions.
+    def rangeOk(lo: Long, hi: Long, name: String): Unit =
+      require(hi - lo >= 0 && hi - lo + 1 <= (Long.MaxValue >> bits),
+        s"writeZOrdered: '$name' range [$lo, $hi] exceeds 2^${63 - bits} " +
+          s"at bits=$bits — quantize would overflow; reduce bits or " +
+          "pre-rank the column (equi-depth codes)")
+    rangeOk(alo, ahi, colA); rangeOk(blo, bhi, colB)
     val ca = quantize(coalesce(col(colA), lit(alo)), lit(alo), lit(ahi), bits)
     val cb = quantize(coalesce(col(colB), lit(blo)), lit(blo), lit(bhi), bits)
     val curved =

@@ -1533,13 +1533,10 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"shard")
   }
 
-  /** Round-9 bisection sentinels for the q223 driver split (VERDICT r8
-    * #1): four stage-isolating views of the same pipeline, each with
-    * its own oracle, so a driver-side red row names the construct. The
-    * adjudicated root cause is the HUGEINT seq/shard key (fixed in the
-    * q223 oracle with an explicit BIGINT cast); these stay registered
-    * one round as sentinels proving each stage independently, then can
-    * be retired once q223 is driver-green. */
+  /** Shared per-doc BPE token counts for the q223 packing family
+    * (the round-9 q223d1–d4 bisection sentinels that proved each
+    * stage independently were retired in round 10 once q223 went
+    * driver-green — VERDICT r9 #2). */
   private def q223PerDoc(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -1549,51 +1546,6 @@ object CorpusOpsQueries extends QueryPack {
         "doc_id", "text", packMerges)
       .select($"doc_id", $"n_bpe_tokens".as("toks"))
   }
-  private def q223Seqd(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val h = graft.functions.DedupFunctions.hash32(
-      concat(lit("pack:"), $"doc_id".cast("string")))
-    graft.functions.DistributedRank
-      .withRunningTotal(q223PerDoc(s, d).withColumn("hk", h), "rt",
-        $"toks", $"hk", $"doc_id")
-      .select($"doc_id", $"toks", expr("(rt - toks) DIV 512").as("seq"))
-  }
-  /** (a) per-doc token counts — isolates the BPE replay. */
-  private val q223d1: Q = (s, d) => {
-    import s.implicits._
-    q223PerDoc(s, d).orderBy($"doc_id")
-  }
-  /** (b) per-doc sequence assignment — isolates the md5-ordered
-    * prefix sum (hash order + window + the DIV). */
-  private val q223d2: Q = (s, d) => {
-    import s.implicits._
-    q223Seqd(s, d).orderBy($"doc_id")
-  }
-  /** (c) shard census without DISTINCT/fill — isolates grouping and
-    * min/max over the packed order. */
-  private val q223d3: Q = (s, d) => {
-    import s.implicits._
-    q223Seqd(s, d)
-      .withColumn("shard", expr("seq DIV 16"))
-      .groupBy($"shard")
-      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("sum_tokens"),
-        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
-      .orderBy($"shard")
-  }
-  /** (d) shard census DISTINCT+fill half — isolates count(DISTINCT)
-    * and the ppm division. */
-  private val q223d4: Q = (s, d) => {
-    import s.implicits._
-    q223Seqd(s, d)
-      .withColumn("shard", expr("seq DIV 16"))
-      .groupBy($"shard")
-      .agg(countDistinct($"seq").as("n_seqs"), sum($"toks").as("st"))
-      .select($"shard", $"n_seqs",
-        expr("st * 1000000 DIV (n_seqs * 512)").as("fill_ppm"))
-      .orderBy($"shard")
-  }
-
   /** Doc-boundary-aware packing census — the ACTING counterpart of
     * q239's packing-purity audit, via [[graft.operators.SeqPacker]]
     * (Ding et al. 2024: truncation-free packing removes cross-document
@@ -2223,8 +2175,13 @@ object CorpusOpsQueries extends QueryPack {
     import s.implicits._
     val alloc = unimaxAllocFrame(s, d)
       .select($"lang", $"u_tokens", $"alloc_tokens")
+    // doc_id feeds hash32→okey: a null id would null the okey and lose
+    // the lang_id component of the global sort while the oracle sorts
+    // it NULLS FIRST within its lang partition — filter it on BOTH
+    // engines (the q256 convention; current testdata has none, but the
+    // driver regenerates testdata between rounds)
     val doc = Tables.documents(s, d)
-      .where($"text".isNotNull && $"lang".isNotNull)
+      .where($"text".isNotNull && $"lang".isNotNull && $"doc_id".isNotNull)
       .select($"lang", $"doc_id",
         size(split(trim($"text"), "\\s+")).cast("long").as("tok"))
     // dense language ids + per-language global-prefix bases, both from
@@ -2579,10 +2536,6 @@ object CorpusOpsQueries extends QueryPack {
     "q228_rank_fusion" -> q228,
     "q229_tokenizer_fertility" -> q229,
     "q223_pack_shard" -> q223,
-    "q223d1_pack_toks" -> q223d1,
-    "q223d2_pack_prefix" -> q223d2,
-    "q223d3_pack_census" -> q223d3,
-    "q223d4_pack_distinct" -> q223d4,
     "q213_pii_census" -> q213,
     "q206_curation_funnel" -> q206,
     "q193_reshard_census" -> q193,
@@ -2853,7 +2806,9 @@ object CorpusOpsQueries extends QueryPack {
         |  SELECT lang, doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
         |      AS tok
-        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id IS NOT NULL),
         |pref AS (
         |  SELECT lang, tok,
         |    CAST(sum(tok) OVER (PARTITION BY lang
@@ -3876,27 +3831,6 @@ object CorpusOpsQueries extends QueryPack {
          |$packBucketCtes,
          |$bfdOrdStCtes,
          |$packCensusTail""".stripMargin,
-    "q223d1_pack_toks" ->
-      s"""WITH $packCntCtes
-         |SELECT doc_id, toks FROM cnt ORDER BY doc_id""".stripMargin,
-    "q223d2_pack_prefix" ->
-      s"""WITH $packCntCtes,
-         |$packSeqCtes
-         |SELECT doc_id, toks, seq FROM sq ORDER BY doc_id""".stripMargin,
-    "q223d3_pack_census" ->
-      s"""WITH $packCntCtes,
-         |$packSeqCtes
-         |SELECT seq // 16 AS shard, count(*) AS n_docs,
-         |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
-         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q223d4_pack_distinct" ->
-      s"""WITH $packCntCtes,
-         |$packSeqCtes
-         |SELECT seq // 16 AS shard, count(DISTINCT seq) AS n_seqs,
-         |  CAST(sum(toks) * 1000000 // (count(DISTINCT seq) * 512)
-         |    AS BIGINT) AS fill_ppm
-         |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin,
     "q223_pack_shard" -> {
       // BPE as a chained leftmost replace: each word becomes a
       // '|'-framed char string ('|s|p|a|r|k|'), each committed merge

@@ -129,20 +129,45 @@ object StreamingExport {
     * on a sealed export.
     *
     * Crash safety (the forgetShards discipline): the touched footprint
-    * is recorded in a `_forget_pending` WAL sidecar BEFORE any
-    * mutation and cleared only after the manifests commit; a rerun —
-    * after a crash in ANY window, or after success — converges
-    * (already-scrubbed partitions anti-join to themselves, stale
-    * manifests are recomputed from data). The footprint travels as a
-    * FRAME with no forced broadcast (deletion-tracking, audit rule). */
+    * is recorded in a `_forget_pending` WAL sidecar AND the deletion
+    * ids themselves in a `_forget_pending_ids` parquet sidecar BEFORE
+    * any mutation, both cleared only after the manifests commit; a
+    * rerun — after a crash in ANY window, or after success, with the
+    * same list, a different list, or no overlap at all — converges:
+    * the retry unions the persisted ids into its own list, so rows the
+    * crashed run committed to erase still hit. (Footprint alone is NOT
+    * enough: dynamic overwrite never rewrites a zero-survivor
+    * partition, so in the window between the overwrite and the
+    * emptied-dir deletes those partitions still hold the condemned
+    * rows — a retry whose fresh list no longer hits them would rewrite
+    * them as survivors and clear the WAL.) Both the footprint and the
+    * ids travel as FRAMES with no forced broadcast (deletion-tracking,
+    * audit rule). */
   def forget(spark: SparkSession, dir: String, delIds: DataFrame,
       delCol: String): ForgetExportStats = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pending = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending")
-    val del = delIds.select(col(delCol).cast("long").as("docId"))
+    val pendingIds = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids")
+    val pendingIdsNew =
+      new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids_new")
+    val idsSchema = StructType(Seq(StructField("docId", LongType)))
+    val delNew = delIds.select(col(delCol).cast("long").as("docId"))
       .where(col("docId").isNotNull).distinct()
+    // ids WAL from a prior crashed run (read `_new` if a crash landed
+    // between the old sidecar's delete and the rename): union into the
+    // caller's list so already-committed erasures still hit on retry
+    val prevIds: Option[DataFrame] =
+      if (fs.exists(pendingIds))
+        Some(spark.read.schema(idsSchema).parquet(pendingIds.toString))
+      else if (fs.exists(pendingIdsNew))
+        Some(spark.read.schema(idsSchema).parquet(pendingIdsNew.toString))
+      else None
+    // checkpoint BEFORE the sidecar swap below deletes the very files
+    // prevIds reads from
+    val del = prevIds.map(delNew.unionByName(_).distinct()).getOrElse(delNew)
+      .localCheckpoint()
     val placed = readPlaced(spark, dir)
     val hitAgg = placed.join(del, Seq("docId"), "left_semi")
       .groupBy(col("batch_id"), col("lang"), col("bucket"))
@@ -161,11 +186,22 @@ object StreamingExport {
       }
     val touched = (hitAgg.map(t => (t._1, t._2, t._3)) ++ pendingPrev)
       .distinct.sortBy(identity)
-    if (touched.isEmpty) return ForgetExportStats(0L, 0L, 0L, 0L)
+    if (touched.isEmpty) {
+      // nothing hit and no pending footprint: any stale ids sidecar is
+      // a completed run's leftover — clear it
+      fs.delete(pendingIds, true); fs.delete(pendingIdsNew, true)
+      return ForgetExportStats(0L, 0L, 0L, 0L)
+    }
     // intent record BEFORE any mutation (WAL): a crash after the data
     // rewrite but before the manifest recompute must leave enough to
     // finish the job on retry even if the retry's deletion list no
-    // longer hits the already-scrubbed rows
+    // longer hits the already-scrubbed rows. Ids first (union-safe in
+    // any crash prefix), then the footprint.
+    del.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(pendingIdsNew.toString)
+    fs.delete(pendingIds, true)
+    require(fs.rename(pendingIdsNew, pendingIds),
+      s"rename $pendingIdsNew -> $pendingIds failed")
     val outS = fs.create(pending, true)
     try outS.write(touched.map { case (b, l, k) => s"$b\t$l\t$k" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -217,6 +253,7 @@ object StreamingExport {
       }
     }
     fs.delete(pending, false)
+    fs.delete(pendingIds, true)
     ForgetExportStats(hitAgg.map(_._4).sum,
       (touched.length - emptied.length).toLong, emptied.length.toLong,
       touchedBatches.length.toLong)
@@ -283,8 +320,11 @@ object StreamingExport {
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(tmp, true); fs.delete(old, true) // stale crash leftovers
       write(tmp.toString)
-      fs.rename(live, old)
-      fs.rename(tmp, live)
+      // Hadoop FileSystem.rename returns FALSE (no throw) on several
+      // failure cases; an unchecked false here would silently leave the
+      // fold unapplied with the tmp tree stranded — fail loud instead
+      require(fs.rename(live, old), s"rename $live -> $old failed")
+      require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
       fs.delete(old, true)
     }
     swap("data") { tmp =>

@@ -73,4 +73,16 @@ class HilbertCurveSpec extends SparkSpec {
     assert(touched("hilbert") <= touched("zorder"),
       s"touched: hilbert=${touched("hilbert")} vs zorder=${touched("zorder")}")
   }
+
+  test("withHilbert never clobbers caller columns named d/x/y (ADVICE r9)") {
+    val s = spark; import s.implicits._
+    // frame that OWNS d/x/y: the unroll's carry columns must not eat them
+    val df = Seq((3L, 5L, "dv", 7L, 9L)).toDF("a", "b", "d", "x", "y")
+    val out = HilbertCurve.withHilbert(df, "hd", col("a"), col("b"), 5)
+    assert(out.columns.toSeq == Seq("a", "b", "d", "x", "y", "hd"))
+    val r = out.head()
+    assert(r.getString(2) == "dv" && r.getLong(3) == 7L && r.getLong(4) == 9L,
+      "caller d/x/y survive untouched")
+    assert(r.getLong(5) == xy2dRef(32, 3, 5), "index still correct")
+  }
 }

@@ -173,4 +173,27 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(hm < mm, s"hilbert box mass $hm must beat morton $mm " +
       "(the q253 census claim, proven at the real file grain)")
   }
+
+  test("writeZOrdered guards: empty/all-null frame and overflowing key range fail loud") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zguard").toString
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrderLayout.writeZOrdered(empty, s"$dir/e", "a", "b", bits = 10)
+    }
+    assert(e1.getMessage.contains("nothing to quantize"))
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+      .toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrderLayout.writeZOrdered(nulls, s"$dir/n", "a", "b", bits = 10)
+    }
+    assert(e2.getMessage.contains("nothing to quantize"))
+    // range wider than 2^(63-bits): (v-lo)*2^bits would overflow Long
+    // SILENTLY and land codes on wrong partitions -- must throw instead
+    val wide = Seq((0L, 1L), (Long.MaxValue / 2, 2L)).toDF("a", "b")
+    val e3 = intercept[IllegalArgumentException] {
+      ZOrderLayout.writeZOrdered(wide, s"$dir/w", "a", "b", bits = 20)
+    }
+    assert(e3.getMessage.contains("overflow"))
+  }
 }

@@ -235,4 +235,40 @@ class StreamingExportSpec extends SparkSpec {
     assert(StreamingExport.readPlaced(s, dir).count() == 0)
     assert(StreamingExport.census(s, dir).count() == 0)
   }
+
+  test("forget WAL persists deletion ids: a retry with a non-overlapping " +
+    "list still erases the crashed run's condemned rows (ADVICE r9)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_export_wal").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // batch 0: bucket 0 holds the even doc ids, bucket 1 the odd
+    val placed = (1L to 8L).map(i => ("l0", i % 2, i, 0L, i, 10L, i / 2))
+      .toDF("lang", "bucket", "ord1", "ord2", "docId", "size", "seq")
+    StreamingExport.appendBatch(placed, dir, 0L)
+    // simulate a run that committed to erasing ALL of bucket 0 (zero
+    // survivors -- the partition dynamic overwrite never rewrites) and
+    // crashed right after its WAL writes, before any mutation
+    val evens = Seq(2L, 4L, 6L, 8L)
+    evens.toDF("docId").coalesce(1)
+      .write.parquet(s"$dir/_forget_pending_ids")
+    val o = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_forget_pending"), true)
+    o.write("0\tl0\t0\n".getBytes("UTF-8")); o.close()
+    // retry with a DIFFERENT, non-overlapping list: without the ids
+    // sidecar this rewrites the condemned rows as survivors and clears
+    // the WAL -- silent erasure failure
+    val stats = StreamingExport.forget(s, dir, Seq(999L).toDF("gone"), "gone")
+    assert(stats.nForgotten == 4L && stats.nPartsDeleted == 1L)
+    val left = StreamingExport.readPlaced(s, dir)
+      .select($"docId").as[Long].collect().toSet
+    assert(left == Set(1L, 3L, 5L, 7L),
+      s"condemned evens must be gone, got $left")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_forget_pending")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids")),
+      "both WAL sidecars cleared after the converged retry")
+    assert(StreamingExport.census(s, dir).collect()
+      .forall(_.getLong(5) == 1L), "census ok after recovery")
+  }
 }
