@@ -227,20 +227,16 @@ object SeqPacker {
     * identical content — retry-idempotent, never a partial export. */
   def writeShards(packed: Dataset[Placed], outDir: String): Unit = {
     val spark = packed.sparkSession
-    val out = new org.apache.hadoop.fs.Path(outDir)
-    val tmp = new org.apache.hadoop.fs.Path(outDir + ".tmp")
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true)
     // checkpoint once: the pack chain (rank + exchange + fold) would
     // otherwise recompute for the data write AND the manifest agg
     val df = packed.toDF().localCheckpoint()
-    df.repartition(col("lang"), col("bucket"))
-      .write.partitionBy("lang", "bucket")
-      .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
-    manifest(df).coalesce(1)
-      .write.parquet(new org.apache.hadoop.fs.Path(tmp, "manifest").toString)
-    fs.delete(out, true)
-    require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
+    graft.sources.ArtifactCommit.publish(spark, outDir) { tmp =>
+      df.repartition(col("lang"), col("bucket"))
+        .write.partitionBy("lang", "bucket")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
+      manifest(df).coalesce(1)
+        .write.parquet(new org.apache.hadoop.fs.Path(tmp, "manifest").toString)
+    }
   }
 
   /** Reads an export back: (placement rows, manifest). Explicit
@@ -271,51 +267,53 @@ object SeqPacker {
     *
     * Crash safety differs from VectorIndex.forget because the export
     * carries a manifest that must stay consistent with data the crash
-    * may have half-rewritten: the touched-shard footprint is recorded
-    * in a `_forget_pending` intent sidecar BEFORE any mutation (WAL
-    * pattern) and deleted only after the manifest swap commits. A
-    * retry unions the sidecar into its own footprint, so shards whose
-    * data committed but whose manifest didn't are re-finished even
-    * though their files no longer contain any deleted id; a retry
-    * after full success finds no hits and no sidecar — a zero-op. An
-    * interrupted manifest swap (tmp present, live dir gone) is
+    * may have half-rewritten: the touched-shard footprint AND the
+    * deletion ids themselves are recorded in `_forget_pending` /
+    * `_forget_pending_ids` sidecars BEFORE any mutation
+    * ([[graft.sources.ArtifactCommit]] WAL pattern) and deleted only
+    * after the manifest swap commits. A retry unions both sidecars into
+    * its own list, so shards whose data committed but whose manifest
+    * didn't are re-finished, and condemned rows still sitting in
+    * zero-survivor shards (dynamic overwrite never rewrites those — the
+    * round-9 ADVICE hole) still hit even under a disjoint retry list; a
+    * retry after full success finds no hits and no sidecar — a zero-op.
+    * An interrupted manifest swap (tmp present, live dir gone) is
     * completed on entry before anything else. */
   def forgetShards(spark: SparkSession, dir: String, delIds: DataFrame,
       delCol: String, cap: Int): ForgetShardStats = {
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.sources.ArtifactCommit
+    val fs = ArtifactCommit.fsOf(spark, dir)
     val manPath = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val manTmp = new org.apache.hadoop.fs.Path(s"$dir/manifest.tmp")
     // finish an interrupted manifest swap from a previous attempt
-    if (!fs.exists(manPath) && fs.exists(manTmp))
-      require(fs.rename(manTmp, manPath), s"swap recovery failed: $manTmp")
+    ArtifactCommit.recoverSwap(fs, manPath, manTmp)
     val pending = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending")
-    val del = delIds.select(col(delCol).cast("long").as("docId"))
+    val pendingIds = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids")
+    val delNew = delIds.select(col(delCol).cast("long").as("docId"))
       .where(col("docId").isNotNull).distinct()
+    // checkpoint BEFORE the sidecar rewrite deletes the files it reads
+    val del = ArtifactCommit.readIdsWal(spark, pendingIds, "docId")
+      .map(delNew.unionByName(_).distinct()).getOrElse(delNew)
+      .localCheckpoint()
     val (files, man) = readShards(spark, dir)
     val hitAgg = files.join(del, Seq("docId"), "left_semi")
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val pendingPrev: Seq[(String, Long)] =
-      if (!fs.exists(pending)) Seq.empty
-      else {
-        val in = fs.open(pending)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.linesIterator.filter(_.nonEmpty).map { l =>
-          val Array(lang, b) = l.split('\t'); (lang, b.toLong)
-        }.toSeq
-      }
+      ArtifactCommit.readFootprint(fs, pending)
+        .map { case Array(lang, b) => (lang, b.toLong) }
     val touched =
       (hitAgg.map(t => (t._1, t._2)) ++ pendingPrev).distinct.sortBy(identity)
-    if (touched.isEmpty) return ForgetShardStats(0L, 0L, 0L)
-    // intent record BEFORE any mutation
-    val outS = fs.create(pending, true)
-    try outS.write(touched.map { case (l, b) => s"$l\t$b" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally outS.close()
+    if (touched.isEmpty) {
+      ArtifactCommit.clearIdsWal(fs, pendingIds)
+      return ForgetShardStats(0L, 0L, 0L)
+    }
+    // intent record BEFORE any mutation: ids first, then footprint
+    ArtifactCommit.writeIdsWal(del, pendingIds)
+    ArtifactCommit.writeFootprint(fs, pending,
+      touched.map { case (l, b) => Seq(l, b.toString) })
     // footprint as a FRAME, never an Or-chain predicate (a large
     // deletion list touches thousands of shards — a per-shard Or tree
     // overflows the analyzer stack and evaluates O(touched) per row);
@@ -345,8 +343,9 @@ object SeqPacker {
       .unionByName(manifest(repacked))
       .coalesce(1).write.parquet(manTmp.toString)
     fs.delete(manPath, true)
-    require(fs.rename(manTmp, manPath), s"manifest swap failed: $manTmp")
+    ArtifactCommit.rename(fs, manTmp, manPath)
     fs.delete(pending, false)
+    ArtifactCommit.clearIdsWal(fs, pendingIds)
     ForgetShardStats(hitAgg.map(_._3).sum,
       (touched.length - emptied.length).toLong, emptied.length.toLong)
   }

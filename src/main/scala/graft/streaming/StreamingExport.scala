@@ -150,23 +150,14 @@ object StreamingExport {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pending = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending")
     val pendingIds = new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids")
-    val pendingIdsNew =
-      new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids_new")
-    val idsSchema = StructType(Seq(StructField("docId", LongType)))
     val delNew = delIds.select(col(delCol).cast("long").as("docId"))
       .where(col("docId").isNotNull).distinct()
-    // ids WAL from a prior crashed run (read `_new` if a crash landed
-    // between the old sidecar's delete and the rename): union into the
-    // caller's list so already-committed erasures still hit on retry
-    val prevIds: Option[DataFrame] =
-      if (fs.exists(pendingIds))
-        Some(spark.read.schema(idsSchema).parquet(pendingIds.toString))
-      else if (fs.exists(pendingIdsNew))
-        Some(spark.read.schema(idsSchema).parquet(pendingIdsNew.toString))
-      else None
-    // checkpoint BEFORE the sidecar swap below deletes the very files
-    // prevIds reads from
-    val del = prevIds.map(delNew.unionByName(_).distinct()).getOrElse(delNew)
+    // ids WAL from a prior crashed run: union into the caller's list so
+    // already-committed erasures still hit on retry. Checkpoint BEFORE
+    // the sidecar rewrite below deletes the very files it reads from.
+    val del = graft.sources.ArtifactCommit
+      .readIdsWal(spark, pendingIds, "docId")
+      .map(delNew.unionByName(_).distinct()).getOrElse(delNew)
       .localCheckpoint()
     val placed = readPlaced(spark, dir)
     val hitAgg = placed.join(del, Seq("docId"), "left_semi")
@@ -174,22 +165,14 @@ object StreamingExport {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val pendingPrev: Seq[(Long, String, Long)] =
-      if (!fs.exists(pending)) Seq.empty
-      else {
-        val in = fs.open(pending)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.linesIterator.filter(_.nonEmpty).map { l =>
-          val Array(b, lang, k) = l.split('\t')
-          (b.toLong, lang, k.toLong)
-        }.toSeq
-      }
+      graft.sources.ArtifactCommit.readFootprint(fs, pending)
+        .map { case Array(b, lang, k) => (b.toLong, lang, k.toLong) }
     val touched = (hitAgg.map(t => (t._1, t._2, t._3)) ++ pendingPrev)
       .distinct.sortBy(identity)
     if (touched.isEmpty) {
       // nothing hit and no pending footprint: any stale ids sidecar is
       // a completed run's leftover — clear it
-      fs.delete(pendingIds, true); fs.delete(pendingIdsNew, true)
+      graft.sources.ArtifactCommit.clearIdsWal(fs, pendingIds)
       return ForgetExportStats(0L, 0L, 0L, 0L)
     }
     // intent record BEFORE any mutation (WAL): a crash after the data
@@ -197,15 +180,9 @@ object StreamingExport {
     // finish the job on retry even if the retry's deletion list no
     // longer hits the already-scrubbed rows. Ids first (union-safe in
     // any crash prefix), then the footprint.
-    del.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(pendingIdsNew.toString)
-    fs.delete(pendingIds, true)
-    require(fs.rename(pendingIdsNew, pendingIds),
-      s"rename $pendingIdsNew -> $pendingIds failed")
-    val outS = fs.create(pending, true)
-    try outS.write(touched.map { case (b, l, k) => s"$b\t$l\t$k" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally outS.close()
+    graft.sources.ArtifactCommit.writeIdsWal(del, pendingIds)
+    graft.sources.ArtifactCommit.writeFootprint(fs, pending,
+      touched.map { case (b, l, k) => Seq(b.toString, l, k.toString) })
     val touchedDf = touched.toSeq.toDF("batch_id", "lang", "bucket")
     // survivors of the touched partitions, checkpointed BEFORE the
     // write that replaces the very files they were read from
@@ -253,7 +230,7 @@ object StreamingExport {
       }
     }
     fs.delete(pending, false)
-    fs.delete(pendingIds, true)
+    graft.sources.ArtifactCommit.clearIdsWal(fs, pendingIds)
     ForgetExportStats(hitAgg.map(_._4).sum,
       (touched.length - emptied.length).toLong, emptied.length.toLong,
       touchedBatches.length.toLong)
@@ -313,25 +290,11 @@ object StreamingExport {
         sum(col("sum_tokens")).as("sum_tokens"),
         bit_xor(col("checksum")).as("checksum"))
       .localCheckpoint()
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact_tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact_old")
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(tmp, true); fs.delete(old, true) // stale crash leftovers
-      write(tmp.toString)
-      // Hadoop FileSystem.rename returns FALSE (no throw) on several
-      // failure cases; an unchecked false here would silently leave the
-      // fold unapplied with the tmp tree stranded — fail loud instead
-      require(fs.rename(live, old), s"rename $live -> $old failed")
-      require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-      fs.delete(old, true)
-    }
-    swap("data") { tmp =>
+    graft.sources.ArtifactCommit.swap(spark, s"$dir/data") { tmp =>
       newData.repartition(col("lang"), col("bucket"))
         .write.partitionBy("batch_id", "lang", "bucket").parquet(tmp)
     }
-    swap("manifest") { tmp =>
+    graft.sources.ArtifactCommit.swap(spark, s"$dir/manifest") { tmp =>
       newMan.coalesce(1).write.partitionBy("batch_id").parquet(tmp)
     }
   }

@@ -245,4 +245,36 @@ class SeqShardWriterSpec extends SparkSpec {
     assert(files.count() == 0 && man.count() == 0)
     assert(files.schema == SeqPacker.shardSchema)
   }
+
+  test("forgetShards ids WAL: a disjoint-list retry after a crash still " +
+    "erases condemned rows in zero-survivor shards (ADVICE r9 class)") {
+    val s = spark
+    import s.implicits._
+    val d = dir("idswal")
+    SeqPacker.writeShards(fixturePacked, d)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the (en,1) shard's entire doc set, as a run that crashed right
+    // after its WAL writes would have recorded it
+    val condemned = SeqPacker.readShards(s, d)._1
+      .where(col("lang") === "en" && col("bucket") === 1L)
+      .select($"docId").as[Long].collect().toSet
+    assert(condemned.nonEmpty)
+    condemned.toSeq.toDF("docId").coalesce(1)
+      .write.parquet(s"$d/_forget_pending_ids")
+    val o = fs.create(new org.apache.hadoop.fs.Path(s"$d/_forget_pending"), true)
+    o.write("en\t1\n".getBytes("UTF-8")); o.close()
+    // retry with a DIFFERENT, non-overlapping list: without the ids
+    // sidecar the condemned rows would be re-packed as survivors
+    val stats = SeqPacker.forgetShards(s, d, Seq(999L).toDF("doc_id"),
+      "doc_id", 512)
+    assert(stats.nForgotten == condemned.size.toLong && stats.nEmptied == 1L)
+    val (files, man) = SeqPacker.readShards(s, d)
+    assert(files.where(col("docId").isin(condemned.toSeq: _*)).count() == 0,
+      "condemned docs must be gone")
+    assert(man.where(col("lang") === "en" && col("bucket") === 1L).count() == 0)
+    assert(!new java.io.File(s"$d/_forget_pending").exists() &&
+      !new java.io.File(s"$d/_forget_pending_ids").exists(),
+      "both WAL sidecars cleared after the converged retry")
+  }
 }
