@@ -810,15 +810,48 @@ object DedupQueries extends QueryPack {
     * thresholds. Exactness costs ~log(maxDocLen) passes over the token
     * count where the hashed family (q129 spans, q175 winnowing) costs
     * one — run it on the audit slice that needs a guarantee and route
-    * bulk dedup through the hashed family. */
-  private val q212: Q = (s, d) => {
+    * bulk dedup through the hashed family.
+    *
+    * The ladder itself is served through the persisted
+    * [[graft.operators.SuffixIndex]] artifact ([[suffixBest]]): one
+    * build per corpus (fingerprint-checked), shared with q214's scrub —
+    * previously both rebuilt the identical structure per run (VERDICT
+    * r9 #1). */
+  /** The q212/q214 input slice: non-null, non-empty docs. */
+  private def suffixDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, d)
+    Tables.documents(s, d)
       .where($"text".isNotNull && $"doc_id".isNotNull &&
         length(trim($"text")) > 0)
+      .select($"doc_id", $"text")
+  }
+
+  private def suffixToks(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    suffixDocs(s, d)
       .select($"doc_id", posexplode(tokens($"text")))
       .toDF("doc_id", "pos", "tok")
-    val best = graft.operators.SuffixRank.bestPerPosition(toks)
+  }
+
+  /** Best-per-position via the persisted [[graft.operators.SuffixIndex]]
+    * artifact — built at most once per corpus slice (fingerprint-gated),
+    * shared by q212 and q214. One artifact dir per sf dir under the
+    * jvm tmpdir (the q249/q258 convention; the fingerprint makes a
+    * stale artifact from a regenerated corpus self-invalidate). */
+  private def suffixBest(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_suffix_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    graft.operators.SuffixIndex.ensure(dir, suffixDocs(s, d),
+      suffixToks(s, d))
+  }
+
+  private val q212: Q = (s, d) => {
+    import s.implicits._
+    val best = suffixBest(s, d)
     val hist = best.groupBy($"best").agg(count(lit(1)).as("n"))
     val mx = best.agg(max($"best").as("max_lcp"))
     s.range(1, 11).toDF("l")
@@ -844,22 +877,21 @@ object DedupQueries extends QueryPack {
     * token count, removed count, and the md5 of the reassembled
     * scrubbed text — full-content parity evidence.
     *
-    * Scale shape: the suffix ladder dominates (operator scaladoc); the
-    * scrub adds one delta-table groupBy, one per-DOC window cumsum
+    * Scale shape: the suffix ladder dominates (operator scaladoc) but
+    * is served through the shared [[graft.operators.SuffixIndex]]
+    * artifact ([[suffixBest]] — one build per corpus, q212 pays it or
+    * reuses it); the scrub adds one delta-table groupBy, one per-DOC
+    * window cumsum
     * (bounded by doc length, never global), and a per-doc collect of
     * kept tokens — each doc's row stays O(doc tokens), the q134/q64
     * reassembly bound. */
   private val q214: Q = (s, d) => {
     import s.implicits._
     val L = 8
-    val toks = Tables.documents(s, d)
-      .where($"text".isNotNull && $"doc_id".isNotNull &&
-        length(trim($"text")) > 0)
-      .select($"doc_id", posexplode(tokens($"text")))
-      .toDF("doc_id", "pos", "tok")
+    val toks = suffixToks(s, d)
       .select($"doc_id".cast("long").as("doc_id"),
         $"pos".cast("long").as("pos"), $"tok")
-    val best = graft.operators.SuffixRank.bestPerPosition(toks)
+    val best = suffixBest(s, d)
     val marks = best.where($"best" >= L)
     // interval union as a delta cumsum: +1 at run start, -1 past its end
     // (an end past the last token simply never lands on a token — the
