@@ -60,6 +60,20 @@ object Monitor {
     *    persisted artifact the repo writes — index, state tables,
     *    export — is monitor-consumable).
     *
+    *  - `bpe_vocab` (when `bpeVocab` names a
+    *    [[graft.operators.BpeTrainer.save]] directory): `n` is the
+    *    stored merge count, `metric` is max(rank)+1 — equal to `n` iff
+    *    the ranks are contiguous, so a torn artifact shows as n ≠
+    *    metric on the dashboard before any load fails (round 10).
+    *
+    *  - `suffix_index` (when `suffixIndex` names a
+    *    [[graft.operators.SuffixIndex]] directory): the exact-substring
+    *    index health row off the META alone (1 row) — `n` is the
+    *    indexed position count, `metric` the doc count, NEGATED when
+    *    the index is `scrubbed` (erasure applied; values conservative
+    *    until the next rebuild) so staleness is one sign test
+    *    (round 10).
+    *
     * State reads are O(state), not O(history); the warehouse pass is
     * one scan per listed table — list the day's report outputs, not the
     * raw corpus. */
@@ -70,7 +84,9 @@ object Monitor {
       mvCensus: Option[(String, String)] = None,
       countMin: Option[(String, Seq[String])] = None,
       cdc: Option[String] = None,
-      export: Option[String] = None)
+      export: Option[String] = None,
+      bpeVocab: Option[String] = None,
+      suffixIndex: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingCentroidMonitor
@@ -121,7 +137,22 @@ object Monitor {
             (col("tok") * 1000000L / (col("sq") * 512L)))
             .otherwise(lit(0L)).cast("double").as("metric"))
     }
-    (profRows ++ mvRows ++ cmRows ++ cdcRows ++ exportRows)
+    val bpeRows = bpeVocab.toSeq.map { dir =>
+      spark.read.parquet(s"$dir/merges")
+        .agg(count(lit(1)).as("n"), (max(col("rank")) + 1L).as("mx"))
+        .select(lit("bpe_vocab").as("family"), col("n"),
+          coalesce(col("mx"), lit(0L)).cast("double").as("metric"))
+    }
+    val sxRows = suffixIndex.toSeq.flatMap { dir =>
+      graft.operators.SuffixIndex.readMeta(spark, dir).map { m =>
+        import spark.implicits._
+        Seq((("suffix_index"): String, m.nPos,
+          (if (m.scrubbed) -m.nDocs else m.nDocs).toDouble))
+          .toDF("family", "n", "metric")
+      }
+    }
+    (profRows ++ mvRows ++ cmRows ++ cdcRows ++ exportRows ++ bpeRows ++
+      sxRows)
       .foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
   }
 

@@ -213,4 +213,45 @@ class MonitorSpec extends SparkSpec {
     assert(math.abs(fill - 1112.0 * 1000000 / (3 * 512)) < 1e-6,
       "global fill ppm off the manifest alone")
   }
+
+  test("stateReport serves the bpe_vocab and suffix_index artifacts " +
+    "(round-10: meta-only health rows)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_monitor6").toString
+    val moments = s"$dir/moments.parquet"
+    val emb = Tables.embeddings(s, sfDir)
+      .where($"label".isNotNull && $"embedding".isNotNull)
+      .select($"label".cast("long").as("label"), $"embedding")
+    StreamingCentroidMonitor.sink(moments, "label", "embedding")(emb, 0L)
+    val sketches = s"$dir/uv.parquet"
+    SketchRollup.sketchTable(Tables.events(s, sfDir),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(sketches)
+    val ref = StreamingCentroidMonitor.centroids(s, moments)
+      .select($"label", $"centroid")
+    val vocab = s"$dir/vocab"
+    graft.operators.BpeTrainer.save(s,
+      Seq("a" -> "b", "ab" -> "c", "x" -> "y"), vocab)
+    val six = s"$dir/suffix"
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val toks = docs.select($"doc_id",
+      posexplode(split(trim($"text"), "\\s+"))).toDF("doc_id", "pos", "tok")
+    graft.operators.SuffixIndex.ensure(six, docs, toks)
+    val report = Monitor.stateReport(s, moments, ref, sketches,
+        bpeVocab = Some(vocab), suffixIndex = Some(six))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(report("bpe_vocab") == ((3L, 3.0)),
+      "merge count with contiguous ranks: n == metric")
+    assert(report("suffix_index") == ((8L, 2.0)),
+      "8 positions over 2 docs, unscrubbed")
+    graft.operators.SuffixIndex.forget(s, six, Seq(2L).toDF("gone"), "gone")
+    val after = Monitor.stateReport(s, moments, ref, sketches,
+        suffixIndex = Some(six))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(after("suffix_index") == ((4L, -1.0)),
+      "scrubbed index signals with a negated doc count")
+  }
 }
