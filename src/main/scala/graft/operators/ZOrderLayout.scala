@@ -106,25 +106,34 @@ object ZOrderLayout {
     * of the `bits`-step unroll per row; the unroll evaluates exactly
     * once here (single write job), so the multi-consumer checkpoint
     * rule does not apply. */
-  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      bits: Int = 10, partitions: Int = 32, hilbert: Boolean = false): Unit = {
-    require(partitions >= 1, s"partitions must be >= 1 (got $partitions)")
+  /** One 1-row stats action + the overflow/degenerate guards shared by
+    * both write paths: no non-null keys fails loud (the NullInputSpec
+    * standard), and a key range past 2^(63−bits) fails loud because
+    * `(v-lo)*2^bits` would overflow Long SILENTLY and land codes on
+    * wrong partitions. */
+  private def codeStats(df: DataFrame, colA: String, colB: String,
+      bits: Int): (Long, Long, Long, Long) = {
     val r = df.agg(
       min(col(colA)).cast("long").as("alo"), max(col(colA)).cast("long").as("ahi"),
       min(col(colB)).cast("long").as("blo"), max(col(colB)).cast("long").as("bhi"))
       .head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"writeZOrdered: no non-null values in '$colA'/'$colB' " +
+      s"curved write: no non-null values in '$colA'/'$colB' " +
         "(empty frame or all-null key column) — nothing to quantize")
-    val (alo, ahi, blo, bhi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    // (v-lo)*2^bits must stay in Long: past hi-lo+1 > 2^(63-bits) the
-    // product overflows SILENTLY and codes land on wrong partitions.
     def rangeOk(lo: Long, hi: Long, name: String): Unit =
       require(hi - lo >= 0 && hi - lo + 1 <= (Long.MaxValue >> bits),
-        s"writeZOrdered: '$name' range [$lo, $hi] exceeds 2^${63 - bits} " +
+        s"curved write: '$name' range [$lo, $hi] exceeds 2^${63 - bits} " +
           s"at bits=$bits — quantize would overflow; reduce bits or " +
           "pre-rank the column (equi-depth codes)")
-    rangeOk(alo, ahi, colA); rangeOk(blo, bhi, colB)
+    rangeOk(r.getLong(0), r.getLong(1), colA)
+    rangeOk(r.getLong(2), r.getLong(3), colB)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      bits: Int = 10, partitions: Int = 32, hilbert: Boolean = false): Unit = {
+    require(partitions >= 1, s"partitions must be >= 1 (got $partitions)")
+    val (alo, ahi, blo, bhi) = codeStats(df, colA, colB, bits)
     val ca = quantize(coalesce(col(colA), lit(alo)), lit(alo), lit(ahi), bits)
     val cb = quantize(coalesce(col(colB), lit(blo)), lit(blo), lit(bhi), bits)
     val curved =
@@ -138,5 +147,52 @@ object ZOrderLayout {
       .sortWithinPartitions("__zv")
       .drop("__zv")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** [[writeZOrdered]] with EXACT equi-depth boundaries — the
+    * oracle-gateable write path (round-10; VERDICT r9 #4): partition id
+    * is `(rank−1)·parts DIV n` over the curve value via the window-free
+    * [[graft.functions.DistributedRank]] (rank ties broken by
+    * `tieCols`), written as a `pid=`-partitioned directory tree with
+    * the integer codes kept as data columns `ca`/`cb`. No sampling
+    * anywhere, so the ENTIRE file layout — which rows land in which
+    * file, each file's (ca, cb) bounding box — is replayable
+    * bit-for-bit by an oracle (q260 prices q253's locality claim on
+    * these real files). One file per pid (hash-repartition on the
+    * partition key before the partitioned write — the per-directory
+    * commit-cost rule). The sampling-based [[writeZOrdered]] stays the
+    * cheaper production default: one range exchange, no rank pass, and
+    * any boundary split preserves the locality property.
+    *
+    * The caller's frame must not already carry `ca`/`cb`/`pid` (they
+    * become output columns — checked loud). */
+  def writeCurvedExact(df: DataFrame, path: String, colA: String,
+      colB: String, bits: Int = 10, parts: Long = 32L,
+      hilbert: Boolean = false, tieCols: Seq[String] = Nil): Unit = {
+    require(parts >= 1L, s"parts must be >= 1 (got $parts)")
+    Seq("ca", "cb", "pid").foreach(c => require(!df.columns.contains(c),
+      s"writeCurvedExact: input already has a '$c' column"))
+    val (alo, ahi, blo, bhi) = codeStats(df, colA, colB, bits)
+    val coded = df
+      .withColumn("ca", quantize(coalesce(col(colA), lit(alo)),
+        lit(alo), lit(ahi), bits))
+      .withColumn("cb", quantize(coalesce(col(colB), lit(blo)),
+        lit(blo), lit(bhi), bits))
+    val curved =
+      if (hilbert)
+        // checkpoint-once: the rank pass (two jobs) + the write would
+        // otherwise each re-plan the bits-step unroll (the q253 rule)
+        HilbertCurve.withHilbert(coded, "__cv", col("ca"), col("cb"), bits)
+          .localCheckpoint()
+      else coded.withColumn("__cv", interleave(col("ca"), col("cb"), bits))
+    val ranked = graft.functions.DistributedRank
+      .withRowNumberAndTotal(curved, "__rn", "__n",
+        (col("__cv") +: tieCols.map(col)): _*)
+    ranked
+      .withColumn("pid", expr(s"((__rn - 1L) * ${parts}L) DIV __n"))
+      .drop("__rn", "__n", "__cv")
+      .repartition(col("pid"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("pid").parquet(path)
   }
 }

@@ -189,10 +189,61 @@ object LayoutQueries extends QueryPack {
       .orderBy($"scheme", $"bucket")
   }
 
+  /** q260 — the q253 locality claim priced on REAL FILES (VERDICT r9
+    * #4: the Hilbert write path was spec-only): two actual
+    * [[ZOrderLayout.writeCurvedExact]] writes (Hilbert and Morton) land
+    * pid-partitioned parquet trees, and the census is computed FROM THE
+    * FILES READ BACK — per real file (one per pid): row count, (ca, cb)
+    * bounding box, box area, probe-box touch flag. Because the exact
+    * write replaces sampling with the rank-derived pid, the oracle
+    * replays the whole layout bit-for-bit (the SAME census text as
+    * q253 — one-text rule), so a green hash here proves the files on
+    * disk carry exactly the boxes the planning census promised.
+    * ZOrderLayoutSpec adds the plan-level assert: a non-leading-column
+    * probe over the written tree reads fewer files than the total
+    * (FileSourceScanExec numFiles).
+    *
+    * Scale shape: two one-exchange rank passes + two partitioned
+    * writes (hash-repartitioned on pid, one writer per file — the
+    * per-directory commit-cost rule), censuses close at O(PARTS) rows
+    * read from file footers' worth of data. */
+  private val q260: Q = (s, d) => {
+    import s.implicits._
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_curved_write_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    ZOrderLayout.writeCurvedExact(li, s"$base/h", "l_partkey", "l_suppkey",
+      BITS, PARTS, hilbert = true,
+      tieCols = Seq("l_orderkey", "l_linenumber"))
+    ZOrderLayout.writeCurvedExact(li, s"$base/z", "l_partkey", "l_suppkey",
+      BITS, PARTS, hilbert = false,
+      tieCols = Seq("l_orderkey", "l_linenumber"))
+    def fileCensus(path: String, layout: String): DataFrame =
+      s.read.parquet(path)
+        .groupBy($"pid".cast("long").as("pid"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"ca").as("ca_min"), max($"ca").as("ca_max"),
+          min($"cb").as("cb_min"), max($"cb").as("cb_max"))
+        .withColumn("layout", lit(layout))
+        .withColumn("box_area",
+          ($"ca_max" - $"ca_min" + 1L) * ($"cb_max" - $"cb_min" + 1L))
+        .withColumn("touches_box",
+          ($"ca_max" >= boxLo && $"ca_min" <= boxHi &&
+           $"cb_max" >= boxLo && $"cb_min" <= boxHi).cast("int"))
+    fileCensus(s"$base/h", "hilbert")
+      .unionByName(fileCensus(s"$base/z", "zorder"))
+      .select($"layout", $"pid", $"n_rows", $"box_area",
+        $"ca_min", $"ca_max", $"cb_min", $"cb_max", $"touches_box")
+      .orderBy($"layout", $"pid")
+  }
+
   override def queries: Map[String, Q] = Map(
     "q252_zorder_skip" -> q252,
     "q253_hilbert_locality" -> q253,
-    "q254_equidepth_codes" -> q254)
+    "q254_equidepth_codes" -> q254,
+    "q260_curved_write" -> q260)
 
   override def oracle: Map[String, String] = Map(
     "q252_zorder_skip" -> s"""
@@ -213,6 +264,33 @@ object LayoutQueries extends QueryPack {
       ORDER BY layout, pid""",
 
     "q253_hilbert_locality" -> s"""
+      WITH $codedSql,
+      seed AS (
+        SELECT l_orderkey, l_linenumber, ca, cb, zv,
+               CAST(0 AS BIGINT) AS d, ca AS x, cb AS y
+        FROM z),
+      ${HilbertCurve.cteChain("seed", "hout",
+        Seq("l_orderkey", "l_linenumber", "ca", "cb", "zv"), BITS, "//")},
+      hr AS (
+        SELECT ca, cb,
+               ((row_number() OVER (ORDER BY d, l_orderkey, l_linenumber) - 1) * $PARTS) // n AS pid
+        FROM hout, n),
+      zr AS (
+        SELECT ca, cb,
+               ((row_number() OVER (ORDER BY zv, l_orderkey, l_linenumber) - 1) * $PARTS) // n AS pid
+        FROM hout, n),
+      u AS (${censusSql("hr", "hilbert")}
+        UNION ALL${censusSql("zr", "zorder")})
+      SELECT layout, pid, n_rows,
+             (ca_max - ca_min + 1) * (cb_max - cb_min + 1) AS box_area,
+             ca_min, ca_max, cb_min, cb_max,
+             $touchSql
+      FROM u
+      ORDER BY layout, pid""",
+
+    // q260 replays as q253's census: the exact write's pid IS the
+    // rank-derived pid, so the file census == the planning census
+    "q260_curved_write" -> s"""
       WITH $codedSql,
       seed AS (
         SELECT l_orderkey, l_linenumber, ca, cb, zv,

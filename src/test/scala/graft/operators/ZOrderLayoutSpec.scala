@@ -196,4 +196,45 @@ class ZOrderLayoutSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("overflow"))
   }
+
+  test("writeCurvedExact: one real file per pid, deterministic layout, " +
+    "non-leading-column probe skips files (footer stats + pushed filter)") {
+    val s = spark; import s.implicits._
+    val li = graft.core.Tables.lineitem(s, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("curvedx").toString
+    ZOrderLayout.writeCurvedExact(li, s"$dir/h", "l_partkey", "l_suppkey",
+      bits = 10, parts = 8L, hilbert = true,
+      tieCols = Seq("l_orderkey", "l_linenumber"))
+    ZOrderLayout.writeCurvedExact(li, s"$dir/h2", "l_partkey", "l_suppkey",
+      bits = 10, parts = 8L, hilbert = true,
+      tieCols = Seq("l_orderkey", "l_linenumber"))
+    val r = s.read.parquet(s"$dir/h")
+    // one file per pid directory (the hash-repartition guarantees it)
+    val perPid = r.select($"pid", input_file_name().as("f")).distinct()
+      .groupBy($"pid").agg(count(lit(1)).as("nf")).collect()
+    assert(perPid.length == 8 && perPid.forall(_.getLong(1) == 1L),
+      "exactly one real file per pid")
+    // deterministic: a second write assigns every row the same pid
+    val k = Seq("l_orderkey", "l_linenumber", "pid").map(col)
+    assert(r.select(k: _*).exceptAll(
+      s.read.parquet(s"$dir/h2").select(k: _*)).count() == 0L,
+      "exact write must be bit-for-bit reproducible")
+    // file-grain skip on the NON-LEADING column, from real footers'
+    // content: per-file suppkey ranges vs a quartile probe
+    val Array(blo, bhi) = r.agg(min("l_suppkey"), max("l_suppkey"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val q1 = blo + (bhi - blo + 1) / 4
+    val q2 = blo + (bhi - blo + 1) / 2
+    val touched = r.groupBy(input_file_name().as("f"))
+      .agg(min("l_suppkey").as("lo"), max("l_suppkey").as("hi"))
+      .where(col("hi") >= q1 && col("lo") < q2).count()
+    assert(touched < 8L, s"probe must skip files (touched $touched of 8)")
+    // and the probe predicate actually reaches the parquet scan
+    val probed = r.where($"l_suppkey" >= q1 && $"l_suppkey" < q2)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_suppkey"),
+      s"suppkey range must be pushed to the scan:\n$plan")
+  }
 }
