@@ -110,7 +110,8 @@ object ScaleProbe {
       "q250_export_forget", "q251_sql_listagg", "q252_zorder_skip",
       "q253_hilbert_locality", "q254_equidepth_codes",
       "q255_epoch_materialize", "q256_training_stream",
-      "q257_web_extract", "q258_stream_forget")
+      "q257_web_extract", "q258_stream_forget",
+      "q259_vocab_artifact", "q260_curved_write")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -214,29 +214,45 @@ object LayoutQueries extends QueryPack {
       "graft_curved_write_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
     val li = Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
-    ZOrderLayout.writeCurvedExact(li, s"$base/h", "l_partkey", "l_suppkey",
-      BITS, PARTS, hilbert = true,
-      tieCols = Seq("l_orderkey", "l_linenumber"))
-    ZOrderLayout.writeCurvedExact(li, s"$base/z", "l_partkey", "l_suppkey",
-      BITS, PARTS, hilbert = false,
-      tieCols = Seq("l_orderkey", "l_linenumber"))
-    def fileCensus(path: String, layout: String): DataFrame =
-      s.read.parquet(path)
-        .groupBy($"pid".cast("long").as("pid"))
-        .agg(count(lit(1)).as("n_rows"),
-          min($"ca").as("ca_min"), max($"ca").as("ca_max"),
-          min($"cb").as("cb_min"), max($"cb").as("cb_max"))
-        .withColumn("layout", lit(layout))
-        .withColumn("box_area",
-          ($"ca_max" - $"ca_min" + 1L) * ($"cb_max" - $"cb_min" + 1L))
-        .withColumn("touches_box",
-          ($"ca_max" >= boxLo && $"ca_min" <= boxHi &&
-           $"cb_max" >= boxLo && $"cb_min" <= boxHi).cast("int"))
-    fileCensus(s"$base/h", "hilbert")
-      .unionByName(fileCensus(s"$base/z", "zorder"))
-      .select($"layout", $"pid", $"n_rows", $"box_area",
-        $"ca_min", $"ca_max", $"cb_min", $"cb_max", $"touches_box")
-      .orderBy($"layout", $"pid")
+    // the write path deliberately refuses an empty frame (nothing to
+    // quantize — codeStats fails loud); the QUERY's empty-corpus
+    // contract is an empty census with the contract schema, matching
+    // the oracle's zero rows (EmptyInputSpec)
+    if (li.isEmpty) {
+      import org.apache.spark.sql.types._
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("layout", StringType), StructField("pid", LongType),
+          StructField("n_rows", LongType), StructField("box_area", LongType),
+          StructField("ca_min", LongType), StructField("ca_max", LongType),
+          StructField("cb_min", LongType), StructField("cb_max", LongType),
+          StructField("touches_box", IntegerType))))
+    } else {
+      ZOrderLayout.writeCurvedExact(li, s"$base/h", "l_partkey", "l_suppkey",
+        BITS, PARTS, hilbert = true,
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+      ZOrderLayout.writeCurvedExact(li, s"$base/z", "l_partkey", "l_suppkey",
+        BITS, PARTS, hilbert = false,
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+      def fileCensus(path: String, layout: String): DataFrame =
+        s.read.parquet(path)
+          .groupBy($"pid".cast("long").as("pid"))
+          .agg(count(lit(1)).as("n_rows"),
+            min($"ca").as("ca_min"), max($"ca").as("ca_max"),
+            min($"cb").as("cb_min"), max($"cb").as("cb_max"))
+          .withColumn("layout", lit(layout))
+          .withColumn("box_area",
+            ($"ca_max" - $"ca_min" + 1L) * ($"cb_max" - $"cb_min" + 1L))
+          .withColumn("touches_box",
+            ($"ca_max" >= boxLo && $"ca_min" <= boxHi &&
+             $"cb_max" >= boxLo && $"cb_min" <= boxHi).cast("int"))
+      fileCensus(s"$base/h", "hilbert")
+        .unionByName(fileCensus(s"$base/z", "zorder"))
+        .select($"layout", $"pid", $"n_rows", $"box_area",
+          $"ca_min", $"ca_max", $"cb_min", $"cb_max", $"touches_box")
+        .orderBy($"layout", $"pid")
+    }
   }
 
   override def queries: Map[String, Q] = Map(
