@@ -111,7 +111,8 @@ object ScaleProbe {
       "q253_hilbert_locality", "q254_equidepth_codes",
       "q255_epoch_materialize", "q256_training_stream",
       "q257_web_extract", "q258_stream_forget",
-      "q259_vocab_artifact", "q260_curved_write")
+      "q259_vocab_artifact", "q260_curved_write",
+      "q261_substr_decontam")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -25,6 +25,12 @@ import graft.sources.ArtifactCommit
   *    (`doc_range = doc_id DIV grain`, ~64 ranges), so a per-doc or
   *    doc-slice consumer prunes at the scan and [[forget]] rewrites
   *    only the ranges a deletion list touches.
+  *  - `order/` — (format 2) the SUFFIX-ORDER serialization: one row
+  *    per position `(rn, doc_id, pos, l)` with `l` the adjacent LCP to
+  *    the predecessor suffix. Span-min over `l` answers any-pair LCP
+  *    (the suffix-array identity), which is what the cross-set
+  *    decontamination pass (q261) consumes; `best` is its derived
+  *    max-of-two-neighbors view. Same doc-range partitioning.
   *  - `meta/` — one row: format version, corpus fingerprint, doc and
   *    position counts, the range grain, and the `scrubbed` flag.
   *
@@ -62,7 +68,7 @@ import graft.sources.ArtifactCommit
   */
 object SuffixIndex {
 
-  val FORMAT = 1L
+  val FORMAT = 2L
 
   final case class Meta(format: Long, fingerprint: Long, nDocs: Long,
     nPos: Long, grain: Long, scrubbed: Boolean)
@@ -76,6 +82,18 @@ object SuffixIndex {
   val dataSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("pos", LongType),
     StructField("best", LongType), StructField("doc_range", LongType)))
+
+  /** Schema of the `order/` table (format 2): one row per corpus
+    * position in GLOBAL SUFFIX ORDER — `rn` the 1-based order index,
+    * `l` the exact token LCP with the PREDECESSOR suffix (0 at rn=1).
+    * `best(p at rn) = max(l(rn), l(rn+1))` reconstructs the data
+    * table, and span-min over `l` answers any-pair LCP queries (the
+    * suffix-array identity) — the cross-set decontamination segment
+    * pass (q261) rides exactly that. */
+  val orderSchema: StructType = StructType(Seq(
+    StructField("rn", LongType), StructField("doc_id", LongType),
+    StructField("pos", LongType), StructField("l", LongType),
+    StructField("doc_range", LongType)))
 
   private val metaSchema: StructType = StructType(Seq(
     StructField("format", LongType), StructField("fingerprint", LongType),
@@ -93,21 +111,50 @@ object SuffixIndex {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Build the best-per-position table from a token frame
-    * `(doc_id, pos, tok)` — delegates to [[SuffixRank]]. */
-  def build(toks: DataFrame): DataFrame = SuffixRank.bestPerPosition(toks)
+  /** Build BOTH index tables from a token frame `(doc_id, pos, tok)`
+    * off ONE ladder + ONE checkpointed LCP-pair descent: the
+    * best-per-position table (= [[SuffixRank.bestPerPosition]], same
+    * derivation over the shared pairs) and the suffix-order table
+    * ([[orderSchema]]). */
+  def buildTables(toks: DataFrame): (DataFrame, DataFrame) = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    // checkpoint the descent ONCE: best and order both derive from it,
+    // and the ladder behind it must never replay twice
+    val pairs = SuffixRank.adjacentLcpRn(SuffixRank.levels(toks))
+      .localCheckpoint()
+    val best = pairs.select($"a_doc".as("doc_id"), $"a_pos".as("pos"), $"lcp")
+      .unionAll(pairs.select($"b_doc".as("doc_id"), $"b_pos".as("pos"), $"lcp"))
+      .groupBy($"doc_id", $"pos").agg(max($"lcp").as("best"))
+    // position at rn: the a-side of pair rn (rn ≤ N−1) ∪ the b-side of
+    // pair rn−1 (covers rn = N); duplicates for interior rn collapse
+    val posTbl = pairs.select($"__rn".as("rn"), $"a_doc".as("doc_id"),
+        $"a_pos".as("pos"))
+      .unionAll(pairs.select(($"__rn" + 1L).as("rn"), $"b_doc".as("doc_id"),
+        $"b_pos".as("pos")))
+      .distinct()
+    // l(rn) = lcp of the pair ENDING at rn (pair __rn = rn−1); rn 1 → 0
+    val lTbl = pairs.select(($"__rn" + 1L).as("rn"), $"lcp".as("l"))
+    val order = posTbl.join(lTbl, Seq("rn"), "left")
+      .select($"rn", $"doc_id", $"pos", coalesce($"l", lit(0L)).as("l"))
+    (best, order)
+  }
 
-  /** Persist a built index: data partitioned by doc range + the meta
-    * row, committed atomically via [[ArtifactCommit.publish]] (never a
-    * partial artifact; a rerun converges). */
-  def save(best: DataFrame, dir: String, fingerprint: Long,
-      nDocs: Long): Unit = {
+  /** Persist a built index: both tables partitioned by doc range + the
+    * meta row, committed atomically via [[ArtifactCommit.publish]]
+    * (never a partial artifact; a rerun converges). */
+  def save(best: DataFrame, order: DataFrame, dir: String,
+      fingerprint: Long, nDocs: Long): Unit = {
     val spark = best.sparkSession
     import spark.implicits._
-    // checkpoint once: consumed by the stats agg, the count and the
-    // write — and the ladder behind it must never replay three times
+    // checkpoint once each: consumed by the stats agg and the write —
+    // and the shared descent behind them must never replay
     val b = best.select(col("doc_id").cast("long").as("doc_id"),
       col("pos").cast("long").as("pos"), col("best").cast("long").as("best"))
+      .localCheckpoint()
+    val o = order.select(col("rn").cast("long").as("rn"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("pos").cast("long").as("pos"), col("l").cast("long").as("l"))
       .localCheckpoint()
     val st = b.agg(min($"doc_id"), max($"doc_id"), count(lit(1))).head()
     val nPos = st.getLong(2)
@@ -117,11 +164,15 @@ object SuffixIndex {
     ArtifactCommit.publish(spark, dir) { tmp =>
       // hash-repartition on the partition key before the partitioned
       // write (the per-directory commit-cost rule): one writer per
-      // range, ~64 leaf dirs
+      // range, ~64 leaf dirs per table
       b.withColumn("doc_range", expr(s"doc_id DIV $grain"))
         .repartition(col("doc_range"))
         .write.partitionBy("doc_range")
         .parquet(new org.apache.hadoop.fs.Path(tmp, "data").toString)
+      o.withColumn("doc_range", expr(s"doc_id DIV $grain"))
+        .repartition(col("doc_range"))
+        .write.partitionBy("doc_range")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, "order").toString)
       Seq((FORMAT, fingerprint, nDocs, nPos, grain, false))
         .toDF("format", "fingerprint", "n_docs", "n_pos", "grain",
           "scrubbed")
@@ -145,6 +196,12 @@ object SuffixIndex {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(dataSchema).parquet(s"$dir/data")
       .select(col("doc_id"), col("pos"), col("best"))
+
+  /** Lazy partitioned scan of the suffix-ORDER table:
+    * `(rn, doc_id, pos, l)` — see [[orderSchema]]. */
+  def readOrder(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(orderSchema).parquet(s"$dir/order")
+      .select(col("rn"), col("doc_id"), col("pos"), col("l"))
 
   /** Serve the index for this corpus slice, building only when the
     * persisted artifact doesn't match: `docs` is the filtered
@@ -172,7 +229,8 @@ object SuffixIndex {
         else ArtifactCommit.readIdsWal(spark,
           new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids"),
           "doc_id").map(_.localCheckpoint())
-      save(build(toks), dir, fp, nDocs)
+      val (best, order) = buildTables(toks)
+      save(best, order, dir, fp, nDocs)
       walIds.foreach(ids => forget(spark, dir, ids, "doc_id"))
     }
     read(spark, dir)
@@ -214,22 +272,35 @@ object SuffixIndex {
     val touchedDf = touched.toSeq.toDF("doc_range")
     // survivors of touched ranges, checkpointed BEFORE the overwrite
     // replaces the files they were read from; hash-repartition on the
-    // partition key (per-directory commit-cost rule)
-    val survivors = data
-      .join(touchedDf, Seq("doc_range"), "left_semi")
-      .join(del, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"pos", $"best", $"doc_range")
-      .localCheckpoint()
-    survivors.repartition($"doc_range")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("doc_range").parquet(s"$dir/data")
-    val surv = survivors.select($"doc_range").distinct()
-      .as[Long].collect().toSet
-    val emptied = touched.filterNot(surv)
-    emptied.foreach { r =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/data/doc_range=$r"), true)
+    // partition key (per-directory commit-cost rule). The order table
+    // shares the doc set and the grain, so the SAME footprint applies
+    // to both (erased docs leave rn HOLES there — span-min over a
+    // holed array can only overstate, the documented conservative
+    // direction).
+    def scrubTable(sub: String, tbl: DataFrame,
+        cols: Seq[String]): Set[Long] = {
+      val survivors = tbl
+        .join(touchedDf, Seq("doc_range"), "left_semi")
+        .join(del, Seq("doc_id"), "left_anti")
+        .select($"doc_range" +: cols.map(col): _*)
+        .localCheckpoint()
+      survivors.repartition($"doc_range")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("doc_range").parquet(s"$dir/$sub")
+      val surv = survivors.select($"doc_range").distinct()
+        .as[Long].collect().toSet
+      touched.filterNot(surv).foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$sub/doc_range=$r"),
+          true)
+      }
+      surv
     }
+    val surv = scrubTable("data", data, Seq("doc_id", "pos", "best"))
+    scrubTable("order",
+      spark.read.schema(orderSchema).parquet(s"$dir/order"),
+      Seq("rn", "doc_id", "pos", "l"))
+    val emptied = touched.filterNot(surv)
     // meta: recount from the rewritten data (exact under any retry
     // interleaving), mark scrubbed — the fingerprint no longer
     // describes the stored content

@@ -187,7 +187,17 @@ object SuffixRank {
     * Adjacency itself comes from the window-free global row number, so
     * the whole array costs 2·levels + 3 equi joins and never funnels
     * through one task. */
-  def adjacentLcp(lvls: Seq[(Long, DataFrame)]): DataFrame = {
+  def adjacentLcp(lvls: Seq[(Long, DataFrame)]): DataFrame =
+    adjacentLcpRn(lvls).drop("__rn")
+
+  /** [[adjacentLcp]] keeping the GLOBAL SUFFIX-ORDER row number: one
+    * row per consecutive pair, `__rn` = the a-side suffix's 1-based
+    * position in suffix order (so the pair spans `__rn → __rn+1`).
+    * The rn is what lets a consumer rebuild the ordered LCP ARRAY
+    * (l(rn+1) = this pair's lcp) for span-min queries — the cross-set
+    * decontamination pass (q261) and the persisted
+    * [[SuffixIndex]] order table both ride it. */
+  def adjacentLcpRn(lvls: Seq[(Long, DataFrame)]): DataFrame = {
     val fin = lvls.last._2
     val spark = fin.sparkSession
     import spark.implicits._
@@ -201,7 +211,7 @@ object SuffixRank {
     val a = ordered.select($"__rn", $"doc_id".as("a_doc"), $"pos".as("a_pos"))
     val b = ordered.select(($"__rn" - 1L).as("__rn"),
       $"doc_id".as("b_doc"), $"pos".as("b_pos"))
-    var adj = a.join(b, Seq("__rn")).drop("__rn")
+    var adj = a.join(b, Seq("__rn"))
       .withColumn("lcp", lit(0L))
       .transform(cut)
     // unlike the levels ladder (self-join per round — exponential
@@ -229,7 +239,8 @@ object SuffixRank {
         Seq("a_doc"))
       .join(lens.select($"doc_id".as("b_doc"), $"__len".as("__lb")),
         Seq("b_doc"))
-      .select($"a_doc", $"a_pos", $"b_doc", $"b_pos",
+      .select($"__rn", $"a_doc", $"a_pos", $"b_doc", $"b_pos",
         least($"lcp", $"__la" - $"a_pos", $"__lb" - $"b_pos").as("lcp"))
   }
+
 }

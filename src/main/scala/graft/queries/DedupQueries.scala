@@ -835,18 +835,28 @@ object DedupQueries extends QueryPack {
       .toDF("doc_id", "pos", "tok")
   }
 
+  private def suffixDir(d: String): String = java.nio.file.Paths.get(
+    System.getProperty("java.io.tmpdir"),
+    "graft_suffix_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+
   /** Best-per-position via the persisted [[graft.operators.SuffixIndex]]
     * artifact — built at most once per corpus slice (fingerprint-gated),
-    * shared by q212 and q214. One artifact dir per sf dir under the
-    * jvm tmpdir (the q249/q258 convention; the fingerprint makes a
+    * shared by q212, q214 and q261. One artifact dir per sf dir under
+    * the jvm tmpdir (the q249/q258 convention; the fingerprint makes a
     * stale artifact from a regenerated corpus self-invalidate). */
   private def suffixBest(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.operators.SuffixIndex.ensure(suffixDir(d), suffixDocs(s, d),
+      suffixToks(s, d))
+
+  /** The artifact's suffix-ORDER table (rn, doc_id, pos, l), ensured
+    * the same way — q261's input. */
+  private def suffixOrder(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_suffix_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val dir = suffixDir(d)
     graft.operators.SuffixIndex.ensure(dir, suffixDocs(s, d),
       suffixToks(s, d))
+    graft.operators.SuffixIndex.readOrder(s, dir)
   }
 
   private val q212: Q = (s, d) => {
@@ -914,6 +924,77 @@ object DedupQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** EXACT cross-set decontamination census — the guarantee tier of
+    * q89's hashed n-gram decontam (Lee et al. 2022 run exact-substring
+    * matching for eval decontamination; q177/q226 are the semantic
+    * tier): for every TRAIN position, the length of the longest token
+    * substring that ALSO occurs anywhere in the EVAL slice
+    * (doc_id % 97 — the q89 convention), reported per threshold
+    * L = 1..10 as contaminated train docs/positions plus the global
+    * maximum. Exact — no hash collision, no sampling miss — and
+    * intrinsic to the suffix multiset, so the oracle hashes.
+    *
+    * Served ENTIRELY from the persisted [[graft.operators.SuffixIndex]]
+    * ORDER table (the q212/q214 artifact — no new ladder build): by the
+    * suffix-array identity LCP(i, j) = min l(i+1..j), every suffix's
+    * best eval partner is its NEAREST eval suffix above or below in
+    * suffix order, so two segment-scoped running mins — segments
+    * delimited by eval suffixes via the window-free
+    * [[graft.functions.DistributedRank.withRunningTotal]] eval count —
+    * price all train suffixes in O(positions). Window partitions are
+    * per-eval-GAP (eval slice ~1/97 of docs ⟹ bounded gaps, never a
+    * global window); an empty eval slice short-circuits to the zero
+    * census before any window exists. */
+  private val q261: Q = (s, d) => {
+    import s.implicits._
+    val ord0 = suffixOrder(s, d)
+      .withColumn("isEval", ($"doc_id" % 97 === 0).cast("long"))
+    val zeros = s.range(1, 11).toDF("l")
+      .select($"l", lit(0L).as("n_docs"), lit(0L).as("n_pos"),
+        lit(0L).as("max_cross"))
+      .orderBy($"l")
+    if (ord0.where($"isEval" === 1L).isEmpty) zeros
+    else {
+      val t1 = graft.functions.DistributedRank
+        .withRunningTotal(ord0, "segU", $"isEval", $"rn")
+      val base = graft.functions.DistributedRank
+        .withRunningTotal(t1, "segD", $"isEval", -$"rn")
+        .localCheckpoint()
+      val l2 = base.select(($"rn" - 1L).as("rn"), $"l".as("l2"))
+      val wUp = Window.partitionBy($"segU").orderBy($"rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDn = Window.partitionBy($"segD").orderBy($"rn".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // contribution of row rn walking AWAY from the segment's opening
+      // eval: upward l(rn) (lcp with predecessor), downward l(rn+1);
+      // the eval row itself contributes null (its l crosses the
+      // segment boundary), which min() skips
+      val scored = base.join(l2, Seq("rn"), "left")
+        .withColumn("upC",
+          when($"isEval" === 1L, lit(null).cast("long")).otherwise($"l"))
+        .withColumn("dnC",
+          when($"isEval" === 1L, lit(null).cast("long")).otherwise($"l2"))
+        .withColumn("up", when($"segU" >= 1L, min($"upC").over(wUp)))
+        .withColumn("dn", when($"segD" >= 1L, min($"dnC").over(wDn)))
+        .where($"isEval" === 0L)
+        .select($"doc_id", $"pos",
+          greatest(coalesce($"up", lit(0L)), coalesce($"dn", lit(0L)))
+            .as("m"))
+      val hist = scored.groupBy($"m").agg(count(lit(1)).as("np"))
+      val dhist = scored.groupBy($"doc_id").agg(max($"m").as("mx"))
+        .groupBy($"mx").agg(count(lit(1)).as("nd"))
+      val mxv = scored.agg(coalesce(max($"m"), lit(0L)).as("max_cross"))
+      val lf = s.range(1, 11).toDF("l")
+      val cp = lf.join(hist, hist("m") >= col("l"), "left")
+        .groupBy($"l").agg(coalesce(sum($"np"), lit(0L)).as("n_pos"))
+      val cd = lf.join(dhist, dhist("mx") >= col("l"), "left")
+        .groupBy($"l").agg(coalesce(sum($"nd"), lit(0L)).as("n_docs"))
+      cp.join(cd, Seq("l")).crossJoin(mxv)
+        .select($"l", $"n_docs", $"n_pos", $"max_cross")
+        .orderBy($"l")
+    }
+  }
+
   /** Drop-reason attributes CENSUS (Dolma's attributes-files pattern —
     * the "why was my doc dropped" debugging surface): run the full
     * [[graft.operators.CorpusPipeline]] over the corpus (token-length
@@ -956,6 +1037,7 @@ object DedupQueries extends QueryPack {
   val queries: Map[String, Q] = Map(
     "q224_drop_reasons" -> q224,
     "q214_exact_scrub" -> q214,
+    "q261_substr_decontam" -> q261,
     "q212_suffix_dedup" -> q212,
     "q178_dedup_audit" -> q178,
     "q177_semantic_decontam" -> q177,
@@ -1159,6 +1241,66 @@ object DedupQueries extends QueryPack {
          |SELECT stage, reason, count(*) AS n_docs,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM att GROUP BY 1, 2 ORDER BY stage""".stripMargin,
+    // q261: the same brute suffix order, then the SAME segment-min
+    // construction the Spark side runs over the artifact's order
+    // table: adjacent-lcp l per rn, eval-delimited segments via
+    // inclusive running counts (both directions), running min of the
+    // away-from-eval contributions (eval rows contribute NULL, which
+    // min skips), nearest-above/below max, census per threshold
+    "q261_substr_decontam" ->
+      s"""WITH $suffixBestCte,
+         |rord AS (
+         |  SELECT doc_id, pos, sfx,
+         |    row_number() OVER (ORDER BY sfx, doc_id, pos) AS rn,
+         |    lag(sfx) OVER (ORDER BY sfx, doc_id, pos) AS prv
+         |  FROM sfx),
+         |lv AS (
+         |  SELECT rn, doc_id, pos,
+         |    CASE WHEN prv IS NULL THEN 0 ELSE
+         |      coalesce(nullif(list_position(list_transform(
+         |          range(1, least(len(sfx), len(prv)) + 1),
+         |          i -> sfx[i] = prv[i]), false), 0) - 1,
+         |        least(len(sfx), len(prv))) END AS l,
+         |    CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS iseval
+         |  FROM rord),
+         |seg AS (
+         |  SELECT rn, doc_id, pos, l, iseval,
+         |    sum(iseval) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+         |      AS segu,
+         |    sum(iseval) OVER (ORDER BY rn DESC ROWS UNBOUNDED PRECEDING)
+         |      AS segd,
+         |    lead(l) OVER (ORDER BY rn) AS l2
+         |  FROM lv),
+         |wn AS (
+         |  SELECT rn, doc_id, pos, iseval, segu, segd,
+         |    min(CASE WHEN iseval = 1 THEN NULL ELSE l END)
+         |      OVER (PARTITION BY segu ORDER BY rn
+         |            ROWS UNBOUNDED PRECEDING) AS upv,
+         |    min(CASE WHEN iseval = 1 THEN NULL ELSE l2 END)
+         |      OVER (PARTITION BY segd ORDER BY rn DESC
+         |            ROWS UNBOUNDED PRECEDING) AS dnv
+         |  FROM seg),
+         |tr AS (
+         |  SELECT doc_id, pos, greatest(
+         |      coalesce(CASE WHEN segu >= 1 THEN upv END, 0),
+         |      coalesce(CASE WHEN segd >= 1 THEN dnv END, 0)) AS m
+         |  FROM wn WHERE iseval = 0),
+         |pd AS (SELECT doc_id, max(m) AS mx FROM tr GROUP BY doc_id),
+         |hp AS (SELECT m, count(*) AS np FROM tr GROUP BY m),
+         |hd AS (SELECT mx, count(*) AS nd FROM pd GROUP BY mx),
+         |mxv AS (SELECT CAST(coalesce(max(m), 0) AS BIGINT) AS max_cross
+         |        FROM tr),
+         |lt AS (SELECT unnest(range(1, 11)) AS l),
+         |cp AS (SELECT lt.l,
+         |    CAST(coalesce(sum(CASE WHEN hp.m >= lt.l THEN hp.np END), 0)
+         |      AS BIGINT) AS n_pos
+         |  FROM lt LEFT JOIN hp ON true GROUP BY lt.l),
+         |cd AS (SELECT lt.l,
+         |    CAST(coalesce(sum(CASE WHEN hd.mx >= lt.l THEN hd.nd END), 0)
+         |      AS BIGINT) AS n_docs
+         |  FROM lt LEFT JOIN hd ON true GROUP BY lt.l)
+         |SELECT cp.l, cd.n_docs, cp.n_pos, mxv.max_cross
+         |FROM cp JOIN cd USING (l), mxv ORDER BY cp.l""".stripMargin,
     "q212_suffix_dedup" ->
       s"""WITH $suffixBestCte,
          |l AS (SELECT unnest(range(1, 11)) AS l)

@@ -53,7 +53,7 @@ class SuffixIndexSpec extends SparkSpec {
     "rebuild (bytes untouched) and rebuilds on corpus change") {
     val s = spark; import s.implicits._
     val d = dir("rt")
-    val best = SuffixIndex.build(toksDf(fixture))
+    val best = SuffixRank.bestPerPosition(toksDf(fixture))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val (fp, n) = SuffixIndex.fingerprintOf(docsDf(fixture))
     assert(n == fixture.size.toLong)
@@ -77,7 +77,7 @@ class SuffixIndexSpec extends SparkSpec {
     // corpus change (one doc edited): fingerprint splits, rebuild serves
     // the new corpus's exact values
     val changed = fixture.updated(2, (3L, "q r s t u v extra"))
-    val expect2 = SuffixIndex.build(toksDf(changed))
+    val expect2 = SuffixRank.bestPerPosition(toksDf(changed))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val got2 = SuffixIndex.ensure(d, docsDf(changed), toksDf(changed))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -113,7 +113,7 @@ class SuffixIndexSpec extends SparkSpec {
     // corpus rebuilds EXACT values (doc 60 keeps its full-doc dup with
     // doc 1; doc 1's partner is intact)
     val reduced = fixture.filterNot(_._1 == 2L)
-    val expect = SuffixIndex.build(toksDf(reduced))
+    val expect = SuffixRank.bestPerPosition(toksDf(reduced))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val got = SuffixIndex.ensure(d, docsDf(reduced), toksDf(reduced))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -185,7 +185,7 @@ class SuffixIndexSpec extends SparkSpec {
     // corpus DROPPED the docs: re-apply is a clean zero-op, exact serve
     plantWal()
     val reduced = fixture.filterNot(t => t._1 == 60L || t._1 == 61L)
-    val expect = SuffixIndex.build(toksDf(reduced))
+    val expect = SuffixRank.bestPerPosition(toksDf(reduced))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val got = SuffixIndex.ensure(d, docsDf(reduced), toksDf(reduced))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -193,5 +193,78 @@ class SuffixIndexSpec extends SparkSpec {
     assert(!SuffixIndex.readMeta(s, d).get.scrubbed,
       "zero-op re-apply leaves the fresh rebuild unscrubbed")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/_forget_pending")))
+  }
+
+  test("order table (format 2): suffix-order serialization round-trips, " +
+    "best == max of adjacent l's, forget scrubs it in lockstep") {
+    val s = spark; import s.implicits._
+    val d = dir("ord")
+    SuffixIndex.ensure(d, docsDf(fixture), toksDf(fixture))
+    val ord = SuffixIndex.readOrder(s, d)
+    val n = ord.count()
+    assert(n == SuffixIndex.readMeta(s, d).get.nPos, "one row per position")
+    // rn is a 1..n permutation
+    assert(ord.select($"rn").distinct().count() == n)
+    assert(ord.agg(min($"rn"), max($"rn")).head().toSeq == Seq(1L, n))
+    // best(p at rn) = max(l(rn), l(rn+1)) reconstructs the data table
+    val l2 = ord.select(($"rn" - 1L).as("rn"), $"l".as("l2"))
+    val derived = ord.join(l2, Seq("rn"), "left")
+      .select($"doc_id", $"pos",
+        greatest($"l", coalesce($"l2", lit(0L))).as("best"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = SuffixIndex.read(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(derived == stored, "order table must reconstruct best exactly")
+    // forget scrubs BOTH tables; untouched order partitions byte-same
+    val before = md5Of(new java.io.File(s"$d/order"))
+    SuffixIndex.forget(s, d, Seq(2L).toDF("gone"), "gone")
+    val ord2 = SuffixIndex.readOrder(s, d)
+    assert(ord2.where($"doc_id" === 2L).count() == 0, "doc 2 out of order/")
+    assert(ord2.count() == n - 8L)
+    val after = md5Of(new java.io.File(s"$d/order"))
+    val common = before.keySet intersect after.keySet
+    assert(common.nonEmpty)
+    common.foreach { f =>
+      assert(before(f) == after(f), s"untouched order file changed: $f") }
+  }
+
+  test("q261 cross-set max-match equals brute force on the real fixture " +
+    "corpus (segment-min construction independently pinned)") {
+    val s = spark; import s.implicits._
+    val docs = graft.core.Tables.documents(s, sfDir)
+      .where($"text".isNotNull && $"doc_id".isNotNull &&
+        length(trim($"text")) > 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toksOf = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq }.toMap
+    val evalIds = docs.map(_._1).filter(_ % 97 == 0).toSet
+    assume(evalIds.nonEmpty, "fixture must carry an eval slice")
+    // brute: every eval suffix into a set-free scan; max common prefix
+    // of (train suffix, eval suffix) over all pairs
+    val evalSfx = evalIds.toSeq.flatMap { id =>
+      val w = toksOf(id); w.indices.map(i => w.drop(i)) }
+    def common(a: Seq[String], b: Seq[String]): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    val bruteBest: Map[(Long, Int), Long] = (for {
+      (id, w) <- docs.toSeq.filterNot(t => evalIds(t._1))
+        .map(t => (t._1, toksOf(t._1)))
+      i <- w.indices
+    } yield {
+      val sfx = w.drop(i)
+      ((id, i), if (evalSfx.isEmpty) 0L
+        else evalSfx.iterator.map(e => common(sfx, e)).max)
+    }).toMap
+    val got = graft.SparkEntry.queries("q261_substr_decontam")(s, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mByDoc = bruteBest.groupBy(_._1._1).map { case (d, m) =>
+      d -> m.values.max }
+    (1 to 10).foreach { l =>
+      val nd = mByDoc.count(_._2 >= l).toLong
+      val np = bruteBest.count(_._2 >= l).toLong
+      val mx = if (bruteBest.isEmpty) 0L else bruteBest.values.max
+      assert(got.find(_._1 == l.toLong).get == ((l.toLong, nd, np, mx)),
+        s"threshold $l: expected ($nd docs, $np pos, max $mx)")
+    }
   }
 }
