@@ -945,15 +945,18 @@ object DedupQueries extends QueryPack {
     * per-eval-GAP (eval slice ~1/97 of docs ⟹ bounded gaps, never a
     * global window); an empty eval slice short-circuits to the zero
     * census before any window exists. */
-  private val q261: Q = (s, d) => {
+  /** Per-TRAIN-position cross-set score off the artifact's order
+    * table: (doc_id, pos, m) where m = the longest token substring
+    * starting there that also occurs anywhere in the eval slice —
+    * q261's census and q262's scrub both consume it (empty eval slice
+    * → empty frame, short-circuited before any window exists). */
+  private def crossScore(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val ord0 = suffixOrder(s, d)
       .withColumn("isEval", ($"doc_id" % 97 === 0).cast("long"))
-    val zeros = s.range(1, 11).toDF("l")
-      .select($"l", lit(0L).as("n_docs"), lit(0L).as("n_pos"),
-        lit(0L).as("max_cross"))
-      .orderBy($"l")
-    if (ord0.where($"isEval" === 1L).isEmpty) zeros
+    if (ord0.where($"isEval" === 1L).isEmpty)
+      ord0.select($"doc_id", $"pos", lit(0L).as("m")).where(lit(false))
     else {
       val t1 = graft.functions.DistributedRank
         .withRunningTotal(ord0, "segU", $"isEval", $"rn")
@@ -969,7 +972,7 @@ object DedupQueries extends QueryPack {
       // eval: upward l(rn) (lcp with predecessor), downward l(rn+1);
       // the eval row itself contributes null (its l crosses the
       // segment boundary), which min() skips
-      val scored = base.join(l2, Seq("rn"), "left")
+      base.join(l2, Seq("rn"), "left")
         .withColumn("upC",
           when($"isEval" === 1L, lit(null).cast("long")).otherwise($"l"))
         .withColumn("dnC",
@@ -980,19 +983,66 @@ object DedupQueries extends QueryPack {
         .select($"doc_id", $"pos",
           greatest(coalesce($"up", lit(0L)), coalesce($"dn", lit(0L)))
             .as("m"))
-      val hist = scored.groupBy($"m").agg(count(lit(1)).as("np"))
-      val dhist = scored.groupBy($"doc_id").agg(max($"m").as("mx"))
-        .groupBy($"mx").agg(count(lit(1)).as("nd"))
-      val mxv = scored.agg(coalesce(max($"m"), lit(0L)).as("max_cross"))
-      val lf = s.range(1, 11).toDF("l")
-      val cp = lf.join(hist, hist("m") >= col("l"), "left")
-        .groupBy($"l").agg(coalesce(sum($"np"), lit(0L)).as("n_pos"))
-      val cd = lf.join(dhist, dhist("mx") >= col("l"), "left")
-        .groupBy($"l").agg(coalesce(sum($"nd"), lit(0L)).as("n_docs"))
-      cp.join(cd, Seq("l")).crossJoin(mxv)
-        .select($"l", $"n_docs", $"n_pos", $"max_cross")
-        .orderBy($"l")
     }
+  }
+
+  private val q261: Q = (s, d) => {
+    import s.implicits._
+    val scored = crossScore(s, d)
+    val hist = scored.groupBy($"m").agg(count(lit(1)).as("np"))
+    val dhist = scored.groupBy($"doc_id").agg(max($"m").as("mx"))
+      .groupBy($"mx").agg(count(lit(1)).as("nd"))
+    val mxv = scored.agg(coalesce(max($"m"), lit(0L)).as("max_cross"))
+    val lf = s.range(1, 11).toDF("l")
+    val cp = lf.join(hist, hist("m") >= col("l"), "left")
+      .groupBy($"l").agg(coalesce(sum($"np"), lit(0L)).as("n_pos"))
+    val cd = lf.join(dhist, dhist("mx") >= col("l"), "left")
+      .groupBy($"l").agg(coalesce(sum($"nd"), lit(0L)).as("n_docs"))
+    cp.join(cd, Seq("l")).crossJoin(mxv)
+      .select($"l", $"n_docs", $"n_pos", $"max_cross")
+      .orderBy($"l")
+  }
+
+  /** EXACT cross-set decontamination SCRUB — the dedup ACTION q261
+    * only measures (the census→action rule: q212→q214, q239→q240):
+    * every train token covered by some substring of ≥ L tokens shared
+    * with the eval slice is removed, in every occurrence — the
+    * conservative ExactSubstr decontamination form (remove the
+    * contaminated span itself, not the whole doc; q89's hashed tier
+    * drops whole docs on 8-gram collision). Coverage is the interval
+    * union of [p, p+m(p)) over train positions with m ≥ L
+    * ([[crossScore]] — the artifact-served segment-min pass), then
+    * exactly q214's delta-cumsum machinery; output per TRAIN doc:
+    * token count, removed count, md5 of the reassembled scrubbed text.
+    * Eval docs are never rewritten (they are the protected set).
+    *
+    * Scale shape: q214's — the artifact serves the expensive part; the
+    * scrub adds one delta groupBy, one per-DOC bounded window cumsum,
+    * and the per-doc reassembly. */
+  private val q262: Q = (s, d) => {
+    import s.implicits._
+    val L = 8
+    val toks = suffixToks(s, d)
+      .select($"doc_id".cast("long").as("doc_id"),
+        $"pos".cast("long").as("pos"), $"tok")
+      .where($"doc_id" % 97 =!= 0)
+    val marks = crossScore(s, d).where($"m" >= L)
+    val deltas = marks.select($"doc_id", $"pos", lit(1L).as("dl"))
+      .unionAll(marks.select($"doc_id", ($"pos" + $"m").as("pos"),
+        lit(-1L).as("dl")))
+      .groupBy($"doc_id", $"pos").agg(sum($"dl").as("dl"))
+    val wcum = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cv = toks.join(deltas, Seq("doc_id", "pos"), "left")
+      .withColumn("covered",
+        coalesce(sum($"dl").over(wcum), lit(0L)) > 0)
+    cv.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when($"covered", 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          sort_array(collect_list(when(!$"covered", struct($"pos", $"tok"))))
+            .getField("tok"), " ").cast("binary")).as("clean_md5"))
+      .orderBy($"doc_id")
   }
 
   /** Drop-reason attributes CENSUS (Dolma's attributes-files pattern —
@@ -1038,6 +1088,7 @@ object DedupQueries extends QueryPack {
     "q224_drop_reasons" -> q224,
     "q214_exact_scrub" -> q214,
     "q261_substr_decontam" -> q261,
+    "q262_decontam_scrub" -> q262,
     "q212_suffix_dedup" -> q212,
     "q178_dedup_audit" -> q178,
     "q177_semantic_decontam" -> q177,
@@ -1171,6 +1222,49 @@ object DedupQueries extends QueryPack {
       |        least(len(sfx), len(nxt))) END) AS best
       |  FROM ord)""".stripMargin
 
+  /** q261/q262 shared score text (the one-text rule), downstream of
+    * [[suffixBestCte]]'s `sfx`: suffix order with rn, adjacent-lcp l,
+    * eval flag, eval-delimited segments both directions, segment
+    * running mins, closing in `tr` = (doc_id, pos, m) per TRAIN
+    * position. */
+  private val crossScoreCtes: String =
+    """rord AS (
+      |  SELECT doc_id, pos, sfx,
+      |    row_number() OVER (ORDER BY sfx, doc_id, pos) AS rn,
+      |    lag(sfx) OVER (ORDER BY sfx, doc_id, pos) AS prv
+      |  FROM sfx),
+      |lv AS (
+      |  SELECT rn, doc_id, pos,
+      |    CASE WHEN prv IS NULL THEN 0 ELSE
+      |      coalesce(nullif(list_position(list_transform(
+      |          range(1, least(len(sfx), len(prv)) + 1),
+      |          i -> sfx[i] = prv[i]), false), 0) - 1,
+      |        least(len(sfx), len(prv))) END AS l,
+      |    CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS iseval
+      |  FROM rord),
+      |seg AS (
+      |  SELECT rn, doc_id, pos, l, iseval,
+      |    sum(iseval) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
+      |      AS segu,
+      |    sum(iseval) OVER (ORDER BY rn DESC ROWS UNBOUNDED PRECEDING)
+      |      AS segd,
+      |    lead(l) OVER (ORDER BY rn) AS l2
+      |  FROM lv),
+      |wn AS (
+      |  SELECT rn, doc_id, pos, iseval, segu, segd,
+      |    min(CASE WHEN iseval = 1 THEN NULL ELSE l END)
+      |      OVER (PARTITION BY segu ORDER BY rn
+      |            ROWS UNBOUNDED PRECEDING) AS upv,
+      |    min(CASE WHEN iseval = 1 THEN NULL ELSE l2 END)
+      |      OVER (PARTITION BY segd ORDER BY rn DESC
+      |            ROWS UNBOUNDED PRECEDING) AS dnv
+      |  FROM seg),
+      |tr AS (
+      |  SELECT doc_id, pos, greatest(
+      |      coalesce(CASE WHEN segu >= 1 THEN upv END, 0),
+      |      coalesce(CASE WHEN segd >= 1 THEN dnv END, 0)) AS m
+      |  FROM wn WHERE iseval = 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q224_drop_reasons" ->
       s"""WITH inp AS MATERIALIZED (
@@ -1241,50 +1335,17 @@ object DedupQueries extends QueryPack {
          |SELECT stage, reason, count(*) AS n_docs,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM att GROUP BY 1, 2 ORDER BY stage""".stripMargin,
-    // q261: the same brute suffix order, then the SAME segment-min
+    // q261/q262: the same brute suffix order, then the SAME segment-min
     // construction the Spark side runs over the artifact's order
     // table: adjacent-lcp l per rn, eval-delimited segments via
     // inclusive running counts (both directions), running min of the
     // away-from-eval contributions (eval rows contribute NULL, which
-    // min skips), nearest-above/below max, census per threshold
+    // min skips), nearest-above/below max — ONE text (closing in `tr`,
+    // the per-train-position cross-set score) shared by the census and
+    // the scrub
     "q261_substr_decontam" ->
       s"""WITH $suffixBestCte,
-         |rord AS (
-         |  SELECT doc_id, pos, sfx,
-         |    row_number() OVER (ORDER BY sfx, doc_id, pos) AS rn,
-         |    lag(sfx) OVER (ORDER BY sfx, doc_id, pos) AS prv
-         |  FROM sfx),
-         |lv AS (
-         |  SELECT rn, doc_id, pos,
-         |    CASE WHEN prv IS NULL THEN 0 ELSE
-         |      coalesce(nullif(list_position(list_transform(
-         |          range(1, least(len(sfx), len(prv)) + 1),
-         |          i -> sfx[i] = prv[i]), false), 0) - 1,
-         |        least(len(sfx), len(prv))) END AS l,
-         |    CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS iseval
-         |  FROM rord),
-         |seg AS (
-         |  SELECT rn, doc_id, pos, l, iseval,
-         |    sum(iseval) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING)
-         |      AS segu,
-         |    sum(iseval) OVER (ORDER BY rn DESC ROWS UNBOUNDED PRECEDING)
-         |      AS segd,
-         |    lead(l) OVER (ORDER BY rn) AS l2
-         |  FROM lv),
-         |wn AS (
-         |  SELECT rn, doc_id, pos, iseval, segu, segd,
-         |    min(CASE WHEN iseval = 1 THEN NULL ELSE l END)
-         |      OVER (PARTITION BY segu ORDER BY rn
-         |            ROWS UNBOUNDED PRECEDING) AS upv,
-         |    min(CASE WHEN iseval = 1 THEN NULL ELSE l2 END)
-         |      OVER (PARTITION BY segd ORDER BY rn DESC
-         |            ROWS UNBOUNDED PRECEDING) AS dnv
-         |  FROM seg),
-         |tr AS (
-         |  SELECT doc_id, pos, greatest(
-         |      coalesce(CASE WHEN segu >= 1 THEN upv END, 0),
-         |      coalesce(CASE WHEN segd >= 1 THEN dnv END, 0)) AS m
-         |  FROM wn WHERE iseval = 0),
+         |$crossScoreCtes,
          |pd AS (SELECT doc_id, max(m) AS mx FROM tr GROUP BY doc_id),
          |hp AS (SELECT m, count(*) AS np FROM tr GROUP BY m),
          |hd AS (SELECT mx, count(*) AS nd FROM pd GROUP BY mx),
@@ -1301,6 +1362,29 @@ object DedupQueries extends QueryPack {
          |  FROM lt LEFT JOIN hd ON true GROUP BY lt.l)
          |SELECT cp.l, cd.n_docs, cp.n_pos, mxv.max_cross
          |FROM cp JOIN cd USING (l), mxv ORDER BY cp.l""".stripMargin,
+    // q262: q214's scrub tail over the SAME `tr` score, train docs only
+    "q262_decontam_scrub" ->
+      s"""WITH $suffixBestCte,
+         |$crossScoreCtes,
+         |marks AS (SELECT doc_id, pos, m FROM tr WHERE m >= 8),
+         |del AS (SELECT doc_id, pos, 1 AS dl FROM marks
+         |        UNION ALL SELECT doc_id, pos + m, -1 FROM marks),
+         |dg AS (SELECT doc_id, pos, sum(dl) AS dl FROM del GROUP BY 1, 2),
+         |tok AS (SELECT doc_id, pos, w[pos + 1] AS tok FROM s
+         |        WHERE doc_id % 97 <> 0),
+         |cv AS (SELECT t2.doc_id, t2.pos, t2.tok,
+         |         coalesce(sum(dg.dl) OVER (PARTITION BY t2.doc_id
+         |                                   ORDER BY t2.pos), 0) > 0
+         |           AS covered
+         |       FROM tok t2 LEFT JOIN dg
+         |         ON t2.doc_id = dg.doc_id AND t2.pos = dg.pos)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tok,
+         |  CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN covered THEN NULL ELSE tok END,
+         |                          ' ' ORDER BY pos), '')) AS clean_md5
+         |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q212_suffix_dedup" ->
       s"""WITH $suffixBestCte,
          |l AS (SELECT unnest(range(1, 11)) AS l)
