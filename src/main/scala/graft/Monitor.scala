@@ -69,10 +69,12 @@ object Monitor {
     *  - `suffix_index` (when `suffixIndex` names a
     *    [[graft.operators.SuffixIndex]] directory): the exact-substring
     *    index health row off the META alone (1 row) — `n` is the
-    *    indexed position count, `metric` the doc count, NEGATED when
-    *    the index is `scrubbed` (erasure applied; values conservative
-    *    until the next rebuild) so staleness is one sign test
-    *    (round 10).
+    *    indexed position count, `metric` the doc count, encoded as
+    *    −(docs+1) when the index is `scrubbed` (erasure applied;
+    *    values conservative until the next rebuild) so staleness is
+    *    one `metric < 0` test even when a scrub emptied the index
+    *    (a plain negation would render a fully-scrubbed index as 0.0 —
+    *    identical to a clean empty one) (round 10).
     *
     * State reads are O(state), not O(history); the warehouse pass is
     * one scan per listed table — list the day's report outputs, not the
@@ -147,7 +149,7 @@ object Monitor {
       graft.operators.SuffixIndex.readMeta(spark, dir).map { m =>
         import spark.implicits._
         Seq((("suffix_index"): String, m.nPos,
-          (if (m.scrubbed) -m.nDocs else m.nDocs).toDouble))
+          (if (m.scrubbed) -(m.nDocs + 1L) else m.nDocs).toDouble))
           .toDF("family", "n", "metric")
       }
     }

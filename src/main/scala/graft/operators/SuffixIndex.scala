@@ -181,9 +181,16 @@ object SuffixIndex {
     }
   }
 
-  /** The saved meta row, if a complete artifact exists at `dir`. */
+  /** The saved meta row, if a complete artifact exists at `dir`.
+    * First finishes an interrupted [[forget]] meta swap — a crash
+    * between its two renames leaves `meta` missing with the complete
+    * replacement beside it, and without recovery a retried forget
+    * would throw "no suffix index" instead of converging (and the
+    * Monitor health row would silently vanish — the exact torn state
+    * it exists to surface). */
   def readMeta(spark: SparkSession, dir: String): Option[Meta] = {
     val fs = ArtifactCommit.fsOf(spark, dir)
+    ArtifactCommit.recoverSwapAt(spark, s"$dir/meta")
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) None
     else spark.read.schema(metaSchema).parquet(s"$dir/meta")
       .collect().headOption

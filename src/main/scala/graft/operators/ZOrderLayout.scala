@@ -95,17 +95,6 @@ object ZOrderLayout {
     s"((($v - $lo) * ${1L << bits}) $div ($hi - $lo + 1))"
   }
 
-  /** Production curve-ordered rewrite: quantize `colA`/`colB` against
-    * their observed min/max (ONE 1-row stats action — a driver scalar,
-    * not a data collect), range-partition on the curve value and sort
-    * within each task, so files carry tight (a, b) bounding boxes.
-    * Null keys code as the minimum (bounding boxes stay correct —
-    * nulls simply inflate file 0's box). `hilbert = true` orders by
-    * the Hilbert index instead of Morton — the acting counterpart of
-    * q253's census (tighter boxes, fewer files per probe) at the price
-    * of the `bits`-step unroll per row; the unroll evaluates exactly
-    * once here (single write job), so the multi-consumer checkpoint
-    * rule does not apply. */
   /** One 1-row stats action + the overflow/degenerate guards shared by
     * both write paths: no non-null keys fails loud (the NullInputSpec
     * standard), and a key range past 2^(63−bits) fails loud because
@@ -130,6 +119,17 @@ object ZOrderLayout {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
+  /** Production curve-ordered rewrite: quantize `colA`/`colB` against
+    * their observed min/max (ONE 1-row stats action — a driver scalar,
+    * not a data collect), range-partition on the curve value and sort
+    * within each task, so files carry tight (a, b) bounding boxes.
+    * Null keys code as the minimum (bounding boxes stay correct —
+    * nulls simply inflate file 0's box). `hilbert = true` orders by
+    * the Hilbert index instead of Morton — the acting counterpart of
+    * q253's census (tighter boxes, fewer files per probe) at the price
+    * of the `bits`-step unroll per row; the unroll evaluates exactly
+    * once here (single write job), so the multi-consumer checkpoint
+    * rule does not apply. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
       bits: Int = 10, partitions: Int = 32, hilbert: Boolean = false): Unit = {
     require(partitions >= 1, s"partitions must be >= 1 (got $partitions)")

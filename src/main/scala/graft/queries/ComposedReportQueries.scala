@@ -181,7 +181,7 @@ object ComposedReportQueries extends QueryPack {
     val late = ev.where($"event_id" % 7 === 0).drop("event_id")
     // per-sfDir path: the smoke suite (sf0.001) and Verify (sf0.01) must
     // not race each other's store
-    val store = "/tmp/graft_backfill_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    val store = tmpArtifactDir("graft_backfill", d)
     // dynamic partition overwrite replaces only the days present in THIS
     // publish — day partitions left by a previous run over a different
     // fixture at the same path would leak into the read-back aggregate

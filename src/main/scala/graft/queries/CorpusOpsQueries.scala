@@ -2000,9 +2000,7 @@ object CorpusOpsQueries extends QueryPack {
     * scan (the q234 fusion); census is one doc-keyed join + hash agg. */
   private val q259: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_bpe_vocab_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val dir = tmpArtifactDir("graft_bpe_vocab", d)
     graft.operators.BpeTrainer.save(s, packMerges, dir)
     val loaded = graft.operators.BpeTrainer.load(s, dir)
     require(loaded == packMerges, "vocabulary artifact round-trip drift")

@@ -835,9 +835,8 @@ object DedupQueries extends QueryPack {
       .toDF("doc_id", "pos", "tok")
   }
 
-  private def suffixDir(d: String): String = java.nio.file.Paths.get(
-    System.getProperty("java.io.tmpdir"),
-    "graft_suffix_index_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+  private def suffixDir(d: String): String =
+    tmpArtifactDir("graft_suffix_index", d)
 
   /** Best-per-position via the persisted [[graft.operators.SuffixIndex]]
     * artifact — built at most once per corpus slice (fingerprint-gated),

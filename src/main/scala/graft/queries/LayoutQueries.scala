@@ -209,9 +209,7 @@ object LayoutQueries extends QueryPack {
     * read from file footers' worth of data. */
   private val q260: Q = (s, d) => {
     import s.implicits._
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_curved_write_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val base = tmpArtifactDir("graft_curved_write", d)
     val li = Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
     // the write path deliberately refuses an empty frame (nothing to

@@ -17,4 +17,15 @@ trait QueryPack {
   type Q = (SparkSession, String) => DataFrame
   def queries: Map[String, Q]
   def oracle: Map[String, String]
+
+  /** The ONE per-corpus artifact-dir convention for queries that
+    * persist state (suffix index, vocabulary model, curved writes,
+    * backfill stores): a fixed prefix + the sanitized sf dir under the
+    * JVM tmpdir — one dir per corpus, so a driver-regenerated corpus
+    * keys a different-or-revalidated artifact, and the keying logic
+    * lives in exactly one place (the round-10 review found four
+    * divergent copies). */
+  protected def tmpArtifactDir(prefix: String, sfDir: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + "_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")).toString
 }

@@ -75,18 +75,51 @@ object ArtifactCommit {
     * commits beside the live tree, then live→old, tmp→live, old
     * deleted last. `suffix` names the sibling dirs (kept caller-chosen
     * so existing on-disk leftovers from pre-unification crashes are
-    * still recognized and cleaned). */
+    * still recognized and cleaned).
+    *
+    * Entry FIRST finishes a prior run's interrupted cutover
+    * ([[recoverSwapDir]]): a crash between the two renames leaves live
+    * missing with tmp (and old) complete, and deleting those
+    * "leftovers" before recovering would destroy the only remaining
+    * complete copies — every retry would then fail its live→old rename
+    * forever (a checked-rename regression the round-10 review caught:
+    * the old unchecked code accidentally self-healed). */
   def swap(spark: SparkSession, livePath: String,
       suffix: String = "_compact")(write: String => Unit): Unit = {
     val live = new Path(livePath)
     val tmp = new Path(livePath + suffix + "_tmp")
     val old = new Path(livePath + suffix + "_old")
     val fs = fsOf(spark, livePath)
+    recoverSwapDir(fs, live, tmp, old)
     fs.delete(tmp, true); fs.delete(old, true) // stale crash leftovers
     write(tmp.toString)
     rename(fs, live, old)
     rename(fs, tmp, live)
     fs.delete(old, true)
+  }
+
+  /** Finish an interrupted [[swap]] cutover: live missing ⟹ the crash
+    * fell between the two renames, so tmp holds the COMPLETE
+    * replacement (the write finished before live was moved aside) —
+    * rename it in and drop old; if only old survives (defensive — no
+    * crash prefix produces it), restore the pre-swap tree. Callers
+    * that READ a swapped path outside swap() (e.g. a meta table
+    * consulted before the next swap runs) call this first so a torn
+    * artifact serves instead of reading as absent. */
+  def recoverSwapDir(fs: FileSystem, live: Path, tmp: Path,
+      old: Path): Unit =
+    if (!fs.exists(live)) {
+      if (fs.exists(tmp)) { rename(fs, tmp, live); fs.delete(old, true) }
+      else if (fs.exists(old)) rename(fs, old, live)
+    }
+
+  /** [[recoverSwapDir]] by path + suffix (the [[swap]] naming). */
+  def recoverSwapAt(spark: SparkSession, livePath: String,
+      suffix: String = "_compact"): Unit = {
+    val fs = fsOf(spark, livePath)
+    recoverSwapDir(fs, new Path(livePath),
+      new Path(livePath + suffix + "_tmp"),
+      new Path(livePath + suffix + "_old"))
   }
 
   /** Finish an interrupted single-rename swap from a previous attempt:
@@ -122,23 +155,35 @@ object ArtifactCommit {
   private def idsNewPath(idsPath: Path): Path =
     new Path(idsPath.toString + "_new")
 
+  private def idsStagedPath(idsPath: Path): Path =
+    new Path(idsPath.toString + "_staged")
+
   /** Persist the deletion ids sidecar (single long column named
-    * `idCol`), crash-safe against an existing sidecar: commit to
-    * `<path>_new`, delete the old, rename in. Any crash prefix leaves a
-    * readable superset-of-committed sidecar for [[readIdsWal]]. */
+    * `idCol`), crash-safe against an existing sidecar: the fresh set
+    * commits to `<path>_staged` (which [[readIdsWal]] NEVER reads —
+    * writing over the `_new` fallback in place would let a crash leave
+    * a PARTIAL fallback that reads as a subset of committed ids, the
+    * round-10 review's finding), then promotes `_staged` → `_new` →
+    * `<path>` via delete+rename pairs. Any crash prefix leaves a
+    * readable superset-of-committed sidecar: the live path survives
+    * until a complete `_new` exists, and `_new` survives until the
+    * live rename. */
   def writeIdsWal(del: DataFrame, idsPath: Path): Unit = {
     val spark = del.sparkSession
     val fs = fsOf(spark, idsPath.toString)
+    val staged = idsStagedPath(idsPath)
     val neu = idsNewPath(idsPath)
     del.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(neu.toString)
+      .parquet(staged.toString)
+    fs.delete(neu, true)
+    rename(fs, staged, neu)
     fs.delete(idsPath, true)
     rename(fs, neu, idsPath)
   }
 
   /** Read a pending ids sidecar if one exists (falling back to `_new`
     * if a crash landed between the old sidecar's delete and the
-    * rename). */
+    * rename; `_staged` is never read — it may be partial). */
   def readIdsWal(spark: SparkSession, idsPath: Path,
       idCol: String): Option[DataFrame] = {
     val fs = fsOf(spark, idsPath.toString)
@@ -157,5 +202,6 @@ object ArtifactCommit {
   def clearIdsWal(fs: FileSystem, idsPath: Path): Unit = {
     fs.delete(idsPath, true)
     fs.delete(idsNewPath(idsPath), true)
+    fs.delete(idsStagedPath(idsPath), true)
   }
 }

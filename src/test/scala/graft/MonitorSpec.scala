@@ -251,7 +251,8 @@ class MonitorSpec extends SparkSpec {
         suffixIndex = Some(six))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
       .toMap
-    assert(after("suffix_index") == ((4L, -1.0)),
-      "scrubbed index signals with a negated doc count")
+    assert(after("suffix_index") == ((4L, -2.0)),
+      "scrubbed index signals with -(docs+1) — distinguishable from a " +
+        "clean empty index even when a scrub removed every doc")
   }
 }
