@@ -66,6 +66,12 @@ object Monitor {
     *    the ranks are contiguous, so a torn artifact shows as n ≠
     *    metric on the dashboard before any load fails (round 10).
     *
+    *  - `band_index` (when `bandIndex` names a
+    *    [[graft.operators.BandIndex]] directory): the persisted dedup
+    *    index health row — `n` is the stored band-row count, `metric`
+    *    the distinct (band_idx, band_hash) bucket count (occupancy:
+    *    collapsing buckets ⟹ a hot-shard dedup join ahead) (round 10).
+    *
     *  - `suffix_index` (when `suffixIndex` names a
     *    [[graft.operators.SuffixIndex]] directory): the exact-substring
     *    index health row off the META alone (1 row) — `n` is the
@@ -88,7 +94,8 @@ object Monitor {
       cdc: Option[String] = None,
       export: Option[String] = None,
       bpeVocab: Option[String] = None,
-      suffixIndex: Option[String] = None)
+      suffixIndex: Option[String] = None,
+      bandIndex: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingCentroidMonitor
@@ -153,8 +160,15 @@ object Monitor {
           .toDF("family", "n", "metric")
       }
     }
+    val biRows = bandIndex.toSeq.map { dir =>
+      graft.operators.BandIndex.readBands(spark, dir)
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("band_idx"), col("band_hash")).as("bk"))
+        .select(lit("band_index").as("family"), col("n"),
+          coalesce(col("bk"), lit(0L)).cast("double").as("metric"))
+    }
     (profRows ++ mvRows ++ cmRows ++ cdcRows ++ exportRows ++ bpeRows ++
-      sxRows)
+      sxRows ++ biRows)
       .foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
   }
 

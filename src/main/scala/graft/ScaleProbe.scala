@@ -112,7 +112,8 @@ object ScaleProbe {
       "q255_epoch_materialize", "q256_training_stream",
       "q257_web_extract", "q258_stream_forget",
       "q259_vocab_artifact", "q260_curved_write",
-      "q261_substr_decontam", "q262_decontam_scrub")
+      "q261_substr_decontam", "q262_decontam_scrub",
+      "q263_band_index")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

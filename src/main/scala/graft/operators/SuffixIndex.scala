@@ -100,16 +100,10 @@ object SuffixIndex {
     StructField("n_docs", LongType), StructField("n_pos", LongType),
     StructField("grain", LongType), StructField("scrubbed", BooleanType)))
 
-  /** Corpus fingerprint of the index's input slice: (xor-hash, count)
-    * over `(doc_id, text)` AFTER the caller's filters. Order-free
-    * (xor), one narrow agg. */
-  def fingerprintOf(docs: DataFrame): (Long, Long) = {
-    val r = docs.agg(
-      coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L))
-        .as("fp"),
-      count(lit(1)).as("n")).head()
-    (r.getLong(0), r.getLong(1))
-  }
+  /** Corpus fingerprint of the index's input slice — the shared
+    * [[ArtifactCommit.corpusFingerprint]]. */
+  def fingerprintOf(docs: DataFrame): (Long, Long) =
+    ArtifactCommit.corpusFingerprint(docs)
 
   /** Build BOTH index tables from a token frame `(doc_id, pos, tok)`
     * off ONE ladder + ONE checkpointed LCP-pair descent: the

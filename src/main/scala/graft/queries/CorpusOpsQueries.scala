@@ -145,6 +145,33 @@ object CorpusOpsQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** Incremental dedup against the PERSISTED band index — q106 through
+    * the [[graft.operators.BandIndex]] artifact (round 10: the dedup
+    * family's artifact tier, the [[graft.operators.VectorIndex]]/
+    * [[graft.operators.SuffixIndex]] lifecycle applied to THE
+    * production dedup structure). The corpus side is
+    * [[graft.operators.BandIndex.ensure]]d once per corpus
+    * (fingerprint-gated — build/save/read, erasure-WAL aware) and the
+    * batch classifies against the files on disk with the index's
+    * STORED LSH parameters; a green hash against q106's exact oracle
+    * text (one-text rule) proves the persisted index classifies
+    * identically to the inline rescan it replaces. At 100 TB this is
+    * the difference between O(corpus) per nightly batch and O(batch):
+    * the rescan is the reference's implied shape, the artifact is the
+    * library's. */
+  private val q263: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val dir = graft.operators.BandIndex.ensure(
+      tmpArtifactDir("graft_band_index", d),
+      docs.filter($"source" =!= "src19"), "doc_id", "text",
+      DedupQueries.K, DedupQueries.NH, DedupQueries.B, DedupQueries.R)
+    graft.operators.BandIndex
+      .classify(s, dir, docs.filter($"source" === "src19"),
+        "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   /** Containment near-dup (|A∩B| / |A| ≥ 0.8, A ≠ B): finds documents
     * mostly CONTAINED in another — boilerplate expansions, quote-reply
     * chains — which symmetric Jaccard (q48) under-scores when |B| ≫ |A|.
@@ -2610,6 +2637,7 @@ object CorpusOpsQueries extends QueryPack {
     "q104_gap_fill" -> q104,
     "q105_chunk_overlap" -> q105,
     "q106_incremental_dedup" -> q106,
+    "q263_band_index" -> q263,
     "q107_containment" -> q107,
     "q121_containment_prefix" -> q121,
     "q122_shard_assign" -> q122,
@@ -2651,6 +2679,37 @@ object CorpusOpsQueries extends QueryPack {
       |    CAST(coalesce(max(CASE WHEN capped THEN prefc END), 0)
       |      AS BIGINT) AS capmass
       |  FROM flagged)""".stripMargin
+
+  /** q106/q263 shared oracle (one-text rule): batch-vs-corpus verdict
+    * via the inline corpus rescan — q263's persisted-index path must
+    * classify identically. */
+  private lazy val incrementalDedupSql: String = {
+    val cte = DedupQueries.shingleCteFrom("documents")
+    val sig = DedupQueries.duckSig(DedupQueries.NH)
+    val (b, r) = (DedupQueries.B, DedupQueries.R)
+    s"""WITH $cte,
+       |sig AS (SELECT doc_id, $sig AS sig FROM sh WHERE len(s) > 0),
+       |bands AS (SELECT doc_id, j AS band_idx,
+       |    md5(array_to_string(list_transform(list_slice(sig, j*$r + 1, j*$r + $r),
+       |      v -> CAST(v AS VARCHAR)), '|')) AS band_hash
+       |  FROM sig, range(0, $b) rr(j)),
+       |src AS (SELECT doc_id, source, md5(trim(text)) AS fp FROM documents),
+       |bat AS (SELECT doc_id, fp FROM src WHERE source = 'src19'),
+       |cfp AS (SELECT DISTINCT fp FROM src WHERE source <> 'src19'),
+       |cband AS (
+       |  SELECT DISTINCT band_idx, band_hash
+       |  FROM bands JOIN src USING (doc_id) WHERE src.source <> 'src19'),
+       |bnear AS (
+       |  SELECT DISTINCT bands.doc_id
+       |  FROM bands JOIN src USING (doc_id)
+       |       JOIN cband USING (band_idx, band_hash)
+       |  WHERE src.source = 'src19')
+       |SELECT bat.doc_id,
+       |       CASE WHEN bat.fp IN (SELECT fp FROM cfp) THEN 'exact_dup'
+       |            WHEN bat.doc_id IN (SELECT doc_id FROM bnear) THEN 'near_dup'
+       |            ELSE 'new' END AS verdict
+       |FROM bat ORDER BY doc_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q239_pack_purity" -> {
@@ -3748,33 +3807,10 @@ object CorpusOpsQueries extends QueryPack {
         |       CAST(len(list_slice(w, st + 1, st + 32)) AS BIGINT) AS n_tok,
         |       md5(array_to_string(list_slice(w, st + 1, st + 32), ' ')) AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
-    "q106_incremental_dedup" -> {
-      val cte = DedupQueries.shingleCteFrom("documents")
-      val sig = DedupQueries.duckSig(DedupQueries.NH)
-      val (b, r) = (DedupQueries.B, DedupQueries.R)
-      s"""WITH $cte,
-         |sig AS (SELECT doc_id, $sig AS sig FROM sh WHERE len(s) > 0),
-         |bands AS (SELECT doc_id, j AS band_idx,
-         |    md5(array_to_string(list_transform(list_slice(sig, j*$r + 1, j*$r + $r),
-         |      v -> CAST(v AS VARCHAR)), '|')) AS band_hash
-         |  FROM sig, range(0, $b) rr(j)),
-         |src AS (SELECT doc_id, source, md5(trim(text)) AS fp FROM documents),
-         |bat AS (SELECT doc_id, fp FROM src WHERE source = 'src19'),
-         |cfp AS (SELECT DISTINCT fp FROM src WHERE source <> 'src19'),
-         |cband AS (
-         |  SELECT DISTINCT band_idx, band_hash
-         |  FROM bands JOIN src USING (doc_id) WHERE src.source <> 'src19'),
-         |bnear AS (
-         |  SELECT DISTINCT bands.doc_id
-         |  FROM bands JOIN src USING (doc_id)
-         |       JOIN cband USING (band_idx, band_hash)
-         |  WHERE src.source = 'src19')
-         |SELECT bat.doc_id,
-         |       CASE WHEN bat.fp IN (SELECT fp FROM cfp) THEN 'exact_dup'
-         |            WHEN bat.doc_id IN (SELECT doc_id FROM bnear) THEN 'near_dup'
-         |            ELSE 'new' END AS verdict
-         |FROM bat ORDER BY doc_id""".stripMargin
-    },
+    "q106_incremental_dedup" -> incrementalDedupSql,
+    // q263 replays as q106: the persisted index classifies identically
+    // to the inline corpus rescan (one-text rule, the q260 precedent)
+    "q263_band_index" -> incrementalDedupSql,
     "q107_containment" -> {
       // naive full inverted-index form: identical output to the Spark
       // side's prefix-filtered plan proves the filter is lossless

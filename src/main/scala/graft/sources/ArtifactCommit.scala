@@ -197,6 +197,20 @@ object ArtifactCommit {
     src.map(p => spark.read.schema(schema).parquet(p.toString))
   }
 
+  /** Corpus fingerprint for freshness-gated artifacts
+    * ([[graft.operators.SuffixIndex]], [[graft.operators.BandIndex]]):
+    * (xor-hash, count) over `(doc_id, text)` AFTER the caller's
+    * filters — order-free (xor), one narrow agg, O(corpus) cheap
+    * against any artifact build. */
+  def corpusFingerprint(docs: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val r = docs.agg(
+      coalesce(bit_xor(xxhash64(col("doc_id"), col("text"))), lit(0L))
+        .as("fp"),
+      count(lit(1)).as("n")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Drop both ids-sidecar paths (post-success, or when nothing is
     * pending). */
   def clearIdsWal(fs: FileSystem, idsPath: Path): Unit = {
