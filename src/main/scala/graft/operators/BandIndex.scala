@@ -93,9 +93,13 @@ object BandIndex {
         .repartition(col("band_idx"))
         .write.partitionBy("batch_id", "band_idx")
         .parquet(new org.apache.hadoop.fs.Path(tmp, "bands").toString)
+      // the fp table tracks the CORPUS — never coalesce(1) it (one task
+      // would both md5 and serialize O(corpus) rows); batch_id
+      // partitioning already bounds leaf dirs, so a modest hash
+      // repartition keeps the write parallel with few files
       fpsOf(docs, idCol, textCol)
         .withColumn("batch_id", lit(-1L))
-        .coalesce(1)
+        .repartition(8, col("fp"))
         .write.partitionBy("batch_id")
         .parquet(new org.apache.hadoop.fs.Path(tmp, "fp").toString)
       Seq((FORMAT, k, nh, b, r, fingerprint, nDocs))
@@ -130,22 +134,18 @@ object BandIndex {
     val spark = docs.sparkSession
     val (fp, nDocs) = ArtifactCommit.corpusFingerprint(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
-    val fs = ArtifactCommit.fsOf(spark, dir)
-    val walPending = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$dir/_forget_pending"))
-    val fresh = !walPending && readMeta(spark, dir).exists(m =>
-      m.format == FORMAT && m.k == k && m.nh == nh && m.b == b &&
-        m.r == r && m.fingerprint == fp && m.nDocs == nDocs)
-    if (!fresh) {
-      // carry a crashed forget's commitment across the rebuild (the
-      // SuffixIndex.ensure discipline)
-      val walIds = if (!walPending) None
-        else ArtifactCommit.readIdsWal(spark,
-          new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids"),
-          "doc_id").map(_.localCheckpoint())
-      save(docs, idCol, textCol, dir, k, nh, b, r, fp, nDocs)
-      walIds.foreach(ids => forget(spark, dir, ids, "doc_id"))
-    }
+    val fresh = !ArtifactCommit.erasurePending(spark, dir) &&
+      readMeta(spark, dir).exists(m =>
+        m.format == FORMAT && m.k == k && m.nh == nh && m.b == b &&
+          m.r == r && m.fingerprint == fp && m.nDocs == nDocs)
+    if (!fresh)
+      // carry a crashed forget's commitment across the rebuild via the
+      // out-of-tree sidecar (the SuffixIndex.ensure discipline; r10
+      // ADVICE — an in-JVM-only capture loses the ids if a crash lands
+      // between the publish and the re-applied forget's own WAL)
+      ArtifactCommit.rebuildWithPending(spark, dir, "doc_id") {
+        save(docs, idCol, textCol, dir, k, nh, b, r, fp, nDocs)
+      } (ids => forget(spark, dir, ids, "doc_id"))
     dir
   }
 
@@ -232,9 +232,15 @@ object BandIndex {
       .select($"batch_id").distinct().as[Long].collect()
     val nDocsGone = fps.join(del, Seq("doc_id"), "left_semi")
       .select($"doc_id").distinct().count()
-    val pendingPrev = ArtifactCommit.readFootprint(fs, pending).map {
-      case Array("b", bid, bi) => Left((bid.toLong, bi.toInt))
-      case Array("f", bid) => Right(bid.toLong)
+    // tolerant parse: the footprint is a single non-atomic text create,
+    // so its FINAL line can be torn — a dropped row is convergent (the
+    // ids sidecar plus the recomputed hit set re-derive it), whereas a
+    // MatchError here would leave every retry permanently stuck
+    val pendingPrev = ArtifactCommit.readFootprint(fs, pending).flatMap {
+      case Array("b", bid, bi) =>
+        bid.toLongOption.zip(bi.toIntOption).map(t => Left(t))
+      case Array("f", bid) => bid.toLongOption.map(Right(_))
+      case _ => None
     }
     val touchedB = (hitB ++ pendingPrev.collect { case Left(t) => t })
       .distinct.sorted

@@ -213,27 +213,22 @@ object SuffixIndex {
   def ensure(dir: String, docs: DataFrame, toks: => DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val (fp, nDocs) = fingerprintOf(docs)
-    val fs = ArtifactCommit.fsOf(spark, dir)
-    val walPending = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$dir/_forget_pending"))
-    val fresh = !walPending && readMeta(spark, dir).exists(m =>
-      m.format == FORMAT && !m.scrubbed &&
-        m.fingerprint == fp && m.nDocs == nDocs)
-    if (!fresh) {
+    val fresh = !ArtifactCommit.erasurePending(spark, dir) &&
+      readMeta(spark, dir).exists(m =>
+        m.format == FORMAT && !m.scrubbed &&
+          m.fingerprint == fp && m.nDocs == nDocs)
+    if (!fresh)
       // a crashed forget's erasure commitment must survive the rebuild
-      // ([[save]]'s whole-tree publish destroys the sidecars): capture
-      // the ids WAL first (checkpoint — the files are about to go),
-      // rebuild, then re-apply. If the corpus already dropped the docs
-      // the re-apply is a clean zero-op that clears the WALs; if not,
-      // the commitment is honored against the rebuilt index.
-      val walIds = if (!walPending) None
-        else ArtifactCommit.readIdsWal(spark,
-          new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ids"),
-          "doc_id").map(_.localCheckpoint())
-      val (best, order) = buildTables(toks)
-      save(best, order, dir, fp, nDocs)
-      walIds.foreach(ids => forget(spark, dir, ids, "doc_id"))
-    }
+      // ([[save]]'s whole-tree publish destroys the in-tree sidecars):
+      // rebuildWithPending persists the captured ids OUTSIDE dir before
+      // the publish and clears that sidecar only after the re-applied
+      // forget commits (r10 ADVICE: the old in-JVM-only capture dropped
+      // the ids on a crash between publish and re-apply). If the corpus
+      // already dropped the docs the re-apply is a clean zero-op.
+      ArtifactCommit.rebuildWithPending(spark, dir, "doc_id") {
+        val (best, order) = buildTables(toks)
+        save(best, order, dir, fp, nDocs)
+      } (ids => forget(spark, dir, ids, "doc_id"))
     read(spark, dir)
   }
 
@@ -260,8 +255,13 @@ object SuffixIndex {
       .groupBy($"doc_range")
       .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // tolerant parse — a torn final line of the single-create footprint
+    // is dropped, not thrown on: the ids sidecar + recomputed hit set
+    // re-derive any dropped range, while a NumberFormatException would
+    // wedge every retry (the BandIndex.forget rule)
     val pendingPrev: Seq[Long] =
-      ArtifactCommit.readFootprint(fs, pending).map(_.head.toLong)
+      ArtifactCommit.readFootprint(fs, pending)
+        .flatMap(_.headOption.flatMap(_.toLongOption))
     val touched = (hitAgg.map(_._1) ++ pendingPrev).distinct.sorted
     if (touched.isEmpty) {
       ArtifactCommit.clearIdsWal(fs, pendingIds)

@@ -93,24 +93,41 @@ object ArtifactCommit {
     recoverSwapDir(fs, live, tmp, old)
     fs.delete(tmp, true); fs.delete(old, true) // stale crash leftovers
     write(tmp.toString)
+    // completeness marker, created only AFTER the write closure commits:
+    // recovery must never promote a tmp whose write died mid-flight
+    // (provable when live never existed — the r10 ADVICE window; the
+    // "_"-prefix keeps it invisible to parquet readers)
+    fs.create(new Path(tmp, SWAP_READY), true).close()
     rename(fs, live, old)
     rename(fs, tmp, live)
+    fs.delete(new Path(live, SWAP_READY), false)
     fs.delete(old, true)
   }
 
+  private val SWAP_READY = "_SWAP_READY"
+
   /** Finish an interrupted [[swap]] cutover: live missing ⟹ the crash
     * fell between the two renames, so tmp holds the COMPLETE
-    * replacement (the write finished before live was moved aside) —
-    * rename it in and drop old; if only old survives (defensive — no
-    * crash prefix produces it), restore the pre-swap tree. Callers
-    * that READ a swapped path outside swap() (e.g. a meta table
-    * consulted before the next swap runs) call this first so a torn
-    * artifact serves instead of reading as absent. */
+    * replacement — provable by its `_SWAP_READY` marker (written only
+    * after the write closure returns; without it a tmp is a mid-write
+    * corpse and must be discarded, not promoted) — rename it in and
+    * drop old; else if old survives, restore the pre-swap tree (covers
+    * both the defensive case and a marker-less tmp beside a complete
+    * old). Callers that READ a swapped path outside swap() (e.g. a
+    * meta table consulted before the next swap runs) call this first
+    * so a torn artifact serves instead of reading as absent. */
   def recoverSwapDir(fs: FileSystem, live: Path, tmp: Path,
       old: Path): Unit =
     if (!fs.exists(live)) {
-      if (fs.exists(tmp)) { rename(fs, tmp, live); fs.delete(old, true) }
-      else if (fs.exists(old)) rename(fs, old, live)
+      if (fs.exists(new Path(tmp, SWAP_READY))) {
+        rename(fs, tmp, live)
+        fs.delete(new Path(live, SWAP_READY), false)
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        fs.delete(tmp, true) // mid-write corpse, if any
+        rename(fs, old, live)
+      } else fs.delete(tmp, true) // first-swap mid-write crash: nothing
+                                  // complete survives; path reads absent
     }
 
   /** [[recoverSwapDir]] by path + suffix (the [[swap]] naming). */
@@ -217,5 +234,51 @@ object ArtifactCommit {
     fs.delete(idsPath, true)
     fs.delete(idsNewPath(idsPath), true)
     fs.delete(idsStagedPath(idsPath), true)
+  }
+
+  /** Sidecar that carries a pending erasure commitment ACROSS a
+    * whole-tree rebuild. It lives OUTSIDE the artifact dir: [[publish]]
+    * deletes the whole live tree (in-tree `_forget_pending*` WALs
+    * included), so a crash between the publish and the re-applied
+    * forget's own WAL write would otherwise permanently drop committed
+    * deletion ids (the r10 ADVICE medium finding). */
+  def rebuildPendingPath(dir: String): Path =
+    new Path(dir + "_rebuild_pending_ids")
+
+  /** True iff ANY erasure WAL is pending at `dir` — the in-tree
+    * footprint, the in-tree ids sidecar (or its `_new` fallback —
+    * forget() writes ids BEFORE the footprint, so ids-without-footprint
+    * is a reachable crash prefix), or the out-of-tree rebuild sidecar.
+    * A fresh-looking fingerprint must never serve while any of these
+    * exist: the stored tree may still witness condemned docs. */
+  def erasurePending(spark: SparkSession, dir: String): Boolean = {
+    val fs = fsOf(spark, dir)
+    def ex(p: String) = fs.exists(new Path(p))
+    ex(s"$dir/_forget_pending") || ex(s"$dir/_forget_pending_ids") ||
+      ex(s"$dir/_forget_pending_ids_new") ||
+      ex(rebuildPendingPath(dir).toString) ||
+      ex(rebuildPendingPath(dir).toString + "_new")
+  }
+
+  /** Rebuild an artifact WITHOUT losing a pending erasure commitment:
+    * union the in-tree ids WAL with any prior rebuild sidecar, persist
+    * the union OUTSIDE the tree, run `build` (which may destroy the
+    * in-tree WALs via [[publish]]), re-apply via `applyForget`, and
+    * clear the sidecar only after the forget completed. Every crash
+    * prefix leaves either the original WALs or the external sidecar
+    * readable, so a retry converges. */
+  def rebuildWithPending(spark: SparkSession, dir: String, idCol: String)
+      (build: => Unit)(applyForget: DataFrame => Unit): Unit = {
+    val fs = fsOf(spark, dir)
+    val ext = rebuildPendingPath(dir)
+    val inTree = new Path(s"$dir/_forget_pending_ids")
+    val pending = (readIdsWal(spark, ext, idCol).toSeq ++
+      readIdsWal(spark, inTree, idCol).toSeq)
+      .reduceOption(_.unionByName(_).distinct())
+      .map(_.localCheckpoint()) // the files behind it are about to go
+    pending.foreach(ids => writeIdsWal(ids, ext))
+    build
+    pending.foreach(applyForget)
+    clearIdsWal(fs, ext)
   }
 }

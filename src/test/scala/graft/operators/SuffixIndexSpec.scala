@@ -195,6 +195,29 @@ class SuffixIndexSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/_forget_pending")))
   }
 
+  test("rebuild crash window (r10 ADVICE medium): a crash AFTER the " +
+    "publish but BEFORE the re-applied forget must not drop the " +
+    "erasure commitment — the out-of-tree sidecar carries it") {
+    val s = spark; import s.implicits._
+    val d = dir("rebuildcrash")
+    // state a crashed ensure() leaves behind: a freshly published index
+    // whose fingerprint MATCHES the corpus, with the captured ids
+    // persisted only in the external rebuild sidecar (the in-tree WALs
+    // died with the old tree)
+    SuffixIndex.ensure(d, docsDf(fixture), toksDf(fixture))
+    graft.sources.ArtifactCommit.writeIdsWal(
+      Seq(60L, 61L).toDF("doc_id"),
+      graft.sources.ArtifactCommit.rebuildPendingPath(d))
+    // a fingerprint-matching serve must NOT cache-hit past the sidecar
+    val served = SuffixIndex.ensure(d, docsDf(fixture), toksDf(fixture))
+    assert(served.select($"doc_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 2L, 3L), "commitment honored, condemned docs gone")
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!graft.sources.ArtifactCommit.erasurePending(s, d),
+      "all WALs (incl. the external sidecar) cleared after re-apply")
+  }
+
   test("order table (format 2): suffix-order serialization round-trips, " +
     "best == max of adjacent l's, forget scrubs it in lockstep") {
     val s = spark; import s.implicits._

@@ -34,6 +34,12 @@ class ArtifactCommitSpec extends SparkSpec {
     finally in.close()
   }
 
+  /** Simulated crash states must reproduce what swap() leaves on disk:
+    * a tmp whose write closure COMPLETED carries the _SWAP_READY
+    * completeness marker (created before any rename). */
+  private def ready(p: Path): Unit =
+    fs.create(new Path(p, "_SWAP_READY"), true).close()
+
   test("swap retry after a crash between the two renames recovers the " +
     "replacement (review finding: deletes-first destroyed both copies)") {
     val d = dir("swaprec")
@@ -42,13 +48,17 @@ class ArtifactCommitSpec extends SparkSpec {
     // crash window: live→old happened, tmp→live did not
     ArtifactCommit.rename(fs, live, new Path(s"$d/table_compact_old"))
     writeMarker(new Path(s"$d/table_compact_tmp"), "v2")
+    ready(new Path(s"$d/table_compact_tmp"))
     // a reader-side recovery alone must restore the replacement
     ArtifactCommit.recoverSwapAt(spark, live.toString)
     assert(marker(live) == "v2", "tmp (the complete replacement) wins")
     assert(!fs.exists(new Path(s"$d/table_compact_old")))
+    assert(!fs.exists(new Path(live, "_SWAP_READY")),
+      "recovery strips the marker from the promoted tree")
     // and a full retried swap() from the same torn state must converge
     ArtifactCommit.rename(fs, live, new Path(s"$d/table_compact_old"))
     writeMarker(new Path(s"$d/table_compact_tmp"), "v3")
+    ready(new Path(s"$d/table_compact_tmp"))
     ArtifactCommit.swap(spark, live.toString) { tmp =>
       writeMarker(new Path(tmp), "v4")
     }
@@ -59,6 +69,27 @@ class ArtifactCommitSpec extends SparkSpec {
     ArtifactCommit.rename(fs, live, new Path(s"$d/table_compact_old"))
     ArtifactCommit.recoverSwapAt(spark, live.toString)
     assert(marker(live) == "v4")
+  }
+
+  test("swap recovery never promotes a mid-write tmp corpse (r10 ADVICE: " +
+    "no marker => no promotion; old restored when present)") {
+    val d = dir("swapcorpse")
+    val live = new Path(s"$d/table")
+    // first-swap crash: live never existed, write died mid-flight —
+    // the marker-less tmp must be discarded, not promoted as complete
+    writeMarker(new Path(s"$d/table_compact_tmp"), "partial")
+    ArtifactCommit.recoverSwapAt(spark, live.toString)
+    assert(!fs.exists(live), "partial tmp is not promoted to live")
+    assert(!fs.exists(new Path(s"$d/table_compact_tmp")),
+      "the corpse is cleaned up")
+    // crash mid-write of a RETRY while old holds the pre-swap tree:
+    // restore old, drop the corpse
+    writeMarker(new Path(s"$d/table_compact_old"), "v1")
+    writeMarker(new Path(s"$d/table_compact_tmp"), "partial")
+    ArtifactCommit.recoverSwapAt(spark, live.toString)
+    assert(marker(live) == "v1", "pre-swap tree restored over the corpse")
+    assert(!fs.exists(new Path(s"$d/table_compact_tmp")) &&
+      !fs.exists(new Path(s"$d/table_compact_old")))
   }
 
   test("ids WAL: the _new fallback is never overwritten in place — a " +
@@ -107,6 +138,7 @@ class ArtifactCommitSpec extends SparkSpec {
     // complete replacement sits in the swap tmp, WALs still pending
     ArtifactCommit.rename(fs, new Path(s"$d/ix/meta"),
       new Path(s"$d/ix/meta_compact_tmp"))
+    ready(new Path(s"$d/ix/meta_compact_tmp"))
     val o = fs.create(new Path(s"$d/ix/_forget_pending"), true)
     o.write("0\n".getBytes("UTF-8")); o.close()
     Seq(2L).toDF("doc_id").coalesce(1)
