@@ -28,7 +28,8 @@ object SparkEntry {
     BehaviorQueries,
     CorpusOpsQueries,
     SqlSurfaceQueries,
-    LayoutQueries
+    LayoutQueries,
+    ReportParityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
