@@ -67,6 +67,35 @@ class MediaCodecSpec extends SparkSpec {
     assert(dropped.intersect((0L until 8L).toSet).isEmpty)
   }
 
+  test("REAL image decode: PNG/BMP encode->decode round-trips the exact " +
+    "raster dims; non-image payloads keep the deterministic stub") {
+    for (fmt <- Seq("png", "bmp")) {
+      val bytes = MediaCodec.encodeImage(37, 21, seed = 7L, fmt)
+      assert(MediaCodec.decodeImage(bytes).contains((37, 21, 3)),
+        s"$fmt round-trip")
+      val m = MediaCodec.decodeOne(MediaBlob(1L, "image", bytes, Map.empty))
+      assert(m.width == 37 && m.height == 21 && m.channels == 3 &&
+        m.n_frames == 1 && m.byte_len == bytes.length.toLong)
+    }
+    // encoding is deterministic: same inputs, same bytes (the artifact/
+    // oracle hash contract)
+    assert(java.util.Arrays.equals(
+      MediaCodec.encodeImage(37, 21, 7L, "png"),
+      MediaCodec.encodeImage(37, 21, 7L, "png")))
+    // garbage bytes: real decode declines, stub dims serve (q54's
+    // text-payload blobs must be byte-identical to pre-r11 behavior)
+    val garbage = blob(2L, "image", "not an image at all")
+    assert(MediaCodec.decodeImage(garbage.bytes).isEmpty)
+    val g = MediaCodec.decodeOne(garbage)
+    assert(g.width >= 64 && g.width < 64 + 1857 &&
+      g.height >= 64 && g.height < 64 + 1017)
+    // audio/video payloads never take the real path even if decodable
+    val audio = MediaBlob(3L, "audio",
+      MediaCodec.encodeImage(37, 21, 7L, "png"), Map.empty)
+    assert(MediaCodec.decodeOne(audio).width != 37 ||
+      MediaCodec.decodeOne(audio).height != 21)
+  }
+
   test("resizeMeta preserves aspect and never upsizes") {
     val m = MediaCodec.decodeOne(blob(9, "image", "payload")).copy(
       width = 1920, height = 1080)
