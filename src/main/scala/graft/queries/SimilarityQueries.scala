@@ -1116,7 +1116,127 @@ object SimilarityQueries extends QueryPack {
       .orderBy($"source")
   }
 
+  /** GDPR erasure FAN-OUT (round 11, VERDICT r10 #3 — q221's audit and
+    * q241/q250/q258/q262's single-store erasures completed as ONE
+    * operation): stand up all five persisted artifacts — vector index,
+    * shard export, streaming export, band index (fresh, deterministic
+    * slices) and the suffix index (a CLONE of the shared fingerprint-
+    * gated artifact — see the inline cost note) — then drain ONE
+    * deletion feed (doc_id ≡ 0 mod 97, the house erasure key) through
+    * [[graft.operators.ErasureHub]] and report the cross-artifact
+    * completion census. Every `n_keys_after` is re-read from the
+    * artifact's files, so the row only hash-matches if all five
+    * erasures actually landed on disk; crash-mid-fan-out convergence is
+    * ErasureHubSpec territory.
+    *
+    * Fresh builds each run (dir deleted first): a forgotten artifact
+    * must never serve a later run's "before" census — BandIndex keeps
+    * its BUILD fingerprint after forget, so ensure() would cache-hit on
+    * the scrubbed tree and the census would drift run to run. */
+  private val q270: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{BandIndex, ErasureHub, SeqPacker, SuffixIndex, VectorIndex}
+    import graft.streaming.StreamingExport
+    val base = tmpArtifactDir("graft_erasure270", d)
+    val fs = graft.sources.ArtifactCommit.fsOf(s, base)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"text".isNotNull &&
+        length(trim($"text")) > 0)
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+      .localCheckpoint() // five artifact builds consume it; scan once
+    // the five stand-ups are disjoint trees — build them CONCURRENTLY
+    // (the ErasureHub.run drain rationale: each is fixed-job-count
+    // dominated; wall time = slowest build, not the sum)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // vector index: a REAL build (cells + PQ train + encode) over the
+    // vec_id % 5 slice — erasure semantics are size-independent, and the
+    // full lifecycle build is q199/q241's claim, not this query's
+    val ivfDir = base + "/ivf"
+    val fIvf = Future {
+      val emb5 = Tables.embeddings(s, d)
+        .where($"vec_id".isNotNull && $"embedding".isNotNull &&
+          $"vec_id" % 5 === 0)
+        .select($"vec_id", $"embedding")
+      VectorIndex.save(VectorIndex.buildWith(emb5, "vec_id", "embedding",
+        DIM, ivfCents, m = 8, ks = 16, iters = 2), "vec_id", ivfDir)
+    }
+    // suffix index: CLONE the shared fingerprint-gated q212/q214/q261
+    // artifact and forget on the clone — the ladder's log2(maxDocLen)
+    // global exchanges cost ~17 s even on a 1/13 slice (probed; the
+    // round count, not the rows, dominates), while ensure() is a warm
+    // no-op and the tree copy is O(artifact bytes). The builder args
+    // are bit-identical to DedupQueries' (same docs slice, same
+    // TextFunctions.tokens split), so whichever query runs first builds
+    // the one shared artifact.
+    val sufDir = base + "/suffix"
+    val fSuf = Future {
+      val sufDocs = Tables.documents(s, d)
+        .where($"text".isNotNull && $"doc_id".isNotNull &&
+          length(trim($"text")) > 0)
+        .select($"doc_id", $"text")
+      val sharedSuf = tmpArtifactDir("graft_suffix_index", d)
+      SuffixIndex.ensure(sharedSuf, sufDocs,
+        sufDocs.select($"doc_id",
+          posexplode(graft.functions.TextFunctions.tokens($"text")))
+          .toDF("doc_id", "pos", "tok"))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(sharedSuf),
+        fs, new org.apache.hadoop.fs.Path(sufDir), false,
+        s.sparkContext.hadoopConfiguration)
+    }
+    val fBand = Future {
+      BandIndex.ensure(base + "/band",
+        docs.where($"doc_id" % 7 === 0), "doc_id", "text",
+        DedupQueries.K, DedupQueries.NH, DedupQueries.B, DedupQueries.R)
+    }
+    // bucket grain %2 (not %4): leaf-dir COUNT is the partitioned-write
+    // cost knob on local FS (the q258 rule) and the forget rewrite
+    // touches every shard the 1/97 feed lands in
+    def perDoc(m5: Int) = docs.where($"doc_id" % 5 === m5)
+      .select($"lang", ($"doc_id" % 2).as("bucket"), $"doc_id".as("ord1"),
+        $"doc_id", (lit(1L) + $"n_chars" % 511).as("toks"))
+    val shardDir = base + "/shards"
+    val fShards = Future {
+      SeqPacker.writeShards(SeqPacker.packDocs(perDoc(0), 512), shardDir)
+    }
+    val exportDir = base + "/stream"
+    val fStream = Future {
+      for ((bid, m) <- Seq((0L, 1L), (1L, 6L)))
+        StreamingExport.appendBatch(
+          SeqPacker.packDocs(perDoc(1).where($"doc_id" % 10 === m), 512).toDF(),
+          exportDir, bid)
+    }
+    val bandDir = Await.result(fBand, Duration.Inf)
+    Seq(fIvf, fSuf, fShards, fStream)
+      .foreach(Await.result(_, Duration.Inf))
+    val del = Tables.documents(s, d)
+      .where($"doc_id".isNotNull && $"doc_id" % 97 === 0).select($"doc_id")
+    ErasureHub.run(s, base + "/hub", del, "doc_id", Seq(
+      ErasureHub.Target("band_index",
+        () => BandIndex.readFps(s, bandDir).select($"doc_id"),
+        ids => { BandIndex.forget(s, bandDir, ids, "id"); () }),
+      ErasureHub.Target("shard_export",
+        () => SeqPacker.readShards(s, shardDir)._1.select($"docId"),
+        ids => { SeqPacker.forgetShards(s, shardDir, ids, "id", 512); () }),
+      ErasureHub.Target("stream_export",
+        () => StreamingExport.readPlaced(s, exportDir).select($"docId"),
+        ids => { StreamingExport.forget(s, exportDir, ids, "id"); () }),
+      ErasureHub.Target("suffix_index",
+        () => SuffixIndex.read(s, sufDir).select($"doc_id"),
+        ids => { SuffixIndex.forget(s, sufDir, ids, "id"); () }),
+      ErasureHub.Target("vector_index",
+        () => s.read.schema(VectorIndex.codesSchema("vec_id"))
+          .parquet(ivfDir + "/codes").select($"vec_id"),
+        ids => { VectorIndex.forget(s, ivfDir, ids, "id"); () })
+    )).orderBy($"artifact")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q270_erasure_fanout" -> q270,
     "q241_forget_census" -> q241,
     "q226_semantic_decontam" -> q226,
     "q221_forget_audit" -> q221,
@@ -1188,6 +1308,37 @@ object SimilarityQueries extends QueryPack {
   private val duckIvfAssign: String = duckIvfAssignFrom("")
 
   val oracle: Map[String, String] = Map(
+    "q270_erasure_fanout" ->
+      """WITH del AS (SELECT doc_id AS id FROM documents
+        |    WHERE doc_id IS NOT NULL AND doc_id % 97 = 0),
+        |docs AS (SELECT doc_id FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(trim(text)) > 0),
+        |c AS (
+        |  SELECT 'band_index' AS artifact, count(*) AS nb,
+        |    sum(CASE WHEN doc_id IN (SELECT id FROM del) THEN 1 ELSE 0 END) AS nh
+        |  FROM docs WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'shard_export', count(*),
+        |    sum(CASE WHEN doc_id IN (SELECT id FROM del) THEN 1 ELSE 0 END)
+        |  FROM docs WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'stream_export', count(*),
+        |    sum(CASE WHEN doc_id IN (SELECT id FROM del) THEN 1 ELSE 0 END)
+        |  FROM docs WHERE doc_id % 10 IN (1, 6)
+        |  UNION ALL
+        |  SELECT 'suffix_index', count(*),
+        |    sum(CASE WHEN doc_id IN (SELECT id FROM del) THEN 1 ELSE 0 END)
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT 'vector_index', count(*),
+        |    sum(CASE WHEN vec_id IN (SELECT id FROM del) THEN 1 ELSE 0 END)
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |    AND vec_id % 5 = 0)
+        |SELECT artifact, nb AS n_keys_before,
+        |  CAST(nh AS BIGINT) AS n_keys_hit,
+        |  CAST(nb - nh AS BIGINT) AS n_keys_after
+        |FROM c ORDER BY artifact""".stripMargin,
     "q226_semantic_decontam" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding FROM embeddings
