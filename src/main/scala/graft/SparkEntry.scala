@@ -29,7 +29,8 @@ object SparkEntry {
     CorpusOpsQueries,
     SqlSurfaceQueries,
     LayoutQueries,
-    ReportParityQueries
+    ReportParityQueries,
+    TpchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,383 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import graft.core.Tables
+
+/** The 22 standard TPC-H queries as ONE SQL text each, run VERBATIM by
+  * both engines (round 11, VERDICT r10 #5): the fixtures are TPC-H-
+  * shaped, so the standard suite exercises planner breadth — nested
+  * decorrelation (Q2/Q17/Q20/Q22), multi-join order (Q5/Q8/Q9),
+  * EXISTS/NOT-EXISTS self-joins (Q4/Q21), scalar subqueries in HAVING
+  * (Q11), CTE + scalar-max (Q15) — with zero new operator code. Spark
+  * runs each text via `spark.sql` over temp views; the driver's DuckDB
+  * oracle runs the IDENTICAL string over the same parquet.
+  *
+  * Documented substitutions (the generator's schema is a TPC-H SUBSET —
+  * no `partsupp` table; no comment/address/phone/container/shipmode/
+  * commitdate/receiptdate/shippriority/mfgr columns):
+  *
+  *  - `partsupp` is synthesized IN THE QUERY TEXT (a WITH clause both
+  *    engines evaluate identically): one row per distinct
+  *    (l_partkey, l_suppkey) with integer supplycost/availqty derived
+  *    from the keys. Affects Q2/Q9/Q11/Q16/Q20.
+  *  - Money is INTEGER CENTS end to end
+  *    (`SUM(CAST(round(x * 100) AS BIGINT))`): cross-row double sums
+  *    are addition-order-dependent and Spark's partial aggregation
+  *    order is not DuckDB's (the repo-wide oracle determinism rule).
+  *    Averages are over per-row integer units, floor-scaled on output.
+  *  - Ratio outputs (Q8/Q14) are floor-scaled ppm integers.
+  *  - Missing predicate columns keep the PLAN SHAPE with an available
+  *    stand-in: Q4/Q21 lateness (`l_commitdate`/`l_receiptdate`) →
+  *    row-local predicates; Q12 `l_shipmode` → a tax-derived bucket;
+  *    Q13 the comment filter → an order-priority filter; Q17/Q19
+  *    `p_container` → `p_size` bands; Q22 the phone country code →
+  *    `c_custkey % 7`. Parameter literals are pinned (validation style)
+  *    inside the generator's 1995–2001 date range.
+  *  - Missing OUTPUT columns are dropped (Q2: p_mfgr/s_address/…;
+  *    Q10: c_address/c_phone/c_comment; Q3: o_shippriority →
+  *    o_orderpriority).
+  *
+  * Scale notes: every query is pure declarative SQL — Catalyst picks
+  * broadcast vs shuffle joins per side sizes (AQE on), pushes the date/
+  * brand/segment filters to the parquet scans, and decorrelates the
+  * scalar subqueries to aggregate-then-join; nothing here hand-
+  * schedules. The `partsupp` CTE is O(distinct part-supp pairs) and is
+  * planned like any derived dim.
+  */
+object TpchQueries extends QueryPack {
+
+  /** Register the TPC-H tables as temp views (idempotent, plan-only). */
+  private def views(s: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+
+  private def sql(text: String): Q = (s, d) => { views(s, d); s.sql(text) }
+
+  /** The synthesized partsupp (see object scaladoc) — spliced into the
+    * texts that need it so one string serves both engines. */
+  private val PARTSUPP =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         (l_partkey * 7 + l_suppkey * 3) % 100000 + 100 AS ps_supplycost_c,
+      |         (l_partkey * 11 + l_suppkey * 13) % 9999 + 1 AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pskeys
+      |)""".stripMargin
+
+  private val cents =
+    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+  private val t01 =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       |  CAST(SUM($cents) AS BIGINT) AS sum_disc_c,
+       |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+       |  CAST(floor(AVG(l_quantity) * 100) AS BIGINT) AS avg_qty_e2,
+       |  CAST(floor(AVG(CAST(round(l_extendedprice * 100) AS BIGINT))) AS BIGINT) AS avg_price_c,
+       |  CAST(floor(AVG(CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT) AS avg_disc_e4,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= DATE '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val t02 =
+    s"""WITH $PARTSUPP
+       |SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+       |  s_name, n_name, p_partkey, ps_supplycost_c
+       |FROM part
+       |JOIN partsupp ON p_partkey = ps_partkey
+       |JOIN supplier ON s_suppkey = ps_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size = 15 AND p_type LIKE '%STANDARD%' AND r_name = 'EUROPE'
+       |  AND ps_supplycost_c = (
+       |    SELECT MIN(ps.ps_supplycost_c)
+       |    FROM partsupp ps
+       |    JOIN supplier s2 ON s2.s_suppkey = ps.ps_suppkey
+       |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE ps.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  private val t03 =
+    s"""SELECT l_orderkey,
+       |  CAST(SUM($cents) AS BIGINT) AS revenue_c,
+       |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_day,
+       |  o_orderpriority
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < DATE '1996-03-15' AND l_shipdate > DATE '1996-03-15'
+       |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS STRING), o_orderpriority
+       |ORDER BY revenue_c DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  private val t04 =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > CAST(o_orderdate AS DATE) + 75)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val t05 =
+    s"""SELECT n_name, CAST(SUM($cents) AS BIGINT) AS revenue_c
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue_c DESC, n_name""".stripMargin
+
+  private val t06 =
+    """SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_c
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  private val t07 =
+    s"""SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume_c) AS BIGINT) AS revenue_c
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |    $cents AS volume_c
+       |  FROM supplier
+       |  JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private val t08 =
+    s"""SELECT o_year,
+       |  CAST(floor(1000000.0 * SUM(CASE WHEN nation = 'NATION_3' THEN volume_c ELSE 0 END)
+       |    / SUM(volume_c)) AS BIGINT) AS mkt_share_ppm
+       |FROM (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    $cents AS volume_c,
+       |    n2.n_name AS nation
+       |  FROM part
+       |  JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+       |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+       |) all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  private val t09 =
+    s"""WITH $PARTSUPP
+       |SELECT nation, o_year, CAST(SUM(amount_c) AS BIGINT) AS sum_profit_c
+       |FROM (
+       |  SELECT n_name AS nation,
+       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    $cents - ps_supplycost_c * CAST(l_quantity AS BIGINT) AS amount_c
+       |  FROM part
+       |  JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN partsupp ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE 'red%'
+       |) profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  private val t10 =
+    s"""SELECT c_custkey, c_name,
+       |  CAST(SUM($cents) AS BIGINT) AS revenue_c,
+       |  CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_c,
+       |  n_name
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT), n_name
+       |ORDER BY revenue_c DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  private val t11 =
+    s"""WITH $PARTSUPP
+       |SELECT ps_partkey, CAST(SUM(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+       |FROM partsupp
+       |JOIN supplier ON ps_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_5'
+       |GROUP BY ps_partkey
+       |HAVING SUM(ps_supplycost_c * ps_availqty) > (
+       |  SELECT SUM(ps_supplycost_c * ps_availqty) * 0.001
+       |  FROM partsupp
+       |  JOIN supplier ON ps_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_5')
+       |ORDER BY value_c DESC, ps_partkey""".stripMargin
+
+  private val t12 =
+    """SELECT ship_bucket,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN l_tax > 0.04 THEN 'HIGHTAX' ELSE 'LOWTAX' END AS ship_bucket
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |) t
+      |GROUP BY ship_bucket
+      |ORDER BY ship_bucket""".stripMargin
+
+  private val t13 =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private val t14 =
+    s"""SELECT CAST(floor(1000000.0
+       |    * SUM(CASE WHEN p_type = 'PROMO' THEN $cents ELSE 0 END)
+       |    / SUM($cents)) AS BIGINT) AS promo_revenue_ppm
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'""".stripMargin
+
+  private val t15 =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    SUM($cents) AS total_revenue_c
+       |  FROM lineitem
+       |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(total_revenue_c AS BIGINT) AS total_revenue_c
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  private val t16 =
+    s"""WITH $PARTSUPP
+       |SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+       |FROM partsupp JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+       |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private val t17 =
+    """SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT) AS small_qty_revenue_c
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3' AND p_size <= 25
+      |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private val t18 =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_day,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS STRING),
+      |  CAST(round(o_totalprice * 100) AS BIGINT)
+      |ORDER BY o_totalprice_c DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  private val t19 =
+    s"""SELECT CAST(COALESCE(SUM($cents), 0) AS BIGINT) AS revenue_c
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  private val t20 =
+    s"""WITH $PARTSUPP
+       |SELECT s_name, s_suppkey
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_2' AND s_suppkey IN (
+       |  SELECT ps_suppkey FROM partsupp
+       |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+       |    AND ps_availqty > (
+       |      SELECT 0.5 * SUM(l_quantity) FROM lineitem
+       |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'))
+       |ORDER BY s_name, s_suppkey""".stripMargin
+
+  private val t21 =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_4'
+      |  AND l1.l_tax > l1.l_discount
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_tax > l3.l_discount)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  private val t22 =
+    """SELECT cntrycode, COUNT(*) AS numcust, CAST(SUM(c_acctbal_c) AS BIGINT) AS totacctbal_c
+      |FROM (
+      |  SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_c
+      |  FROM customer
+      |  WHERE c_custkey % 7 IN (0, 1, 2, 4, 6)
+      |    AND CAST(round(c_acctbal * 100) AS BIGINT) > (
+      |      SELECT AVG(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+      |      FROM customer c2
+      |      WHERE c2.c_acctbal > 0.0 AND c2.c_custkey % 7 IN (0, 1, 2, 4, 6))
+      |    AND NOT EXISTS (SELECT 1 FROM orders
+      |      WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+      |) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
+  private val texts: Seq[(String, String)] = Seq(
+    "q271_tpch01" -> t01, "q272_tpch02" -> t02, "q273_tpch03" -> t03,
+    "q274_tpch04" -> t04, "q275_tpch05" -> t05, "q276_tpch06" -> t06,
+    "q277_tpch07" -> t07, "q278_tpch08" -> t08, "q279_tpch09" -> t09,
+    "q280_tpch10" -> t10, "q281_tpch11" -> t11, "q282_tpch12" -> t12,
+    "q283_tpch13" -> t13, "q284_tpch14" -> t14, "q285_tpch15" -> t15,
+    "q286_tpch16" -> t16, "q287_tpch17" -> t17, "q288_tpch18" -> t18,
+    "q289_tpch19" -> t19, "q290_tpch20" -> t20, "q291_tpch21" -> t21,
+    "q292_tpch22" -> t22)
+
+  def queries: Map[String, Q] = texts.map { case (n, t) => n -> sql(t) }.toMap
+
+  /** One-text rule: the oracle IS the Spark text. */
+  def oracle: Map[String, String] = texts.toMap
+}
