@@ -279,7 +279,35 @@ object ReportParityQueries extends QueryPack {
       .orderBy($"gid", $"region_name", $"nation_name", $"terminal", $"cp_sp")
   }
 
+  /** Monitor report row, driver-visible (round 11, VERDICT r10 #7 —
+    * `homed/monitor/MonitorApp.scala:16-48` re-queries report tables
+    * for a completeness report; the rebuild's ops seam is
+    * [[graft.Monitor.artifactReport]]): the documents table's
+    * column-grain completeness profile plus the shared suffix-index
+    * health row, both read from the live artifacts, so a profiler or
+    * meta regression lands in CORRECTNESS instead of only MonitorSpec.
+    * The suffix metric is the doc count (negative iff scrubbed — no
+    * query scrubs the SHARED artifact, so the oracle states the clean
+    * value). */
+  private val q293: Q = (s, d) => {
+    import s.implicits._
+    val sufDocs = Tables.documents(s, d)
+      .where($"text".isNotNull && $"doc_id".isNotNull &&
+        length(trim($"text")) > 0)
+      .select($"doc_id", $"text")
+    val sharedSuf = tmpArtifactDir("graft_suffix_index", d)
+    graft.operators.SuffixIndex.ensure(sharedSuf, sufDocs,
+      sufDocs.select($"doc_id",
+        posexplode(graft.functions.TextFunctions.tokens($"text")))
+        .toDF("doc_id", "pos", "tok"))
+    graft.Monitor.artifactReport(s,
+      warehouse = Seq("documents" -> Tables.documents(s, d)),
+      suffixIndex = Some(sharedSuf))
+      .orderBy($"family")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q293_monitor_report" -> q293,
     "q264_multiscreen" -> q264,
     "q265_bind_cohort" -> q265,
     "q266_new_open_cohort" -> q266,
@@ -288,6 +316,37 @@ object ReportParityQueries extends QueryPack {
   )
 
   def oracle: Map[String, String] = Map(
+    "q293_monitor_report" ->
+      """WITH prof AS (
+        |  SELECT 'profile:documents.doc_id' AS family, count(*) AS n,
+        |    round(CAST(count(doc_id) AS DOUBLE) / greatest(count(*), 1), 6) AS metric
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'profile:documents.text', count(*),
+        |    round(CAST(count(text) AS DOUBLE) / greatest(count(*), 1), 6)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'profile:documents.lang', count(*),
+        |    round(CAST(count(lang) AS DOUBLE) / greatest(count(*), 1), 6)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'profile:documents.source', count(*),
+        |    round(CAST(count(source) AS DOUBLE) / greatest(count(*), 1), 6)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'profile:documents.n_chars', count(*),
+        |    round(CAST(count(n_chars) AS DOUBLE) / greatest(count(*), 1), 6)
+        |  FROM documents),
+        |suf AS (
+        |  SELECT 'suffix_index' AS family,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n,
+        |    CAST(count(*) AS DOUBLE) AS metric
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(trim(text)) > 0)
+        |SELECT family, n, metric FROM (
+        |  SELECT * FROM prof UNION ALL SELECT * FROM suf) u
+        |ORDER BY family""".stripMargin,
     "q264_multiscreen" ->
       s"""WITH info AS (
          |  SELECT user_id, user_id % 10 AS f_region_id,
