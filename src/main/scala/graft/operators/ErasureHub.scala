@@ -123,4 +123,18 @@ object ErasureHub {
     ArtifactCommit.clearIdsWal(fs, wal)
     rows.toDF("artifact", "n_keys_before", "n_keys_hit", "n_keys_after")
   }
+
+  /** Streaming deletion-feed sink: ONE erasure queue drained to every
+    * store per micro-batch —
+    * `delStream.writeStream.foreachBatch(ErasureHub.sink(...))`. Each
+    * batch is a [[run]], so redelivery converges (the per-store forgets
+    * are retry-idempotent and the hub WAL carries a crashed batch's
+    * commitment into the redelivery), completing the per-store
+    * forgetSinks' story: the queue reaches ALL stores atomically-
+    * per-subject instead of one sink per store racing independently. */
+  def sink(hubDir: String, delCol: String, targets: Seq[Target])
+      : (DataFrame, Long) => Unit =
+    (batch, _) => {
+      run(batch.sparkSession, hubDir, batch, delCol, targets); ()
+    }
 }

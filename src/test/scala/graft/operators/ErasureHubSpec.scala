@@ -75,4 +75,43 @@ class ErasureHubSpec extends SparkSpec {
     assert(again("band_index") == 4L && again("suffix_index") == 4L)
     assert(!ErasureHub.pending(s, hub))
   }
+
+  test("streaming deletion feed: one queue drains to every store per " +
+    "micro-batch, redelivery converges") {
+    val s = spark; import s.implicits._
+    val d = dir("stream")
+    val docs = fixture.toDF("doc_id", "text")
+    val bandDir = BandIndex.ensure(s"$d/band", docs, "doc_id", "text",
+      k = 2, nh = 8, b = 4, r = 2)
+    val sufDir = s"$d/suffix"
+    SuffixIndex.ensure(sufDir, docs,
+      docs.select($"doc_id", posexplode(split(trim($"text"), "\\s+")))
+        .toDF("doc_id", "pos", "tok"))
+    val targets = Seq(
+      ErasureHub.Target("band_index",
+        () => BandIndex.readFps(s, bandDir).select($"doc_id"),
+        ids => { BandIndex.forget(s, bandDir, ids, "id"); () }),
+      ErasureHub.Target("suffix_index",
+        () => SuffixIndex.read(s, sufDir).select($"doc_id"),
+        ids => { SuffixIndex.forget(s, sufDir, ids, "id"); () }))
+    val sink = ErasureHub.sink(s"$d/hub", "doc_id", targets)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](s)
+    val q = src.toDF().toDF("doc_id").writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$d/ckpt").start()
+    src.addData(3L)
+    q.processAllAvailable()
+    src.addData(5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(BandIndex.readFps(s, bandDir).select($"doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    assert(SuffixIndex.read(s, sufDir).select($"doc_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // redelivery of an already-drained id: a clean zero-op
+    sink(Seq(3L).toDF("doc_id"), 99L)
+    assert(SuffixIndex.read(s, sufDir).select($"doc_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    assert(!ErasureHub.pending(s, s"$d/hub"))
+  }
 }
