@@ -113,7 +113,12 @@ object ScaleProbe {
       "q257_web_extract", "q258_stream_forget",
       "q259_vocab_artifact", "q260_curved_write",
       "q261_substr_decontam", "q262_decontam_scrub",
-      "q263_band_index")
+      "q263_band_index",
+      // round 11 (events/documents-axis queries only: the TPC-H pack
+      // reads the symlinked star tables, which don't replicate, and
+      // q270's five stores are each probed via their own family rows)
+      "q264_multiscreen", "q265_bind_cohort", "q266_new_open_cohort",
+      "q268_cpsp_rollup", "q269_image_decode", "q293_monitor_report")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)
