@@ -152,6 +152,40 @@ class BandIndexSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/_forget_pending")))
   }
 
+  test("torn footprint line (r11): a truncated final WAL row is dropped " +
+    "and re-derived from the ids sidecar instead of wedging every retry") {
+    val s = spark; import s.implicits._
+    val d = dir("torn")
+    BandIndex.ensure(d, df(corpus), "doc_id", "text", k, nh, b, r)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(2L).toDF("doc_id").coalesce(1)
+      .write.parquet(s"$d/_forget_pending_ids")
+    // one well-formed row, one torn mid-number, one pure garbage
+    val o = fs.create(new org.apache.hadoop.fs.Path(s"$d/_forget_pending"), true)
+    o.write("f\t-1\nb\t-1\tgarbage\nb\t-".getBytes("UTF-8")); o.close()
+    val st = BandIndex.forget(s, d, Seq.empty[Long].toDF("gone"), "gone")
+    assert(st.nDocsForgotten == 1L, "the WAL'd commitment still lands")
+    assert(BandIndex.readFps(s, d).where($"doc_id" === 2L).count() == 0)
+    assert(BandIndex.readBands(s, d).where($"doc_id" === 2L).count() == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/_forget_pending")))
+  }
+
+  test("ids-WAL-only crash prefix (r11): forget writes ids BEFORE the " +
+    "footprint, so ids-without-footprint must block ensure cache-hits") {
+    val s = spark; import s.implicits._
+    val d = dir("idsonly")
+    BandIndex.ensure(d, df(corpus), "doc_id", "text", k, nh, b, r)
+    Seq(1L).toDF("doc_id").coalesce(1)
+      .write.parquet(s"$d/_forget_pending_ids")
+    assert(graft.sources.ArtifactCommit.erasurePending(s, d))
+    // same corpus, matching fingerprint — must still rebuild + re-apply
+    BandIndex.ensure(d, df(corpus), "doc_id", "text", k, nh, b, r)
+    assert(BandIndex.readFps(s, d).where($"doc_id" === 1L).count() == 0,
+      "commitment honored across the fingerprint-matching serve")
+    assert(!graft.sources.ArtifactCommit.erasurePending(s, d))
+  }
+
   test("Monitor serves the band_index family") {
     val s = spark; import s.implicits._
     val d = dir("mon")
