@@ -46,10 +46,18 @@ import graft.core.Tables
   */
 object TpchQueries extends QueryPack {
 
-  /** Register the TPC-H tables as temp views (idempotent, plan-only). */
-  private def views(s: SparkSession, d: String): Unit =
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+  /** Register the TPC-H tables as temp views (idempotent, plan-only).
+    * orders/lineitem go through their TYPED accessors, not raw load —
+    * they carry the parquet timestamp-flavor guard (the round-5
+    * events.ts lesson: a regenerated TIMESTAMP(NANOS) file reads as
+    * LongType under nanosAsLong and would break every date predicate
+    * in this pack). */
+  private def views(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+  }
 
   private def sql(text: String): Q = (s, d) => { views(s, d); s.sql(text) }
 
