@@ -31,7 +31,15 @@ object SqlSurfaceQueries extends QueryPack {
     * regardless of which parquet flavor the generator wrote. */
   private def views(s: SparkSession, d: String): Unit =
     Tables.all.foreach { t =>
-      val df = if (t == "events") Tables.events(s, d) else Tables.load(s, d, t)
+      // the TIMESTAMP-carrying tables go through their typed accessors
+      // (parquet flavor guard — the round-5 events.ts lesson applies to
+      // o_orderdate/l_shipdate too)
+      val df = t match {
+        case "events" => Tables.events(s, d)
+        case "orders" => Tables.orders(s, d)
+        case "lineitem" => Tables.lineitem(s, d)
+        case _ => Tables.load(s, d, t)
+      }
       df.createOrReplaceTempView(t)
     }
 
