@@ -215,9 +215,9 @@ object Bench {
     // run; the box factor is a fixed-work single-thread CPU probe, so a
     // slower container normalizes out and a real regression doesn't.
     if (only.isEmpty && sfDir.contains("sf0.1")) {
+      val ledgerQs = Seq("q121_containment_prefix", "q139_walk_rank",
+        "q168_trust_rank", "q195_sql_recursive", "q83_backfill_patch")
       try {
-        val ledgerQs = Seq("q121_containment_prefix", "q139_walk_rank",
-          "q168_trust_rank", "q195_sql_recursive", "q83_backfill_patch")
         def probeOnce(): Double = {
           val t0 = System.nanoTime()
           var x = 1469598103934665603L
@@ -240,12 +240,29 @@ object Bench {
         }
         val row = s"| $date | $head | ${f"$probe%.3f"} | " +
           cells.mkString(" | ") + " |\n"
-        java.nio.file.Files.write(java.nio.file.Paths.get("PERF_LEDGER.md"),
+        // anchor the ledger at the REPO ROOT, not the cwd (r11 ADVICE:
+        // a Bench launched elsewhere silently stranded the row in a
+        // stray file, breaking the cross-round absolute audit trail)
+        val rootProc = new ProcessBuilder("git", "rev-parse", "--show-toplevel")
+          .redirectErrorStream(true).start()
+        val rootOut = new String(rootProc.getInputStream.readAllBytes(), "UTF-8").trim
+        val root =
+          if (rootProc.waitFor() == 0 && rootOut.nonEmpty &&
+              java.nio.file.Files.isDirectory(java.nio.file.Paths.get(rootOut)))
+            java.nio.file.Paths.get(rootOut)
+          else java.nio.file.Paths.get(".")
+        java.nio.file.Files.write(root.resolve("PERF_LEDGER.md"),
           row.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
       } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] WARNING: perf ledger append failed: ${e.getMessage}")
+        // loud degraded mode: the row itself goes to stderr so a full
+        // sf0.1 run's anchor point is manually recoverable from the log
+        System.err.println(s"[bench] ERROR: perf ledger append failed " +
+          s"(${e.getMessage}) — UNRECORDED LEDGER ROW FOLLOWS:")
+        System.err.println(ledgerQs.map(q =>
+          results.get(q).filter(_ >= 0).map(t => f"$q=$t%.2f").getOrElse(s"$q=—"))
+          .mkString("[bench] ", " ", ""))
       }
     }
 

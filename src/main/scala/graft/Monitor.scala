@@ -25,7 +25,9 @@ object Monitor {
     *  - `profile:<table>.<column>` (one row per column of each
     *    `warehouse` table): column-grain completeness from ONE
     *    [[graft.operators.TableProfiler]] pass per table — `n` is the
-    *    table's row count, `metric` the non-null fraction (round 6).
+    *    table's row count, `metric` the completeness as integer
+    *    parts-per-million (round 12: the old round(fraction, 6) was the
+    *    q149 cross-engine round-boundary class — q293 grades this row).
     *    The reference's MonitorApp re-counts each report table at table
     *    grain; the profiler pass costs the same single scan and answers
     *    the on-call's next question ("which column went null?") too.
@@ -145,11 +147,17 @@ object Monitor {
   private def profileRow: (String, org.apache.spark.sql.DataFrame)
       => org.apache.spark.sql.DataFrame = { case (name, df) =>
     import org.apache.spark.sql.functions._
+    // completeness as integer PARTS-PER-MILLION, not round(ratio, 6):
+    // ratio-then-round is the q149 round-boundary class (Spark rounds
+    // the shortest-decimal repr, DuckDB the exact binary value — a
+    // .xxxxxx5 boundary splits the hash), and q293 drives this row
+    // through the DuckDB oracle. Integer division is exact in both
+    // engines; the ppm is an integer-valued double, hash-stable.
     graft.operators.TableProfiler.profile(df)
       .select(concat(lit(s"profile:$name."), col("column")).as("family"),
         col("n_rows").as("n"),
-        round((col("n_rows") - col("n_null")).cast("double") /
-          greatest(col("n_rows"), lit(1L)), 6).as("metric"))
+        expr("((n_rows - n_null) * 1000000) div greatest(n_rows, 1)")
+          .cast("double").as("metric"))
   }
 
   private def exportRow(spark: org.apache.spark.sql.SparkSession,

@@ -319,23 +319,23 @@ object ReportParityQueries extends QueryPack {
     "q293_monitor_report" ->
       """WITH prof AS (
         |  SELECT 'profile:documents.doc_id' AS family, count(*) AS n,
-        |    round(CAST(count(doc_id) AS DOUBLE) / greatest(count(*), 1), 6) AS metric
+        |    CAST((1000000 * count(doc_id)) // greatest(count(*), 1) AS DOUBLE) AS metric
         |  FROM documents
         |  UNION ALL
         |  SELECT 'profile:documents.text', count(*),
-        |    round(CAST(count(text) AS DOUBLE) / greatest(count(*), 1), 6)
+        |    CAST((1000000 * count(text)) // greatest(count(*), 1) AS DOUBLE)
         |  FROM documents
         |  UNION ALL
         |  SELECT 'profile:documents.lang', count(*),
-        |    round(CAST(count(lang) AS DOUBLE) / greatest(count(*), 1), 6)
+        |    CAST((1000000 * count(lang)) // greatest(count(*), 1) AS DOUBLE)
         |  FROM documents
         |  UNION ALL
         |  SELECT 'profile:documents.source', count(*),
-        |    round(CAST(count(source) AS DOUBLE) / greatest(count(*), 1), 6)
+        |    CAST((1000000 * count(source)) // greatest(count(*), 1) AS DOUBLE)
         |  FROM documents
         |  UNION ALL
         |  SELECT 'profile:documents.n_chars', count(*),
-        |    round(CAST(count(n_chars) AS DOUBLE) / greatest(count(*), 1), 6)
+        |    CAST((1000000 * count(n_chars)) // greatest(count(*), 1) AS DOUBLE)
         |  FROM documents),
         |suf AS (
         |  SELECT 'suffix_index' AS family,

@@ -83,9 +83,10 @@ class MonitorSpec extends SparkSpec {
       .toMap
     // the state families are still there
     assert(report.contains("centroids") && report.contains("uv_sketch"))
-    // one row per profiled column, completeness = non-null fraction
-    assert(report("profile:docs.doc_id") == ((4L, 1.0)))
-    assert(report("profile:docs.text") == ((4L, 0.5)))
+    // one row per profiled column, completeness = integer ppm (round 12:
+    // round(fraction, 6) was the q149 cross-engine round-boundary class)
+    assert(report("profile:docs.doc_id") == ((4L, 1000000.0)))
+    assert(report("profile:docs.text") == ((4L, 500000.0)))
   }
 
   test("stateReport serves the ingest-maintained MV census per language") {
