@@ -1139,7 +1139,16 @@ object SimilarityQueries extends QueryPack {
     import graft.streaming.StreamingExport
     val base = tmpArtifactDir("graft_erasure270", d)
     val fs = graft.sources.ArtifactCommit.fsOf(s, base)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    // fresh-build wipe EXCLUDES base/hub (r11 ADVICE): the hub dir holds
+    // a crashed fan-out's pending erasure commitment (ids WAL), which a
+    // retry must DRAIN (ErasureHub.run unions it into the feed), never
+    // destroy — deleting it would contradict the hub's crash contract
+    // even though this fixture's feed happens to be re-derived
+    // deterministically. Only the artifact subtrees are rebuilt fresh.
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    if (fs.exists(basePath))
+      fs.listStatus(basePath).filterNot(_.getPath.getName == "hub")
+        .foreach(st => fs.delete(st.getPath, true))
     val docs = Tables.documents(s, d)
       .where($"doc_id".isNotNull && $"text".isNotNull &&
         length(trim($"text")) > 0)
