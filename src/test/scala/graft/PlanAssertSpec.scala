@@ -640,4 +640,18 @@ class PlanAssertSpec extends SparkSpec {
         p.linesIterator.take(12).mkString("\n"))
     assert(!p.contains("Window"), "no window over the changelog")
   }
+
+  test("tpch: the synthesized partsupp core serves from ONE cached " +
+    "distinct — the verbatim CTE texts substitute the InMemoryRelation " +
+    "(round 12, VERDICT r11 #4)") {
+    // Q9 (one partsupp reference) and Q2 (two: main + correlated min)
+    // must both plan the DISTINCT(l_partkey, l_suppkey) subtree as a
+    // cache read, not a lineitem distinct-shuffle per occurrence
+    for (q <- Seq("q279_tpch09", "q272_tpch02")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"$q must read the cached partsupp core:\n" +
+          p.linesIterator.take(12).mkString("\n"))
+    }
+  }
 }
