@@ -5,8 +5,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 /** Multimodal column model (SURVEY H-8): media payloads ride through the
   * engine as opaque `binary` columns plus typed metadata, exactly like a
   * 100 TB training-data lake stores images/audio/video frames next to
-  * text. The decode step is a STUB (no codec libraries in this
-  * environment) — but the Spark-side plumbing is real: typed Encoders,
+  * text. Image decode is REAL (JDK ImageIO, round 11) and audio header
+  * decode is REAL (JDK AudioSystem, round 12); only video demuxing
+  * remains a STUB (no codec library in this environment) — and the
+  * Spark-side plumbing is real throughout: typed Encoders,
   * per-partition batched iteration, stable schemas, and deterministic
   * outputs an external oracle can recompute.
   */
@@ -19,10 +21,11 @@ final case class MediaBlob(
 final case class MediaMeta(
     media_id: Long,
     kind: String,
-    width: Int,                // REAL for decodable images; md5 stub else
-    height: Int,
+    width: Int,                // REAL for decodable images (pixel width) and
+                               // audio (sample rate); md5 stub else
+    height: Int,               // image: pixel height; audio: bits/sample
     channels: Int,
-    n_frames: Int,             // 1 for still media
+    n_frames: Int,             // 1 for still media; audio: PCM frames
     byte_len: Long,
     content_hash: String)      // md5 hex of the payload
 
@@ -60,6 +63,59 @@ object MediaCodec {
       else Some((img.getWidth, img.getHeight, img.getRaster.getNumBands))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL audio header decode (round 12, VERDICT r11 #3 — the audio
+    * sibling of round 11's image work): parse `bytes` with the JDK's
+    * `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU readers are part
+    * of the JDK — no external codec) and return
+    * (sample_rate, bits_per_sample, channels, n_frames). None when the
+    * payload is not a decodable audio file — callers fall back to the
+    * documented stub, so non-audio payloads keep their historical
+    * deterministic metadata. Header-only: the PCM frames are never
+    * buffered, so the per-row cost is O(header), not O(payload). */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    try {
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ff.getFormat
+      if (fmt.getSampleRate <= 0 || ff.getFrameLength < 0) None
+      else Some((fmt.getSampleRate.toInt, fmt.getSampleSizeInBits,
+        fmt.getChannels, ff.getFrameLength))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic real WAV: 16-bit little-endian PCM, sample s of
+    * channel c at frame i = `((i * 31 + c * 17 + seed) mod 65536) −
+    * 32768`, encoded with the JDK's WAVE writer. Identical inputs
+    * produce identical bytes, so encode→decode must reproduce
+    * (rate, 16, channels, frames) exactly — the q295 oracle contract
+    * (the audio twin of [[encodeImage]]'s q269 contract). */
+  def encodeWav(sampleRate: Int, channels: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val frameBytes = channels * 2
+    val data = new Array[Byte](nFrames * frameBytes)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((i.toLong * 31 + c * 17 + seed) % 65536) - 32768).toInt
+        val off = i * frameBytes + c * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, frameBytes, sampleRate.toFloat,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic real image: `TYPE_3BYTE_BGR`, every byte of the
     * raster = `(x + y + seed) mod 256` in raster order, encoded with the
     * JDK writer for `format` ("png" | "bmp"). Identical inputs produce
@@ -83,10 +139,13 @@ object MediaCodec {
   }
 
   /** Decoder: REAL for image payloads ImageIO can parse (VERDICT r10
-    * #2 — width/height/channels are the actual raster's); the
-    * md5-derived STUB ??? otherwise (audio/video demuxing has no codec
-    * in this environment; in production this calls ffmpeg-class
-    * libraries). Stub dimensions, unchanged since round 1:
+    * #2 — width/height/channels are the actual raster's) and for audio
+    * payloads AudioSystem can parse (VERDICT r11 #3 — mapped into the
+    * shared meta shape as width=sample_rate, height=bits_per_sample,
+    * channels, n_frames=PCM frames); the md5-derived STUB ??? otherwise
+    * (video demuxing genuinely has no codec in this environment; in
+    * production this calls ffmpeg-class libraries). Stub dimensions,
+    * unchanged since round 1:
     *   width    = 64 + md5[0:4)  % 1857   (64..1920)
     *   height   = 64 + md5[4:8)  % 1017   (64..1080)
     *   channels = 1  + md5[8:9)  % 3      (1..3)
@@ -94,10 +153,17 @@ object MediaCodec {
     */
   def decodeOne(b: MediaBlob): MediaMeta = {
     val hex = md5hex(b.bytes)
-    val real = if (b.kind == "image") decodeImage(b.bytes) else None
+    // both real decoders normalize to (width, height, channels, frames):
+    // image (w, h, bands, 1); audio (sample_rate, bits, channels, frames)
+    val real: Option[(Int, Int, Int, Int)] = b.kind match {
+      case "image" =>
+        decodeImage(b.bytes).map { case (w, h, bands) => (w, h, bands, 1) }
+      case "audio" => decodeAudio(b.bytes)
+      case _ => None
+    }
     real match {
-      case Some((w, h, bands)) =>
-        MediaMeta(b.media_id, b.kind, w, h, bands, 1,
+      case Some((w, h, ch, nf)) =>
+        MediaMeta(b.media_id, b.kind, w, h, ch, nf,
           b.bytes.length.toLong, hex)
       case None =>
         MediaMeta(
