@@ -132,6 +132,9 @@ object BandIndex {
   def ensure(dir: String, docs: DataFrame, idCol: String, textCol: String,
       k: Int, nh: Int, b: Int, r: Int): String = {
     val spark = docs.sparkSession
+    // check-then-build serialized per dir (VERDICT r11 #7): concurrent
+    // ensures were previously held apart by scheduling luck only
+    ArtifactCommit.withDirLock(dir) {
     val (fp, nDocs) = ArtifactCommit.corpusFingerprint(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     val fresh = !ArtifactCommit.erasurePending(spark, dir) &&
@@ -146,6 +149,7 @@ object BandIndex {
       ArtifactCommit.rebuildWithPending(spark, dir, "doc_id") {
         save(docs, idCol, textCol, dir, k, nh, b, r, fp, nDocs)
       } (ids => forget(spark, dir, ids, "doc_id"))
+    }
     dir
   }
 

@@ -252,6 +252,9 @@ object SuffixIndex {
     * (q212 census, q214 scrub) now share one build per corpus. */
   def ensure(dir: String, docs: DataFrame, toks: => DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    // check-then-build is serialized per dir (VERDICT r11 #7): a second
+    // thread blocks on the first's build, re-checks, and serves
+    ArtifactCommit.withDirLock(dir) {
     val (fp, nDocs) = fingerprintOf(docs)
     val fresh = !ArtifactCommit.erasurePending(spark, dir) &&
       readMeta(spark, dir).exists(m =>
@@ -269,6 +272,7 @@ object SuffixIndex {
         val (best, order) = buildTables(toks)
         save(best, order, dir, fp, nDocs)
       } (ids => forget(spark, dir, ids, "doc_id"))
+    }
     read(spark, dir)
   }
 
@@ -360,6 +364,7 @@ object SuffixIndex {
       tokenize: DataFrame => DataFrame): DataFrame = {
     val spark = baseDocs.sparkSession
     import spark.implicits._
+    ArtifactCommit.withDirLock(dir) {
     val fs = ArtifactCommit.fsOf(spark, dir)
     val sidecar = compactPendingPath(dir)
     val staged = new org.apache.hadoop.fs.Path(sidecar.toString + "_staged")
@@ -408,6 +413,7 @@ object SuffixIndex {
       } (ids => forget(spark, dir, ids, "doc_id"))
     }
     fs.delete(sidecar, true); fs.delete(staged, true)
+    }
     read(spark, dir)
   }
 

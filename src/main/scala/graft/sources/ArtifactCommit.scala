@@ -54,6 +54,27 @@ object ArtifactCommit {
   def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-artifact-dir JVM mutex (round 12, VERDICT r11 #7): the
+    * shared-artifact contract ("whoever runs first builds; the others
+    * serve") was previously held up by scheduling luck — two threads
+    * entering `ensure` on the same dir concurrently would BOTH see a
+    * stale fingerprint and race their publishes (one thread's tmp-tree
+    * delete clobbering the other's half-written build). Serializing
+    * check-then-build per canonical dir path makes the second thread
+    * re-check freshness after the first's publish and serve instead.
+    * Java monitors are reentrant, so a locked `compact` may call a
+    * locked `forget` on the same dir. JVM-scoped by design: the
+    * driver/bench/test regime runs one JVM; coordinating across
+    * DRIVERS would need an FS lease or a single build owner
+    * (documented out of scope — a multi-driver deployment must not
+    * point two concurrent builders at one artifact dir). */
+  def withDirLock[T](dir: String)(body: => T): T =
+    dirLocks.computeIfAbsent(new Path(dir).toString, _ => new Object)
+      .synchronized(body)
+
   /** Checked rename — a false return fails loud. */
   def rename(fs: FileSystem, from: Path, to: Path): Unit =
     require(fs.rename(from, to), s"rename $from -> $to failed")
