@@ -34,6 +34,47 @@ class WebExtractSpec extends SparkSpec {
     assert(extract("<p>a &amp;lt; b</p>") == "a &lt; b")
   }
 
+  test("parser tier == regex tier on well-formed markup (the q257 page " +
+    "shape), including script-with-bare-'<', comments, entities") {
+    val pages = Seq(
+      ("doc one body text here", "en", "src_a", 1L),
+      ("zweiter text &  mehr", "de", "src_b", 2L),
+      ("tercero", "es", "src_c", 3L)).map { case (text, lang, source, id) =>
+      "<html><!-- doc:" + id + " --><head><title>" + source +
+        "</title><style>p { margin: 0 }</style>" +
+        "<script type=\"text/javascript\">var lang = \"" + lang +
+        "\"; if (1 < 2) { track(); }</script></head><body><h1>" + source +
+        "</h1><nav><a href=\"/home\">home</a> " +
+        "<a href=\"/about\">about</a></nav><p>" + text +
+        "</p><footer>contact &amp; legal &#39;2024&#39;" +
+        "</footer></body></html>"
+    }
+    pages.foreach { html =>
+      assert(WebExtract.extractTextParsed(html) == extract(html),
+        s"tier divergence on well-formed page:\n$html")
+    }
+  }
+
+  test("parser tier stays correct on the malformed cases the regex tier " +
+    "documents as out of scope (literal '>' in an attribute value)") {
+    val html = """<p>a</p><a title="x > y">link</a><p>b</p>"""
+    assert(WebExtract.extractTextParsed(html) == "a link b")
+    // the regex tier degrades here (documented): the first tag strip
+    // stops at the attribute's '>' and leaks the tail — the parity
+    // break is exactly why the parser tier exists
+    assert(extract(html) != "a link b")
+  }
+
+  test("extractParsed frame plumbing: narrow typed map, ids preserved") {
+    val s = spark; import s.implicits._
+    val in = Seq((7L, "<p>hi &amp; bye</p>"), (8L, "<b>x</b>"))
+      .toDS()
+    val out = WebExtract.extractParsed(in).collect().toMap
+    assert(out == Map(7L -> "hi & bye", 8L -> "x"))
+    assert(!WebExtract.extractParsed(in).queryExecution.executedPlan
+      .toString.contains("Exchange"), "extraction must stay shuffle-free")
+  }
+
   test("q257 census: extraction is non-empty per doc and overhead is positive") {
     val s = spark; import s.implicits._
     val out = graft.SparkEntry.queries("q257_web_extract")(s, sfDir)
