@@ -68,6 +68,13 @@ object Monitor {
     *    the ranks are contiguous, so a torn artifact shows as n ≠
     *    metric on the dashboard before any load fails (round 10).
     *
+    *  - `erasure:<store>` + `erasure_sla` (when `erasureHub` names an
+    *    [[graft.operators.ErasureHub]] hub dir): per-store keys-hit and
+    *    drain seconds from the LATEST run's persisted drain log, plus
+    *    the slowest-store summary — the per-subject erasure SLA spans
+    *    all stores, so the slowest store is the number an operator
+    *    tunes (round 12; previously stderr-only).
+    *
     *  - `band_index` (when `bandIndex` names a
     *    [[graft.operators.BandIndex]] directory): the persisted dedup
     *    index health row — `n` is the stored band-row count, `metric`
@@ -97,7 +104,8 @@ object Monitor {
       export: Option[String] = None,
       bpeVocab: Option[String] = None,
       suffixIndex: Option[String] = None,
-      bandIndex: Option[String] = None)
+      bandIndex: Option[String] = None,
+      erasureHub: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingCentroidMonitor
@@ -137,8 +145,9 @@ object Monitor {
     val bpeRows = bpeVocab.toSeq.map(bpeRow(spark, _))
     val sxRows = suffixIndex.toSeq.flatMap(suffixRow(spark, _))
     val biRows = bandIndex.toSeq.map(bandRow(spark, _))
+    val ehRows = erasureHub.toSeq.map(erasureRows(spark, _))
     (profRows ++ mvRows ++ cmRows ++ cdcRows ++ exportRows ++ bpeRows ++
-      sxRows ++ biRows)
+      sxRows ++ biRows ++ ehRows)
       .foldLeft(centRow.unionByName(uvRow))(_ unionByName _)
   }
 
@@ -189,6 +198,31 @@ object Monitor {
         (if (m.scrubbed) -(m.nDocs + 1L) else m.nDocs).toDouble))
         .toDF("family", "n", "metric")
     }
+
+  /** Erasure-SLA rows off the hub's persisted drain log (round 12,
+    * VERDICT r11 #6): one `erasure:<store>` row per target — `n` the
+    * keys hit, `metric` the drain seconds, both from the LATEST run —
+    * plus an `erasure_sla` summary row whose metric is the SLOWEST
+    * store's latest drain (the per-subject erasure obligation spans
+    * all stores, so the slowest store IS the SLA). O(runs × stores)
+    * rows read; empty log → no rows. */
+  private def erasureRows(spark: org.apache.spark.sql.SparkSession,
+      hubDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val latest = graft.operators.ErasureHub.drainLog(spark, hubDir)
+      .groupBy(col("artifact"))
+      .agg(max_by(col("n_keys_hit"), col("run_us")).as("hit"),
+        max_by(col("drain_ms"), col("run_us")).as("ms"))
+    val per = latest.select(
+      concat(lit("erasure:"), col("artifact")).as("family"),
+      col("hit").as("n"),
+      (col("ms").cast("double") / lit(1000.0)).as("metric"))
+    val sla = latest.agg(count(lit(1)).as("n"),
+        (coalesce(max(col("ms")), lit(0L)).cast("double") / lit(1000.0))
+          .as("metric"))
+      .select(lit("erasure_sla").as("family"), col("n"), col("metric"))
+    per.unionByName(sla)
+  }
 
   private def bandRow(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {

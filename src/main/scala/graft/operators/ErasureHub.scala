@@ -91,18 +91,19 @@ object ErasureHub {
         .agg(count(lit(1)), count(col("__hit"))).head()
       (r.getLong(0), r.getLong(1))
     }
-    def drain(t: Target): (String, Long, Long, Long) = {
+    def drain(t: Target): (String, Long, Long, Long, Long) = {
       val t0 = System.nanoTime()
       // counts materialize BEFORE the forget rewrites the files they read
       val (nBefore, nHit) = census(t.keysRemaining())
       t.applyForget(ids)
       val (nAfter, _) = census(t.keysRemaining())
-      // ops telemetry: per-store drain time (stderr only — the erasure
-      // SLA is per subject across ALL stores, so the slowest store is
-      // the number an operator tunes)
+      val ms = (System.nanoTime() - t0) / 1000000L
+      // ops telemetry: per-store drain time (also PERSISTED below — the
+      // erasure SLA is per subject across ALL stores, so the slowest
+      // store is the number an operator tunes)
       System.err.println(f"[erasure-hub] ${t.artifact}: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($nHit of $nBefore keys)")
-      (t.artifact, nBefore, nHit, nAfter)
+        f"${ms / 1000.0}%.2f s ($nHit of $nBefore keys)")
+      (t.artifact, nBefore, nHit, nAfter, ms)
     }
     val rows =
       if (!parallel) targets.map(drain)
@@ -121,7 +122,36 @@ object ErasureHub {
       }
     // every target committed: the fan-out is complete, release the ids
     ArtifactCommit.clearIdsWal(fs, wal)
-    rows.toDF("artifact", "n_keys_before", "n_keys_hit", "n_keys_after")
+    // erasure SLA log (round 12, VERDICT r11 #6): one row per (run,
+    // store) APPENDED under the hub dir so the slowest-store drain time
+    // is ops-visible through Monitor.stateReport, not stderr-only.
+    // Telemetry, not a commit record — written after the WAL release,
+    // so a crash here loses a log row, never an erasure; O(runs ×
+    // stores) tiny rows, one file per run.
+    val runUs = System.currentTimeMillis() * 1000L
+    rows.map { case (a, b, h, aft, ms) => (runUs, a, b, h, aft, ms) }
+      .toDF("run_us", "artifact", "n_keys_before", "n_keys_hit",
+        "n_keys_after", "drain_ms")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$hubDir/drain_log")
+    rows.map { case (a, b, h, aft, _) => (a, b, h, aft) }
+      .toDF("artifact", "n_keys_before", "n_keys_hit", "n_keys_after")
+  }
+
+  /** The persisted drain log (empty frame when no run has logged). */
+  def drainLog(spark: SparkSession, hubDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("run_us", LongType), StructField("artifact", StringType),
+      StructField("n_keys_before", LongType),
+      StructField("n_keys_hit", LongType),
+      StructField("n_keys_after", LongType),
+      StructField("drain_ms", LongType)))
+    val fs = ArtifactCommit.fsOf(spark, hubDir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$hubDir/drain_log")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(s"$hubDir/drain_log")
   }
 
   /** Streaming deletion-feed sink: ONE erasure queue drained to every

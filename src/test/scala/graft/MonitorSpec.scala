@@ -256,4 +256,63 @@ class MonitorSpec extends SparkSpec {
       "scrubbed index signals with -(docs+1) — distinguishable from a " +
         "clean empty index even when a scrub removed every doc")
   }
+
+  test("stateReport serves the erasure SLA off the hub's persisted " +
+    "drain log — latest run per store, slowest store as the summary " +
+    "(round 12: previously stderr-only)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_monitor6").toString
+    val moments = s"$dir/moments.parquet"
+    val emb = Tables.embeddings(s, sfDir)
+      .where($"label".isNotNull && $"embedding".isNotNull)
+      .select($"label".cast("long").as("label"), $"embedding")
+    StreamingCentroidMonitor.sink(moments, "label", "embedding")(emb, 0L)
+    val sketches = s"$dir/uv.parquet"
+    SketchRollup.sketchTable(Tables.events(s, sfDir),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(sketches)
+    val ref = StreamingCentroidMonitor.centroids(s, moments)
+      .select($"label", $"centroid")
+    // two real stores drained through the hub (the ErasureHubSpec shape)
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l"))
+      .toDF("doc_id", "text")
+    val bandDir = graft.operators.BandIndex.ensure(s"$dir/band", docs,
+      "doc_id", "text", k = 2, nh = 8, b = 4, r = 2)
+    val six = s"$dir/suffix"
+    graft.operators.SuffixIndex.ensure(six, docs,
+      docs.select($"doc_id", posexplode(split(trim($"text"), "\\s+")))
+        .toDF("doc_id", "pos", "tok"))
+    val targets = Seq(
+      graft.operators.ErasureHub.Target("band_index",
+        () => graft.operators.BandIndex.readFps(s, bandDir)
+          .select($"doc_id"),
+        ids => { graft.operators.BandIndex.forget(s, bandDir, ids, "id"); () }),
+      graft.operators.ErasureHub.Target("suffix_index",
+        () => graft.operators.SuffixIndex.read(s, six).select($"doc_id"),
+        ids => { graft.operators.SuffixIndex.forget(s, six, ids, "id"); () }))
+    val hub = s"$dir/hub"
+    graft.operators.ErasureHub.run(s, hub,
+      Seq(2L).toDF("doc_id"), "doc_id", targets)
+    // second run (different feed) — the monitor must serve the LATEST
+    graft.operators.ErasureHub.run(s, hub,
+      Seq(1L, 3L).toDF("doc_id"), "doc_id", targets)
+    assert(graft.operators.ErasureHub.drainLog(s, hub).count() == 4L,
+      "two runs × two stores logged")
+    val report = Monitor.stateReport(s, moments, ref, sketches,
+        erasureHub = Some(hub))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // latest run hit 2 keys per store (the WAL unions run 1's already-
+    // erased id 2 back into run 2's feed; it no longer matches stored
+    // keys, so hits are ids 1 and 3)
+    assert(report("erasure:band_index")._1 == 2L)
+    assert(report("erasure:suffix_index")._1 == 2L)
+    assert(report("erasure:band_index")._2 >= 0.0)
+    val (nStores, slowest) = report("erasure_sla")
+    assert(nStores == 2L)
+    assert(slowest >= report("erasure:band_index")._2 &&
+      slowest >= report("erasure:suffix_index")._2,
+      "the SLA summary is the slowest store's latest drain")
+  }
 }
