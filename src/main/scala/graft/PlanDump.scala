@@ -84,7 +84,10 @@ object PlanDump {
     "q255_epoch_materialize" -> "epoch materializer: per-doc tokens ride one narrow scan; the within-lang prefix sum is ONE window-free running-total pass over the composite langId*2^32+hash key (q240 keying — no per-lang hot partition); lang dims/bases O(langs) broadcast; census O(langs) rows",
     "q256_training_stream" -> "training-stream flagship: checkpointed keyed frame feeds prefix + rank passes (one bucket exchange each); epoch explode bounded by the cap; pack is SeqPacker's (lang,bucket) exchange + O(1)-state fold; censuses hash aggs",
     "q257_web_extract" -> "web extraction: the whole strip/decode chain is codegen'd regexp_replace/replace expressions riding the documents scan — no UDF, zero shuffles before the O(langs) census",
-    "q258_stream_forget" -> "streaming-export erasure: q240's pack + three bounded batch writes; the forget is one narrow footprint scan + a dynamic overwrite bounded by the touched (batch,lang,bucket) partitions + O(touched batches) manifest recomputes; census reads manifest rows + one data agg")
+    "q258_stream_forget" -> "streaming-export erasure: q240's pack + three bounded batch writes; the forget is one narrow footprint scan + a dynamic overwrite bounded by the touched (batch,lang,bucket) partitions + O(touched batches) manifest recomputes; census reads manifest rows + one data agg",
+    "q279_tpch09" -> "TPC-H Q9 with the shared partsupp core (round 12): the CTE's DISTINCT(l_partkey,l_suppkey) subtree substitutes the per-(session,dir) InMemoryRelation by canonical-plan match — Q2/Q9/Q11/Q16/Q20 share ONE distinct fill instead of five lineitem distinct-shuffles (Q2 saved two); predicate pushdown, broadcast dims and partial aggs as before",
+    "q294_suffix_compact" -> "tiered suffix compaction: warm runs are ONE meta read + the pruned doc-range artifact scan into a grouped census (the fingerprint gate skips the whole lifecycle); cold runs pay base ladder + one compaction ladder, both through the persisted-artifact publish",
+    "q295_audio_decode" -> "real WAV decode: encode+decode in ONE narrow typed mapPartitions at scan parallelism — payload bytes never shuffle, header-only parse, output sorted by doc_id")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -118,9 +121,92 @@ object PlanDump {
     }
     require(dumped == SparkEntry.queries.size,
       s"PlanDump dumped $dumped of ${SparkEntry.queries.size} queries")
+    out ++= cboAppendix(spark, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
       out.toString.getBytes("UTF-8"))
     println(s"[plandump] wrote PLANS.md ($dumped plans, ${picks.size} annotated)")
     spark.stop()
+  }
+
+  /** CBO join-reorder before/after pair (round 12, VERDICT r11 #2 —
+    * the evidence behind CboReorderSpec): ANALYZE'd fixture tables, the
+    * Q5 join family written fact-first, optimized join order with and
+    * without `spark.sql.cbo.{enabled,joinReorder.enabled}`. */
+  private def cboAppendix(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    val tables = Seq("lineitem", "orders", "customer", "supplier",
+      "nation", "region")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS stats_$t"))
+    graft.core.Tables.lineitem(spark, sfDir).write.saveAsTable("stats_lineitem")
+    graft.core.Tables.orders(spark, sfDir).write.saveAsTable("stats_orders")
+    Seq("customer", "supplier", "nation", "region").foreach { t =>
+      graft.core.Tables.load(spark, sfDir, t).write.saveAsTable(s"stats_$t")
+    }
+    tables.foreach(t => spark.sql(s"ANALYZE TABLE stats_$t COMPUTE STATISTICS"))
+    Seq(
+      "stats_lineitem" -> "l_orderkey, l_suppkey",
+      "stats_orders" -> "o_orderkey, o_custkey, o_orderdate",
+      "stats_customer" -> "c_custkey, c_nationkey",
+      "stats_supplier" -> "s_suppkey, s_nationkey",
+      "stats_nation" -> "n_nationkey, n_regionkey, n_name",
+      "stats_region" -> "r_regionkey, r_name"
+    ).foreach { case (t, cols) =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+    val q5 =
+      """SELECT n_name, count(*) AS n
+        |FROM stats_lineitem
+        |JOIN stats_orders ON l_orderkey = o_orderkey
+        |JOIN stats_customer ON c_custkey = o_custkey
+        |JOIN stats_supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN stats_nation ON s_nationkey = n_nationkey
+        |JOIN stats_region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin
+    def joinLeaves(p: LogicalPlan): Seq[String] = p match {
+      case j: Join => joinLeaves(j.left) ++ joinLeaves(j.right)
+      case other =>
+        val leaves = other.collectLeaves()
+        if (leaves.size == 1)
+          "stats_(\\w+)".r.findFirstMatchIn(leaves.head.toString)
+            .map(_.group(1)).toSeq
+        else other.children.flatMap(joinLeaves)
+    }
+    def orderWith(cbo: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+      val p = spark.sql(q5).queryExecution.optimizedPlan
+      p.collectFirst { case j: Join => joinLeaves(j) }.getOrElse(Nil)
+    }
+    try {
+      val off = orderWith(cbo = false)
+      val on = orderWith(cbo = true)
+      s"""
+         |## CBO join-reorder before/after (CboReorderSpec's evidence)
+         |
+         |Q5 join family, textual order deliberately fact-first, over
+         |ANALYZE'd managed copies of the fixture tables (rowCount +
+         |column NDV stats on every join key and selective predicate):
+         |
+         |```
+         |without CBO (textual order kept): ${off.mkString(" ⋈ ")}
+         |with CBO + joinReorder (DP):      ${on.mkString(" ⋈ ")}
+         |```
+         |
+         |The stats-informed order starts from the filtered dims instead
+         |of the fact table; results are identical (spec-pinned). The
+         |driver fixtures stay bare parquet (no catalog stats), so the
+         |default GraftSession leaves CBO off — `GraftSession.cboBuilder`
+         |is the variant an ANALYZE'd warehouse deployment turns on.
+         |""".stripMargin
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS stats_$t"))
+    }
   }
 }
