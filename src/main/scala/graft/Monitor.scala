@@ -89,7 +89,10 @@ object Monitor {
     *    values conservative until the next rebuild) so staleness is
     *    one `metric < 0` test even when a scrub emptied the index
     *    (a plain negation would render a fully-scrubbed index as 0.0 —
-    *    identical to a clean empty one) (round 10).
+    *    identical to a clean empty one) (round 10). When ingest batches
+    *    are quarantined, a companion `suffix_ingest` row reports the
+    *    pending doc count and batch count — the lag the exact tier
+    *    carries until the next compaction (round 12).
     *
     * State reads are O(state), not O(history); the warehouse pass is
     * one scan per listed table — list the day's report outputs, not the
@@ -194,9 +197,21 @@ object Monitor {
       dir: String): Option[org.apache.spark.sql.DataFrame] =
     graft.operators.SuffixIndex.readMeta(spark, dir).map { m =>
       import spark.implicits._
-      Seq((("suffix_index"): String, m.nPos,
+      import org.apache.spark.sql.functions._
+      val meta = Seq((("suffix_index"): String, m.nPos,
         (if (m.scrubbed) -(m.nDocs + 1L) else m.nDocs).toDouble))
         .toDF("family", "n", "metric")
+      // quarantine visibility (round 12): the exact tier lags whatever
+      // sits in ingest/ until the next compaction — n pending docs,
+      // metric pending batches; no row when nothing is quarantined
+      if (!graft.operators.SuffixIndex.tierPending(spark, dir)) meta
+      else meta.unionByName(
+        graft.operators.SuffixIndex.readPending(spark, dir)
+          .agg(count(lit(1)).as("n"),
+            coalesce(count_distinct(col("batch_id")), lit(0L))
+              .cast("double").as("metric"))
+          .select(lit("suffix_ingest").as("family"), col("n"),
+            col("metric")))
     }
 
   /** Erasure-SLA rows off the hub's persisted drain log (round 12,

@@ -49,6 +49,19 @@ object MediaCodec {
   // killer on a 1000-executor cluster; decode fully in memory.
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Magic of the JDK ImageIO readers' containers (PNG/JPEG/GIF/BMP/
+    * TIFF) — same pre-check rationale as [[looksLikeAudio]]. */
+  private def looksLikeImage(bytes: Array[Byte]): Boolean =
+    (bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte) ||
+      (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) ||
+      startsWith(bytes, "GIF8") || startsWith(bytes, "BM") ||
+      (bytes.length >= 4 && bytes(0) == 'I'.toByte &&
+        bytes(1) == 'I'.toByte && bytes(2) == 0x2a && bytes(3) == 0) ||
+      (bytes.length >= 4 && bytes(0) == 'M'.toByte &&
+        bytes(1) == 'M'.toByte && bytes(2) == 0 && bytes(3) == 0x2a)
+
   /** REAL image decode (round-11 VERDICT #2): parse `bytes` with the
     * JDK's ImageIO (PNG/BMP/GIF/JPEG readers are part of the JDK — no
     * external codec needed) and return (width, height, bands). None
@@ -56,7 +69,8 @@ object MediaCodec {
     * the documented stub, so non-image payloads keep their historical
     * deterministic metadata. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int)] =
-    try {
+    if (!looksLikeImage(bytes)) None
+    else try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
@@ -72,8 +86,22 @@ object MediaCodec {
     * documented stub, so non-audio payloads keep their historical
     * deterministic metadata. Header-only: the PCM frames are never
     * buffered, so the per-row cost is O(header), not O(payload). */
+  private def startsWith(bytes: Array[Byte], magic: String): Boolean =
+    bytes.length >= magic.length &&
+      magic.indices.forall(i => bytes(i) == magic.charAt(i).toByte)
+
+  /** Container magic for the formats the JDK audio reader handles —
+    * checked BEFORE handing bytes to AudioSystem: a non-audio payload
+    * costs one 4-byte compare instead of a parse-and-throw per row
+    * (the r12 bench showed exception-driven rejection doubling the
+    * media family's per-row cost at corpus scale). */
+  private def looksLikeAudio(bytes: Array[Byte]): Boolean =
+    startsWith(bytes, "RIFF") || startsWith(bytes, "FORM") ||
+      startsWith(bytes, ".snd")
+
   def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
-    try {
+    if (!looksLikeAudio(bytes)) None
+    else try {
       val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = ff.getFormat

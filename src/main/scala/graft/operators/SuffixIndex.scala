@@ -318,6 +318,13 @@ object SuffixIndex {
     bb.repartition(4, col("doc_id")).write.parquet(p.toString)
   }
 
+  /** foreachBatch sink: streaming ingest into the quarantine tier —
+    * the [[BandIndex.ingestSink]] twin. Redelivery rewrites its own
+    * batch partition; the exact tier is untouched until the next
+    * [[compact]]. */
+  def ingestSink(dir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => append(batch.sparkSession, dir, batch, batchId)
+
   /** The quarantined batches `(doc_id, text, batch_id)` — lazy
     * partitioned scan; empty frame when no batch is pending. */
   def readPending(spark: SparkSession, dir: String): DataFrame = {
@@ -383,6 +390,9 @@ object SuffixIndex {
       readMeta(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no suffix index at $dir"))
       fs.delete(sidecar, true); fs.delete(staged, true)
+      // zero-row batch husks would keep tierPending true forever —
+      // nothing is quarantined, so clearing them is the correct state
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ingest"), true)
       return read(spark, dir)
     }
     // checkpoint: the sidecar rewrite and the publish both delete files

@@ -255,6 +255,20 @@ class MonitorSpec extends SparkSpec {
     assert(after("suffix_index") == ((4L, -2.0)),
       "scrubbed index signals with -(docs+1) — distinguishable from a " +
         "clean empty index even when a scrub removed every doc")
+    assert(!after.contains("suffix_ingest"),
+      "no quarantine ⟹ no suffix_ingest row")
+    // quarantined batches surface as the companion row (round 12):
+    // n pending docs, metric pending batches — the exact tier's lag
+    graft.operators.SuffixIndex.append(s, six,
+      Seq((7L, "x y"), (8L, "z w")).toDF("doc_id", "text"), 0L)
+    graft.operators.SuffixIndex.append(s, six,
+      Seq((9L, "q r")).toDF("doc_id", "text"), 1L)
+    val pending = Monitor.stateReport(s, moments, ref, sketches,
+        suffixIndex = Some(six))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(pending("suffix_ingest") == ((3L, 2.0)),
+      "3 pending docs across 2 batches")
   }
 
   test("stateReport serves the erasure SLA off the hub's persisted " +

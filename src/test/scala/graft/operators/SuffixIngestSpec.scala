@@ -197,6 +197,28 @@ class SuffixIngestSpec extends SparkSpec {
       SuffixIndex.ForgetStats(0L, 0L, 0L, 0L))
   }
 
+  test("streaming ingest sink: micro-batches quarantine exactly once, " +
+    "then one compact folds the whole stream") {
+    val s = spark; import s.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = s.sqlContext
+    val d = dir("stream")
+    SuffixIndex.ensure(d, docsDf(baseRows), tokenize(docsDf(baseRows)))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(SuffixIndex.ingestSink(d))
+      .outputMode("append").start()
+    try {
+      in.addData(deltaRows.take(1).toIndexedSeq); q.processAllAvailable()
+      in.addData(deltaRows.drop(1).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(SuffixIndex.readPending(s, d).count() == 2L,
+      "both micro-batches quarantined exactly once")
+    val got = SuffixIndex.compact(d, docsDf(baseRows), tokenize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteSet(baseRows ++ deltaRows))
+  }
+
   test("compact with nothing pending serves the live tier untouched") {
     val s = spark
     val d = dir("noop")
