@@ -439,6 +439,19 @@ object TpchQueries extends QueryPack {
     cboReady.synchronized {
       if (cboReady.contains(key)) return
       val dims = Seq("customer", "supplier", "nation", "region")
+      // the in-memory catalog is JVM-scoped but the WAREHOUSE DIRECTORY
+      // is not: a previous JVM's managed-table location survives, and
+      // saveAsTable on a catalog-unknown name whose location exists
+      // throws LOCATION_ALREADY_EXISTS — drop both the (possibly known)
+      // table and the orphan directory before this JVM's one save
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      (Seq("lineitem", "orders") ++ dims).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS ${cboName(t, d)}")
+        fs.delete(new org.apache.hadoop.fs.Path(wh,
+          cboName(t, d).toLowerCase), true)
+      }
       Tables.lineitem(s, d).write.mode("overwrite")
         .saveAsTable(cboName("lineitem", d))
       Tables.orders(s, d).write.mode("overwrite")
