@@ -118,7 +118,10 @@ object ScaleProbe {
       // reads the symlinked star tables, which don't replicate, and
       // q270's five stores are each probed via their own family rows)
       "q264_multiscreen", "q265_bind_cohort", "q266_new_open_cohort",
-      "q268_cpsp_rollup", "q269_image_decode", "q293_monitor_report")
+      "q268_cpsp_rollup", "q269_image_decode", "q293_monitor_report",
+      // round 12 (q296 reads the symlinked star tables — excluded like
+      // the TPC-H pack)
+      "q294_suffix_compact", "q295_audio_decode")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)
