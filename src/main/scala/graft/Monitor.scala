@@ -202,11 +202,15 @@ object Monitor {
         (if (m.scrubbed) -(m.nDocs + 1L) else m.nDocs).toDouble))
         .toDF("family", "n", "metric")
       // quarantine visibility (round 12): the exact tier lags whatever
-      // sits in ingest/ until the next compaction — n pending docs,
-      // metric pending batches; no row when nothing is quarantined
+      // is pending until the next compaction — n pending docs, metric
+      // pending batches, counted across BOTH pending stores (in-tree
+      // ingest AND a crashed compact's sidecar — the review found the
+      // in-tree-only count showing zero lag in exactly the crashed
+      // state this row exists to surface); no row when nothing is
+      // quarantined
       if (!graft.operators.SuffixIndex.tierPending(spark, dir)) meta
       else meta.unionByName(
-        graft.operators.SuffixIndex.readPending(spark, dir)
+        graft.operators.SuffixIndex.pendingDocs(spark, dir)
           .agg(count(lit(1)).as("n"),
             coalesce(count_distinct(col("batch_id")), lit(0L))
               .cast("double").as("metric"))
@@ -224,19 +228,33 @@ object Monitor {
   private def erasureRows(spark: org.apache.spark.sql.SparkSession,
       hubDir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // ONE max_by of the whole (hit, ms) pair: two independent max_by
+    // calls could stitch hit from run A with ms from run B on a run_us
+    // tie (sink() logs per micro-batch — same-millisecond runs happen);
+    // picking the row atomically keeps the "latest" coherent even when
+    // the tiebreak is arbitrary
     val latest = graft.operators.ErasureHub.drainLog(spark, hubDir)
       .groupBy(col("artifact"))
-      .agg(max_by(col("n_keys_hit"), col("run_us")).as("hit"),
-        max_by(col("drain_ms"), col("run_us")).as("ms"))
+      .agg(max_by(struct(col("n_keys_hit"), col("drain_ms")),
+        col("run_us")).as("l"))
+      .select(col("artifact"), col("l.n_keys_hit").as("hit"),
+        col("l.drain_ms").as("ms"))
+      .localCheckpoint() // consumed twice (per-store rows + summary)
     val per = latest.select(
       concat(lit("erasure:"), col("artifact")).as("family"),
       col("hit").as("n"),
       (col("ms").cast("double") / lit(1000.0)).as("metric"))
-    val sla = latest.agg(count(lit(1)).as("n"),
-        (coalesce(max(col("ms")), lit(0L)).cast("double") / lit(1000.0))
-          .as("metric"))
-      .select(lit("erasure_sla").as("family"), col("n"), col("metric"))
-    per.unionByName(sla)
+    // no drains logged ⟹ NO rows at all (the scaladoc contract): an
+    // erasure_sla of 0.0 s with zero runs would read as a healthy SLA
+    // when no erasure has ever executed — the opposite signal
+    if (latest.isEmpty) per
+    else {
+      val sla = latest.agg(count(lit(1)).as("n"),
+          (coalesce(max(col("ms")), lit(0L)).cast("double") / lit(1000.0))
+            .as("metric"))
+        .select(lit("erasure_sla").as("family"), col("n"), col("metric"))
+      per.unionByName(sla)
+    }
   }
 
   private def bandRow(spark: org.apache.spark.sql.SparkSession,

@@ -129,58 +129,21 @@ object PlanDump {
   }
 
   /** CBO join-reorder before/after pair (round 12, VERDICT r11 #2 —
-    * the evidence behind CboReorderSpec): ANALYZE'd fixture tables, the
+    * the evidence behind CboReorderSpec, both riding the ONE
+    * [[graft.plans.CboProbe]] recipe): ANALYZE'd fixture tables, the
     * Q5 join family written fact-first, optimized join order with and
     * without `spark.sql.cbo.{enabled,joinReorder.enabled}`. */
   private def cboAppendix(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): String = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-    val tables = Seq("lineitem", "orders", "customer", "supplier",
-      "nation", "region")
-    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS stats_$t"))
-    graft.core.Tables.lineitem(spark, sfDir).write.saveAsTable("stats_lineitem")
-    graft.core.Tables.orders(spark, sfDir).write.saveAsTable("stats_orders")
-    Seq("customer", "supplier", "nation", "region").foreach { t =>
-      graft.core.Tables.load(spark, sfDir, t).write.saveAsTable(s"stats_$t")
-    }
-    tables.foreach(t => spark.sql(s"ANALYZE TABLE stats_$t COMPUTE STATISTICS"))
-    Seq(
-      "stats_lineitem" -> "l_orderkey, l_suppkey",
-      "stats_orders" -> "o_orderkey, o_custkey, o_orderdate",
-      "stats_customer" -> "c_custkey, c_nationkey",
-      "stats_supplier" -> "s_suppkey, s_nationkey",
-      "stats_nation" -> "n_nationkey, n_regionkey, n_name",
-      "stats_region" -> "r_regionkey, r_name"
-    ).foreach { case (t, cols) =>
-      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS $cols")
-    }
-    val q5 =
-      """SELECT n_name, count(*) AS n
-        |FROM stats_lineitem
-        |JOIN stats_orders ON l_orderkey = o_orderkey
-        |JOIN stats_customer ON c_custkey = o_custkey
-        |JOIN stats_supplier ON l_suppkey = s_suppkey
-        |  AND c_nationkey = s_nationkey
-        |JOIN stats_nation ON s_nationkey = n_nationkey
-        |JOIN stats_region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND o_orderdate >= DATE '1996-01-01'
-        |  AND o_orderdate < DATE '1997-01-01'
-        |GROUP BY n_name""".stripMargin
-    def joinLeaves(p: LogicalPlan): Seq[String] = p match {
-      case j: Join => joinLeaves(j.left) ++ joinLeaves(j.right)
-      case other =>
-        val leaves = other.collectLeaves()
-        if (leaves.size == 1)
-          "stats_(\\w+)".r.findFirstMatchIn(leaves.head.toString)
-            .map(_.group(1)).toSeq
-        else other.children.flatMap(joinLeaves)
-    }
+    import graft.plans.CboProbe
+    def nameOf(t: String) = s"stats_$t"
+    CboProbe.prepare(spark, sfDir, nameOf)
+    val q5 = CboProbe.q5Text(nameOf)
     def orderWith(cbo: Boolean): Seq[String] = {
       spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
-      val p = spark.sql(q5).queryExecution.optimizedPlan
-      p.collectFirst { case j: Join => joinLeaves(j) }.getOrElse(Nil)
+      CboProbe.joinOrder(spark.sql(q5).queryExecution.optimizedPlan,
+        "stats_(\\w+)".r)
     }
     try {
       val off = orderWith(cbo = false)
@@ -206,7 +169,7 @@ object PlanDump {
     } finally {
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS stats_$t"))
+      CboProbe.drop(spark, nameOf)
     }
   }
 }

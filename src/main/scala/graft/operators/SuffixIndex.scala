@@ -301,6 +301,13 @@ object SuffixIndex {
   def append(spark: SparkSession, dir: String, batch: DataFrame,
       batchId: Long): Unit = {
     require(batchId >= 0L, s"batchId must be >= 0 (got $batchId)")
+    // same per-dir lock as ensure/compact (round-12 review): an append
+    // landing between compact's pending read and its publish would
+    // write into the OLD tree, which the whole-tree replace deletes —
+    // the batch would vanish unfolded. Serialized, the append either
+    // precedes the read (and folds) or follows the publish (and lands
+    // in the new tree's quarantine).
+    ArtifactCommit.withDirLock(dir) {
     readMeta(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no suffix index at $dir"))
     val fs = ArtifactCommit.fsOf(spark, dir)
@@ -316,6 +323,7 @@ object SuffixIndex {
     // a daily batch tracks INGEST volume, not the corpus — keep the
     // write parallel but few-filed (one leaf dir per batch either way)
     bb.repartition(4, col("doc_id")).write.parquet(p.toString)
+    }
   }
 
   /** foreachBatch sink: streaming ingest into the quarantine tier —
@@ -337,16 +345,27 @@ object SuffixIndex {
   }
 
   /** True iff the tier is mid-cadence: quarantined batches exist or a
-    * crashed [[compact]] left its out-of-tree sidecar. A consumer that
-    * needs the exact tier to describe the FULL corpus (not just the
-    * compacted base) checks this before trusting a fingerprint
-    * match. */
+    * crashed [[compact]] left its out-of-tree sidecar (any of the
+    * live/`_new`/`_staged` WAL states). A consumer that needs the
+    * exact tier to describe the FULL corpus (not just the compacted
+    * base) checks this before trusting a fingerprint match. */
   def tierPending(spark: SparkSession, dir: String): Boolean = {
     val fs = ArtifactCommit.fsOf(spark, dir)
-    def ex(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
-    ex(s"$dir/ingest") || ex(compactPendingPath(dir).toString) ||
-      ex(compactPendingPath(dir).toString + "_staged")
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ingest")) ||
+      ArtifactCommit.frameWalPending(fs, compactPendingPath(dir))
   }
+
+  /** EVERY quarantined doc the next [[compact]] will fold, across both
+    * pending stores — the in-tree ingest batches AND a crashed
+    * compact's out-of-tree sidecar (live or `_new`). The shared view
+    * [[compact]] folds and the Monitor `suffix_ingest` row reports
+    * (round-12 review: counting only the in-tree half showed zero lag
+    * in exactly the crashed state the row exists to surface). */
+  def pendingDocs(spark: SparkSession, dir: String): DataFrame =
+    ArtifactCommit.readFrameWal(spark, compactPendingPath(dir),
+        ingestSchema)
+      .map(readPending(spark, dir).unionByName(_))
+      .getOrElse(readPending(spark, dir))
 
   /** PERIODIC compaction (round 12, VERDICT r11 #1): fold every
     * pending ingest batch into the exact ladder — ONE rebuild over
@@ -374,22 +393,16 @@ object SuffixIndex {
     ArtifactCommit.withDirLock(dir) {
     val fs = ArtifactCommit.fsOf(spark, dir)
     val sidecar = compactPendingPath(dir)
-    val staged = new org.apache.hadoop.fs.Path(sidecar.toString + "_staged")
-    val inTree = readPending(spark, dir)
-    val fromSidecar =
-      if (!fs.exists(sidecar))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ingestSchema)
-      else spark.read.schema(ingestSchema).parquet(sidecar.toString)
     // keep-latest within the quarantine: max batch_id wins per doc
-    val pend = inTree.unionByName(fromSidecar)
+    // (pendingDocs = in-tree batches ∪ a crashed compact's sidecar)
+    val pend = pendingDocs(spark, dir)
       .groupBy($"doc_id")
       .agg(max_by($"text", $"batch_id").as("text"),
         max($"batch_id").as("batch_id"))
     if (pend.isEmpty) {
       readMeta(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"no suffix index at $dir"))
-      fs.delete(sidecar, true); fs.delete(staged, true)
+      ArtifactCommit.clearIdsWal(fs, sidecar)
       // zero-row batch husks would keep tierPending true forever —
       // nothing is quarantined, so clearing them is the correct state
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ingest"), true)
@@ -411,18 +424,18 @@ object SuffixIndex {
         m.format == FORMAT && !m.scrubbed &&
           m.fingerprint == fpM && m.nDocs == nM)
     if (!folded) {
-      // stage pending OUT of the tree before anything can delete it:
-      // staged write + delete/rename pair (readers never read _staged)
-      fs.delete(staged, true)
-      pendCk.write.parquet(staged.toString)
-      fs.delete(sidecar, true)
-      ArtifactCommit.rename(fs, staged, sidecar)
+      // stage pending OUT of the tree before anything can delete it —
+      // through the staged→new→live frame-WAL protocol (round-12
+      // review: a hand-rolled delete-then-rename left a crash window
+      // where the only copy of the quarantine sat in the never-read
+      // _staged; the WAL's `_new` fallback keeps every prefix readable)
+      ArtifactCommit.writeFrameWal(pendCk, sidecar)
       ArtifactCommit.rebuildWithPending(spark, dir, "doc_id") {
         val (best, order) = buildTables(tokenize(merged))
         save(best, order, dir, fpM, nM)
       } (ids => forget(spark, dir, ids, "doc_id"))
     }
-    fs.delete(sidecar, true); fs.delete(staged, true)
+    ArtifactCommit.clearIdsWal(fs, sidecar)
     }
     read(spark, dir)
   }
@@ -455,8 +468,19 @@ object SuffixIndex {
     val pendingIngest =
       new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ingest")
     val ingest = readPending(spark, dir)
+    val ingestHits = ingest.join(del, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd")).head()
     val hitIngest = ingest.join(del, Seq("doc_id"), "left_semi")
       .select($"batch_id").distinct().as[Long].collect()
+    // audit counts span BOTH tiers (round-12 review: an ingest-only
+    // erasure reported 0 docs forgotten — an auditor cross-checking the
+    // GDPR record would read a landed delete as a no-op); docs hit in
+    // both tiers count once
+    val docsHit = data.select($"doc_id")
+      .join(del, Seq("doc_id"), "left_semi")
+      .unionByName(ingest.select($"doc_id")
+        .join(del, Seq("doc_id"), "left_semi"))
+      .distinct().count()
     // tolerant parse — a torn final line of the single-create footprint
     // is dropped, not thrown on: the ids sidecar + recomputed hit set
     // re-derive any dropped range, while a NumberFormatException would
@@ -554,12 +578,20 @@ object SuffixIndex {
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$dir/ingest/batch_id=$b"), true)
         }
+        // an all-batches-emptied quarantine must not leave the bare
+        // ingest/ parent behind: tierPending keys on the dir, so a husk
+        // would read as "mid-cadence" forever and defeat every
+        // fingerprint-gated warm serve (round-12 review)
+        val ingestRoot = new org.apache.hadoop.fs.Path(s"$dir/ingest")
+        if (fs.exists(ingestRoot) && !fs.listStatus(ingestRoot)
+            .exists(_.getPath.getName.startsWith("batch_id=")))
+          fs.delete(ingestRoot, true)
         e
       }
     fs.delete(pending, false)
     fs.delete(pendingIngest, false)
     ArtifactCommit.clearIdsWal(fs, pendingIds)
-    ForgetStats(hitAgg.map(_._2).sum, hitAgg.map(_._3).sum,
+    ForgetStats(hitAgg.map(_._2).sum + ingestHits.getLong(0), docsHit,
       (touched.length - emptied.length).toLong +
         (touchedIngest.length - emptiedIngest.length).toLong,
       emptied.length.toLong + emptiedIngest.length.toLong)

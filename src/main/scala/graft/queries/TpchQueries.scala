@@ -86,13 +86,18 @@ object TpchQueries extends QueryPack {
 
   private def ensurePartsuppCache(s: SparkSession, d: String): Unit = {
     val key = System.identityHashCode(s).toString + "|" + d
-    val cur = psCached.get()
-    if (cur == null || cur._1 != key) {
-      if (cur != null)
-        try cur._2.unpersist() catch { case _: Throwable => () }
-      val df = s.sql("SELECT DISTINCT l_partkey, l_suppkey FROM lineitem")
-      df.persist()
-      psCached.set((key, df))
+    // whole check-then-persist under one lock (round-12 review): two
+    // concurrent first callers would otherwise both persist, and the
+    // overwritten entry's InMemoryRelation would leak for the session
+    psCached.synchronized {
+      val cur = psCached.get()
+      if (cur == null || cur._1 != key) {
+        if (cur != null)
+          try cur._2.unpersist() catch { case _: Throwable => () }
+        val df = s.sql("SELECT DISTINCT l_partkey, l_suppkey FROM lineitem")
+        df.persist()
+        psCached.set((key, df))
+      }
     }
   }
 
@@ -438,38 +443,10 @@ object TpchQueries extends QueryPack {
     if (cboReady.contains(key)) return
     cboReady.synchronized {
       if (cboReady.contains(key)) return
-      val dims = Seq("customer", "supplier", "nation", "region")
-      // the in-memory catalog is JVM-scoped but the WAREHOUSE DIRECTORY
-      // is not: a previous JVM's managed-table location survives, and
-      // saveAsTable on a catalog-unknown name whose location exists
-      // throws LOCATION_ALREADY_EXISTS — drop both the (possibly known)
-      // table and the orphan directory before this JVM's one save
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      (Seq("lineitem", "orders") ++ dims).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS ${cboName(t, d)}")
-        fs.delete(new org.apache.hadoop.fs.Path(wh,
-          cboName(t, d).toLowerCase), true)
-      }
-      Tables.lineitem(s, d).write.mode("overwrite")
-        .saveAsTable(cboName("lineitem", d))
-      Tables.orders(s, d).write.mode("overwrite")
-        .saveAsTable(cboName("orders", d))
-      dims.foreach(t => Tables.load(s, d, t).write.mode("overwrite")
-        .saveAsTable(cboName(t, d)))
-      val cols = Map(
-        "lineitem" -> "l_orderkey, l_suppkey",
-        "orders" -> "o_orderkey, o_custkey, o_orderdate",
-        "customer" -> "c_custkey, c_nationkey",
-        "supplier" -> "s_suppkey, s_nationkey",
-        "nation" -> "n_nationkey, n_regionkey, n_name",
-        "region" -> "r_regionkey, r_name")
-      (Seq("lineitem", "orders") ++ dims).foreach { t =>
-        s.sql(s"ANALYZE TABLE ${cboName(t, d)} COMPUTE STATISTICS")
-        s.sql(s"ANALYZE TABLE ${cboName(t, d)} COMPUTE STATISTICS " +
-          s"FOR COLUMNS ${cols(t)}")
-      }
+      // the shared CboProbe recipe: save + ANALYZE (table + column
+      // stats) with the stale-warehouse-location cleanup — the
+      // in-memory catalog is JVM-scoped but the warehouse dir is not
+      graft.plans.CboProbe.prepare(s, d, t => cboName(t, d))
       cboReady.add(key)
     }
   }

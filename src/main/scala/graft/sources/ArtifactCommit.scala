@@ -196,44 +196,65 @@ object ArtifactCommit {
   private def idsStagedPath(idsPath: Path): Path =
     new Path(idsPath.toString + "_staged")
 
-  /** Persist the deletion ids sidecar (single long column named
-    * `idCol`), crash-safe against an existing sidecar: the fresh set
-    * commits to `<path>_staged` (which [[readIdsWal]] NEVER reads —
-    * writing over the `_new` fallback in place would let a crash leave
-    * a PARTIAL fallback that reads as a subset of committed ids, the
-    * round-10 review's finding), then promotes `_staged` → `_new` →
-    * `<path>` via delete+rename pairs. Any crash prefix leaves a
-    * readable superset-of-committed sidecar: the live path survives
-    * until a complete `_new` exists, and `_new` survives until the
-    * live rename. */
-  def writeIdsWal(del: DataFrame, idsPath: Path): Unit = {
-    val spark = del.sparkSession
-    val fs = fsOf(spark, idsPath.toString)
-    val staged = idsStagedPath(idsPath)
-    val neu = idsNewPath(idsPath)
-    del.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+  /** Persist a parquet sidecar FRAME crash-safely against an existing
+    * one: the fresh frame commits to `<path>_staged` (which
+    * [[readFrameWal]] NEVER reads — writing over the `_new` fallback in
+    * place would let a crash leave a PARTIAL fallback that reads as a
+    * subset of committed rows, the round-10 review's finding), then
+    * promotes `_staged` → `_new` → `<path>` via delete+rename pairs.
+    * Any crash prefix leaves a readable complete sidecar: the live
+    * path survives until a complete `_new` exists, and `_new` survives
+    * until the live rename. The round-12 review found
+    * [[graft.operators.SuffixIndex.compact]] hand-rolling a
+    * delete-then-rename version of this (a crash between its delete
+    * and rename orphaned the only copy of quarantined docs in the
+    * never-read `_staged`) — generalizing the ids protocol to any
+    * frame is the fix, per CLAUDE.md's no-hand-rolled-sidecars rule. */
+  def writeFrameWal(df: DataFrame, path: Path): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path.toString)
+    val staged = idsStagedPath(path)
+    val neu = idsNewPath(path)
+    df.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(staged.toString)
     fs.delete(neu, true)
     rename(fs, staged, neu)
-    fs.delete(idsPath, true)
-    rename(fs, neu, idsPath)
+    fs.delete(path, true)
+    rename(fs, neu, path)
   }
 
-  /** Read a pending ids sidecar if one exists (falling back to `_new`
-    * if a crash landed between the old sidecar's delete and the
+  /** Read a pending sidecar frame if one exists (falling back to
+    * `_new` if a crash landed between the old sidecar's delete and the
     * rename; `_staged` is never read — it may be partial). */
-  def readIdsWal(spark: SparkSession, idsPath: Path,
-      idCol: String): Option[DataFrame] = {
-    val fs = fsOf(spark, idsPath.toString)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(idCol,
-        org.apache.spark.sql.types.LongType)))
+  def readFrameWal(spark: SparkSession, path: Path,
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val fs = fsOf(spark, path.toString)
     val src =
-      if (fs.exists(idsPath)) Some(idsPath)
-      else if (fs.exists(idsNewPath(idsPath))) Some(idsNewPath(idsPath))
+      if (fs.exists(path)) Some(path)
+      else if (fs.exists(idsNewPath(path))) Some(idsNewPath(path))
       else None
     src.map(p => spark.read.schema(schema).parquet(p.toString))
   }
+
+  /** True iff [[readFrameWal]] would find a sidecar (live or `_new`),
+    * or a mid-write `_staged` corpse exists (a retry will rewrite it —
+    * callers treating the WAL as "work pending" must not serve a
+    * fresh-looking state past it). */
+  def frameWalPending(fs: FileSystem, path: Path): Boolean =
+    fs.exists(path) || fs.exists(idsNewPath(path)) ||
+      fs.exists(idsStagedPath(path))
+
+  /** The deletion-ids specialization of [[writeFrameWal]]. */
+  def writeIdsWal(del: DataFrame, idsPath: Path): Unit =
+    writeFrameWal(del, idsPath)
+
+  /** The deletion-ids specialization of [[readFrameWal]] (single long
+    * column named `idCol`). */
+  def readIdsWal(spark: SparkSession, idsPath: Path,
+      idCol: String): Option[DataFrame] =
+    readFrameWal(spark, idsPath, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType))))
 
   /** Corpus fingerprint for freshness-gated artifacts
     * ([[graft.operators.SuffixIndex]], [[graft.operators.BandIndex]]):

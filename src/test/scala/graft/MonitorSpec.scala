@@ -269,6 +269,40 @@ class MonitorSpec extends SparkSpec {
       .toMap
     assert(pending("suffix_ingest") == ((3L, 2.0)),
       "3 pending docs across 2 batches")
+    // a crashed compact's sidecar counts too (round-12 review: the
+    // in-tree-only count showed zero lag in exactly the crashed state)
+    graft.sources.ArtifactCommit.writeFrameWal(
+      Seq((20L, "side doc", 5L)).toDF("doc_id", "text", "batch_id"),
+      graft.operators.SuffixIndex.compactPendingPath(six))
+    val withSide = Monitor.stateReport(s, moments, ref, sketches,
+        suffixIndex = Some(six))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(withSide("suffix_ingest") == ((4L, 3.0)),
+      "sidecar doc joins the pending census")
+  }
+
+  test("erasure families: an empty drain log yields NO rows — a 0.0 s " +
+    "SLA with zero runs would read as healthy when no erasure ever ran") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_monitor7").toString
+    val moments = s"$dir/moments.parquet"
+    val emb = Tables.embeddings(s, sfDir)
+      .where($"label".isNotNull && $"embedding".isNotNull)
+      .select($"label".cast("long").as("label"), $"embedding")
+    StreamingCentroidMonitor.sink(moments, "label", "embedding")(emb, 0L)
+    val sketches = s"$dir/uv.parquet"
+    SketchRollup.sketchTable(Tables.events(s, sfDir),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(sketches)
+    val ref = StreamingCentroidMonitor.centroids(s, moments)
+      .select($"label", $"centroid")
+    val fams = Monitor.stateReport(s, moments, ref, sketches,
+        erasureHub = Some(s"$dir/empty_hub"))
+      .collect().map(_.getString(0)).toSet
+    assert(!fams.exists(_.startsWith("erasure")),
+      s"no drains logged ⟹ no erasure rows, got $fams")
   }
 
   test("stateReport serves the erasure SLA off the hub's persisted " +

@@ -122,6 +122,29 @@ class SuffixIngestSpec extends SparkSpec {
     assert(!SuffixIndex.tierPending(s, d), "sidecar cleared after commit")
   }
 
+  test("compact crash window A': a sidecar-RE-STAGE crash (only the " +
+    "_new fallback survives) still folds — the frame-WAL protocol " +
+    "(round-12 review: a hand-rolled delete-then-rename lost the docs)") {
+    val s = spark
+    val d = dir("crashA2")
+    SuffixIndex.ensure(d, docsDf(baseRows), tokenize(docsDf(baseRows)))
+    SuffixIndex.append(s, d, docsDf(deltaRows), 0L)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the state a retry-of-a-crashed-compact crash leaves: pending only
+    // in the `_new` WAL stage (live sidecar already deleted), the
+    // in-tree ingest and live tree gone with the first publish
+    SuffixIndex.readPending(s, d).write.parquet(
+      SuffixIndex.compactPendingPath(d).toString + "_new")
+    fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    assert(SuffixIndex.tierPending(s, d), "_new visible to the tier")
+    val got = SuffixIndex.compact(d, docsDf(baseRows), tokenize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bruteSet(baseRows ++ deltaRows),
+      "retry must fold the _new fallback's docs")
+    assert(!SuffixIndex.tierPending(s, d))
+  }
+
   test("compact crash window B (post-publish): already-folded retry " +
     "skips the ladder and just clears the sidecar") {
     val s = spark
@@ -178,6 +201,10 @@ class SuffixIngestSpec extends SparkSpec {
     // doc 61 is ONLY in the quarantine — the delete must reach it there
     val stats = SuffixIndex.forget(s, d, Seq(61L).toDF("gone"), "gone")
     assert(stats.nPartsRewritten == 1L, "batch 0 rewritten (60 survives)")
+    // audit counts span both tiers (round-12 review: an ingest-only
+    // erasure read as a 0-doc no-op in the GDPR record)
+    assert(stats.nDocsForgotten == 1L && stats.nForgotten == 1L,
+      "the quarantined doc counts as forgotten")
     assert(SuffixIndex.readPending(s, d).select($"doc_id")
       .as[Long].collect().toSet == Set(60L, 70L))
     assert(md5Of(new java.io.File(s"$d/ingest/batch_id=1")) == b1Before,
@@ -195,6 +222,14 @@ class SuffixIngestSpec extends SparkSpec {
     // post-success retry: zero-op
     assert(SuffixIndex.forget(s, d, Seq(70L).toDF("gone"), "gone") ==
       SuffixIndex.ForgetStats(0L, 0L, 0L, 0L))
+    // emptying the WHOLE quarantine drops the ingest/ parent too — a
+    // husk would read as mid-cadence forever and defeat every
+    // fingerprint-gated warm serve (round-12 review)
+    SuffixIndex.forget(s, d, Seq(60L).toDF("gone"), "gone")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/ingest")),
+      "empty quarantine parent removed")
+    assert(!SuffixIndex.tierPending(s, d),
+      "nothing pending after the last quarantined doc is erased")
   }
 
   test("streaming ingest sink: micro-batches quarantine exactly once, " +
