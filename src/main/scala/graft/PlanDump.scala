@@ -87,7 +87,8 @@ object PlanDump {
     "q258_stream_forget" -> "streaming-export erasure: q240's pack + three bounded batch writes; the forget is one narrow footprint scan + a dynamic overwrite bounded by the touched (batch,lang,bucket) partitions + O(touched batches) manifest recomputes; census reads manifest rows + one data agg",
     "q279_tpch09" -> "TPC-H Q9 with the shared partsupp core (round 12): the CTE's DISTINCT(l_partkey,l_suppkey) subtree substitutes the per-(session,dir) InMemoryRelation by canonical-plan match — Q2/Q9/Q11/Q16/Q20 share ONE distinct fill instead of five lineitem distinct-shuffles (Q2 saved two); predicate pushdown, broadcast dims and partial aggs as before",
     "q294_suffix_compact" -> "tiered suffix compaction: warm runs are ONE meta read + the pruned doc-range artifact scan into a grouped census (the fingerprint gate skips the whole lifecycle); cold runs pay base ladder + one compaction ladder, both through the persisted-artifact publish",
-    "q295_audio_decode" -> "real WAV decode: encode+decode in ONE narrow typed mapPartitions at scan parallelism — payload bytes never shuffle, header-only parse, output sorted by doc_id")
+    "q295_audio_decode" -> "real WAV decode: encode+decode in ONE narrow typed mapPartitions at scan parallelism — payload bytes never shuffle, header-only parse, output sorted by doc_id",
+    "q297_video_demux" -> "real animated-GIF demux: encode+frame-count in ONE narrow typed mapPartitions (ImageIO sequence reader) — the same zero-shuffle codec shape as q269/q295")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

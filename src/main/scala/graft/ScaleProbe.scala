@@ -121,7 +121,7 @@ object ScaleProbe {
       "q268_cpsp_rollup", "q269_image_decode", "q293_monitor_report",
       // round 12 (q296 reads the symlinked star tables — excluded like
       // the TPC-H pack)
-      "q294_suffix_compact", "q295_audio_decode")
+      "q294_suffix_compact", "q295_audio_decode", "q297_video_demux")
     val specials = Seq("kmeans_lloyd", "cc_path", "containment_lowcol",
       "bpe_train", "bpe_encode", "bloom_semi", "walk_rank_e")
     only.foreach(req => (req -- allProbes.toSet -- specials.toSet)

@@ -5,12 +5,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 /** Multimodal column model (SURVEY H-8): media payloads ride through the
   * engine as opaque `binary` columns plus typed metadata, exactly like a
   * 100 TB training-data lake stores images/audio/video frames next to
-  * text. Image decode is REAL (JDK ImageIO, round 11) and audio header
-  * decode is REAL (JDK AudioSystem, round 12); only video demuxing
-  * remains a STUB (no codec library in this environment) — and the
-  * Spark-side plumbing is real throughout: typed Encoders,
-  * per-partition batched iteration, stable schemas, and deterministic
-  * outputs an external oracle can recompute.
+  * text. Image decode is REAL (JDK ImageIO, round 11), audio header
+  * decode is REAL (JDK AudioSystem, round 12), and video demux is REAL
+  * for animated GIF (JDK ImageIO sequence reader, round 12); only
+  * MP4/WebM-class demuxing remains a STUB (needs ffmpeg-class codecs,
+  * none offline here) — and the Spark-side plumbing is real
+  * throughout: typed Encoders, per-partition batched iteration, stable
+  * schemas, and deterministic outputs an external oracle can
+  * recompute.
   */
 final case class MediaBlob(
     media_id: Long,
@@ -110,6 +112,70 @@ object MediaCodec {
         fmt.getChannels, ff.getFrameLength))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL video (animated-GIF) demux (round 12): the JDK's GIF
+    * ImageIO reader counts and sizes a multi-frame stream — no
+    * external codec. Returns (width, height, 3, n_frames) for a GIF
+    * payload (GIF is palette-indexed; decoded rasters are RGB — the
+    * channel convention the image path reports for color media), None
+    * otherwise. This closes the video stub for the one container the
+    * JDK can demux; MP4/WebM-class demuxing still needs ffmpeg-class
+    * libraries and keeps the documented md5 stub. */
+  def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    if (!startsWith(bytes, "GIF8")) None
+    else {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            // allowSearch: count frames exactly (streams the whole
+            // payload once — in-memory bytes, no I/O amplification)
+            val n = r.getNumImages(true)
+            if (n <= 0) None
+            else Some((r.getWidth(0), r.getHeight(0), 3, n))
+          } finally r.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally in.close()
+    }
+
+  /** Deterministic real animated GIF: `nFrames` frames of a
+    * `width`×`height` indexed raster whose pixel (x, y) of frame f is
+    * `(x + y + f + seed) mod 256`, written with the JDK's GIF sequence
+    * writer. Encode→demux must reproduce (w, h, 3, nFrames) exactly —
+    * the q297 oracle contract. */
+  def encodeGif(width: Int, height: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        var i = 0
+        while (i < data.length) {
+          data(i) = ((i + f + seed) % 256).toByte
+          i += 1
+        }
+        w.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    out.toByteArray
+  }
+
   /** Deterministic real WAV: 16-bit little-endian PCM, sample s of
     * channel c at frame i = `((i * 31 + c * 17 + seed) mod 65536) −
     * 32768`, encoded with the JDK's WAVE writer. Identical inputs
@@ -167,11 +233,13 @@ object MediaCodec {
   }
 
   /** Decoder: REAL for image payloads ImageIO can parse (VERDICT r10
-    * #2 — width/height/channels are the actual raster's) and for audio
+    * #2 — width/height/channels are the actual raster's), for audio
     * payloads AudioSystem can parse (VERDICT r11 #3 — mapped into the
     * shared meta shape as width=sample_rate, height=bits_per_sample,
-    * channels, n_frames=PCM frames); the md5-derived STUB ??? otherwise
-    * (video demuxing genuinely has no codec in this environment; in
+    * channels, n_frames=PCM frames), and for animated-GIF video the
+    * ImageIO sequence reader can demux (round 12 — real frame count +
+    * dimensions); the md5-derived STUB ??? otherwise (MP4/WebM-class
+    * demuxing genuinely has no codec in this environment; in
     * production this calls ffmpeg-class libraries). Stub dimensions,
     * unchanged since round 1:
     *   width    = 64 + md5[0:4)  % 1857   (64..1920)
@@ -187,6 +255,7 @@ object MediaCodec {
       case "image" =>
         decodeImage(b.bytes).map { case (w, h, bands) => (w, h, bands, 1) }
       case "audio" => decodeAudio(b.bytes)
+      case "video" => decodeVideo(b.bytes)
       case _ => None
     }
     real match {

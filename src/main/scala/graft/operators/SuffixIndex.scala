@@ -33,6 +33,10 @@ import graft.sources.ArtifactCommit
   *    max-of-two-neighbors view. Same doc-range partitioning.
   *  - `meta/` — one row: format version, corpus fingerprint, doc and
   *    position counts, the range grain, and the `scrubbed` flag.
+  *  - `ingest/batch_id=N/…` — (round 12) the QUARANTINE tier: raw
+  *    `(doc_id, text)` rows appended daily, untouched by the exact
+  *    tables until [[compact]] folds them (see the cadence section);
+  *    absent when nothing is pending.
   *
   * Freshness contract ([[ensure]]): the fingerprint is
   * `count ⊕ xor(xxhash64(doc_id, text))` over the EXACT input slice

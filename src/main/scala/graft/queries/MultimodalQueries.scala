@@ -181,13 +181,47 @@ object MultimodalQueries extends QueryPack {
       .orderBy($"doc_id")
   }
 
+  /** REAL video (animated-GIF) demux (round 12 — the last media kind's
+    * stub closed for the one container the JDK can demux): a
+    * deterministic multi-frame GIF is generated per document (dims and
+    * frame count are pure doc_id arithmetic), written with the JDK's
+    * GIF sequence writer, then demuxed by [[MediaCodec.decode]]'s REAL
+    * ImageIO sequence path — the output is the actual stream's
+    * (width, height, frames), and the oracle states the generator's
+    * arithmetic. Frame counts stay small (2..13) so payloads are O(KB);
+    * narrow end to end, payload bytes never shuffle. MP4/WebM-class
+    * demux remains the documented md5 stub. */
+  private val q297: Q = (s, d) => {
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val specs = Tables.documents(s, d)
+      .where($"doc_id".isNotNull)
+      .select($"doc_id",
+        (lit(8) + $"doc_id" % 41).cast("int").as("w"),
+        (lit(8) + $"doc_id" % 29).cast("int").as("h"),
+        (lit(2) + $"doc_id" % 12).cast("int").as("nf"))
+      .as[(Long, Int, Int, Int)]
+    val gifBlobs = specs.mapPartitions(_.map { case (id, w, h, nf) =>
+      MediaBlob(id, "video", MediaCodec.encodeGif(w, h, nf, id),
+        Map("fmt" -> "gif"))
+    })
+    MediaCodec.decode(gifBlobs).toDF()
+      .select($"media_id".as("doc_id"),
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"channels".cast("long").as("channels"),
+        $"n_frames".cast("long").as("n_frames"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q54_media_decode" -> q54,
     "q55_frame_sample" -> q55,
     "q56_media_resize" -> q56,
     "q194_media_dedup" -> q194,
     "q269_image_decode" -> q269,
-    "q295_audio_decode" -> q295
+    "q295_audio_decode" -> q295,
+    "q297_video_demux" -> q297
   )
 
   // ---- oracle SQL: mirrors MediaCodec.decodeOne exactly --------------
@@ -274,6 +308,14 @@ object MultimodalQueries extends QueryPack {
         |  CAST(16 AS BIGINT) AS bits,
         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
         |  CAST(50 + doc_id % 311 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    "q297_video_demux" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 41 AS BIGINT) AS width,
+        |  CAST(8 + doc_id % 29 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(2 + doc_id % 12 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin
   )
