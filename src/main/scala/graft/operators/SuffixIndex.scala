@@ -117,6 +117,11 @@ object SuffixIndex {
   final case class Meta(format: Long, fingerprint: Long, nDocs: Long,
     nPos: Long, grain: Long, scrubbed: Boolean)
 
+  /** [[forget]]'s audit record: `nForgotten` = exact-tier POSITIONS
+    * removed; `nDocsForgotten` = distinct docs erased across ALL
+    * stores (exact tables + ingest quarantine + compact sidecar);
+    * parts counts cover the data/order/ingest partitions rewritten or
+    * dropped (the sidecar, not being partitioned, is not a part). */
   final case class ForgetStats(nForgotten: Long, nDocsForgotten: Long,
     nPartsRewritten: Long, nPartsDeleted: Long)
 
@@ -368,7 +373,10 @@ object SuffixIndex {
   def pendingDocs(spark: SparkSession, dir: String): DataFrame =
     ArtifactCommit.readFrameWal(spark, compactPendingPath(dir),
         ingestSchema)
-      .map(readPending(spark, dir).unionByName(_))
+      // distinct: during a mid-build compact crash the SAME rows sit in
+      // both stores (the sidecar is written before the publish deletes
+      // ingest/) — without it the pending census reads ~2× the real lag
+      .map(readPending(spark, dir).unionByName(_).distinct())
       .getOrElse(readPending(spark, dir))
 
   /** PERIODIC compaction (round 12, VERDICT r11 #1): fold every
@@ -451,6 +459,11 @@ object SuffixIndex {
   def forget(spark: SparkSession, dir: String, delIds: DataFrame,
       delCol: String): ForgetStats = {
     import spark.implicits._
+    // same per-dir lock as ensure/append/compact (round-12 review): a
+    // lock-free forget racing a compact's publish would have its WAL
+    // wiped by the whole-tree replace and the erasure silently lost;
+    // Java monitors are reentrant, so compact→forget nesting is safe
+    ArtifactCommit.withDirLock(dir) {
     val fs = ArtifactCommit.fsOf(spark, dir)
     val meta = readMeta(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no suffix index at $dir"))
@@ -468,23 +481,46 @@ object SuffixIndex {
       .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // ingest tier: quarantined raw docs are erasable content too — the
-    // delete must reach batches that were never compacted
+    // delete must reach batches that were never compacted. ONE job
+    // answers rows + distinct docs + touched batches (the first cut of
+    // this ran three separate jobs over the same semi-join).
     val pendingIngest =
       new org.apache.hadoop.fs.Path(s"$dir/_forget_pending_ingest")
     val ingest = readPending(spark, dir)
-    val ingestHits = ingest.join(del, Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd")).head()
-    val hitIngest = ingest.join(del, Seq("doc_id"), "left_semi")
-      .select($"batch_id").distinct().as[Long].collect()
-    // audit counts span BOTH tiers (round-12 review: an ingest-only
-    // erasure reported 0 docs forgotten — an auditor cross-checking the
-    // GDPR record would read a landed delete as a no-op); docs hit in
-    // both tiers count once
-    val docsHit = data.select($"doc_id")
-      .join(del, Seq("doc_id"), "left_semi")
-      .unionByName(ingest.select($"doc_id")
-        .join(del, Seq("doc_id"), "left_semi"))
-      .distinct().count()
+    val ingestAgg = ingest.join(del, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd"),
+        collect_set($"batch_id").as("bs")).head()
+    val hitIngest = ingestAgg.getSeq[Long](2).toArray
+    // a crashed compact's SIDECAR holds raw text too (round-12 review:
+    // without this, a forget completed "successfully" while the
+    // condemned doc sat in the sidecar — and the compact retry folded
+    // it back into the published index, resurrecting erased content)
+    val sidecarP = compactPendingPath(dir)
+    val sidecarDf = ArtifactCommit.readFrameWal(spark, sidecarP,
+      ingestSchema)
+    val sidecarDocs = sidecarDf
+      .map(_.join(del, Seq("doc_id"), "left_semi")
+        .agg(countDistinct($"doc_id")).head().getLong(0))
+      .getOrElse(0L)
+    // audit counts span every store (review: an ingest-only erasure
+    // reported 0 docs forgotten — an auditor cross-checking the GDPR
+    // record would read a landed delete as a no-op). Doc-range
+    // partitions hold each doc exactly once, so the exact-tier distinct
+    // count is free off hitAgg; the cross-store distinct union runs
+    // only when a quarantine/sidecar hit exists (rare path).
+    val dataDocs = hitAgg.map(_._3).sum
+    val docsHit =
+      if (ingestAgg.getLong(1) == 0L && sidecarDocs == 0L) dataDocs
+      else {
+        val base = data.select($"doc_id")
+          .join(del, Seq("doc_id"), "left_semi")
+          .unionByName(ingest.select($"doc_id")
+            .join(del, Seq("doc_id"), "left_semi"))
+        sidecarDf.map(sc => base.unionByName(
+            sc.select($"doc_id").join(del, Seq("doc_id"), "left_semi")))
+          .getOrElse(base)
+          .distinct().count()
+      }
     // tolerant parse — a torn final line of the single-create footprint
     // is dropped, not thrown on: the ids sidecar + recomputed hit set
     // re-derive any dropped range, while a NumberFormatException would
@@ -498,16 +534,25 @@ object SuffixIndex {
     val touched = (hitAgg.map(_._1) ++ pendingPrev).distinct.sorted
     val touchedIngest =
       (hitIngest ++ pendingPrevIngest).distinct.sorted
-    if (touched.isEmpty && touchedIngest.isEmpty) {
+    if (touched.isEmpty && touchedIngest.isEmpty && sidecarDocs == 0L) {
       ArtifactCommit.clearIdsWal(fs, pendingIds)
       return ForgetStats(0L, 0L, 0L, 0L)
     }
     // intent record BEFORE any mutation: ids first, then footprints
+    // (the sidecar scrub needs no footprint — it is re-derived from the
+    // ids WAL alone on any retry)
     ArtifactCommit.writeIdsWal(del, pendingIds)
     ArtifactCommit.writeFootprint(fs, pending, touched.map(r => Seq(r.toString)))
     if (touchedIngest.nonEmpty)
       ArtifactCommit.writeFootprint(fs, pendingIngest,
         touchedIngest.map(b => Seq(b.toString)))
+    // sidecar scrub, atomic via the frame WAL; zero survivors drop it
+    if (sidecarDocs > 0L) {
+      val surv = sidecarDf.get.join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      if (surv.isEmpty) ArtifactCommit.clearIdsWal(fs, sidecarP)
+      else ArtifactCommit.writeFrameWal(surv, sidecarP)
+    }
     val touchedDf = touched.toSeq.toDF("doc_range")
     // survivors of touched ranges, checkpointed BEFORE the overwrite
     // replaces the files they were read from; hash-repartition on the
@@ -595,9 +640,13 @@ object SuffixIndex {
     fs.delete(pending, false)
     fs.delete(pendingIngest, false)
     ArtifactCommit.clearIdsWal(fs, pendingIds)
-    ForgetStats(hitAgg.map(_._2).sum + ingestHits.getLong(0), docsHit,
+    // nForgotten = exact-tier POSITIONS removed (a single unit — mixing
+    // in quarantine doc-rows produced an unexplainable hybrid figure);
+    // nDocsForgotten = distinct docs erased across ALL stores
+    ForgetStats(hitAgg.map(_._2).sum, docsHit,
       (touched.length - emptied.length).toLong +
         (touchedIngest.length - emptiedIngest.length).toLong,
       emptied.length.toLong + emptiedIngest.length.toLong)
+    }
   }
 }

@@ -202,9 +202,10 @@ class SuffixIngestSpec extends SparkSpec {
     val stats = SuffixIndex.forget(s, d, Seq(61L).toDF("gone"), "gone")
     assert(stats.nPartsRewritten == 1L, "batch 0 rewritten (60 survives)")
     // audit counts span both tiers (round-12 review: an ingest-only
-    // erasure read as a 0-doc no-op in the GDPR record)
-    assert(stats.nDocsForgotten == 1L && stats.nForgotten == 1L,
-      "the quarantined doc counts as forgotten")
+    // erasure read as a 0-doc no-op in the GDPR record); nForgotten
+    // stays in exact-tier POSITION units — none were touched here
+    assert(stats.nDocsForgotten == 1L && stats.nForgotten == 0L,
+      "the quarantined doc counts as forgotten (docs, not positions)")
     assert(SuffixIndex.readPending(s, d).select($"doc_id")
       .as[Long].collect().toSet == Set(60L, 70L))
     assert(md5Of(new java.io.File(s"$d/ingest/batch_id=1")) == b1Before,
@@ -252,6 +253,42 @@ class SuffixIngestSpec extends SparkSpec {
     val got = SuffixIndex.compact(d, docsDf(baseRows), tokenize)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == bruteSet(baseRows ++ deltaRows))
+  }
+
+  test("forget scrubs a crashed compact's SIDECAR too — a retry must " +
+    "not resurrect erased docs into the exact index (round-12 review)") {
+    val s = spark; import s.implicits._
+    val d = dir("sidescrub")
+    SuffixIndex.ensure(d, docsDf(baseRows), tokenize(docsDf(baseRows)))
+    SuffixIndex.append(s, d, docsDf(deltaRows), 0L)
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the dominant compact crash window: pending staged to the sidecar,
+    // publish consumed the in-tree ingest, ladder build died
+    SuffixIndex.readPending(s, d)
+      .write.parquet(SuffixIndex.compactPendingPath(d).toString)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$d/ingest"), true)
+    // GDPR delete of doc 61 (now sidecar-only) + doc 1 (compacted)
+    val stats = SuffixIndex.forget(s, d,
+      Seq(1L, 61L).toDF("gone"), "gone")
+    assert(stats.nDocsForgotten == 2L,
+      "sidecar-only doc counts in the audit record")
+    assert(SuffixIndex.pendingDocs(s, d).select($"doc_id")
+      .as[Long].collect().toSet == Set(60L),
+      "condemned doc scrubbed from the sidecar, survivor kept")
+    // the compact retry folds only survivors — no resurrection
+    val got = SuffixIndex.compact(d,
+      docsDf(baseRows.filterNot(_._1 == 1L)), tokenize)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 60L), "erased docs stay erased")
+    // overlap state (same rows in BOTH stores) counts once in the
+    // pending census
+    SuffixIndex.append(s, d, docsDf(Seq((80L, "p q"))), 7L)
+    graft.sources.ArtifactCommit.writeFrameWal(
+      SuffixIndex.readPending(s, d),
+      SuffixIndex.compactPendingPath(d))
+    assert(SuffixIndex.pendingDocs(s, d).count() == 1L,
+      "a doc present in ingest AND sidecar is one pending doc")
   }
 
   test("compact with nothing pending serves the live tier untouched") {
