@@ -36,7 +36,11 @@ object GraftFunctions {
         else new BloomFilterAggregate(args(0), args(1))),
     // (bloom binary literal, xxhash64(key)) -> boolean, codegen'd
     ("graft_might_contain", classOf[BloomFilterMightContain].getName,
-      args => BloomFilterMightContain(args(0), args(1)))
+      args => BloomFilterMightContain(args(0), args(1))),
+    // (bigint x, bigint y, foldable int bits) -> bigint Hilbert index,
+    // one codegen'd loop (replaces the 10-step column unroll — r12)
+    ("graft_hilbert", classOf[HilbertIndex].getName,
+      args => HilbertIndex(args(0), args(1), args(2)))
   )
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.expr
 
 /** Hilbert curve index for 2-d data layout (Hilbert 1891; the clustering
   * curve behind Databricks liquid clustering and Hudi/Iceberg's
@@ -66,38 +65,29 @@ object HilbertCurve {
     }
   }
 
-  /** Hilbert index as a Column: chains [[steps]] over helper columns.
+  /** Hilbert index as a Column: the native codegen'd
+    * [[graft.expressions.HilbertIndex]] loop (`graft_hilbert`).
     * `a`/`b` must already be `bits`-wide codes (see
-    * [[ZOrderLayout.quantize]]). The helper columns are dropped; only
-    * `outCol` lands.
+    * [[ZOrderLayout.quantize]]).
     *
-    * Consumption rule: the unroll is ~6·bits stacked projections whose
-    * step expressions multiply references to the previous step, so
-    * Catalyst (correctly) never inlines them — but every ACTION over
-    * the frame re-plans and re-compiles the whole chain, and a consumer
-    * that fans several jobs off it (rank boundary scans + main passes,
-    * q253's shape) was measured to retain GBs of per-job planning and
-    * codegen state. Materialize ONCE (`localCheckpoint`, or a real
-    * checkpoint/write on a cluster) right after this call when more
-    * than one job will consume the result — the checkpoint-once rule
-    * q228 established for recomputed signal frames. */
+    * Round-12 optimization note: this used to chain [[steps]] as ~6·bits
+    * stacked Project expressions. The chain was semantically right but
+    * executed at ~10 µs/row (the generated projection pipeline is too
+    * large to JIT — q253's 600 k-row materialization alone cost ~6 s of
+    * its 8.7 s), and every ACTION over the lazy frame re-planned and
+    * re-compiled it (the q253 r9 driver-OOM lesson). The expression
+    * computes the identical per-bit recurrence (HilbertCurveSpec pins
+    * it against the textbook loop and the oracle keeps the [[cteChain]]
+    * text), in a few hundred bytes of codegen. The checkpoint-once rule
+    * for multi-job consumers still applies to whatever frame this lands
+    * on, but the recompute is now one cheap projection. */
   def withHilbert(df: DataFrame, outCol: String, a: Column, b: Column,
       bits: Int): DataFrame = {
-    val (dn, xn, yn) = ("__hc_d", "__hc_x", "__hc_y")
-    val seeded = df.withColumn(dn, org.apache.spark.sql.functions.lit(0L))
-      .withColumn(xn, a.cast("long"))
-      .withColumn(yn, b.cast("long"))
-    val walked = steps(bits, "DIV", dn, xn, yn).foldLeft(seeded) {
-      case (acc, (dE, xE, yE)) =>
-        // all three read the PREVIOUS step's (d, x, y): rewrite into
-        // temporaries first, then rename — withColumn is sequential
-        acc.withColumn("__hc_d2", expr(dE)).withColumn("__hc_x2", expr(xE))
-          .withColumn("__hc_y2", expr(yE))
-          .drop(dn, xn, yn)
-          .withColumnRenamed("__hc_d2", dn).withColumnRenamed("__hc_x2", xn)
-          .withColumnRenamed("__hc_y2", yn)
-    }
-    walked.withColumnRenamed(dn, outCol).drop(xn, yn)
+    require(bits >= 1 && bits <= 20, s"bits out of range: $bits")
+    graft.expressions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn(outCol, org.apache.spark.sql.functions.call_function(
+      "graft_hilbert", a.cast("long"), b.cast("long"),
+      org.apache.spark.sql.functions.lit(bits)))
   }
 
   /** The same walk as chained oracle CTEs: `withName` is the seeded CTE

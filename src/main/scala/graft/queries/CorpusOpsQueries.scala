@@ -1536,11 +1536,10 @@ object CorpusOpsQueries extends QueryPack {
     * funnels through a single task. */
   private val q223: Q = (s, d) => {
     import s.implicits._
-    val perDoc = graft.operators.BpeTrainer
-      .tokenize(Tables.documents(s, d)
-        .where($"doc_id".isNotNull && $"text".isNotNull),
-        "doc_id", "text", packMerges)
-      .select($"doc_id", $"n_bpe_tokens".as("toks"))
+    // the shared checkpointed per-doc BPE counts (r12): the running-
+    // total pass below is two actions (boundary sampling + main), and
+    // each re-ran the heap encoder before the cut
+    val perDoc = q223PerDoc(s, d)
     val h = graft.functions.DedupFunctions.hash32(
       concat(lit("pack:"), $"doc_id".cast("string")))
     val seqd = graft.functions.DistributedRank
@@ -1572,6 +1571,14 @@ object CorpusOpsQueries extends QueryPack {
         .where($"doc_id".isNotNull && $"text".isNotNull),
         "doc_id", "text", packMerges)
       .select($"doc_id", $"n_bpe_tokens".as("toks"))
+      // checkpoint-once (r12, the q228 rule): the BPE heap encoder is an
+      // opaque typed map, and every consumer fans MULTIPLE actions off
+      // this frame (DistributedRank's boundary sampling + the main pass,
+      // and the export queries' write/census actions) — without a cut
+      // each action re-encodes the whole corpus, and the pack censuses'
+      // multiply-referencing plans duplicated the encode subtree up to
+      // 130× (q240's r12 before-plan). O(docs) × 2 narrow columns.
+      .localCheckpoint()
   }
   /** Doc-boundary-aware packing census — the ACTING counterpart of
     * q239's packing-purity audit, via [[graft.operators.SeqPacker]]
@@ -1809,6 +1816,13 @@ object CorpusOpsQueries extends QueryPack {
     ranked.join(broadcast(minRn), Seq("lang"))
       .select(col("lang"), expr(s"(rn - rn0) DIV $bucketDocs").as("bucket"),
         (col("rn") - col("rn0")).as("ord1"), col("doc_id"), col("toks"))
+      // checkpoint-once (r12): the keyed frame is referenced by minRn,
+      // the pack fold AND the census consumers — before the cut the
+      // multiply-referenced rank subtree (exchange + bucket window +
+      // offsets join) re-planned per reference and blew the pack
+      // censuses' plans up to 4 000+ lines (q240/q243 r12 before-plans).
+      // O(docs) × 5 narrow columns.
+      .localCheckpoint()
   }
 
   /** ROUND-9 FLAGSHIP composition — the complete model-governed export
@@ -1853,8 +1867,12 @@ object CorpusOpsQueries extends QueryPack {
       iters = ITERS, etaLog2 = 2, decay = true, weightCol = Some("wt"))
     val allToks = docsAll.select($"doc_id", explode(tokens($"text")).as("tok"))
     val allFeats = LogReg.features(allToks, "doc_id", "tok", DIMS, binary = true)
+    // checkpoint-once (r12): kept is consumed by the pack's semi join
+    // AND the per-lang kept census — each reference re-ran the whole
+    // scoring chain (corpus tokenize + features + model join) before
+    // the cut. O(kept docs) × 1 column.
     val kept = LogReg.score(allFeats, w, "doc_id")
-      .where($"logit_w" <= 0L).select($"doc_id")
+      .where($"logit_w" <= 0L).select($"doc_id").localCheckpoint()
     val perDoc0 = q223PerDoc(s, d).where($"toks" > 0)
       .join(kept, Seq("doc_id"), "left_semi")
       .join(docsAll.select($"doc_id", $"lang"), Seq("doc_id"))
@@ -2564,6 +2582,9 @@ object CorpusOpsQueries extends QueryPack {
         "doc_id", "text", packMerges)
       .select($"doc_id", $"n_bpe_tokens".as("toks"))
       .where($"toks" > 0)
+      // checkpoint-once (r12): the running-total pass is two actions
+      // (boundary sampling + main) — each re-ran the BPE count encoder
+      .localCheckpoint()
     val h = graft.functions.DedupFunctions.hash32(
       concat(lit("pack:"), $"doc_id".cast("string")))
     val spans = graft.functions.DistributedRank

@@ -87,7 +87,11 @@ object LayoutQueries extends QueryPack {
     * exchange), censuses close at O(PARTS) rows. */
   private val q252: Q = (s, d) => {
     import s.implicits._
-    val c = coded(s, d)
+    // checkpoint-once (r12, the q253/q228 rule): FOUR jobs consume the
+    // coded frame (two rank boundary scans + the two-branch main pass),
+    // each re-running the scan + stats crossJoin + code/Morton
+    // arithmetic before the cut. One narrow 6-column materialization.
+    val c = coded(s, d).localCheckpoint()
     census(ranked(c, "zv"), "zorder")
       .unionByName(census(ranked(c, "ca"), "linear"))
       .select($"layout", $"pid", $"n_rows",
@@ -227,12 +231,23 @@ object LayoutQueries extends QueryPack {
           StructField("cb_min", LongType), StructField("cb_max", LongType),
           StructField("touches_box", IntegerType))))
     } else {
-      ZOrderLayout.writeCurvedExact(li, s"$base/h", "l_partkey", "l_suppkey",
-        BITS, PARTS, hilbert = true,
-        tieCols = Seq("l_orderkey", "l_linenumber"))
-      ZOrderLayout.writeCurvedExact(li, s"$base/z", "l_partkey", "l_suppkey",
-        BITS, PARTS, hilbert = false,
-        tieCols = Seq("l_orderkey", "l_linenumber"))
+      // the two layout writes are disjoint trees (separate dirs, same
+      // read-only input) — run them CONCURRENTLY (r12, guide §2.6 /
+      // the q270 fan-out rule): each is a fixed protocol of small jobs
+      // (stats, rank sampling, main exchange, 32-dir partitioned
+      // write), so wall time was the SUM; concurrent it is the max.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val writes = Seq(
+        Future(ZOrderLayout.writeCurvedExact(li, s"$base/h", "l_partkey",
+          "l_suppkey", BITS, PARTS, hilbert = true,
+          tieCols = Seq("l_orderkey", "l_linenumber"))),
+        Future(ZOrderLayout.writeCurvedExact(li, s"$base/z", "l_partkey",
+          "l_suppkey", BITS, PARTS, hilbert = false,
+          tieCols = Seq("l_orderkey", "l_linenumber"))))
+      writes.foreach(Await.result(_, Duration.Inf))
       def fileCensus(path: String, layout: String): DataFrame =
         s.read.parquet(path)
           .groupBy($"pid".cast("long").as("pid"))
