@@ -72,6 +72,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (200L * 1024 * 1024).toString)
+      // static JVM-level codegen class cache (r12): 100 entries thrash
+      // across ~300 query shapes — min-of-2's second pass recompiled
+      // every generated class (see GraftSession.builder note)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.subexpressionElimination.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

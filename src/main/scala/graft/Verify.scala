@@ -19,6 +19,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static codegen class cache, see GraftSession.builder (r12)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.subexpressionElimination.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,6 +34,15 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // static (first-session-wins) JVM-level codegen class cache: the
+      // default 100 entries thrash across a few hundred distinct query
+      // shapes, so re-runs of a query janino-recompile every generated
+      // class (r12, guide §1: measured as a 1-3 s/query driver-side gap
+      // between wall time and summed job time). Scale-independent — a
+      // production driver running a large query mix wants this for the
+      // same reason. ~10-100 KB metaspace per entry.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.subexpressionElimination.cache.maxEntries", "5000")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
