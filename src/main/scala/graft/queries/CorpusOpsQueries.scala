@@ -1854,11 +1854,15 @@ object CorpusOpsQueries extends QueryPack {
     import graft.functions.TextFunctions.tokens
     val DIMS = 1024
     val ITERS = 8
+    // checkpoint-once (r12): the labeled corpus feeds the trainer, the
+    // whole-corpus scoring, and three census branches — each action
+    // re-ran the tokenize+label scan before the cut
     val docsAll = Tables.documents(s, d)
       .where($"text".isNotNull && $"doc_id".isNotNull && $"source".isNotNull)
       .select($"doc_id", $"lang",
         array_contains(tokens($"text"), "dup").cast("long").as("y"),
         $"text")
+      .localCheckpoint()
     val train = docsAll.where($"doc_id" % 7 =!= 0)
     val trToks = train.select($"doc_id", explode(tokens($"text")).as("tok"))
     val trFeats = LogReg.features(trToks, "doc_id", "tok", DIMS, binary = true)

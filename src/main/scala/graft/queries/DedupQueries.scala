@@ -1012,13 +1012,19 @@ object DedupQueries extends QueryPack {
     import s.implicits._
     val ord0 = suffixOrder(s, d)
       .withColumn("isEval", ($"doc_id" % 97 === 0).cast("long"))
-    if (ord0.where($"isEval" === 1L).isEmpty)
+    val nEval = ord0.where($"isEval" === 1L).count()
+    if (nEval == 0L)
       ord0.select($"doc_id", $"pos", lit(0L).as("m")).where(lit(false))
     else {
-      val t1 = graft.functions.DistributedRank
-        .withRunningTotal(ord0, "segU", $"isEval", $"rn")
+      // ONE running-total pass (r12): the descending eval count is an
+      // exact arithmetic complement of the ascending one —
+      // segD(rn) = Σ_{j≥rn} isEval(j) = nEval − segU(rn) + isEval(rn)
+      // — so the second DistributedRank pass (its boundary-sampling
+      // action + a full exchange + per-bucket window over every
+      // suffix position) is computed for free from the first.
       val base = graft.functions.DistributedRank
-        .withRunningTotal(t1, "segD", $"isEval", -$"rn")
+        .withRunningTotal(ord0, "segU", $"isEval", $"rn")
+        .withColumn("segD", lit(nEval) - $"segU" + $"isEval")
         .localCheckpoint()
       val l2 = base.select(($"rn" - 1L).as("rn"), $"l".as("l2"))
       val wUp = Window.partitionBy($"segU").orderBy($"rn")

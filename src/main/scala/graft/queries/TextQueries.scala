@@ -1442,13 +1442,19 @@ object TextQueries extends QueryPack {
     import graft.operators.LogReg
     val DIMS = 1024
     val ITERS = 8
+    // checkpoint-once (r12): docs is consumed by labels, the scored
+    // join AND (via feats) both the trainer's lf materialization and
+    // the scoring pass — each action re-ran the corpus tokenize before
+    // the cut. feats likewise feeds two actions (train, score).
     val docs = Tables.documents(s, d)
       .where($"text".isNotNull && $"doc_id".isNotNull && $"source".isNotNull)
       .select($"doc_id", $"source",
         array_contains(tokens($"text"), "dup").cast("long").as("y"),
         $"text")
+      .localCheckpoint()
     val toks = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
     val feats = LogReg.features(toks, "doc_id", "tok", DIMS, binary = true)
+      .localCheckpoint()
     val labels = LogReg.balancedLabels(docs.select($"doc_id", $"y"), "doc_id")
     val w = LogReg.train(feats, labels, "doc_id",
       iters = ITERS, etaLog2 = 2, decay = true, weightCol = Some("wt"))
@@ -1495,11 +1501,14 @@ object TextQueries extends QueryPack {
     import graft.operators.{CorpusPipeline, LogReg}
     val DIMS = 1024
     val ITERS = 8
+    // checkpoint-once (r12): both slices and the final census re-read
+    // docs across several actions — tokenize + label once
     val docs = Tables.documents(s, d)
       .where($"text".isNotNull && $"doc_id".isNotNull && $"source".isNotNull)
       .select($"doc_id", $"source",
         array_contains(tokens($"text"), "dup").cast("long").as("y"),
         $"text")
+      .localCheckpoint()
     val train = docs.where($"doc_id" % 7 =!= 0)
     val eval = docs.where($"doc_id" % 7 === 0)
     val trToks = train.select($"doc_id", explode(tokens($"text")).as("tok"))
@@ -1555,11 +1564,15 @@ object TextQueries extends QueryPack {
     import graft.operators.LogReg
     val DIMS = 1024
     val ITERS = 8
+    // checkpoint-once (r12): the labeled corpus feeds the train slice
+    // (features + labels), the eval slice (features + scored join) and
+    // q248's whole-corpus scoring/census — one tokenize+label pass
     val docs = Tables.documents(s, d)
       .where($"text".isNotNull && $"doc_id".isNotNull && $"source".isNotNull)
       .select($"doc_id", $"source",
         array_contains(tokens($"text"), "dup").cast("long").as("y"),
         $"text")
+      .localCheckpoint()
     val train = docs.where($"doc_id" % 7 =!= 0)
     val eval = docs.where($"doc_id" % 7 === 0)
     val trToks = train.select($"doc_id", explode(tokens($"text")).as("tok"))
