@@ -71,7 +71,16 @@ object CorpusPipeline {
       "6_quota" -> result.count())
   }
 
-  def build(docs: DataFrame, cfg: Config = Config()): Staged = {
+  /** `cut` is applied at the expensive stage boundaries (exact-dedup
+    * window, LSH near-dedup, decontam, quota) — pass
+    * `_.localCheckpoint()` (or a persist) when several actions will
+    * consume the staged frames: a drop-reasons audit's six anti-joins
+    * otherwise re-derive every nested stage pipeline per reference
+    * (the r12 q224 finding; this is the object scaladoc's
+    * "persist afterNearDedup first" advice as a seam). Identity by
+    * default — single-pass consumers keep full lazy pipelining. */
+  def build(docs: DataFrame, cfg: Config = Config(),
+      cut: DataFrame => DataFrame = identity): Staged = {
     val id = col(cfg.idCol)
     val nTok = tokenCount(col(cfg.textCol))
     val afterGate = docs.where(col(cfg.textCol).isNotNull &&
@@ -80,14 +89,14 @@ object CorpusPipeline {
       if (cfg.langs.isEmpty) afterGate
       else afterGate.where(col(cfg.langCol).isin(cfg.langs: _*))
     // exact: min doc id per fingerprint survives (deterministic, q46/q77 rule)
-    val afterExact = afterLang
+    val afterExact = cut(afterLang
       .withColumn("__fp_min",
         min(id).over(Window.partitionBy(fingerprint(col(cfg.textCol)))))
-      .where(id === col("__fp_min")).drop("__fp_min")
-    val afterNearDedup = afterExact.join(
+      .where(id === col("__fp_min")).drop("__fp_min"))
+    val afterNearDedup = cut(afterExact.join(
       NearDup.lshDropIds(afterExact, cfg.idCol, cfg.textCol,
         cfg.k, cfg.nh, cfg.b, cfg.r),
-      Seq(cfg.idCol), "left_anti")
+      Seq(cfg.idCol), "left_anti"))
     val afterDecontam = cfg.evalDocs match {
       case None => afterNearDedup
       case Some(eval) =>
@@ -100,15 +109,15 @@ object CorpusPipeline {
             cfg.idCol, cfg.textCol, cfg.decontamK)
           .join(evalGrams, Seq("s"), "left_semi")
           .select(col(cfg.idCol)).distinct()
-        afterNearDedup.join(contaminated, Seq(cfg.idCol), "left_anti")
+        cut(afterNearDedup.join(contaminated, Seq(cfg.idCol), "left_anti"))
     }
     val result = cfg.quotaPerLang match {
       case None => afterDecontam
       case Some(q) =>
         val w = Window.partitionBy(col(cfg.langCol))
           .orderBy(md5(concat(lit("smp:"), id.cast("string")).cast("binary")), id)
-        afterDecontam.withColumn("__rk", row_number().over(w))
-          .where(col("__rk") <= q).drop("__rk")
+        cut(afterDecontam.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= q).drop("__rk"))
     }
     new Staged(docs, afterGate, afterLang, afterExact, afterNearDedup,
       afterDecontam, result)

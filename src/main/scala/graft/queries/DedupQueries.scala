@@ -1137,7 +1137,12 @@ object DedupQueries extends QueryPack {
       langs = Seq("de", "en", "es", "fr"),
       evalDocs = Some(docs.where($"doc_id" % 97 === 0)),
       quotaPerLang = Some(40))
-    val st = CorpusPipeline.build(docs.where($"doc_id" % 97 =!= 0), cfg)
+    // stage cuts (r12): dropReasons' six anti-joins + the kept census
+    // reference every stage from BOTH sides — without the cuts the one
+    // final action re-derived the nested LSH/decontam pipelines per
+    // reference (the q240 plan-duplication class)
+    val st = CorpusPipeline.build(docs.where($"doc_id" % 97 =!= 0), cfg,
+      cut = _.localCheckpoint())
     CorpusPipeline.dropReasons(st, cfg)
       .unionByName(st.result.select($"doc_id",
         lit("7_kept").as("stage"), lit("kept").as("reason")))
