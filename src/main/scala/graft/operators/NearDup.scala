@@ -153,9 +153,14 @@ object NearDup {
       k: Int = 3, tNum: Int = 8, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    // checkpoint-once (r12): the deduped shingle frame is referenced by
+    // the df census, the prefix rank, the candidate probe side AND both
+    // verification joins — five references that each re-ran the explode
+    // + dedup exchange + count window before the cut
     val sh = shingleRows(docs, idCol, textCol, k)
       .dropDuplicates(idCol, "s")
       .withColumn("n", count(lit(1)).over(byDoc))
+      .localCheckpoint()
     val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // prefix size ⌊(1−t)n⌋+1:  rk ≤ ⌊n(tDen−tNum)/tDen⌋+1
     //   ⟺  (rk−1)·tDen ≤ n·(tDen−tNum)   (integer rk, n)
