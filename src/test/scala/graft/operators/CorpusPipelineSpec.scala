@@ -24,6 +24,29 @@ class CorpusPipelineSpec extends SparkSpec {
       "the gate stage dropped null texts, so the curated card has none")
   }
 
+  test("build(cut = localCheckpoint) stages equal the lazy build's (r12)") {
+    // the r12 stage-cut hook must be semantics-free: every staged frame
+    // and the drop-reason partition are identical with and without it
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val cfg = CorpusPipeline.Config(langs = Seq("de", "en", "es", "fr"),
+      evalDocs = Some(docs.where($"doc_id" % 97 === 0)),
+      quotaPerLang = Some(40))
+    val lazyB = CorpusPipeline.build(docs.where($"doc_id" % 97 =!= 0), cfg)
+    val cutB = CorpusPipeline.build(docs.where($"doc_id" % 97 =!= 0), cfg,
+      cut = _.localCheckpoint())
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(cutB.afterExact) == ids(lazyB.afterExact))
+    assert(ids(cutB.afterNearDedup) == ids(lazyB.afterNearDedup))
+    assert(ids(cutB.afterDecontam) == ids(lazyB.afterDecontam))
+    assert(ids(cutB.result) == ids(lazyB.result))
+    val dr = (st: CorpusPipeline.Staged) =>
+      CorpusPipeline.dropReasons(st, cfg)
+        .orderBy("doc_id", "stage").collect().toSeq
+    assert(dr(cutB) == dr(lazyB))
+  }
+
   test("redactPii stage rewrites only PII-bearing rows, schema intact, idempotent") {
     import spark.implicits._
     val docs = Seq(

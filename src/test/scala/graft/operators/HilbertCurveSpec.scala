@@ -43,6 +43,37 @@ class HilbertCurveSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length == n * n, "bijection")
   }
 
+  test("graft_hilbert expression == the steps CTE chain the oracle runs (r12)") {
+    // withHilbert switched from the 10-step column unroll to the native
+    // codegen'd expression in round 12; the DuckDB oracle still runs the
+    // steps text, so the two forms must stay bit-identical — pinned here
+    // by evaluating the chain through Spark SQL on a full 4-bit grid,
+    // plus null propagation (the unroll's CASEs propagated nulls).
+    val s = spark; import s.implicits._
+    val bits = 4
+    val n = 1 << bits
+    val grid = for (a <- 0 until n; b <- 0 until n) yield (a.toLong, b.toLong)
+    val seeded = grid.toDF("a", "b")
+      .withColumn("d", lit(0L)).withColumn("x", col("a"))
+      .withColumn("y", col("b"))
+    val chained = HilbertCurve.steps(bits, "DIV").foldLeft(seeded) {
+      case (acc, (dE, xE, yE)) =>
+        acc.select(col("a"), col("b"), expr(dE).as("d2"),
+            expr(xE).as("x2"), expr(yE).as("y2"))
+          .withColumnRenamed("d2", "d").withColumnRenamed("x2", "x")
+          .withColumnRenamed("y2", "y")
+    }.select(col("a"), col("b"), col("d"))
+    val viaExpr = HilbertCurve.withHilbert(grid.toDF("a", "b"), "d",
+      col("a"), col("b"), bits)
+    assert(chained.orderBy("a", "b").collect().toSeq ==
+      viaExpr.orderBy("a", "b").collect().toSeq)
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L)),
+      (Some(4L), None)).toDF("a", "b")
+    val out = HilbertCurve.withHilbert(withNull, "d", col("a"), col("b"), bits)
+      .select("d").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(1).isEmpty && out(2).isEmpty && out(0).nonEmpty)
+  }
+
   test("adjacency: consecutive Hilbert indexes are grid neighbors (|Δa|+|Δb| == 1)") {
     val s = spark; import s.implicits._
     val n = 64 // 6-bit grid exercises a non-trivial rotation depth
