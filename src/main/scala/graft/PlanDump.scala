@@ -80,7 +80,7 @@ object PlanDump {
     "q249_shard_export" -> "shard export round trip: q240's pack + ONE hash-repartitioned partitioned write (no small-file explosion), manifest agg, and a read-back census whose scan lists the (lang, bucket) partition columns — file data and manifest meet in one O(shards) join",
     "q250_export_forget" -> "export erasure: deletion footprint from one narrow (docId + partition cols) scan, footprint travels as a frame (no Or-chain, no forced broadcast — deletion-tracking), re-pack exchange bounded by the touched shards, manifest merge on O(shards) rows — only the shards the list touches are rewritten",
     "q252_zorder_skip" -> "z-order layout census: codes + Morton value are codegen'd integer div/mod riding the narrow 4-column scan; both layouts rank via the window-free DistributedRank (bucket exchange, no single-task window); censuses close at O(32) rows; only the 1-row min/max stats frame is broadcast",
-    "q253_hilbert_locality" -> "hilbert vs z-order: the 10-step CASE unroll collapses into ONE projection on the coded scan (no UDF, no join, no shuffle for the curve index); both layouts rank window-free; census O(32) rows",
+    "q253_hilbert_locality" -> "hilbert vs z-order: the curve index is the native codegen'd graft_hilbert loop in ONE projection on the coded scan (r12 — replaced the 10-step CASE unroll, ~10 us/row; no UDF, no join, no shuffle), checkpointed once for the four consuming jobs; both layouts rank window-free; census O(32) rows",
     "q255_epoch_materialize" -> "epoch materializer: per-doc tokens ride one narrow scan; the within-lang prefix sum is ONE window-free running-total pass over the composite langId*2^32+hash key (q240 keying — no per-lang hot partition); lang dims/bases O(langs) broadcast; census O(langs) rows",
     "q256_training_stream" -> "training-stream flagship: checkpointed keyed frame feeds prefix + rank passes (one bucket exchange each); epoch explode bounded by the cap; pack is SeqPacker's (lang,bucket) exchange + O(1)-state fold; censuses hash aggs",
     "q257_web_extract" -> "web extraction: the whole strip/decode chain is codegen'd regexp_replace/replace expressions riding the documents scan — no UDF, zero shuffles before the O(langs) census",

@@ -181,7 +181,8 @@ object ZOrderLayout {
     val curved =
       if (hilbert)
         // checkpoint-once: the rank pass (two jobs) + the write would
-        // otherwise each re-plan the bits-step unroll (the q253 rule)
+        // otherwise each re-run the coded+Hilbert projection (the q253
+        // rule; the index itself is the codegen'd graft_hilbert since r12)
         HilbertCurve.withHilbert(coded, "__cv", col("ca"), col("cb"), bits)
           .localCheckpoint()
       else coded.withColumn("__cv", interleave(col("ca"), col("cb"), bits))

@@ -104,17 +104,17 @@ object LayoutQueries extends QueryPack {
     * of the curve carry tighter bounding boxes than Morton's — less
     * box MASS per partition and fewer partitions touched by the same
     * probe. Both curves rank over the SAME coded frame; the Hilbert
-    * index is the [[HilbertCurve]] fixed unroll (10 integer CASE steps,
-    * one projection, no UDF — the oracle runs the identical texts as a
-    * CTE chain). Output keeps the full bounding boxes so the hash pins
-    * WHERE every partition sits, not just the two headline sums. */
+    * index is the native codegen'd [[graft.expressions.HilbertIndex]]
+    * loop (r12 — the 10-step column unroll executed ~10 µs/row; the
+    * expression computes the identical recurrence, and the oracle runs
+    * the [[HilbertCurve.cteChain]] texts). Output keeps the full
+    * bounding boxes so the hash pins WHERE every partition sits, not
+    * just the two headline sums. */
   private val q253: Q = (s, d) => {
     import s.implicits._
     // checkpoint-once (the q228 rule): FOUR downstream jobs (two rank
     // bucket-bound scans + two main passes) would otherwise each re-run
-    // and re-plan the 10-step unroll — measured to retain GBs of
-    // per-job planning/codegen state across actions (see
-    // HilbertCurve.withHilbert scaladoc). One narrow 6-column
+    // the coded+Hilbert projection. One narrow 6-column
     // materialization, then every consumer reads the truncated lineage.
     val c = HilbertCurve.withHilbert(coded(s, d), "hd", col("ca"), col("cb"), BITS)
       .select($"l_orderkey", $"l_linenumber", $"ca", $"cb", $"zv", $"hd")
