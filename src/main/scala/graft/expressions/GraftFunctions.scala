@@ -40,7 +40,18 @@ object GraftFunctions {
     // (bigint x, bigint y, foldable int bits) -> bigint Hilbert index,
     // one codegen'd loop (replaces the 10-step column unroll — r12)
     ("graft_hilbert", classOf[HilbertIndex].getName,
-      args => HilbertIndex(args(0), args(1), args(2)))
+      args => HilbertIndex(args(0), args(1), args(2))),
+    // (string text, foldable array<array<string>> merges) -> bigint BPE
+    // token count / array<string> token sequence; (text, merges,
+    // foldable array<bigint> sizes) -> per-prefix counts. The native
+    // form of BpeTrainer's heap encoder (replaces the typed MapElements
+    // encode across the q223 pack/export family — r13)
+    ("graft_bpe_ntokens", classOf[BpeTokenCount].getName,
+      args => BpeTokenCount(args(0), args(1))),
+    ("graft_bpe_tokens", classOf[BpeTokens].getName,
+      args => BpeTokens(args(0), args(1))),
+    ("graft_bpe_curve", classOf[BpeCurve].getName,
+      args => BpeCurve(args(0), args(1), args(2)))
   )
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {

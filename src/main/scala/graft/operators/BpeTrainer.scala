@@ -322,13 +322,38 @@ object BpeTrainer {
     syms
   }
 
+  /** The merge list as a foldable array<array<string>> literal — the
+    * model-state argument of the native `graft_bpe_*` expressions
+    * ([[graft.expressions.BpeTable]]). */
+  private def mergesLit(merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    typedLit(merges.map(p => Seq(p._1, p._2)))
+
   /** Tokenize every document with a learned merge list: one row per doc
-    * with the full BPE token array (`bpe_tokens`) and its length. The
-    * rank map broadcasts once (KB–MB scale); encoding is a narrow typed
-    * map — no shuffle, embarrassingly parallel, the plan any 100 TB
-    * tokenization run wants. */
+    * with the full BPE token array (`bpe_tokens`) and its length.
+    *
+    * r13: the encode is the native `graft_bpe_*` expression pair
+    * ([[graft.expressions.BpeTable]] — in-place int-array form of
+    * [[encodeWord]], BpeExprSpec pins token-for-token equality to
+    * [[tokenizeTyped]]), not a typed `Dataset.map`: the plan stays one
+    * whole-stage-codegen Project with no encoder ser/de, and because
+    * `bpe_tokens` and `n_bpe_tokens` are INDEPENDENT expressions,
+    * column pruning drops the token-string materialization wherever
+    * only the count is consumed — every declared query path. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val m = mergesLit(merges)
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol).cast("long").as(idCol),
+      call_function("graft_bpe_tokens", t, m).as("bpe_tokens"),
+      call_function("graft_bpe_ntokens", t, m).as("n_bpe_tokens"))
+  }
+
+  /** The pre-r13 typed-map tokenize — the reference implementation
+    * BpeExprSpec pins [[tokenize]] against (same fold-pinned
+    * [[encodeWord]] per word, same null-as-empty framing). */
+  private[graft] def tokenizeTyped(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(ranksOf(merges))
@@ -389,6 +414,22 @@ object BpeTrainer {
       merges: Seq[(String, String)], sizes: Seq[Int]): DataFrame = {
     require(sizes.nonEmpty && sizes.forall(k => k >= 0 && k <= merges.size),
       s"curve sizes must lie in [0, ${merges.size}] (got $sizes)")
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).cast("long").as(idCol),
+        explode(call_function("graft_bpe_curve",
+          coalesce(col(textCol), lit("")), mergesLit(merges),
+          typedLit(sizes.map(_.toLong)))).as("kv"))
+      .select(col(idCol), col("kv.n_merges").as("n_merges"),
+        col("kv.n_bpe_tokens").as("n_bpe_tokens"))
+  }
+
+  /** The pre-r13 typed-map curve — BpeExprSpec's reference for
+    * [[countTokensCurve]]. */
+  private[graft] def countTokensCurveTyped(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(k => k >= 0 && k <= merges.size),
+      s"curve sizes must lie in [0, ${merges.size}] (got $sizes)")
     val spark = docs.sparkSession
     import spark.implicits._
     val nRanks = merges.size
@@ -415,11 +456,21 @@ object BpeTrainer {
       .toDF(idCol, "n_merges", "n_bpe_tokens")
   }
 
-  /** Encode every document with a learned merge list: (original columns
-    * +) `n_bpe_tokens`. The merges broadcast as a rank map; encoding is
-    * a narrow typed map over [[encodeWord]] — no shuffle. */
+  /** Per-doc BPE token count: (idCol, n_bpe_tokens). r13: the native
+    * count expression — no token strings, no typed-map boundary, one
+    * codegen'd Project (see [[tokenize]]). */
   def countTokens(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).cast("long").as(idCol),
+      call_function("graft_bpe_ntokens", col(textCol), mergesLit(merges))
+        .as("n_bpe_tokens"))
+  }
+
+  /** The pre-r13 typed-map count — BpeExprSpec's reference for
+    * [[countTokens]]. */
+  private[graft] def countTokensTyped(docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(ranksOf(merges))
